@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry over the driver-generated parquet testdata
+  * (TESTDATA.md). Mirrors the reference's passthrough source models
+  * (`/root/reference/models/source/ingest_latest/media_events.sql:1` and
+  * siblings): every external table enters the engine through one place.
+  *
+  * Scale note: at 100 TB these reads stay a single `spark.read.parquet`
+  * per table — column pruning + predicate pushdown reach the scan via
+  * Catalyst, so the registry deliberately does NOT cache or materialize.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark only reads
+    * as a long (nanosAsLong). We convert to TimestampType (µs, truncating)
+    * so downstream operators use native timestamp semantics — matching
+    * DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs truncation in the oracle.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view (the dbt-source analog:
+    * `models/source/ingest_incremental/sources.yml:3-8`). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
