@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.llm.{DedupOps, Multimodal, SimilarityOps, TextOps}
 import graft.operators.{DialectOps, Flagship, QueryDef, RelationalOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,7 +12,8 @@ import graft.operators.{DialectOps, Flagship, QueryDef, RelationalOps}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    RelationalOps.all ++ DialectOps.all ++ Flagship.all
+    RelationalOps.all ++ DialectOps.all ++ Flagship.all ++
+      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

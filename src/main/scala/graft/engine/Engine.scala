@@ -1,0 +1,100 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The pipeline layer (SURVEY.md §1 layer 1): dbt's `ref()`/`source()`/
+  * materialization semantics natively on Spark.
+  *
+  * A `Model` declares its upstream refs and a builder; `DagRunner`
+  * topo-sorts and materializes. Views stay lazy logical plans
+  * (`createOrReplaceTempView`) so Catalyst optimizes ACROSS model
+  * boundaries — something the reference's per-statement BigQuery
+  * execution cannot do (`/root/reference/dbt_project.yml:4-11` defaults
+  * every model to a view).
+  */
+sealed trait Materialization
+case object View extends Materialization
+final case class Table(path: String) extends Materialization
+
+/** Incremental insert-overwrite (`/root/reference/models/datamarts/
+  * npo-data-hub/intermediary/atinternet_smarttag_streams_daily_v4.sql:
+  * 1-22,75,101`): replace exactly the listed partitions, preserve older
+  * ones. The reference couples the partition list and the source filter
+  * by hand in two places; here the runner derives the filter FROM the
+  * partition list, encoding the invariant once (SURVEY.md §3.2).
+  */
+final case class IncrementalInsertOverwrite(
+    path: String, partitionCol: String, partitions: Seq[String]) extends Materialization
+
+final case class Model(
+    name: String,
+    refs: Seq[String],
+    build: (SparkSession, Map[String, DataFrame]) => DataFrame,
+    materialization: Materialization = View)
+
+object DagRunner {
+
+  /** Kahn topo-sort; deterministic (name order) among ready nodes. */
+  def topoSort(models: Seq[Model]): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val done = scala.collection.mutable.LinkedHashSet.empty[String]
+    def visit(n: String, stack: List[String]): Unit = {
+      if (stack.contains(n))
+        throw new IllegalArgumentException(s"ref() cycle: ${(n :: stack).reverse.mkString(" -> ")}")
+      if (!done.contains(n)) byName.get(n) match {
+        case Some(m) =>
+          m.refs.sorted.foreach(visit(_, n :: stack))
+          done += n
+        case None => () // external source — resolved via the session catalog
+      }
+    }
+    models.map(_.name).sorted.foreach(visit(_, Nil))
+    done.toSeq.flatMap(byName.get)
+  }
+
+  /** Materialize every model in dependency order. `resolve` supplies
+    * external sources (the `source()` analog); `ref()` lookups hit the
+    * materialized map. Returns the materialized frames by name.
+    */
+  def run(spark: SparkSession, models: Seq[Model],
+          resolve: String => DataFrame): Map[String, DataFrame] = {
+    var built = Map.empty[String, DataFrame]
+    def lookup(n: String): DataFrame = built.getOrElse(n, resolve(n))
+    topoSort(models).foreach { m =>
+      val refs = m.refs.map(r => r -> lookup(r)).toMap
+      val df = m.build(spark, refs)
+      val out = m.materialization match {
+        case View =>
+          df.createOrReplaceTempView(m.name)
+          df
+        case Table(path) =>
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case IncrementalInsertOverwrite(path, partCol, parts) =>
+          writeIncremental(spark, df, path, partCol, parts)
+          spark.read.parquet(path)
+      }
+      built += m.name -> out
+    }
+    built
+  }
+
+  /** Replace exactly `partitions` of the target, preserving all others.
+    * The source filter is derived from the SAME list that selects the
+    * overwritten partitions — the invariant the reference maintains by
+    * hand (`atinternet_smarttag_streams_daily_v4.sql:1-12` vs 75,101).
+    * Uses dynamic partition overwrite so concurrent history partitions
+    * are untouched; at 100 TB this writes only the reprocessing window
+    * (the reference's rolling 9 days), never the full table.
+    */
+  def writeIncremental(spark: SparkSession, df: DataFrame, path: String,
+                       partitionCol: String, partitions: Seq[String]): Unit = {
+    val filtered = df.filter(col(partitionCol).cast("string").isin(partitions: _*))
+    filtered.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+}

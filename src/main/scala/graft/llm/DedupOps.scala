@@ -1,0 +1,187 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect._
+import graft.operators.QueryDef
+import graft.sources.Tables
+
+/** Deduplication operators over `documents`, designed for 100 TB:
+  *
+  *  - exact dedup is a hash groupBy on the content key (shuffle on the
+  *    fingerprint, never on the document body — group key is the md5);
+  *  - MinHash-LSH near-dup generates candidate PAIRS through band-bucket
+  *    equi-joins: documents only meet inside a bucket, so there is no
+  *    all-pairs product anywhere in the plan. At 1000 executors this is
+  *    shingle-explode (map) → 8-way min (partial agg) → band hash (map)
+  *    → self-join on (band_idx, band_hash) — the classic LSH shape;
+  *  - SimHash emits a per-document signature (pure map side);
+  *  - n-gram Jaccard verifies candidates restricted to a blocking key
+  *    ((lang, source) here), again avoiding the cartesian product.
+  *
+  * All hashing is md5-based so an external ANSI oracle (DuckDB) produces
+  * bit-identical signatures — a deliberate engine-portability choice over
+  * Spark's murmur `hash()` (whose seeds are engine-private).
+  */
+object DedupOps {
+
+  /** Exact dedup: one canonical row per distinct text. */
+  private val exact = QueryDef(
+    "llm_exact_dedup",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_key"))
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies")
+      .orderBy("canonical_id"),
+    Some("""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+           |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin))
+
+  /** Word 3-shingles per document via a lead window (portable to any SQL
+    * engine, unlike array-slide built-ins).
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), posexplode(splitLit(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(w))
+      .withColumn("w2", lead("w", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
+  }
+
+  private def mh(seed: Int): Column =
+    min(md5(concat(lit(s"$seed:"), col("shingle")))).as(s"mh$seed")
+
+  /** MinHash + LSH banded candidate pairs: 8 min-hashes, 4 bands of 2 rows;
+    * docs sharing any band bucket become a candidate pair.
+    */
+  private val minhash = QueryDef(
+    "llm_minhash_lsh_pairs",
+    (s, dir) => {
+      val sigs = shingles(s, dir).groupBy("doc_id")
+        .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+      val bands = sigs.select(col("doc_id"), posexplode(array(
+        md5(concat(col("mh0"), col("mh1"))), md5(concat(col("mh2"), col("mh3"))),
+        md5(concat(col("mh4"), col("mh5"))), md5(concat(col("mh6"), col("mh7")))))
+        .as(Seq("band_idx", "band_hash")))
+      val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+        col("doc_id").as("doc_b"))
+      a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH words AS (
+           |  SELECT doc_id,
+           |    CAST(unnest(generate_series(1, len(string_split(text, ' ')))) AS INTEGER) AS pos,
+           |    unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, w || ' ' || lead(w, 1) OVER dw || ' ' || lead(w, 2) OVER dw AS shingle,
+           |    lead(w, 2) OVER dw AS w2
+           |  FROM words WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+           |sigs AS (
+           |  SELECT doc_id,
+           |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+           |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+           |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+           |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+           |  FROM sh WHERE w2 IS NOT NULL GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id,
+           |    unnest([0, 1, 2, 3]) AS band_idx,
+           |    unnest([md5(mh0 || mh1), md5(mh2 || mh3),
+           |            md5(mh4 || mh5), md5(mh6 || mh7)]) AS band_hash
+           |  FROM sigs)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b
+           |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           | AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** 16-bit SimHash from md5 nibbles: bit i is the sign of the sum of
+    * (+1/-1) votes from each word's i-th hex digit high bit.
+    */
+  private val simhash = QueryDef(
+    "llm_simhash",
+    (s, dir) => {
+      val words = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(splitLit(col("text"), " ")).as("w"))
+        .withColumn("h", md5(col("w")))
+      val bitVotes = (0 until 16).map { i =>
+        sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+          1).otherwise(-1)).as(s"b$i")
+      }
+      val agg = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      agg.select(col("doc_id"),
+        concat((0 until 16).map(i => when(col(s"b$i") >= 0, "1").otherwise("0")): _*)
+          .as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val votes = (0 until 16).map(i =>
+        s"sum(CASE WHEN substr(md5(w), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$i")
+        .mkString(",\n    ")
+      val bits = (0 until 16).map(i => s"CASE WHEN b$i >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |agg AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM words GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM agg ORDER BY doc_id""".stripMargin
+    })
+
+  /** n-gram (word-set) Jaccard similarity over blocked candidate pairs —
+    * blocking key (lang, source) bounds the pair count; the intersection
+    * is computed by an equi-join on the word, never by comparing texts.
+    */
+  private val jaccard = QueryDef(
+    "llm_ngram_jaccard",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val words = docs
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(array_distinct(splitLit(col("text"), " "))).as("w"))
+      val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+      val aw = words.select(col("lang"), col("source"), col("w"), col("doc_id").as("doc_a"))
+      val bw = words.select(col("lang").as("l2"), col("source").as("s2"), col("w").as("w2"),
+        col("doc_id").as("doc_b"))
+      val inter = aw.join(bw, col("lang") === col("l2") && col("source") === col("s2") &&
+          col("w") === col("w2") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nw", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nw", "nb"), "doc_b")
+        .withColumn("jaccard",
+          roundTo(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+        .filter(col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH words AS (
+           |  SELECT DISTINCT doc_id, lang, source, w FROM (
+           |    SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+           |    FROM documents)),
+           |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |  FROM words a JOIN words b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+           |   AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           |  SELECT doc_a, doc_b,
+           |    floor(inter / (sa.nw + sb.nw - inter) * 10000.0 + 0.5) / 10000.0 AS jaccard
+           |  FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b)
+           |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(exact, minhash, simhash, jaccard)
+}

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect._
+import graft.operators.QueryDef
+import graft.sources.Tables
+
+/** A media payload: opaque bytes + typed metadata — the schema shape a
+  * 100 TB multimodal corpus uses (content stays an un-decoded `binary`
+  * column; only narrow typed metadata is materialized columnar).
+  */
+final case class MediaRecord(doc_id: Long, media_type: String, blob: Array[Byte])
+
+/** Extracted features. In production `width/height/duration_ms` come from
+  * an image/audio decoder; this container has no codec libraries, so the
+  * decode step is STUBBED with a deterministic fake (below) while the
+  * Spark-side plumbing — schema, encoders, per-partition batching — is
+  * real and tested.
+  */
+final case class MediaFeatures(
+    doc_id: Long, media_type: String, n_bytes: Int,
+    width: Int, height: Int, duration_ms: Long)
+
+/** Multimodal columns: treat image/audio/video as opaque binary with
+  * typed metadata; decode/feature-extract runs per-partition so a real
+  * decoder would amortize native-library initialization across a batch
+  * (the `mapPartitions` shape is exactly what a JNI/FFI decoder needs —
+  * one init per partition, streaming over rows, no per-row overhead).
+  */
+object Multimodal {
+
+  /** STUB decoder — deterministic fake standing in for an image decode.
+    * Real implementation would parse the container header; the fake
+    * derives plausible dimensions from content bytes so tests are stable.
+    */
+  def decodeStub(blob: Array[Byte]): (Int, Int, Long) = {
+    val n = blob.length
+    val b0 = if (n > 0) blob(0) & 0xff else 0
+    (64 + (n % 577), 64 + (b0 * 7 % 359), n.toLong * 3L)
+  }
+
+  /** The media table derived from `documents` (text bytes as the opaque
+    * payload — same plumbing as a real image column).
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("source") === "src0", "image/png")
+          .when(col("source") === "src1", "audio/wav")
+          .otherwise("video/mp4").as("media_type"),
+        col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+  }
+
+  /** Feature extraction over partitions of binary payloads. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // A real decoder initializes once per partition here.
+      it.map { r =>
+        val (w, h, d) = decodeStub(r.blob)
+        MediaFeatures(r.doc_id, r.media_type, r.blob.length, w, h, d)
+      }
+    }
+  }
+
+  /** Metadata query over the binary column using only engine-portable
+    * functions (so DuckDB can oracle it); the mapPartitions decoder path
+    * above is covered by ScalaTest instead (its stub is not ANSI SQL).
+    */
+  private val meta = QueryDef(
+    "llm_multimodal_meta",
+    (s, dir) => mediaTable(s, dir).toDF()
+      .select(col("doc_id"), col("media_type"),
+        length(col("blob")).as("n_bytes"),
+        substring(md5(col("blob")), 1, 8).as("sig"),
+        div(length(col("blob")), lit(1024)).as("kb_bucket"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |CASE WHEN source = 'src0' THEN 'image/png'
+           |     WHEN source = 'src1' THEN 'audio/wav'
+           |     ELSE 'video/mp4' END AS media_type,
+           |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           |substr(md5(text), 1, 8) AS sig,
+           |CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT) AS kb_bucket
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(meta)
+}

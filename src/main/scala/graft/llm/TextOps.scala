@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect._
+import graft.operators.QueryDef
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All are per-row narrow
+  * transformations — at 100 TB they stream through the scan with no
+  * shuffle at all (verify: the plans below are a single WholeStageCodegen
+  * over the parquet scan + sort for the deterministic dump ordering).
+  */
+object TextOps {
+
+  /** Token counting: whitespace tokens + a BPE-ish chars/4 estimate. */
+  private val tokenCount = QueryDef(
+    "llm_token_count",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(splitLit(col("text"), " ")).as("ws_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("bpe_est"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           |CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: length, mean word length, stopword ratio. The
+    * stopword filter runs as a higher-order array function (codegen'd) —
+    * no UDF, no explode, no shuffle.
+    */
+  private val quality = QueryDef(
+    "llm_quality_score",
+    (s, dir) => {
+      val words = splitLit(col("text"), " ")
+      val stops = expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))")
+      Tables.load(s, dir, "documents")
+        .withColumn("wc", size(words))
+        .withColumn("stop_hits", stops)
+        .select(col("doc_id"), col("wc"),
+          roundTo((col("n_chars") - col("wc") + lit(1)) / col("wc"), 4).as("avg_word_len"),
+          roundTo(col("stop_hits") / col("wc"), 4).as("stopword_ratio"),
+          (col("n_chars").between(100, 400) &&
+            col("stop_hits") / col("wc") < 0.3).as("passes_quality"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(wc AS INTEGER) AS wc,
+           |floor((n_chars - wc + 1) / wc * 10000.0 + 0.5) / 10000.0 AS avg_word_len,
+           |floor(stop_hits / wc * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+           |(n_chars BETWEEN 100 AND 400 AND stop_hits / wc < 0.3) AS passes_quality
+           |FROM (
+           |  SELECT doc_id, n_chars,
+           |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS wc,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |                         w -> w IN ('the', 'a'))) AS DOUBLE) AS stop_hits
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID n-gram/stopword heuristic: score per candidate language
+    * by distinctive-word hits, argmax with deterministic tie order.
+    */
+  private val langId = QueryDef(
+    "llm_langid",
+    (s, dir) => {
+      def hits(ws: String) =
+        expr(s"size(filter(split(text, ' '), w -> w IN ($ws)))")
+      Tables.load(s, dir, "documents")
+        .withColumn("en_hits", hits("'the', 'a', 'of'"))
+        .withColumn("de_hits", hits("'der', 'die', 'das'"))
+        .withColumn("es_hits", hits("'el', 'la', 'los'"))
+        .select(col("doc_id"), col("en_hits"), col("de_hits"), col("es_hits"),
+          when(col("de_hits") > col("en_hits") && col("de_hits") >= col("es_hits"), "de")
+            .when(col("es_hits") > col("en_hits"), "es")
+            .otherwise("en").as("predicted"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, en_hits, de_hits, es_hits,
+           |CASE WHEN de_hits > en_hits AND de_hits >= es_hits THEN 'de'
+           |     WHEN es_hits > en_hits THEN 'es' ELSE 'en' END AS predicted
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      w -> w IN ('the', 'a', 'of'))) AS INTEGER) AS en_hits,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      w -> w IN ('der', 'die', 'das'))) AS INTEGER) AS de_hits,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      w -> w IN ('el', 'la', 'los'))) AS INTEGER) AS es_hits
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased text
+    * (an engine-portable stand-in for a rolling hash — identical
+    * deduplication semantics, stable across engines).
+    */
+  private val fingerprint = QueryDef(
+    "llm_fingerprint",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), " +", " "))).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint)
+}

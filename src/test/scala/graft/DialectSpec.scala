@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect._
+
+/** Unit tests for the BigQuery-dialect shims — the highest-risk semantic
+  * translations (SURVEY.md §7.4).
+  */
+class DialectSpec extends SparkSpec {
+
+  test("safeOffset is 0-based and NULL out of range, like SAFE_OFFSET") {
+    val df = spark.range(1).select(split(lit("a,b,c"), ",").as("arr"))
+    val r = df.select(
+      safeOffset(col("arr"), 0), safeOffset(col("arr"), 2),
+      safeOffset(col("arr"), 3), safeOffset(col("arr"), 99)).head()
+    assert(r === Row("a", "c", null, null))
+  }
+
+  test("splitLit treats _||_ as a literal, not a regex alternation") {
+    val df = spark.range(1).select(lit("name_||_mid_||_x").as("s"))
+    val r = df.select(splitLit(col("s"), "_||_").as("p")).head().getSeq[String](0)
+    assert(r === Seq("name", "mid", "x"))
+    // The unquoted regex would explode into per-character fragments.
+    val broken = df.select(split(col("s"), "_||_").as("p")).head().getSeq[String](0)
+    assert(broken !== Seq("name", "mid", "x"))
+  }
+
+  test("ISO week/year at year boundaries (why the reference spine starts 2018-12-31)") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1(Date.valueOf("2018-12-30")), Tuple1(Date.valueOf("2018-12-31")),
+      Tuple1(Date.valueOf("2019-01-01")), Tuple1(Date.valueOf("2020-12-31")),
+      Tuple1(Date.valueOf("2021-01-01")), Tuple1(Date.valueOf("2021-01-04"))))
+      .toDF("d")
+    val out = df.select(col("d"), isoWeek(col("d")).as("w"), isoYear(col("d")).as("y"))
+      .collect()
+      .map(r => r.getDate(0).toString -> ((r.getInt(1), r.getAs[Number](2).intValue())))
+      .toMap
+    assert(out("2018-12-30") === ((52, 2018)))
+    assert(out("2018-12-31") === ((1, 2019))) // Monday of ISO week 1, 2019
+    assert(out("2019-01-01") === ((1, 2019)))
+    assert(out("2020-12-31") === ((53, 2020))) // 2020 has ISO week 53
+    assert(out("2021-01-01") === ((53, 2020)))
+    assert(out("2021-01-04") === ((1, 2021)))
+  }
+
+  test("timestampDiffSeconds truncates sub-second deltas") {
+    val df = spark.range(1).select(
+      to_timestamp(lit("2024-01-01 00:00:10.900")).as("a"),
+      to_timestamp(lit("2024-01-01 00:00:00.000")).as("b"))
+    assert(df.select(timestampDiffSeconds(col("a"), col("b"))).head().getLong(0) === 10L)
+    assert(df.select(timestampDiffMinutes(col("a"), col("b"))).head().getLong(0) === 0L)
+  }
+
+  test("generateDateArray is end-inclusive on step boundaries") {
+    val r = spark.range(1).select(generateDateArray(
+      lit(Date.valueOf("2024-01-01")), lit(Date.valueOf("2024-01-15")), 7).as("a"))
+      .head().getSeq[Date](0)
+    assert(r.map(_.toString) === Seq("2024-01-01", "2024-01-08", "2024-01-15"))
+  }
+
+  test("stringAggOrdered is deterministic regardless of input order") {
+    val df = spark.createDataFrame(Seq((1, "c"), (1, "a"), (1, "b"))).toDF("k", "v")
+      .repartition(3)
+    val r = df.groupBy("k").agg(stringAggOrdered(col("v"), ",").as("s")).head().getString(1)
+    assert(r === "a,b,c")
+  }
+
+  test("nullifEmpty maps empty strings to NULL (empty split segments)") {
+    val df = spark.range(1).select(splitLit(lit("a_||__||_c"), "_||_").as("p"))
+    val r = df.select(nullifEmpty(safeOffset(col("p"), 1))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("div truncates like BigQuery DIV for non-negative operands") {
+    val r = spark.range(1).select(div(lit(1234), lit(100))).head().getLong(0)
+    assert(r === 12L)
+  }
+
+  test("roundTo matches fixed-point half-up on representable values") {
+    val r = spark.range(1).select(
+      roundTo(lit(2.345), 2), roundTo(lit(2.5), 0), roundTo(lit(1.0 / 3.0), 4)).head()
+    assert(math.abs(r.getDouble(0) - 2.35) < 1e-12)
+    assert(r.getDouble(1) === 3.0)
+    assert(r.getDouble(2) === 0.3333)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+
+/** dbt-semantics tests (SURVEY.md §5 layer 2): DAG topo-order, view vs
+  * incremental materialization, and the insert-overwrite partition
+  * invariant — replace exactly the listed partitions, preserve the rest
+  * (`atinternet_smarttag_streams_daily_v4.sql:1-22`).
+  */
+class EngineSpec extends SparkSpec {
+
+  private def m(name: String, refs: String*): Model =
+    Model(name, refs, (s, r) => s.range(1).toDF("x"))
+
+  test("topoSort orders refs before dependents, deterministically") {
+    val models = Seq(m("dashboard", "vod", "tv"), m("tv", "poms"), m("vod", "poms", "streams"),
+      m("poms"), m("streams", "poms"))
+    val order = DagRunner.topoSort(models).map(_.name)
+    assert(order.indexOf("poms") < order.indexOf("tv"))
+    assert(order.indexOf("poms") < order.indexOf("streams"))
+    assert(order.indexOf("streams") < order.indexOf("vod"))
+    assert(order.indexOf("vod") < order.indexOf("dashboard"))
+    assert(order.indexOf("tv") < order.indexOf("dashboard"))
+    assert(order === DagRunner.topoSort(models.reverse).map(_.name))
+  }
+
+  test("topoSort rejects ref cycles") {
+    val ex = intercept[IllegalArgumentException] {
+      DagRunner.topoSort(Seq(m("a", "b"), m("b", "a")))
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
+  test("run materializes views lazily and resolves external sources") {
+    val src = spark.range(10).toDF("n")
+    val models = Seq(
+      Model("doubled", Seq("src_numbers"),
+        (_, r) => r("src_numbers").select((col("n") * 2).as("n2"))),
+      Model("summed", Seq("doubled"),
+        (_, r) => r("doubled").agg(sum("n2").as("total"))))
+    val out = DagRunner.run(spark, models,
+      { case "src_numbers" => src; case other => fail(s"unexpected source $other") })
+    assert(out("summed").head().getLong(0) === 90L)
+    // view materialization registered the intermediate as a temp view
+    assert(spark.sql("SELECT count(*) FROM doubled").head().getLong(0) === 10L)
+  }
+
+  test("insert-overwrite replaces exactly the listed partitions, preserves others") {
+    val dir = Files.createTempDirectory("graft_inc").toFile.getAbsolutePath + "/t"
+    // Seed: three date partitions with value = 1.
+    val seed = spark.createDataFrame(Seq(
+      ("2024-01-01", 1), ("2024-01-02", 1), ("2024-01-03", 1)))
+      .toDF("evt_date", "v")
+    seed.write.partitionBy("evt_date").parquet(dir)
+
+    // Incremental run claims to rewrite 01-02 and 01-03 with v=2, and
+    // also (incorrectly) emits an 01-01 row — the derived filter must
+    // drop it: only LISTED partitions may be touched.
+    val incoming = spark.createDataFrame(Seq(
+      ("2024-01-01", 2), ("2024-01-02", 2), ("2024-01-03", 2), ("2024-01-04", 2)))
+      .toDF("evt_date", "v")
+    DagRunner.writeIncremental(spark, incoming, dir, "evt_date",
+      Seq("2024-01-02", "2024-01-03", "2024-01-04"))
+
+    val out = spark.read.parquet(dir)
+      .groupBy("evt_date").agg(sum("v").as("v")).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap // partition col may infer as DATE
+    assert(out === Map(
+      "2024-01-01" -> 1L, // preserved, not in the partition list
+      "2024-01-02" -> 2L, // replaced
+      "2024-01-03" -> 2L, // replaced
+      "2024-01-04" -> 2L)) // new partition appended
+  }
+
+  test("insert-overwrite is idempotent for the same window") {
+    val dir = Files.createTempDirectory("graft_inc2").toFile.getAbsolutePath + "/t"
+    val df = spark.createDataFrame(Seq(("2024-02-01", 5), ("2024-02-02", 7)))
+      .toDF("evt_date", "v")
+    df.write.partitionBy("evt_date").parquet(dir)
+    DagRunner.writeIncremental(spark, df, dir, "evt_date", Seq("2024-02-01", "2024-02-02"))
+    DagRunner.writeIncremental(spark, df, dir, "evt_date", Seq("2024-02-01", "2024-02-02"))
+    assert(spark.read.parquet(dir).count() === 2L)
+  }
+}

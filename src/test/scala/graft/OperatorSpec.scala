@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Multimodal
+
+/** Operator-shape properties (SURVEY.md §5.4) exercised over seeded value
+  * grids, + the multimodal mapPartitions plumbing.
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("UNION ALL conforming preserves row counts (property grid)") {
+    for (na <- Seq(0, 1, 13, 50); nb <- Seq(0, 7, 50)) {
+      val a = spark.range(na).select(col("id"), lit(null).cast("string").as("tag"))
+      val b = spark.range(nb).select(col("id"), lit("x").as("tag"))
+      assert(a.unionAll(b).count() === (na + nb).toLong, s"na=$na nb=$nb")
+    }
+  }
+
+  test("explode multiplicity: N rows with k-element arrays -> N*k rows") {
+    for (n <- Seq(0, 1, 10); k <- Seq(1, 2, 5)) {
+      val df = spark.range(n).select(sequence(lit(1), lit(k)).as("arr"))
+      assert(df.select(explode(col("arr"))).count() === (n.toLong * k), s"n=$n k=$k")
+    }
+  }
+
+  test("explode_outer preserves rows with NULL/empty arrays") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq("a", "b")), (2L, Seq.empty[String]))).toDF("id", "arr")
+      .withColumn("arr", when(col("id") === 2, lit(null).cast("array<string>"))
+        .otherwise(col("arr")))
+    assert(df.select(col("id"), explode_outer(col("arr"))).count() === 3L)
+    val empty = spark.createDataFrame(Seq((3L, Seq.empty[String]))).toDF("id", "arr")
+    assert(empty.select(col("id"), explode_outer(col("arr"))).count() === 1L)
+    assert(empty.select(col("id"), explode(col("arr"))).count() === 0L)
+  }
+
+  test("window dedup keeps exactly one row per key (seeded property)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val keys = List.fill(1 + rnd.nextInt(40))(1 + rnd.nextInt(8))
+      val df = spark.createDataFrame(keys.zipWithIndex).toDF("k", "i")
+      val deduped = df.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy("i")))
+        .filter(col("rn") === 1)
+      assert(deduped.count() === keys.distinct.size.toLong, s"trial=$trial")
+    }
+  }
+
+  test("multimodal mapPartitions feature extraction is deterministic and schema-typed") {
+    import spark.implicits._
+    val media = Seq(
+      graft.llm.MediaRecord(1L, "image/png", "hello world".getBytes("UTF-8")),
+      graft.llm.MediaRecord(2L, "audio/wav", Array.emptyByteArray))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats.map(_.doc_id).toSeq === Seq(1L, 2L))
+    assert(feats(0).n_bytes === 11)
+    assert(feats(1).n_bytes === 0)
+    // Deterministic stub: same bytes -> same fake decode.
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(again.map(f => (f.width, f.height, f.duration_ms)).toSeq ===
+      feats.map(f => (f.width, f.height, f.duration_ms)).toSeq)
+    // Schema carries through the Dataset encoder.
+    val df = Multimodal.extractFeatures(media).toDF()
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("doc_id", "media_type", "n_bytes", "width", "height", "duration_ms"))
+  }
+}
