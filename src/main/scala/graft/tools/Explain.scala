@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan-audit main: print the formatted physical plan (and optionally
+  * time) for one or more queries. Usage:
+  *   runMain graft.tools.Explain <sfDir> <queryName> [queryName...]
+  *   runMain graft.tools.Explain <sfDir> --time <queryName>
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val time = args.contains("--time")
+    val names = args.drop(1).filterNot(_ == "--time")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      println(s"\n========== $n ==========")
+      df.explain("formatted")
+      if (time) {
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[$n run $i] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
