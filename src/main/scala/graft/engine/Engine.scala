@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 sealed trait Materialization
 case object View extends Materialization
-final case class Table(path: String) extends Materialization
+/** Full-refresh table; written under `<warehouse>/<schema>/<name>`. */
+case object Table extends Materialization
 
 /** Incremental insert-overwrite (`/root/reference/models/datamarts/
   * npo-data-hub/intermediary/atinternet_smarttag_streams_daily_v4.sql:
@@ -25,13 +26,18 @@ final case class Table(path: String) extends Materialization
   * partition list, encoding the invariant once (SURVEY.md §3.2).
   */
 final case class IncrementalInsertOverwrite(
-    path: String, partitionCol: String, partitions: Seq[String]) extends Materialization
+    partitionCol: String, partitions: Seq[String]) extends Materialization
 
+/** `schema` is the dbt schema/database routing (S7,
+  * `/root/reference/dbt_project.yml:6-11`): it namespaces the physical
+  * target of table-like materializations, never the `ref()` name.
+  */
 final case class Model(
     name: String,
     refs: Seq[String],
     build: (SparkSession, Map[String, DataFrame]) => DataFrame,
-    materialization: Materialization = View)
+    materialization: Materialization = View,
+    schema: Option[String] = None)
 
 object DagRunner {
 
@@ -57,10 +63,14 @@ object DagRunner {
     * external sources (the `source()` analog); `ref()` lookups hit the
     * materialized map. Returns the materialized frames by name.
     */
-  def run(spark: SparkSession, models: Seq[Model],
-          resolve: String => DataFrame): Map[String, DataFrame] = {
+  def run(spark: SparkSession, models: Seq[Model], resolve: String => DataFrame,
+          warehouse: String = ""): Map[String, DataFrame] = {
     var built = Map.empty[String, DataFrame]
     def lookup(n: String): DataFrame = built.getOrElse(n, resolve(n))
+    def target(m: Model): String = {
+      require(warehouse.nonEmpty, s"model ${m.name} needs a warehouse dir")
+      s"$warehouse/${m.schema.getOrElse("main")}/${m.name}"
+    }
     topoSort(models).foreach { m =>
       val refs = m.refs.map(r => r -> lookup(r)).toMap
       val df = m.build(spark, refs)
@@ -68,10 +78,12 @@ object DagRunner {
         case View =>
           df.createOrReplaceTempView(m.name)
           df
-        case Table(path) =>
+        case Table =>
+          val path = target(m)
           df.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)
-        case IncrementalInsertOverwrite(path, partCol, parts) =>
+        case IncrementalInsertOverwrite(partCol, parts) =>
+          val path = target(m)
           writeIncremental(spark, df, path, partCol, parts)
           spark.read.parquet(path)
       }

@@ -4,7 +4,7 @@ import java.sql.Date
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.Model
+import graft.engine.{IncrementalInsertOverwrite, Model}
 
 /** The reference's full 13-model DAG wired through `graft.engine
   * .DagRunner` (SURVEY.md §3.1). External tables (the 8 passthrough
@@ -47,20 +47,26 @@ object NpoDag {
     Model("poms_flattened", Seq("audiovisual_metadata_poms_metadata_v1"),
       (_, r) => PomsFlattened.build(r("audiovisual_metadata_poms_metadata_v1"))),
 
+    // The one incremental model (`atinternet_smarttag_streams_daily_v4
+    // .sql:15-22`): insert-overwrite of the rolling 9-day window, routed
+    // to its own schema per dbt_project.yml:9-11.
     Model("atinternet_smarttag_streams_daily_v4",
       Seq("advantedge_tv_viewer_density_per_show_daily_v1", "media_events",
         "live_stream_name_mapping_v1", "audiovisual_metadata_poms_metadata_v1"),
       (_, r) => StreamsDaily.build(
         r("advantedge_tv_viewer_density_per_show_daily_v1"), r("media_events"),
         r("live_stream_name_mapping_v1"), r("audiovisual_metadata_poms_metadata_v1"),
-        StreamsDaily.partitionsFor(today))),
+        StreamsDaily.partitionsFor(today)),
+      materialization = IncrementalInsertOverwrite("evt_date", StreamsDaily.partitionsFor(today)),
+      schema = Some("atinternet_smarttag_streams_daily")),
 
     Model("integral_reporting_tvbroadcasts",
       Seq("advantedge_tv_viewer_density_per_show_daily_v1", "dim_poms_episodes",
         "360_graden_rapportage_vertaaltabel_upload_20_21"),
       (s, r) => Reporting.tvBroadcasts(s,
         r("advantedge_tv_viewer_density_per_show_daily_v1"), r("dim_poms_episodes"),
-        r("360_graden_rapportage_vertaaltabel_upload_20_21"), today)),
+        r("360_graden_rapportage_vertaaltabel_upload_20_21"), today),
+      schema = Some("integral_reporting")),
 
     Model("integral_reporting_vodstreaming",
       Seq("advantedge_tv_viewer_density_per_show_daily_v1", "poms_flattened",
@@ -69,26 +75,30 @@ object NpoDag {
       (s, r) => Reporting.vodStreaming(s,
         r("advantedge_tv_viewer_density_per_show_daily_v1"), r("poms_flattened"),
         r("atinternet_smarttag_streams_daily_v4"), r("dim_poms_episodes"),
-        r("360_graden_rapportage_vertaaltabel_upload_20_21"), today)),
+        r("360_graden_rapportage_vertaaltabel_upload_20_21"), today),
+      schema = Some("integral_reporting")),
 
     Model("integral_reporting_youtube",
       Seq("360_graden_rapportage_vertaaltabel_upload_20_21",
         "quintly_youtube_allchannels_weekly"),
       (s, r) => Reporting.youtube(s,
         r("360_graden_rapportage_vertaaltabel_upload_20_21"),
-        r("quintly_youtube_allchannels_weekly"), today)),
+        r("quintly_youtube_allchannels_weekly"), today),
+      schema = Some("integral_reporting")),
 
     Model("integral_reporting_facebook",
       Seq("360_graden_rapportage_vertaaltabel_upload_20_21", "quintly_facebook_pages_weekly"),
       (s, r) => Reporting.facebook(s,
         r("360_graden_rapportage_vertaaltabel_upload_20_21"),
-        r("quintly_facebook_pages_weekly"), today)),
+        r("quintly_facebook_pages_weekly"), today),
+      schema = Some("integral_reporting")),
 
     Model("integral_reporting_instagram",
       Seq("360_graden_rapportage_vertaaltabel_upload_20_21", "quintly_instagram_pages_weekly"),
       (s, r) => Reporting.instagram(s,
         r("360_graden_rapportage_vertaaltabel_upload_20_21"),
-        r("quintly_instagram_pages_weekly"), today)),
+        r("quintly_instagram_pages_weekly"), today),
+      schema = Some("integral_reporting")),
 
     Model("integral_reporting_sites_and_apps",
       Seq("360_graden_rapportage_vertaaltabel_upload_20_21",
@@ -96,7 +106,8 @@ object NpoDag {
       (s, r) => Reporting.sitesAndApps(s,
         r("360_graden_rapportage_vertaaltabel_upload_20_21"),
         r("atinternet_smarttag_pages_weekly_v2"),
-        r("atinternet_smarttag_pages_programmes_weekly_v2"), today)),
+        r("atinternet_smarttag_pages_programmes_weekly_v2"), today),
+      schema = Some("integral_reporting")),
 
     Model("integral_reporting_dashboard_channel_weekly",
       Seq("360_graden_rapportage_vertaaltabel_upload_20_21",
@@ -107,5 +118,6 @@ object NpoDag {
         r("360_graden_rapportage_vertaaltabel_upload_20_21"),
         r("integral_reporting_vodstreaming"), r("integral_reporting_tvbroadcasts"),
         r("integral_reporting_facebook"), r("integral_reporting_instagram"),
-        r("integral_reporting_sites_and_apps"), r("integral_reporting_youtube"), today)))
+        r("integral_reporting_sites_and_apps"), r("integral_reporting_youtube"), today),
+      schema = Some("integral_reporting")))
 }

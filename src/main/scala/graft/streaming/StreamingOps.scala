@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming variants of the engine's batch semantics
+  * (SURVEY.md §2.9): the reference reprocesses a rolling 9-day window in
+  * batch; these operators compute the same aggregates continuously so a
+  * 100 TB/day event feed never needs the batch rewind.
+  *
+  *  - `windowedPlayCounts` is the streaming analog of the streams-daily
+  *    per-date aggregation (`/root/reference/models/datamarts/npo-data-hub/
+  *    intermediary/atinternet_smarttag_streams_daily_v4.sql:139-161`):
+  *    event-time tumbling windows + watermark for late data, qualified
+  *    (>= 30s) counts per event type.
+  *  - `sessionize` tracks per-user sessions with `mapGroupsWithState` —
+  *    the custom-state shape (session gap 30 min) the DataFrame API can't
+  *    express declaratively.
+  *
+  * Scale notes: both partition by key (window+type / user) so state is
+  * sharded across executors; watermarks bound state size; output mode
+  * `update` keeps sinks incremental.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time aggregation with late-data watermark. Works on
+    * any frame with (ts TIMESTAMP, event_type STRING, value DOUBLE) —
+    * batch or streaming (same plan shape, which is the point).
+    */
+  def windowedPlayCounts(events: DataFrame, windowLen: String = "10 minutes",
+                         watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") >= 30.0, 1L).otherwise(0L)).as("n_qualified"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("n_qualified"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double, closed: Boolean)
+
+  private val gapMs = 30L * 60 * 1000
+
+  /** Per-user sessionization with a 30-minute inactivity gap via
+    * `mapGroupsWithState` + processing-time timeout. Emits the running
+    * session on every update and a closed session after the gap.
+    *
+    * `withTimeout = false` disables the processing-time timeout (state
+    * then only closes by gap logic on the next event) — needed where
+    * `processAllAvailable` must terminate, e.g. bounded replays and
+    * tests: timeout-triggered empty batches otherwise keep the query
+    * busy forever.
+    */
+  def sessionize(events: Dataset[Event], withTimeout: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](
+        if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(user, new Timestamp(s.start), new Timestamp(s.lastSeen),
+              s.nEvents, s.total, closed = true)
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val prev = state.getOption
+            // Start fresh if the batch begins after the gap, else extend.
+            val init = prev.filter(p =>
+              evs.headOption.forall(_.ts.getTime - p.lastSeen <= gapMs))
+            val s0 = init.getOrElse(SessionState(
+              evs.head.ts.getTime, evs.head.ts.getTime, 0L, 0.0))
+            val s = evs.foldLeft(s0) { (acc, e) =>
+              SessionState(acc.start, math.max(acc.lastSeen, e.ts.getTime),
+                acc.nEvents + 1, acc.total + e.value)
+            }
+            state.update(s)
+            if (withTimeout) state.setTimeoutDuration(gapMs)
+            SessionOut(user, new Timestamp(s.start), new Timestamp(s.lastSeen),
+              s.nEvents, s.total, closed = false)
+          }
+      }
+  }
+}

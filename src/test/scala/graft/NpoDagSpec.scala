@@ -10,9 +10,12 @@ import graft.models.NpoDag
   */
 class NpoDagSpec extends SparkSpec {
 
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_wh").toFile.getAbsolutePath
+
   private lazy val built = {
     val fixtures = NpoFixtures.all(spark)
-    DagRunner.run(spark, NpoDag.models(NpoFixtures.today), fixtures.apply)
+    DagRunner.run(spark, NpoDag.models(NpoFixtures.today), fixtures.apply, warehouse)
   }
 
   test("full DAG materializes all 10 models") {
@@ -69,6 +72,11 @@ class NpoDagSpec extends SparkSpec {
     assert(ep1(0).getAs[String]("mtd_broadcasters") === "NOS,PP,VPRO")
     // Animations / out-of-window / unmapped-channel events never surface.
     assert(sd.filter(col("evt_date") < "2021-01-04").count() === 0L)
+    // The incremental model routed to its dbt schema (S7) as a
+    // partitioned table, not a view.
+    assert(new java.io.File(
+      s"$warehouse/atinternet_smarttag_streams_daily/atinternet_smarttag_streams_daily_v4")
+      .isDirectory)
   }
 
   test("tvbroadcasts: ISO-week aggregation with intekening join") {

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Structured Streaming behavior: the windowed aggregation runs on a real
+  * MemoryStream with watermarked event time, and batch/streaming runs of
+  * the same operator agree (the unified-plan property).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedPlayCounts over a MemoryStream matches the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(
+      ("click", ts("2024-01-01 00:01:00"), 45.0),
+      ("click", ts("2024-01-01 00:04:00"), 10.0),
+      ("view", ts("2024-01-01 00:07:00"), 31.0),
+      ("click", ts("2024-01-01 00:12:00"), 99.0))
+
+    val stream = MemoryStream[(String, Timestamp, Double)]
+    stream.addData(rows: _*)
+    val streaming = StreamingOps.windowedPlayCounts(
+      stream.toDF().toDF("event_type", "ts", "value"))
+    val q = streaming.writeStream.format("memory")
+      .queryName("wpc").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("wpc")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 1L, 55.0),
+      ("2024-01-01 00:00:00.0", "view", 1L, 1L, 31.0),
+      ("2024-01-01 00:10:00.0", "click", 1L, 1L, 99.0)))
+
+    // Same operator over the same data as a batch frame: identical rows.
+    val batch = StreamingOps.windowedPlayCounts(
+      rows.toDF("event_type", "ts", "value"))
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(batch.toSeq === got.toSeq)
+  }
+
+  test("sessionize groups events into gap-bounded sessions with state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1L, ts("2024-01-01 10:00:00"), 5.0),
+      Event(1L, ts("2024-01-01 10:10:00"), 7.0),
+      Event(2L, ts("2024-01-01 10:00:00"), 1.0))
+    val q = StreamingOps.sessionize(stream.toDS(), withTimeout = false)
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val s = spark.table("sess").orderBy("user_id").collect()
+      assert(s.length === 2)
+      val u1 = s(0)
+      assert(u1.getAs[Long]("user_id") === 1L)
+      assert(u1.getAs[Long]("n_events") === 2L)
+      assert(u1.getAs[Double]("total_value") === 12.0)
+      assert(u1.getAs[Timestamp]("session_start") === ts("2024-01-01 10:00:00"))
+      assert(u1.getAs[Timestamp]("session_end") === ts("2024-01-01 10:10:00"))
+      assert(!u1.getAs[Boolean]("closed"))
+      // A later batch within the gap extends user 1's session.
+      stream.addData(Event(1L, ts("2024-01-01 10:20:00"), 3.0))
+      q.processAllAvailable()
+      val ext = spark.table("sess").filter(col("user_id") === 1L)
+        .orderBy(col("n_events").desc).collect().head
+      assert(ext.getAs[Long]("n_events") === 3L)
+      assert(ext.getAs[Double]("total_value") === 15.0)
+    } finally q.stop()
+  }
+}
