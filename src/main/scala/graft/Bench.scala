@@ -17,6 +17,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise scan/agg/window/sort codegen paths once so
+    // the first timed query doesn't absorb JVM+JIT+codegen startup (~5s
+    // observed); steady-state numbers are what scale comparisons need.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.range(1000000)
+        .withColumn("g", pmod(col("id"), lit(100)))
+        .withColumn("r", row_number().over(Window.partitionBy("g").orderBy("id")))
+        .groupBy("g").agg(sum("r").as("s")).orderBy("g")
+        .write.format("noop").mode("overwrite").save()
+      graft.sources.Tables.load(spark, sfDir, "region")
+        .write.format("noop").mode("overwrite").save()
+    }
     var timings = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
