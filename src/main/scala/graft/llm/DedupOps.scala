@@ -38,19 +38,21 @@ object DedupOps {
     Some("""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
            |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin))
 
-  /** Word 3-shingles per document via a lead window (portable to any SQL
-    * engine, unlike array-slide built-ins).
+  /** Word 3-shingles per document, built map-side with a higher-order
+    * `transform` over the split array — no explode-then-window, so the
+    * shingle stage adds ZERO shuffles (the lead-window formulation costs
+    * a full sort exchange per round at 100 TB; this is a narrow map).
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), posexplode(splitLit(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead("w", 1).over(w))
-      .withColumn("w2", lead("w", 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
-  }
+      .withColumn("words", splitLit(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        // size<3 guard: Spark sequence(1, 0) DESCENDS instead of
+        // returning empty, unlike ANSI generate_series.
+        """CASE WHEN size(words) < 3 THEN array()
+          |     ELSE transform(sequence(1, size(words) - 2),
+          |            i -> concat_ws(' ', words[i-1], words[i], words[i+1])) END""".stripMargin))
+        .as("shingle"))
 
   private def mh(seed: Int): Column =
     min(md5(concat(lit(s"$seed:"), col("shingle")))).as(s"mh$seed")
@@ -75,22 +77,20 @@ object DedupOps {
         .select("doc_a", "doc_b").distinct()
         .orderBy("doc_a", "doc_b")
     },
-    Some("""WITH words AS (
-           |  SELECT doc_id,
-           |    CAST(unnest(generate_series(1, len(string_split(text, ' ')))) AS INTEGER) AS pos,
-           |    unnest(string_split(text, ' ')) AS w
+    Some("""WITH sh AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           |    i -> string_split(text, ' ')[i] || ' ' ||
+           |         string_split(text, ' ')[i+1] || ' ' ||
+           |         string_split(text, ' ')[i+2])) AS shingle
            |  FROM documents),
-           |sh AS (
-           |  SELECT doc_id, w || ' ' || lead(w, 1) OVER dw || ' ' || lead(w, 2) OVER dw AS shingle,
-           |    lead(w, 2) OVER dw AS w2
-           |  FROM words WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
            |sigs AS (
            |  SELECT doc_id,
            |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
            |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
            |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
            |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
-           |  FROM sh WHERE w2 IS NOT NULL GROUP BY doc_id),
+           |  FROM sh GROUP BY doc_id),
            |bands AS (
            |  SELECT doc_id,
            |    unnest([0, 1, 2, 3]) AS band_idx,

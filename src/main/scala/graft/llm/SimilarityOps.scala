@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dialect.Dialect._
+import graft.functions.GraftFunctions
 import graft.operators.QueryDef
 import graft.sources.Tables
 
@@ -25,24 +26,25 @@ import graft.sources.Tables
   */
 object SimilarityOps {
 
-  /** Sum of elementwise products, computed in double precision. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Cosine via the native codegen'd expression (graft.functions
+    * .CosineSimilarity): one fused pass, no intermediate arrays, result
+    * bit-identical to the `aggregate(zip_with(...))` double fold.
+    * Resolved through the session function registry (`GraftFunctions
+    * .register`), which each query installs idempotently.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Brute-force cosine top-k: queries = vec_id < 8, k = 5. */
   private val topk = QueryDef(
     "llm_cosine_topk",
     (s, dir) => {
+      GraftFunctions.register(s)
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos_sim",
-          roundTo(dot(col("qv"), col("embedding")) /
-            (norm(col("qv")) * norm(col("embedding"))), 6))
+        .withColumn("cos_sim", roundTo(cosine(col("qv"), col("embedding")), 6))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -77,6 +79,7 @@ object SimilarityOps {
   private val ivf = QueryDef(
     "llm_ann_ivf",
     (s, dir) => {
+      GraftFunctions.register(s)
       val emb = Tables.load(s, dir, "embeddings")
       // Coarse quantizer: centroid per cell, as (label, pos, c) then
       // re-assembled in pos order — portable and shuffle-light (the
@@ -92,16 +95,14 @@ object SimilarityOps {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       // Route: nearest centroid by cosine (deterministic tiebreak).
       val routed = q.join(broadcast(cent))
-        .withColumn("c_sim", roundTo(dot(col("qv"), col("centroid")) /
-          (norm(col("qv")) * norm(col("centroid"))), 6))
+        .withColumn("c_sim", roundTo(cosine(col("qv"), col("centroid")), 6))
         .withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("c_sim").desc, col("c_label"))))
         .filter(col("rn") === 1)
         .select(col("qid"), col("qv"), col("c_label").as("cell"))
       // Search only the routed cell.
       routed.join(emb, col("label") === col("cell") && col("vec_id") =!= col("qid"))
-        .withColumn("cos_sim", roundTo(dot(col("qv"), col("embedding")) /
-          (norm(col("qv")) * norm(col("embedding"))), 6))
+        .withColumn("cos_sim", roundTo(cosine(col("qv"), col("embedding")), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
         .filter(col("rank") <= 5)
@@ -151,5 +152,43 @@ object SimilarityOps {
            |  FROM scored)
            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(topk, ivf)
+  /** Embedding-cosine near-duplicate pairs, blocked by the quantizer
+    * cell (`label`): pairs only form inside a cell, so the comparison
+    * count is bounded by cell size — the all-pairs cartesian never
+    * appears in the plan. (Threshold 0.4 suits this synthetic corpus,
+    * whose max same-cell cosine is ~0.47; real near-dup corpora use
+    * ~0.95 with the same plan shape.)
+    */
+  private val nearDup = QueryDef(
+    "llm_cosine_neardup",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val a = emb.select(col("label").as("la"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      val b = emb.select(col("label").as("lb"), col("vec_id").as("vb"),
+        col("embedding").as("eb"))
+      a.join(b, col("la") === col("lb") && col("va") < col("vb"))
+        .withColumn("cos_sim", roundTo(cosine(col("ea"), col("eb")), 6))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.label = b.label AND a.vec_id < b.vec_id),
+           |terms AS (
+           |  SELECT va, vb, CAST(unnest(ea) AS DOUBLE) AS x,
+           |         CAST(unnest(eb) AS DOUBLE) AS y
+           |  FROM pairs),
+           |scored AS (
+           |  SELECT va, vb,
+           |    floor(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+           |  FROM terms GROUP BY va, vb)
+           |SELECT va AS vec_a, vb AS vec_b, cos_sim FROM scored
+           |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(topk, ivf, nearDup)
 }
