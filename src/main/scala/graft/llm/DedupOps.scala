@@ -104,22 +104,24 @@ object DedupOps {
            |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** 16-bit SimHash from md5 nibbles: bit i is the sign of the sum of
-    * (+1/-1) votes from each word's i-th hex digit high bit.
+    * (+1/-1) votes from each word's i-th hex digit high bit. Computed
+    * entirely map-side with array higher-order functions — no explode
+    * (which would multiply rows ~|words|×) and no aggregation shuffle:
+    * at 100 TB, signature generation stays a narrow scan.
     */
   private val simhash = QueryDef(
     "llm_simhash",
     (s, dir) => {
-      val words = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(splitLit(col("text"), " ")).as("w"))
-        .withColumn("h", md5(col("w")))
-      val bitVotes = (0 until 16).map { i =>
-        sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-          1).otherwise(-1)).as(s"b$i")
-      }
-      val agg = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-      agg.select(col("doc_id"),
-        concat((0 until 16).map(i => when(col(s"b$i") >= 0, "1").otherwise("0")): _*)
-          .as("simhash"))
+      // votes_i = 2*hits_i - n, where hits_i counts words whose i-th md5
+      // hex digit has its high bit set — equal to the sum of +/-1 votes.
+      val bits = (1 to 16).map { i =>
+        s"""CASE WHEN 2 * size(filter(hs, h -> substring(h, $i, 1)
+           |     IN ('8','9','a','b','c','d','e','f'))) - size(hs) >= 0
+           |     THEN '1' ELSE '0' END""".stripMargin
+      }.mkString("concat(", ", ", ")")
+      Tables.load(s, dir, "documents")
+        .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
+        .select(col("doc_id"), expr(bits).as("simhash"))
         .orderBy("doc_id")
     },
     Some {

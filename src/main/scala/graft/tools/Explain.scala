@@ -14,7 +14,7 @@ object Explain {
     val sfDir = args(0)
     val time = args.contains("--time")
     val names = args.drop(1).filterNot(_ == "--time")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
