@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleOps
+import graft.sources.Tables
+
+/** The scale-technique operators: bucketed joins must eliminate both
+  * shuffle exchanges; salted joins must preserve join semantics exactly.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("bucketized equi-join runs with zero shuffle exchanges") {
+    // AQE's AdaptiveSparkPlanExec hides its inner tree from plan
+    // collection; disable it so the exchange count inspects the real plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val ord = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_orderkey", "o_totalprice")
+
+      val bli = ScaleOps.bucketize(spark, li, "b_lineitem", "l_orderkey", 8)
+      val bord = ScaleOps.bucketize(spark, ord, "b_orderkey_orders", "o_orderkey", 8)
+
+      val naive = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      // force SMJ (hint on the input side, pre-join) so bucket
+      // partitioning — not a broadcast — is what's being tested
+      val bucketed = bli.hint("merge").join(bord, col("l_orderkey") === col("o_orderkey"))
+      val unbucketed = li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+
+      assert(ScaleOps.countExchanges(bucketed) === 0)
+      assert(ScaleOps.countExchanges(unbucketed) === 2) // the shuffles bucketing removed
+      assert(bucketed.count() === naive.count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("saltedJoin returns exactly the rows of the plain join") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "value")
+    val users = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      .filter(col("user_id") < 200) // overlaps the events user range
+
+    val plain = ev.join(users, "user_id")
+      .select("event_id", "user_id", "c_mktsegment")
+    val salted = ScaleOps.saltedJoin(ev, users, "user_id", salt = 7)
+      .select("event_id", "user_id", "c_mktsegment")
+
+    assert(salted.count() === plain.count())
+    assert(plain.exceptAll(salted).count() === 0L)
+    assert(salted.exceptAll(plain).count() === 0L)
+  }
+
+  test("saltedJoin left-outer preserves unmatched fact rows exactly once") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b"), (99L, "no-match")).toDF("k", "v")
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val out = ScaleOps.saltedJoin(fact, dim, "k", salt = 4, joinType = "left")
+    assert(out.count() === 3L)
+    assert(out.filter(col("w").isNull).select("v").head().getString(0) === "no-match")
+  }
+}
