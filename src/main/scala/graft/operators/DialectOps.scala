@@ -149,5 +149,25 @@ object DialectOps {
            |TIMESTAMP '2024-03-01 07:30:00', INTERVAL 5 MINUTE)) AS m
            |ORDER BY m""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(fSplit, fIso, fDatetime, fString, fMath, fGenTs)
+  /** JSON metadata extraction over `events.props` — beyond the reference
+    * surface (it uses no JSON) but core to training-data pipelines where
+    * per-record metadata rides along as JSON strings. Both the string
+    * path (`get_json_object`) and the typed path (`from_json` with an
+    * explicit schema — the scale-safe form, since schema-on-read keeps
+    * the parse inside codegen and prunes unreferenced fields).
+    */
+  private val fJson = QueryDef(
+    "f_json_extract",
+    (s, dir) => Tables.load(s, dir, "events")
+      .withColumn("parsed", from_json(col("props"), lit("k INT")))
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        col("parsed.k").as("k_int"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |json_extract_string(props, '$.k') AS k_str,
+           |CAST(json_extract(props, '$.k') AS INTEGER) AS k_int
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(fSplit, fIso, fDatetime, fString, fMath, fGenTs, fJson)
 }
