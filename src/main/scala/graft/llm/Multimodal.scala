@@ -67,6 +67,49 @@ object Multimodal {
     }
   }
 
+  /** A decoded frame/patch: sampled slice of the payload with its
+    * timestamp offset — the row shape a video frame-sampler emits.
+    */
+  final case class Frame(doc_id: Long, frame_idx: Int, offset_ms: Long,
+      frame_bytes: Array[Byte])
+
+  /** Frame-sampling over binary payloads: emit `n` evenly-spaced slices
+    * per record (a real sampler seeks keyframes; the slicing stub keeps
+    * the fan-out/row-multiplication plumbing real). flatMap shape: one
+    * input row → up to n frame rows, all computed map-side.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.blob.length
+      if (len == 0) Iterator.empty
+      else {
+        val step = math.max(len / n, 1)
+        (0 until math.min(n, len)).iterator.map { i =>
+          val from = i * step
+          val until = math.min(from + step, len)
+          // STUB: a real decoder would decode the container and seek;
+          // offset_ms uses the stubbed duration for deterministic tests.
+          Frame(r.doc_id, i, decodeStub(r.blob)._3 * i / math.max(n, 1),
+            java.util.Arrays.copyOfRange(r.blob, from, until))
+        }
+      }
+    }
+  }
+
+  /** Resize stub: deterministic downscale of the fake dimensions with
+    * the payload untouched (a real implementation re-encodes bytes).
+    * Runs through the same mapPartitions batch path as extractFeatures.
+    */
+  def resize(feats: Dataset[MediaFeatures], maxSide: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.mapPartitions(_.map { f =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+      f.copy(width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt))
+    })
+  }
+
   /** Metadata query over the binary column using only engine-portable
     * functions (so DuckDB can oracle it); the mapPartitions decoder path
     * above is covered by ScalaTest instead (its stub is not ANSI SQL).

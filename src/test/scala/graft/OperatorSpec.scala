@@ -67,4 +67,24 @@ class OperatorSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq ===
       Seq("doc_id", "media_type", "n_bytes", "width", "height", "duration_ms"))
   }
+
+  test("multimodal frame-sample fans out deterministic slices; resize caps dimensions") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq(
+      graft.llm.MediaRecord(1L, "video/mp4", payload),
+      graft.llm.MediaRecord(2L, "video/mp4", Array.emptyByteArray)).toDS()
+    val frames = Multimodal.sampleFrames(media, 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(frames.map(_.doc_id).toSet === Set(1L)) // empty payload yields no frames
+    assert(frames.length === 4)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3))
+    // Slices tile the payload without overlap, in order.
+    assert(frames.flatMap(_.frame_bytes).take(100).toSeq === payload.take(100).toSeq)
+    assert(frames.map(_.offset_ms).toSeq === frames.map(_.offset_ms).sorted.toSeq)
+
+    val feats = Multimodal.extractFeatures(media)
+    val resized = Multimodal.resize(feats, 64).collect()
+    assert(resized.forall(f => f.width <= 64 && f.height <= 64))
+    assert(resized.forall(f => f.width >= 1 && f.height >= 1))
+  }
 }
