@@ -501,6 +501,21 @@ object RelationalOps {
            |count(DISTINCT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS nd_line
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** A3 scale variant: HyperLogLog++ approximate distinct — at 100 TB an
+    * exact COUNT(DISTINCT) shuffles every distinct value; the sketch
+    * shuffles fixed-size registers. No SQL oracle exists for HLL
+    * estimates (driver records the weaker rows-only check); the 2% rsd
+    * accuracy bound is asserted in `OperatorSpec` against the exact
+    * count.
+    */
+  private val a3b = QueryDef(
+    "a3b_approx_distinct",
+    (s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type"),
+    None)
+
   /** A4 conditional aggregation — SUM(IF)/COUNT(DISTINCT IF)
     * (`atinternet_smarttag_streams_daily_v4.sql:133,158`).
     */
@@ -689,6 +704,6 @@ object RelationalOps {
   val all: Seq[QueryDef] = Seq(
     s1, s4, p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
-    a1, a2, a3, a4, a5, a6, a7, a8,
+    a1, a2, a3, a3b, a4, a5, a6, a7, a8,
     w2, w3, w4, o2, u1, u2)
 }

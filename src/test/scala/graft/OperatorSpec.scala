@@ -68,6 +68,18 @@ class OperatorSpec extends SparkSpec {
       Seq("doc_id", "media_type", "n_bytes", "width", "height", "duration_ms"))
   }
 
+  test("approx_count_distinct tracks the exact count within its rsd bound") {
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val both = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .collect()
+    both.foreach { r =>
+      val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+
   test("multimodal frame-sample fans out deterministic slices; resize caps dimensions") {
     import spark.implicits._
     val payload = (0 until 100).map(_.toByte).toArray
