@@ -111,3 +111,21 @@ object GraftFunctions {
         CosineSimilarity(exprs.head, exprs(1))
       }, "scala_udf")
 }
+
+/** SparkSessionExtensions entry point — the deployment-grade
+  * registration path: sessions created with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (or `.withExtensions(new GraftExtensions)`) get the engine's native
+  * functions with no per-session register() call.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
+}

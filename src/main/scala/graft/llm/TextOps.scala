@@ -103,5 +103,27 @@ object TextOps {
     Some("""SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint)
+  /** Training-data text cleaning: whitespace collapse + lowercasing,
+    * punctuation strip, and PII-style digit masking — per-row regex
+    * transforms that stream through the scan (no shuffle except the
+    * deterministic dump sort).
+    */
+  private val textClean = QueryDef(
+    "llm_text_clean",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        lower(regexp_replace(trim(col("text")), " +", " ")).as("normalized"),
+        regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "").as("no_punct"),
+        regexp_replace(col("text"), "[0-9]", "#").as("digits_masked"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z ]", "")))
+          .as("n_special"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |lower(regexp_replace(trim(text), ' +', ' ', 'g')) AS normalized,
+           |regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g') AS no_punct,
+           |regexp_replace(text, '[0-9]', '#', 'g') AS digits_masked,
+           |CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS INTEGER) AS n_special
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, textClean)
 }

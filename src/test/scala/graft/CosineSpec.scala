@@ -63,6 +63,30 @@ class CosineSpec extends SparkSpec {
     assert(r.getDouble(0) === 1.0)
   }
 
+  test("GraftExtensions injects cosine_sim into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate would return the suite's session and silently skip the
+    // extensions; clear the default so a NEW session (sharing the
+    // context) is built with them, then restore.
+    val prev = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prev) // genuinely fresh session state
+      val r = s2.sql("SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c").head()
+      assert(r.getDouble(0) === 1.0)
+      // The suite session must NOT have gained the function (isolation).
+      assert(prev.sessionState.functionRegistry ne s2.sessionState.functionRegistry)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("usable from SQL text after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
