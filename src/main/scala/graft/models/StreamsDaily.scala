@@ -191,7 +191,7 @@ object StreamsDaily {
 
     // Final enrichment join (streams_daily:240-244): metadata.* EXCEPT(id).
     perDate.join(metadata, col("evt_mid") === col("id"), "left").drop("id")
-      .select(perDate.columns.map(col) ++ Seq(
+      .select(perDate.columns.toIndexedSeq.map(col) ++ Seq(
         col("mtd_duration_in_sec"), col("mtd_sort_date"), col("mtd_type"),
         col("mtd_genre_main"), col("mtd_genre_sub"), col("mtd_title_main"),
         col("mtd_title_sub"), col("mtd_season_mid"), col("mtd_series_mid"),

@@ -48,7 +48,7 @@ object ScaleOps {
     require(salt > 0, "salt must be positive")
     val saltedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
-    val allFactCols = fact.columns.map(col)
+    val allFactCols = fact.columns.toIndexedSeq.map(col)
     val scatter = pmod(hash(allFactCols: _*), lit(salt))
     val saltedFact = fact.withColumn("__fsalt", scatter)
     saltedFact.join(saltedDim,
