@@ -23,6 +23,13 @@ import graft.sources.Tables
   * All hashing is md5-based so an external ANSI oracle (DuckDB) produces
   * bit-identical signatures — a deliberate engine-portability choice over
   * Spark's murmur `hash()` (whose seeds are engine-private).
+  *
+  * Algorithms follow the published formulations: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of documents",
+  * SEQUENCES 1997) with banded LSH (Leskovec/Rajaraman/Ullman, "Mining of
+  * Massive Datasets" ch. 3), and sign-random-projection SimHash
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002).
   */
 object DedupOps {
 

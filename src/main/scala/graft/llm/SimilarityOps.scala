@@ -20,9 +20,12 @@ import graft.sources.Tables
   * corpus is scored — the classic inverted-file ANN layout, expressed
   * relationally so Catalyst can partition-prune the cell scan.
   *
-  * Dot products run on doubles via `zip_with` + `aggregate` (codegen'd
-  * higher-order functions — no UDF), and scores are rounded portably
-  * before ranking so an external oracle ranks identically.
+  * Dot products run through the native codegen'd `cosine_sim`
+  * expression, and scores are rounded portably before ranking so an
+  * external oracle ranks identically. The IVF layout follows the
+  * inverted-file coarse-quantizer design of Jégou/Douze/Schmid, "Product
+  * Quantization for Nearest Neighbor Search" (TPAMI 2011) — here with
+  * the `label` column as the coarse cell assignment.
   */
 object SimilarityOps {
 

@@ -1,10 +1,12 @@
-package graft
+package graft.models.testkit
 
 import java.sql.{Date, Timestamp}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Deterministic NPO-shaped fixtures (FIXTURES.md §B). Dates straddle ISO
+/** Deterministic NPO-shaped demo/test fixtures (FIXTURES.md §B) — the
+  * engine's equivalent of dbt seeds, shipped in main so `graft.tools
+  * .RunDag --demo` can demonstrate the full pipeline standalone. Dates straddle ISO
   * year boundaries (2020 week 53; spine epoch 2018-12-31) and the
   * incremental window sits inside today-8..today for `today` 2021-01-12.
   */

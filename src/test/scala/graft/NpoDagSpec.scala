@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.DagRunner
 import graft.models.NpoDag
+import graft.models.testkit.NpoFixtures
 
 /** Golden end-to-end test of the 13-model reference DAG over the
   * NPO-shaped fixtures (SURVEY.md §5.3 / §7.2 M4).
