@@ -28,16 +28,18 @@ case object Table extends Materialization
 final case class IncrementalInsertOverwrite(
     partitionCol: String, partitions: Seq[String]) extends Materialization
 
-/** `schema` is the dbt schema/database routing (S7,
-  * `/root/reference/dbt_project.yml:6-11`): it namespaces the physical
-  * target of table-like materializations, never the `ref()` name.
+/** `database`/`schema` are dbt's two-level routing (S7,
+  * `/root/reference/dbt_project.yml:5-11`): they namespace the physical
+  * target of table-like materializations as
+  * `<warehouse>/<database>/<schema>/<name>`, never the `ref()` name.
   */
 final case class Model(
     name: String,
     refs: Seq[String],
     build: (SparkSession, Map[String, DataFrame]) => DataFrame,
     materialization: Materialization = View,
-    schema: Option[String] = None)
+    schema: Option[String] = None,
+    database: Option[String] = None)
 
 object DagRunner {
 
@@ -69,7 +71,7 @@ object DagRunner {
     def lookup(n: String): DataFrame = built.getOrElse(n, resolve(n))
     def target(m: Model): String = {
       require(warehouse.nonEmpty, s"model ${m.name} needs a warehouse dir")
-      s"$warehouse/${m.schema.getOrElse("main")}/${m.name}"
+      s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}"
     }
     topoSort(models).foreach { m =>
       val refs = m.refs.map(r => r -> lookup(r)).toMap
@@ -96,12 +98,27 @@ object DagRunner {
     * The source filter is derived from the SAME list that selects the
     * overwritten partitions — the invariant the reference maintains by
     * hand (`atinternet_smarttag_streams_daily_v4.sql:1-12` vs 75,101).
-    * Uses dynamic partition overwrite so concurrent history partitions
-    * are untouched; at 100 TB this writes only the reprocessing window
-    * (the reference's rolling 9 days), never the full table.
+    * At 100 TB this writes only the reprocessing window (the reference's
+    * rolling 9 days), never the full table.
+    *
+    * dbt's `insert_overwrite` with an explicit partition list deletes
+    * every LISTED partition even when the new frame has no rows for it
+    * (a fully-retracted day must disappear). Spark's dynamic partition
+    * overwrite only replaces partitions present in the written frame, so
+    * the listed partition directories are dropped first; the write then
+    * re-creates the non-empty ones.
     */
   def writeIncremental(spark: SparkSession, df: DataFrame, path: String,
                        partitionCol: String, partitions: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) partitions.foreach { p =>
+      val dir = new Path(root,
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partitionCol, p))
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
     val filtered = df.filter(col(partitionCol).cast("string").isin(partitions: _*))
     filtered.write
       .option("partitionOverwriteMode", "dynamic")

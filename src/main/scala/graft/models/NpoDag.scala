@@ -30,7 +30,15 @@ object NpoDag {
     "atinternet_smarttag_pages_weekly_v2",
     "atinternet_smarttag_pages_programmes_weekly_v2")
 
-  def models(today: Date): Seq[Model] = Seq(
+  /** Project-level `database` routing (`dbt_project.yml:5`): every model
+    * targets the same warehouse database; folder overrides add schemas.
+    */
+  val database: String = "mit-reporting-test-1"
+
+  def models(today: Date): Seq[Model] =
+    modelDefs(today).map(_.copy(database = Some(database)))
+
+  private def modelDefs(today: Date): Seq[Model] = Seq(
 
     // Latest-partition source elimination (`/root/reference/models/source/
     // ingest_latest/quintly_youtube_allchannels_weekly.sql:1-13`).

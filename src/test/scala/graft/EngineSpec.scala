@@ -76,6 +76,33 @@ class EngineSpec extends SparkSpec {
       "2024-01-04" -> 2L)) // new partition appended
   }
 
+  test("insert-overwrite deletes a listed partition that comes back empty") {
+    val dir = Files.createTempDirectory("graft_inc3").toFile.getAbsolutePath + "/t"
+    val seed = spark.createDataFrame(Seq(
+      ("2024-03-01", 1), ("2024-03-02", 1), ("2024-03-03", 1)))
+      .toDF("evt_date", "v")
+    seed.write.partitionBy("evt_date").parquet(dir)
+    // 03-02 is listed but all its rows were retracted upstream: dbt's
+    // insert_overwrite drops the partition entirely; 03-01 (unlisted)
+    // must survive.
+    val incoming = spark.createDataFrame(Seq(("2024-03-03", 2)))
+      .toDF("evt_date", "v")
+    DagRunner.writeIncremental(spark, incoming, dir, "evt_date",
+      Seq("2024-03-02", "2024-03-03"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.get(1).toString -> r.getInt(0)).toMap
+    assert(out === Map("2024-03-01" -> 1, "2024-03-03" -> 2))
+  }
+
+  test("table target routes through database and schema (dbt two-level namespace)") {
+    val wh = Files.createTempDirectory("graft_wh2").toFile.getAbsolutePath
+    val models = Seq(Model("t1", Seq.empty, (s, _) => s.range(3).toDF("x"),
+      materialization = Table, schema = Some("sch"), database = Some("db")))
+    DagRunner.run(spark, models, n => fail(s"unexpected source $n"), wh)
+    assert(new java.io.File(s"$wh/db/sch/t1").isDirectory)
+    assert(spark.read.parquet(s"$wh/db/sch/t1").count() === 3L)
+  }
+
   test("insert-overwrite is idempotent for the same window") {
     val dir = Files.createTempDirectory("graft_inc2").toFile.getAbsolutePath + "/t"
     val df = spark.createDataFrame(Seq(("2024-02-01", 5), ("2024-02-02", 7)))

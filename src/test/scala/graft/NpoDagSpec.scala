@@ -73,10 +73,10 @@ class NpoDagSpec extends SparkSpec {
     assert(ep1(0).getAs[String]("mtd_broadcasters") === "NOS,PP,VPRO")
     // Animations / out-of-window / unmapped-channel events never surface.
     assert(sd.filter(col("evt_date") < "2021-01-04").count() === 0L)
-    // The incremental model routed to its dbt schema (S7) as a
-    // partitioned table, not a view.
+    // The incremental model routed to its dbt database + schema (S7,
+    // dbt_project.yml:5-11) as a partitioned table, not a view.
     assert(new java.io.File(
-      s"$warehouse/atinternet_smarttag_streams_daily/atinternet_smarttag_streams_daily_v4")
+      s"$warehouse/mit-reporting-test-1/atinternet_smarttag_streams_daily/atinternet_smarttag_streams_daily_v4")
       .isDirectory)
   }
 
