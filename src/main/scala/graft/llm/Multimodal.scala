@@ -29,17 +29,38 @@ final case class MediaFeatures(
   * (the `mapPartitions` shape is exactly what a JNI/FFI decoder needs —
   * one init per partition, streaming over rows, no per-row overhead).
   */
-object Multimodal {
+/** Pluggable decoder boundary. A production implementation wraps a
+  * native codec (JNI/FFI): `open()` runs once per partition to load and
+  * initialize the library, `decode` is called per row, `close()` tears
+  * down. Implementations must be `Serializable` (shipped to executors)
+  * and `decode` must be thread-safe per instance copy.
+  */
+trait MediaDecoder extends Serializable {
+  /** One-time per-partition initialization (native lib load, arena alloc). */
+  def open(): Unit = ()
+  /** (width, height, duration_ms) for the payload. */
+  def decode(mediaType: String, blob: Array[Byte]): (Int, Int, Long)
+  def close(): Unit = ()
+}
 
-  /** STUB decoder — deterministic fake standing in for an image decode.
-    * Real implementation would parse the container header; the fake
-    * derives plausible dimensions from content bytes so tests are stable.
-    */
-  def decodeStub(blob: Array[Byte]): (Int, Int, Long) = {
+/** STUB decoder — deterministic fake standing in for an image decode.
+  * Real implementation would parse the container header; the fake
+  * derives plausible dimensions from content bytes so tests are stable.
+  * (This container ships no codec libraries; see Multimodal scaladoc.)
+  */
+object StubDecoder extends MediaDecoder {
+  def decode(mediaType: String, blob: Array[Byte]): (Int, Int, Long) = {
     val n = blob.length
     val b0 = if (n > 0) blob(0) & 0xff else 0
     (64 + (n % 577), 64 + (b0 * 7 % 359), n.toLong * 3L)
   }
+}
+
+object Multimodal {
+
+  /** Back-compat alias for the stub decode (tests, sampleFrames). */
+  def decodeStub(blob: Array[Byte]): (Int, Int, Long) =
+    StubDecoder.decode("application/octet-stream", blob)
 
   /** The media table derived from `documents` (text bytes as the opaque
     * payload — same plumbing as a real image column).
@@ -55,14 +76,27 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Feature extraction over partitions of binary payloads. */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** Feature extraction over partitions of binary payloads. The decoder
+    * opens once per partition and closes after the last row — the
+    * amortization shape a native codec needs.
+    */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // A real decoder initializes once per partition here.
-      it.map { r =>
-        val (w, h, d) = decodeStub(r.blob)
-        MediaFeatures(r.doc_id, r.media_type, r.blob.length, w, h, d)
+      decoder.open()
+      new Iterator[MediaFeatures] {
+        private var closed = false
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !closed) { closed = true; decoder.close() }
+          h
+        }
+        def next(): MediaFeatures = {
+          val r = it.next()
+          val (w, h, d) = decoder.decode(r.media_type, r.blob)
+          MediaFeatures(r.doc_id, r.media_type, r.blob.length, w, h, d)
+        }
       }
     }
   }

@@ -68,6 +68,28 @@ class OperatorSpec extends SparkSpec {
       Seq("doc_id", "media_type", "n_bytes", "width", "height", "duration_ms"))
   }
 
+  test("multimodal decoder is pluggable and open/close bracket each partition") {
+    import spark.implicits._
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    val decodes = spark.sparkContext.longAccumulator("decodes")
+    class CountingDecoder extends graft.llm.MediaDecoder {
+      override def open(): Unit = opens.add(1)
+      def decode(mediaType: String, blob: Array[Byte]): (Int, Int, Long) = {
+        decodes.add(1); (320, 240, 1000L)
+      }
+      override def close(): Unit = closes.add(1)
+    }
+    val media = Seq.tabulate(8)(i =>
+      graft.llm.MediaRecord(i.toLong, "image/png", Array.fill(i)(i.toByte)))
+      .toDS().repartition(2)
+    val feats = Multimodal.extractFeatures(media, new CountingDecoder).collect()
+    assert(feats.forall(f => f.width === 320 && f.height === 240 && f.duration_ms === 1000L))
+    assert(decodes.value === 8L)           // one decode per row
+    assert(opens.value === 2L)             // one init per partition, not per row
+    assert(closes.value === opens.value)   // every open matched by a close
+  }
+
   test("approx_count_distinct tracks the exact count within its rsd bound") {
     val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
     val both = ev.groupBy("event_type")
