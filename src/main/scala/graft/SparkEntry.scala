@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llm.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.models.DagQueries
 import graft.operators.{DialectOps, Flagship, QueryDef, RelationalOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +14,8 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     RelationalOps.all ++ DialectOps.all ++ Flagship.all ++
-      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all
+      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all ++
+      DagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
