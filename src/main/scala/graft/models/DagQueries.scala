@@ -262,6 +262,486 @@ object DagQueries {
        |GROUP BY 1,2,3,4,5,6
        |ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  // ------------------------------------------------------- streams_daily
+
+  /** String-typed window list: DuckDB 1.0 mis-evaluates
+    * `ts_col::DATE IN (DATE ...)` (returns false), so the oracle compares
+    * date STRINGS — which is also exactly what the Spark side does
+    * (`StreamsDaily.build`'s `cast("date").cast("string").isin`).
+    */
+  private val partsSql =
+    StreamsDaily.partitionsFor(today).map(d => s"'$d'").mkString(", ")
+
+  /** `atinternet_smarttag_streams_daily_v4.sql:24-244` — minute-densified
+    * livestream as-of matching, payload split/clean, stream→day rollup,
+    * POMS metadata enrichment. Window list pinned to
+    * `StreamsDaily.partitionsFor(2021-01-12)` in both engines.
+    */
+  private val streamsDaily = QueryDef(
+    "dag_streams_daily",
+    (s, _) => ordered(StreamsDaily.build(
+      srcDf(s, "advantedge_tv_viewer_density_per_show_daily_v1"),
+      srcDf(s, "media_events"),
+      srcDf(s, "live_stream_name_mapping_v1"),
+      srcDf(s, "audiovisual_metadata_poms_metadata_v1"),
+      StreamsDaily.partitionsFor(today))),
+    Some(s"""WITH adv_src AS (SELECT * FROM ${srcq("advantedge_tv_viewer_density_per_show_daily_v1")}),
+       |me AS (SELECT * FROM ${srcq("media_events")}),
+       |mapping AS (SELECT * FROM ${srcq("live_stream_name_mapping_v1")}),
+       |poms AS (SELECT * FROM ${srcq("audiovisual_metadata_poms_metadata_v1")}),
+       |adv_events AS (
+       |  SELECT DISTINCT date AS adv_date, beginTimeCET AS adv_beginTimeCET,
+       |    endTimeCET AS adv_endTimeCET, adv_minute, title AS adv_title,
+       |    channel AS adv_channel, mediaId AS adv_mid
+       |  FROM (SELECT *, unnest(generate_series(CAST(beginTimeCET AS TIMESTAMP),
+       |          CAST(endTimeCET AS TIMESTAMP), INTERVAL 1 MINUTE)) AS adv_minute
+       |        FROM adv_src WHERE regexp_matches(channel, 'NPO'))),
+       |live AS (
+       |  SELECT e.d_rm_playid,
+       |    e.d_visit_id || e.d_uv_id AS unique_user_id,
+       |    e.d_date_hour_event, e.d_rm_action, e.d_rm_l2, e.d_rm_playback_time,
+       |    string_split(e.d_rm_content, '_||_') AS content,
+       |    a.adv_mid AS matched_livestream_id,
+       |    string_split(e.d_rm_theme1, '_||_') AS theme1,
+       |    CASE WHEN regexp_matches(e.d_rm_theme2, '_/|/|_')
+       |         THEN string_split(e.d_rm_theme2, '_||_') END AS theme2,
+       |    string_split(e.d_rm_theme3, '_||_') AS theme3,
+       |    CASE WHEN a.adv_mid IS NOT NULL THEN 'livetvzender - streamID_matched'
+       |         ELSE 'livetvzender - no_streamID_to_match' END AS stream_match_type,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY e.d_rm_playid, e.d_visit_id || e.d_uv_id, e.d_date_hour_event,
+       |                   e.d_rm_action, e.d_rm_playback_time
+       |      ORDER BY CAST(floor((epoch_us(e.d_date_hour_event) - epoch_us(a.adv_beginTimeCET)) / 1000000.0) AS BIGINT) ASC NULLS FIRST) AS dedup
+       |  FROM me e
+       |  INNER JOIN mapping cm ON cm.channel_id = NULLIF(string_split(e.d_rm_content, '_||_')[2], '')
+       |  LEFT JOIN adv_events a ON cm.channel = a.adv_channel
+       |    AND date_trunc('minute', e.d_date_hour_event) = a.adv_minute
+       |  WHERE e.d_rm_type <> 'Animations' AND e.d_rm_theme1 = 'livetvzender'
+       |    AND CAST(CAST(e.d_date_hour_event AS DATE) AS VARCHAR) IN ($partsSql)),
+       |regular AS (
+       |  SELECT d_rm_playid, d_visit_id || d_uv_id AS unique_user_id, d_date_hour_event,
+       |    d_rm_action, d_rm_l2, d_rm_playback_time,
+       |    string_split(d_rm_content, '_||_') AS content,
+       |    CAST(NULL AS VARCHAR) AS matched_livestream_id,
+       |    string_split(d_rm_theme1, '_||_') AS theme1,
+       |    CASE WHEN regexp_matches(d_rm_theme2, '_/|/|_')
+       |         THEN string_split(d_rm_theme2, '_||_') END AS theme2,
+       |    string_split(d_rm_theme3, '_||_') AS theme3,
+       |    'regular streamid' AS stream_match_type, 1 AS dedup
+       |  FROM me
+       |  WHERE d_rm_type <> 'Animations'
+       |    AND (d_rm_theme1 IS NULL OR d_rm_theme1 <> 'livetvzender')
+       |    AND CAST(CAST(d_date_hour_event AS DATE) AS VARCHAR) IN ($partsSql)),
+       |raw_events AS (SELECT * FROM live UNION ALL BY NAME SELECT * FROM regular),
+       |per_stream AS (
+       |  SELECT d_rm_playid, unique_user_id, CAST(d_date_hour_event AS DATE) AS evt_date,
+       |    NULLIF(content[2], '') AS evt_base_mid,
+       |    stream_match_type,
+       |    COALESCE(matched_livestream_id, NULLIF(content[2], '')) AS evt_mid,
+       |    NULLIF(content[1], '') AS evt_media_name,
+       |    NULLIF(NULLIF(theme1[1], ''), 'null') AS evt_stream_type,
+       |    NULLIF(theme2[1], 'null') AS evt_programme,
+       |    NULLIF(theme2[2], 'null') AS evt_broadcaster,
+       |    theme2[3] AS evt_programme_podcast,
+       |    theme3[1] AS evt_player_platform,
+       |    theme3[2] AS evt_player_version,
+       |    d_rm_l2 AS evt_brand,
+       |    SUM(d_rm_playback_time) AS evt_playback_time_total_in_sec,
+       |    COUNT(DISTINCT CASE WHEN d_rm_action = 'Play'
+       |      OR stream_match_type = 'livetvzender - streamID_matched'
+       |      THEN d_rm_playid END) AS evt_play_count_total
+       |  FROM raw_events WHERE dedup = 1
+       |  GROUP BY 1,2,3,4,5,6,7,8,9,10,11,12,13,14),
+       |per_date AS (
+       |  SELECT evt_date, evt_mid, evt_base_mid, evt_media_name, stream_match_type,
+       |    evt_stream_type, evt_programme, evt_broadcaster, evt_programme_podcast,
+       |    evt_player_platform, evt_player_version, evt_brand,
+       |    COUNT(DISTINCT unique_user_id) AS n_unique_userids,
+       |    SUM(evt_playback_time_total_in_sec) AS evt_playback_time_total_in_sec,
+       |    CAST(SUM(evt_play_count_total) AS BIGINT) AS evt_play_count_total,
+       |    CAST(SUM(CASE WHEN evt_playback_time_total_in_sec >= 30
+       |      THEN evt_play_count_total ELSE 0 END) AS BIGINT) AS evt_play_count_over_30s
+       |  FROM per_stream GROUP BY 1,2,3,4,5,6,7,8,9,10,11,12),
+       |md AS (
+       |  SELECT id, d.type AS type, d.mid_ref AS mid_ref,
+       |    ROW_NUMBER() OVER (PARTITION BY id, d.type
+       |      ORDER BY id, d.type, d.mid_ref) AS idx
+       |  FROM (SELECT id, unnest(descendant_of) AS d FROM poms)
+       |  WHERE d.type IN ('SEASON', 'SERIES')),
+       |episode AS (
+       |  SELECT id, MAX(CASE WHEN e.type = 'SEASON' THEN e."index" END) AS mtd_episode_of_index
+       |  FROM (SELECT id, unnest(episode_of) AS e FROM poms) GROUP BY id),
+       |bc AS (
+       |  SELECT id, string_agg(b."value", ',' ORDER BY b."value") AS mtd_broadcasters
+       |  FROM (SELECT id, unnest(broadcasters) AS b FROM poms) GROUP BY id),
+       |ch AS (
+       |  SELECT id, channel, ROW_NUMBER() OVER (PARTITION BY id ORDER BY id, channel) AS idx
+       |  FROM (SELECT DISTINCT id, s.channel AS channel
+       |        FROM (SELECT id, unnest(schedule_events) AS s FROM poms)
+       |        WHERE s.channel IN ('NED1', 'NED2', 'NED3'))),
+       |metadata AS (
+       |  SELECT p.id,
+       |    p.duration // 1000 AS mtd_duration_in_sec,
+       |    p.sort_date AS mtd_sort_date,
+       |    p.type AS mtd_type,
+       |    p.genres[1].terms[1] AS mtd_genre_main,
+       |    p.genres[1].terms[2] AS mtd_genre_sub,
+       |    p.titles[1]."value" AS mtd_title_main,
+       |    p.titles[2]."value" AS mtd_title_sub,
+       |    season.mid_ref AS mtd_season_mid,
+       |    series.mid_ref AS mtd_series_mid,
+       |    episode.mtd_episode_of_index,
+       |    ch.channel AS mtd_channel,
+       |    bc.mtd_broadcasters
+       |  FROM poms p
+       |  LEFT JOIN md season ON season.id = p.id AND season.type = 'SEASON' AND season.idx = 1
+       |  LEFT JOIN md series ON series.id = p.id AND series.type = 'SERIES' AND series.idx = 1
+       |  LEFT JOIN episode ON episode.id = p.id
+       |  LEFT JOIN bc ON bc.id = p.id
+       |  LEFT JOIN ch ON ch.id = p.id AND ch.idx = 1)
+       |SELECT per_date.*, metadata.mtd_duration_in_sec, metadata.mtd_sort_date,
+       |  metadata.mtd_type, metadata.mtd_genre_main, metadata.mtd_genre_sub,
+       |  metadata.mtd_title_main, metadata.mtd_title_sub, metadata.mtd_season_mid,
+       |  metadata.mtd_series_mid, metadata.mtd_episode_of_index, metadata.mtd_channel,
+       |  metadata.mtd_broadcasters
+       |FROM per_date LEFT JOIN metadata ON metadata.id = per_date.evt_mid
+       |ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  // ------------------------------------------------------- vodstreaming
+
+  /** `integral_reporting_vodstreaming.sql:1-158` — new-release derivation
+    * (90-day rule), release-week KDH branch UNION stream-week consumption
+    * branch, spine rollup. Reads the materialized upstream outputs
+    * (`model_poms_flattened`, `model_atinternet_smarttag_streams_daily_v4`)
+    * so this oracle isolates the vodstreaming transform.
+    */
+  private val vodStreaming = QueryDef(
+    "dag_vodstreaming",
+    (s, _) => ordered(Reporting.vodStreaming(s,
+      srcDf(s, "advantedge_tv_viewer_density_per_show_daily_v1"),
+      modelDf(s, "poms_flattened"),
+      modelDf(s, "atinternet_smarttag_streams_daily_v4"),
+      srcDf(s, "dim_poms_episodes"),
+      srcDf(s, "360_graden_rapportage_vertaaltabel_upload_20_21"), today)),
+    Some(s"""WITH adv AS (SELECT * FROM ${srcq("advantedge_tv_viewer_density_per_show_daily_v1")}),
+       |pf AS (SELECT * FROM ${modelq("poms_flattened")}),
+       |sd AS (SELECT * FROM ${modelq("atinternet_smarttag_streams_daily_v4")}),
+       |dim AS (SELECT * FROM ${srcq("dim_poms_episodes")}),
+       |vertaal AS (SELECT * FROM ${srcq("360_graden_rapportage_vertaaltabel_upload_20_21")}),
+       |new_tv_eps AS (
+       |  SELECT tveps.title, tveps.date AS first_broadcast_date, tveps.beginTimeCET AS start_eps,
+       |    tveps.mediaId, pi.season_id AS channel,
+       |    CAST(floor((epoch_us(tveps.endTimeCET) - epoch_us(tveps.beginTimeCET)) / 60000000.0) AS BIGINT) AS ep_duration_min,
+       |    MIN(tveps.date) OVER (PARTITION BY pi.season_id) AS first_known_eps_date_season,
+       |    MAX(tveps.date) OVER (PARTITION BY pi.season_id) AS last_known_eps_date_season
+       |  FROM adv tveps
+       |  LEFT JOIN (SELECT mid, season_id FROM pf) pi ON pi.mid = tveps.mediaId
+       |  WHERE regexp_matches(tveps.channel, 'NPO') AND RepeatType = 'FIRST'
+       |    AND audience = '6+' AND universe = 'Nat[SKO]'
+       |    AND date_part('isoyear', tveps.date) >= 2019),
+       |fsd AS (
+       |  SELECT evt_mid, MIN(evt_date) AS first_stream_day
+       |  FROM (SELECT evt_mid, evt_date,
+       |          CAST(SUM(evt_play_count_over_30s) AS BIGINT) AS s30
+       |        FROM sd WHERE mtd_type = 'BROADCAST' GROUP BY evt_mid, evt_date)
+       |  WHERE s30 >= 100 GROUP BY evt_mid),
+       |new_releases AS (
+       |  SELECT DISTINCT poms.episode_id AS mediaid, poms.series_ref, poms.series_title,
+       |    poms.episode_type, poms.season_ref, poms."index" AS eps_nr,
+       |    poms.season_index AS season_nr,
+       |    COALESCE(nte.first_broadcast_date,
+       |      CASE WHEN (CAST(poms.start_linear_first_broadcast AS DATE) - fsd.first_stream_day) >= 90
+       |           THEN fsd.first_stream_day
+       |           ELSE CAST(poms.start_linear_first_broadcast AS DATE) END) AS first_broadcast_date,
+       |    CASE WHEN nte.first_broadcast_date IS NULL THEN 0 ELSE 1 END AS has_had_linear_release,
+       |    CASE WHEN COALESCE(nte.first_broadcast_date, CAST(poms.start_linear_first_broadcast AS DATE)) IS NULL
+       |         THEN 0 ELSE 1 END AS has_scheduled_lineair_release,
+       |    MIN(COALESCE(nte.first_broadcast_date,
+       |      CASE WHEN (CAST(poms.start_linear_first_broadcast AS DATE) - fsd.first_stream_day) >= 90
+       |           THEN fsd.first_stream_day
+       |           ELSE CAST(poms.start_linear_first_broadcast AS DATE) END))
+       |      OVER (PARTITION BY poms.season_ref) AS first_broadcast_season,
+       |    MAX(COALESCE(nte.first_broadcast_date,
+       |      CASE WHEN (CAST(poms.start_linear_first_broadcast AS DATE) - fsd.first_stream_day) >= 90
+       |           THEN fsd.first_stream_day
+       |           ELSE CAST(poms.start_linear_first_broadcast AS DATE) END))
+       |      OVER (PARTITION BY poms.season_ref) AS last_known_broadcast_season
+       |  FROM dim poms
+       |  LEFT JOIN (SELECT mediaId, first_broadcast_date FROM new_tv_eps) nte
+       |    ON poms.episode_id = nte.mediaId
+       |  LEFT JOIN fsd ON fsd.evt_mid = poms.episode_id
+       |  WHERE poms.episode_type = 'BROADCAST'),
+       |sia AS (
+       |  SELECT se.evt_mid, poms.series_ref, poms.series_title, se.evt_programme,
+       |    date_part('week', nr.first_broadcast_date) AS evt_weeknr,
+       |    date_part('isoyear', nr.first_broadcast_date) AS evt_year,
+       |    AVG(se.mtd_duration_in_sec) AS streaming_duration_sec,
+       |    CAST(NULL AS BIGINT) AS streaming_playcount_over_30s,
+       |    CAST(NULL AS BIGINT) AS streaming_playcount_over_30s_broadcastsonly,
+       |    CAST(NULL AS DOUBLE) AS streaming_time_spent_sec,
+       |    SUM(CASE WHEN se.mtd_type = 'BROADCAST' AND (se.evt_date - nr.last_known_broadcast_season) <= 28
+       |        THEN se.evt_playback_time_total_in_sec ELSE 0 END)
+       |      / NULLIF(MAX(CASE WHEN se.mtd_type = 'BROADCAST' AND (se.evt_date - nr.last_known_broadcast_season) <= 28
+       |        THEN se.mtd_duration_in_sec ELSE 0 END), 0) AS streaming_kdh_for_new_released_episode,
+       |    MAX(CASE WHEN se.mtd_type = 'BROADCAST' AND (se.evt_date - nr.last_known_broadcast_season) <= 28
+       |        THEN se.evt_mid END) AS mid_counts_for_new_release,
+       |    CAST(NULL AS DOUBLE) AS streaming_kdh_per_episode,
+       |    MAX(CASE WHEN nr.has_had_linear_release = 1 THEN 1 ELSE 0 END) AS has_had_linear_release,
+       |    MAX(CASE WHEN nr.has_had_linear_release = 0 AND nr.has_scheduled_lineair_release = 1
+       |        THEN 1 ELSE 0 END) AS has_scheduled_lineair_release,
+       |    MAX(CASE WHEN nr.has_had_linear_release = 0 AND nr.has_scheduled_lineair_release = 0
+       |        THEN 1 ELSE 0 END) AS vod_only_release
+       |  FROM sd se
+       |  LEFT JOIN new_releases nr ON nr.mediaid = se.evt_mid
+       |  LEFT JOIN (SELECT episode_id, series_ref, series_title FROM dim) poms
+       |    ON poms.episode_id = se.evt_mid
+       |  GROUP BY 1,2,3,4,5,6),
+       |sib AS (
+       |  SELECT se.evt_mid, poms.series_ref, poms.series_title, se.evt_programme,
+       |    date_part('week', se.evt_date) AS evt_weeknr,
+       |    date_part('isoyear', se.evt_date) AS evt_year,
+       |    AVG(se.mtd_duration_in_sec) AS streaming_duration_sec,
+       |    CAST(SUM(se.evt_play_count_over_30s) AS BIGINT) AS streaming_playcount_over_30s,
+       |    CAST(SUM(CASE WHEN se.mtd_type = 'BROADCAST' THEN se.evt_play_count_over_30s ELSE 0 END) AS BIGINT)
+       |      AS streaming_playcount_over_30s_broadcastsonly,
+       |    SUM(se.evt_playback_time_total_in_sec) AS streaming_time_spent_sec,
+       |    CAST(NULL AS DOUBLE) AS streaming_kdh_for_new_released_episode,
+       |    CAST(NULL AS VARCHAR) AS mid_counts_for_new_release,
+       |    SUM(se.evt_playback_time_total_in_sec) / NULLIF(AVG(se.mtd_duration_in_sec), 0)
+       |      AS streaming_kdh_per_episode,
+       |    CAST(NULL AS INTEGER) AS has_had_linear_release,
+       |    CAST(NULL AS INTEGER) AS has_scheduled_lineair_release,
+       |    CAST(NULL AS INTEGER) AS vod_only_release
+       |  FROM sd se
+       |  LEFT JOIN (SELECT episode_id, series_ref, series_title FROM dim) poms
+       |    ON poms.episode_id = se.evt_mid
+       |  GROUP BY 1,2,3,4,5,6),
+       |si AS (SELECT * FROM sia UNION ALL BY NAME SELECT * FROM sib)
+       |SELECT
+       |  COALESCE(vt.Stream_Titel, str.series_title) AS Stream_join_title,
+       |  str.series_title AS POMS_series_title,
+       |  str.series_ref AS POMS_series_id,
+       |  CASE WHEN vt.Stream_Titel IS NULL THEN 0 ELSE 1 END AS has_intekening,
+       |  weekdate,
+       |  COUNT(DISTINCT str.evt_mid) AS streaming_number_of_episodes,
+       |  SUM(str.streaming_duration_sec) AS streaming_duration_sec,
+       |  CAST(SUM(str.streaming_playcount_over_30s) AS BIGINT) AS streaming_playcount_over_30s,
+       |  CAST(SUM(str.streaming_playcount_over_30s_broadcastsonly) AS BIGINT)
+       |    AS streaming_playcount_over_30s_broadcastsonly,
+       |  SUM(str.streaming_time_spent_sec) AS streaming_time_spent_sec,
+       |  SUM(str.streaming_kdh_per_episode) AS streaming_sum_kdh_per_week,
+       |  SUM(str.streaming_kdh_for_new_released_episode) AS streaming_kdh_for_new_released_episode,
+       |  COUNT(DISTINCT str.mid_counts_for_new_release) AS streaming_number_of_new_released_eps,
+       |  MAX(str.has_had_linear_release) AS week_with_new_lineair_release,
+       |  MAX(CASE WHEN str.has_had_linear_release = 1 OR str.has_scheduled_lineair_release = 1
+       |      OR str.vod_only_release = 1 THEN 1 ELSE 0 END) AS week_with_new_release,
+       |  date_part('week', weekdate) AS weeknr,
+       |  date_part('isoyear', weekdate) AS year
+       |FROM ($spineSql) spine
+       |LEFT JOIN si str ON str.evt_year = date_part('isoyear', weekdate)
+       |  AND str.evt_weeknr = date_part('week', weekdate)
+       |LEFT JOIN (SELECT Stream_Titel, Serie_mid FROM vertaal) vt ON vt.Serie_mid = str.series_ref
+       |GROUP BY 1,2,3,4,5
+       |ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  // ---------------------------------------------------------- dashboard
+
+  /** `integral_reporting_dashboard_channel_weekly.sql:1-283` — the
+    * 7-channel conforming stack + title-level window flags. Reads all 6
+    * upstream reporting model outputs, isolating the dashboard transform.
+    * Rounding uses the engine-portable `floor(x*10^n+0.5)/10^n`
+    * (`Dialect.roundTo`) in both engines.
+    */
+  private val dashboard = QueryDef(
+    "dag_dashboard",
+    (s, _) => ordered(Dashboard.build(s,
+      srcDf(s, "360_graden_rapportage_vertaaltabel_upload_20_21"),
+      modelDf(s, "integral_reporting_vodstreaming"),
+      modelDf(s, "integral_reporting_tvbroadcasts"),
+      modelDf(s, "integral_reporting_facebook"),
+      modelDf(s, "integral_reporting_instagram"),
+      modelDf(s, "integral_reporting_sites_and_apps"),
+      modelDf(s, "integral_reporting_youtube"), today)),
+    Some(s"""WITH vertaal AS (SELECT * FROM ${srcq("360_graden_rapportage_vertaaltabel_upload_20_21")}),
+       |vod AS (SELECT * FROM ${modelq("integral_reporting_vodstreaming")}),
+       |tvb AS (SELECT * FROM ${modelq("integral_reporting_tvbroadcasts")}),
+       |fb AS (SELECT * FROM ${modelq("integral_reporting_facebook")}),
+       |ig AS (SELECT * FROM ${modelq("integral_reporting_instagram")}),
+       |online AS (SELECT * FROM ${modelq("integral_reporting_sites_and_apps")}),
+       |yt AS (SELECT * FROM ${modelq("integral_reporting_youtube")}),
+       |basis AS (
+       |  SELECT v.*, weekdate, date_part('week', weekdate) AS weeknr,
+       |    date_part('isoyear', weekdate) AS year
+       |  FROM vertaal v CROSS JOIN ($spineSql) spine),
+       |scc AS (
+       |  SELECT COALESCE(ss.POMS_series_id, t.poms_series_id) AS poms_series_id,
+       |         COALESCE(ss.year, t.year) AS year
+       |  FROM (SELECT POMS_series_id, year, weeknr,
+       |          streaming_playcount_over_30s_broadcastsonly FROM vod) ss
+       |  FULL OUTER JOIN (SELECT poms_series_id, year, weeknr,
+       |          tv_number_of_broadcasts FROM tvb) t
+       |    ON t.poms_series_id = ss.POMS_series_id AND t.year = ss.year
+       |       AND t.weeknr = ss.weeknr
+       |  GROUP BY 1,2
+       |  HAVING SUM(ss.streaming_playcount_over_30s_broadcastsonly) >= 1000
+       |      OR SUM(t.tv_number_of_broadcasts) >= 1),
+       |u AS (
+       |  SELECT b.Naam, b.Net, b.Omroep, b.CCC, b.weekdate, b.weeknr, b.year,
+       |    CASE WHEN b.Naam IS NOT NULL THEN 1 ELSE 0 END AS has_intekening,
+       |    CAST(NULL AS INTEGER) AS is_tv_week,
+       |    CAST(NULL AS BIGINT) AS new_releases,
+       |    'facebook' AS reporting_channel,
+       |    f.fb_number_of_posts AS n_items_per_week,
+       |    'posts' AS media_item_type,
+       |    f.fb_reach_per_week AS weekly_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS daily_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS visits_per_week,
+       |    f.fb_engagement_per_week AS engagement_per_week,
+       |    CAST(NULL AS BIGINT) AS views_per_week,
+       |    CAST(NULL AS DOUBLE) AS hours_watched,
+       |    CAST(NULL AS DOUBLE) AS video_kdh_per_week,
+       |    CAST(NULL AS DOUBLE) AS video_kdh_per_release
+       |  FROM basis b
+       |  LEFT JOIN fb f ON b.QL_FB_ID = f.QL_FB_ID AND b.weekdate = f.weekdate
+       |  UNION ALL BY NAME
+       |  SELECT b.Naam, b.Net, b.Omroep, b.CCC, b.weekdate, b.weeknr, b.year,
+       |    CASE WHEN b.Naam IS NOT NULL THEN 1 ELSE 0 END AS has_intekening,
+       |    CAST(NULL AS INTEGER) AS is_tv_week,
+       |    CAST(NULL AS BIGINT) AS new_releases,
+       |    'instagram' AS reporting_channel,
+       |    i.ig_number_of_posts AS n_items_per_week,
+       |    'posts' AS media_item_type,
+       |    i.ig_reach_per_week AS weekly_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS daily_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS visits_per_week,
+       |    i.ig_engagement_per_week AS engagement_per_week,
+       |    CAST(NULL AS BIGINT) AS views_per_week,
+       |    CAST(NULL AS DOUBLE) AS hours_watched,
+       |    CAST(NULL AS DOUBLE) AS video_kdh_per_week,
+       |    CAST(NULL AS DOUBLE) AS video_kdh_per_release
+       |  FROM basis b
+       |  LEFT JOIN ig i ON b.QL_IG_ID = i.QL_IG_ID AND b.weekdate = i.weekdate
+       |  UNION ALL BY NAME
+       |  SELECT b.Naam, b.Net, b.Omroep, b.CCC, b.weekdate, b.weeknr, b.year,
+       |    CASE WHEN b.Naam IS NOT NULL THEN 1 ELSE 0 END AS has_intekening,
+       |    CAST(NULL AS INTEGER) AS is_tv_week,
+       |    CAST(NULL AS BIGINT) AS new_releases,
+       |    'sites' AS reporting_channel,
+       |    CAST(NULL AS BIGINT) AS n_items_per_week,
+       |    CAST(NULL AS VARCHAR) AS media_item_type,
+       |    o.site_weekly_visitors AS weekly_reach_per_week,
+       |    o.site_daily_visitors AS daily_reach_per_week,
+       |    o.site_visits AS visits_per_week,
+       |    CAST(NULL AS BIGINT) AS engagement_per_week,
+       |    CAST(NULL AS BIGINT) AS views_per_week,
+       |    CAST(NULL AS DOUBLE) AS hours_watched,
+       |    CAST(NULL AS DOUBLE) AS video_kdh_per_week,
+       |    CAST(NULL AS DOUBLE) AS video_kdh_per_release
+       |  FROM basis b
+       |  LEFT JOIN online o ON b.ATI_Titel = o.ATI_Titel AND b.weekdate = o.weekdate
+       |  UNION ALL BY NAME
+       |  SELECT b.Naam, b.Net, b.Omroep, b.CCC, b.weekdate, b.weeknr, b.year,
+       |    CASE WHEN b.Naam IS NOT NULL THEN 1 ELSE 0 END AS has_intekening,
+       |    CAST(NULL AS INTEGER) AS is_tv_week,
+       |    CAST(NULL AS BIGINT) AS new_releases,
+       |    'apps' AS reporting_channel,
+       |    CAST(NULL AS BIGINT) AS n_items_per_week,
+       |    CAST(NULL AS VARCHAR) AS media_item_type,
+       |    o.app_weekly_visitors AS weekly_reach_per_week,
+       |    o.app_daily_visitors AS daily_reach_per_week,
+       |    o.app_visits AS visits_per_week,
+       |    CAST(NULL AS BIGINT) AS engagement_per_week,
+       |    CAST(NULL AS BIGINT) AS views_per_week,
+       |    CAST(NULL AS DOUBLE) AS hours_watched,
+       |    CAST(NULL AS DOUBLE) AS video_kdh_per_week,
+       |    CAST(NULL AS DOUBLE) AS video_kdh_per_release
+       |  FROM basis b
+       |  LEFT JOIN online o ON b.ATI_Titel = o.ATI_Titel AND b.weekdate = o.weekdate
+       |  UNION ALL BY NAME
+       |  SELECT b.Naam, b.Net, b.Omroep, b.CCC, b.weekdate, b.weeknr, b.year,
+       |    CASE WHEN b.Naam IS NOT NULL THEN 1 ELSE 0 END AS has_intekening,
+       |    CAST(NULL AS INTEGER) AS is_tv_week,
+       |    CAST(NULL AS BIGINT) AS new_releases,
+       |    'youtube' AS reporting_channel,
+       |    y.yt_number_of_videos AS n_items_per_week,
+       |    'videos' AS media_item_type,
+       |    CAST(NULL AS BIGINT) AS weekly_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS daily_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS visits_per_week,
+       |    y.yt_engagement_per_week AS engagement_per_week,
+       |    y.yt_views_per_week AS views_per_week,
+       |    floor((y.yt_time_spent_per_week_min / 60) * 100 + 0.5) / 100 AS hours_watched,
+       |    floor(y.yt_kdh_per_week + 0.5) AS video_kdh_per_week,
+       |    CAST(NULL AS DOUBLE) AS video_kdh_per_release
+       |  FROM basis b
+       |  LEFT JOIN yt y ON b.QL_YT_ID = y.QL_YT_ID AND b.weekdate = y.weekdate
+       |  UNION ALL BY NAME
+       |  SELECT COALESCE(b.Naam, t.poms_series_title) AS Naam, b.Net, b.Omroep, b.CCC,
+       |    COALESCE(b.weekdate, t.weekdate) AS weekdate,
+       |    COALESCE(b.weeknr, t.weeknr) AS weeknr,
+       |    COALESCE(b.year, t.year) AS year,
+       |    CASE WHEN b.Naam IS NOT NULL THEN 1 ELSE 0 END AS has_intekening,
+       |    t.tv_broadcast_week AS is_tv_week,
+       |    t.tv_number_of_broadcasts AS new_releases,
+       |    'lineair' AS reporting_channel,
+       |    t.tv_number_of_broadcasts AS n_items_per_week,
+       |    'videos' AS media_item_type,
+       |    CAST(NULL AS BIGINT) AS weekly_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS daily_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS visits_per_week,
+       |    CAST(NULL AS BIGINT) AS engagement_per_week,
+       |    CAST(NULL AS BIGINT) AS views_per_week,
+       |    floor((t.tv_time_spent_per_week_min / 60) * 100 + 0.5) / 100 AS hours_watched,
+       |    floor(t.tv_sum_kdh_per_week + 0.5) AS video_kdh_per_week,
+       |    floor(t.tv_sum_kdh_per_week / NULLIF(t.tv_number_of_broadcasts, 0) + 0.5) AS video_kdh_per_release
+       |  FROM tvb t
+       |  LEFT JOIN basis b ON b.Serie_mid = t.poms_series_id AND b.weekdate = t.weekdate
+       |  UNION ALL BY NAME
+       |  SELECT COALESCE(b.Naam, s.POMS_series_title) AS Naam, b.Net, b.Omroep, b.CCC,
+       |    COALESCE(b.weekdate, s.weekdate) AS weekdate,
+       |    COALESCE(b.weeknr, s.weeknr) AS weeknr,
+       |    COALESCE(b.year, s.year) AS year,
+       |    MAX(CASE WHEN b.Naam IS NOT NULL THEN 1 ELSE 0 END) AS has_intekening,
+       |    CAST(NULL AS INTEGER) AS is_tv_week,
+       |    CAST(NULL AS BIGINT) AS new_releases,
+       |    'VOD' AS reporting_channel,
+       |    CAST(SUM(s.streaming_number_of_episodes) AS BIGINT) AS n_items_per_week,
+       |    'videos' AS media_item_type,
+       |    CAST(NULL AS BIGINT) AS weekly_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS daily_reach_per_week,
+       |    CAST(NULL AS BIGINT) AS visits_per_week,
+       |    CAST(NULL AS BIGINT) AS engagement_per_week,
+       |    CAST(SUM(s.streaming_playcount_over_30s) AS BIGINT) AS views_per_week,
+       |    floor(SUM(s.streaming_time_spent_sec / 60 / 60) * 100 + 0.5) / 100 AS hours_watched,
+       |    floor(SUM(s.streaming_sum_kdh_per_week) + 0.5) AS video_kdh_per_week,
+       |    floor(SUM(s.streaming_kdh_for_new_released_episode)
+       |      / NULLIF(SUM(s.streaming_number_of_new_released_eps), 0) + 0.5) AS video_kdh_per_release
+       |  FROM vod s
+       |  INNER JOIN scc ON scc.poms_series_id = s.POMS_series_id AND scc.year = s.year
+       |  LEFT JOIN basis b ON b.Serie_mid = s.POMS_series_id AND b.weekdate = s.weekdate
+       |  GROUP BY 1,2,3,4,5,6,7)
+       |SELECT Naam, Net, Omroep, CCC, weekdate, weeknr, year, reporting_channel,
+       |  n_items_per_week, media_item_type, weekly_reach_per_week, daily_reach_per_week,
+       |  visits_per_week, engagement_per_week, views_per_week, hours_watched,
+       |  video_kdh_per_week, video_kdh_per_release,
+       |  floor(engagement_per_week / NULLIF(CASE WHEN reporting_channel = 'youtube'
+       |    THEN views_per_week ELSE weekly_reach_per_week END, 0) * 1000 + 0.5) / 1000 AS engagement_ratio,
+       |  floor(daily_reach_per_week / NULLIF(weekly_reach_per_week, 0) * 100 + 0.5) / 100 AS dau_mau_ratio,
+       |  MAX(is_tv_week) OVER (PARTITION BY weekdate, Naam) AS is_tv_week,
+       |  CAST(SUM(CASE WHEN reporting_channel = 'lineair' THEN new_releases ELSE 0 END)
+       |    OVER (PARTITION BY Naam) AS BIGINT) AS n_total_tv_broadcasts,
+       |  MAX(has_intekening) OVER (PARTITION BY Naam) AS has_intekening,
+       |  CASE WHEN AVG(CASE WHEN reporting_channel = 'lineair' THEN video_kdh_per_release ELSE 0 END)
+       |         OVER (PARTITION BY Naam) < 100000 THEN 'avg lineaire KDH < 100.000'
+       |       WHEN AVG(CASE WHEN reporting_channel = 'lineair' THEN video_kdh_per_release ELSE 0 END)
+       |         OVER (PARTITION BY Naam) >= 4000000 THEN 'avg lineaire KDH > 4.000.000'
+       |       WHEN AVG(CASE WHEN reporting_channel = 'lineair' AND video_kdh_per_release IS NOT NULL
+       |         THEN 1 ELSE 0 END) OVER (PARTITION BY Naam) = 0 THEN 'no lineair KDH in this week'
+       |       ELSE 'avg lineaire KDH >= 100.000 and < 4.0000.000' END AS lineair_kdh_bucket
+       |FROM u
+       |ORDER BY ALL NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps)
+    pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
+    streamsDaily, vodStreaming, dashboard)
 }

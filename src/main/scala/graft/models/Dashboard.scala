@@ -123,8 +123,8 @@ object Dashboard {
       .withColumn("daily_reach_per_week", nullL).withColumn("visits_per_week", nullL)
       .withColumn("engagement_per_week", col("yt_engagement_per_week"))
       .withColumn("views_per_week", col("yt_views_per_week"))
-      .withColumn("hours_watched", round(col("yt_time_spent_per_week_min") / 60, 2))
-      .withColumn("video_kdh_per_week", round(col("yt_kdh_per_week"), 0))
+      .withColumn("hours_watched", roundTo(col("yt_time_spent_per_week_min") / 60, 2))
+      .withColumn("video_kdh_per_week", roundTo(col("yt_kdh_per_week"), 0))
       .withColumn("video_kdh_per_release", nullD))
 
     // lineair branch: tv LEFT JOIN basis (dashboard:190-217).
@@ -148,10 +148,10 @@ object Dashboard {
       .withColumn("weekly_reach_per_week", nullL)
       .withColumn("daily_reach_per_week", nullL).withColumn("visits_per_week", nullL)
       .withColumn("engagement_per_week", nullL).withColumn("views_per_week", nullL)
-      .withColumn("hours_watched", round(col("tv_time_spent_per_week_min") / 60, 2))
-      .withColumn("video_kdh_per_week", round(col("tv_sum_kdh_per_week"), 0))
+      .withColumn("hours_watched", roundTo(col("tv_time_spent_per_week_min") / 60, 2))
+      .withColumn("video_kdh_per_week", roundTo(col("tv_sum_kdh_per_week"), 0))
       .withColumn("video_kdh_per_release",
-        round(col("tv_sum_kdh_per_week") / nullif(col("tv_number_of_broadcasts"), lit(0L)), 0)))
+        roundTo(col("tv_sum_kdh_per_week") / nullif(col("tv_number_of_broadcasts"), lit(0L)), 0)))
 
     // VOD branch: stream ⋈ cleaning, grouped (dashboard:219-257).
     val vodB = conform(vod
@@ -169,9 +169,9 @@ object Dashboard {
       .agg(max(when(col("b_naam").isNotNull, 1).otherwise(0)).as("has_intekening"),
         sum("streaming_number_of_episodes").as("n_items_per_week"),
         sum("streaming_playcount_over_30s").as("views_per_week"),
-        round(sum(col("streaming_time_spent_sec") / 60 / 60), 2).as("hours_watched"),
-        round(sum("streaming_sum_kdh_per_week"), 0).as("video_kdh_per_week"),
-        round(sum("streaming_kdh_for_new_released_episode") /
+        roundTo(sum(col("streaming_time_spent_sec") / 60 / 60), 2).as("hours_watched"),
+        roundTo(sum("streaming_sum_kdh_per_week"), 0).as("video_kdh_per_week"),
+        roundTo(sum("streaming_kdh_for_new_released_episode") /
           nullif(sum("streaming_number_of_new_released_eps"), lit(0L)), 0)
           .as("video_kdh_per_release"))
       .withColumn("is_tv_week", nullI).withColumn("new_releases", nullL)
@@ -190,11 +190,11 @@ object Dashboard {
     val avgKdh = avg(when(col("reporting_channel") === "lineair",
       col("video_kdh_per_release")).otherwise(0.0)).over(wTitle)
     union
-      .withColumn("engagement_ratio", round(col("engagement_per_week") /
+      .withColumn("engagement_ratio", roundTo(col("engagement_per_week") /
         nullif(when(col("reporting_channel") === "youtube", col("views_per_week"))
           .otherwise(col("weekly_reach_per_week")), lit(0L)), 3))
       .withColumn("dau_mau_ratio",
-        round(col("daily_reach_per_week") / nullif(col("weekly_reach_per_week"), lit(0L)), 2))
+        roundTo(col("daily_reach_per_week") / nullif(col("weekly_reach_per_week"), lit(0L)), 2))
       .withColumn("is_tv_week_w", max("is_tv_week").over(wTitleWeek))
       .withColumn("n_total_tv_broadcasts",
         sum(when(col("reporting_channel") === "lineair", col("new_releases"))

@@ -29,7 +29,7 @@ object NpoParquet {
     */
   val dir: String = "/root/repo/fixtures/npo"
 
-  val version: String = "v1"
+  val version: String = "v2"
 
   def src(name: String): String = s"$dir/src_$name.parquet"
   def model(name: String): String = s"$dir/model_$name.parquet"
