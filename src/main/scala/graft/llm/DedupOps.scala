@@ -148,14 +148,30 @@ object DedupOps {
   /** n-gram (word-set) Jaccard similarity over blocked candidate pairs —
     * blocking key (lang, source) bounds the pair count; the intersection
     * is computed by an equi-join on the word, never by comparing texts.
+    *
+    * De-skew: a stopword-grade token appearing in df documents creates
+    * ~df² candidate rows in the word join — quadratic on exactly the
+    * hottest keys at 100 TB. Words with block-level document frequency
+    * above [[jaccardMaxDf]] are dropped from the representation (both
+    * intersection AND sizes, so the measure stays a true Jaccard over
+    * the filtered vocabulary). The high-DF stoplist is tiny by
+    * construction (few words exceed the cutoff), so it broadcasts and
+    * the exclusion is a map-side anti join — no extra shuffle.
     */
+  val jaccardMaxDf = 50
+
   private val jaccard = QueryDef(
     "llm_ngram_jaccard",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val words = docs
+      val allWords = docs
         .select(col("doc_id"), col("lang"), col("source"),
           explode(array_distinct(splitLit(col("text"), " "))).as("w"))
+      val stop = allWords.groupBy("lang", "source", "w")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > jaccardMaxDf)
+        .select("lang", "source", "w")
+      val words = allWords.join(broadcast(stop), Seq("lang", "source", "w"), "left_anti")
       val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("nw"))
       val aw = words.select(col("lang"), col("source"), col("w"), col("doc_id").as("doc_a"))
       val bw = words.select(col("lang").as("l2"), col("source").as("s2"), col("w").as("w2"),
@@ -172,10 +188,17 @@ object DedupOps {
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
-    Some("""WITH words AS (
+    Some(s"""WITH all_words AS (
            |  SELECT DISTINCT doc_id, lang, source, w FROM (
            |    SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
            |    FROM documents)),
+           |stop AS (
+           |  SELECT lang, source, w FROM all_words
+           |  GROUP BY lang, source, w HAVING count(*) > $jaccardMaxDf),
+           |words AS (
+           |  SELECT * FROM all_words aw
+           |  WHERE NOT EXISTS (SELECT 1 FROM stop st
+           |    WHERE st.lang = aw.lang AND st.source = aw.source AND st.w = aw.w)),
            |sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
