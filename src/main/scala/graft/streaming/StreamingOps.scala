@@ -41,6 +41,40 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("n_qualified"), col("total_value"))
 
+  /** Streaming analog of the streams-daily DAILY rollup over the raw NPO
+    * event feed (`atinternet_smarttag_streams_daily_v4.sql:139-161`
+    * collapsed to the date grain): same inclusion rules as the batch
+    * model — drop Animations, keep only the reprocessing window, and for
+    * livestream events require a mapped channel (the model's INNER join,
+    * here a stream-static broadcast join + filter so non-live events pass
+    * untouched). Emits per-day playback seconds and event counts with a
+    * 1-day tumbling event-time window.
+    *
+    * Batch/stream parity is asserted in `StreamingSpec`: this over the
+    * fixture feed equals the materialized DAG model's per-date sums —
+    * the continuous path a 100 TB/day feed would take instead of the
+    * 9-day batch rewind.
+    */
+  def npoDailyPlayback(events: DataFrame, channelMapping: DataFrame,
+                       partitions: Seq[String], watermark: String = "1 day"): DataFrame = {
+    import graft.dialect.Dialect._
+    val mapped = events
+      .filter(col("d_rm_type") =!= "Animations" &&
+        col("d_date_hour_event").cast("date").cast("string").isin(partitions: _*))
+      .join(broadcast(channelMapping.select(col("channel_id"), col("channel"))),
+        col("channel_id") === nullifEmpty(
+          safeOffset(splitLit(col("d_rm_content"), "_||_"), 1)), "left")
+      .filter(col("d_rm_theme1").isNull || col("d_rm_theme1") =!= "livetvzender" ||
+        col("channel").isNotNull)
+    mapped
+      .withWatermark("d_date_hour_event", watermark)
+      .groupBy(window(col("d_date_hour_event"), "1 day").as("w"))
+      .agg(sum("d_rm_playback_time").as("playback_sec"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("date").as("evt_date"),
+        col("playback_sec"), col("n_events"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -52,6 +52,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq === got.toSeq)
   }
 
+  test("npoDailyPlayback over the fixture stream agrees with the batch DAG model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.models.testkit.NpoFixtures
+
+    val fixtures = NpoFixtures.all(spark)
+    val parts = graft.models.StreamsDaily.partitionsFor(NpoFixtures.today)
+
+    // Stream the raw NPO media_events feed through the daily rollup.
+    val stream = MemoryStream[graft.models.testkit.NpoFixtures.Me]
+    stream.addData(fixtures("media_events").as[NpoFixtures.Me].collect().toIndexedSeq: _*)
+    val q = StreamingOps.npoDailyPlayback(stream.toDF(),
+        fixtures("live_stream_name_mapping_v1"), parts)
+      .writeStream.format("memory").queryName("npo_daily").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("npo_daily").collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+
+    // Batch side: the materialized streams-daily model, rolled to dates.
+    val wh = java.nio.file.Files.createTempDirectory("graft_sp").toFile.getAbsolutePath
+    val built = graft.engine.DagRunner.run(spark,
+      graft.models.NpoDag.models(NpoFixtures.today), fixtures.apply, wh)
+    val batch = built("atinternet_smarttag_streams_daily_v4")
+      .groupBy("evt_date")
+      .agg(sum("evt_playback_time_total_in_sec").as("playback_sec"))
+      .collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize groups events into gap-bounded sessions with state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
