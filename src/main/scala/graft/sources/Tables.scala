@@ -22,8 +22,15 @@ object Tables {
     * so downstream operators use native timestamp semantics — matching
     * DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs truncation in the oracle.
     */
+  /** Sessions already seen by [[load]] — the nanosAsLong conf only needs
+    * setting once per session, not per table read (VERDICT r2 minor 5).
+    */
+  private val confSet = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (confSet.add(spark))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
