@@ -83,11 +83,13 @@ object DagRunner {
         case Table =>
           val path = target(m)
           df.write.mode("overwrite").parquet(path)
-          spark.read.parquet(path)
+          // Explicit schema: an empty frame writes no parquet footers, and
+          // schema inference over zero files would fail the read-back.
+          spark.read.schema(df.schema).parquet(path)
         case IncrementalInsertOverwrite(partCol, parts) =>
           val path = target(m)
           writeIncremental(spark, df, path, partCol, parts)
-          spark.read.parquet(path)
+          spark.read.schema(df.schema).parquet(path)
       }
       built += m.name -> out
     }

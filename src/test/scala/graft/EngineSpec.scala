@@ -103,6 +103,18 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/db/sch/t1").count() === 3L)
   }
 
+  test("run survives a model whose first materialization is empty") {
+    val wh = Files.createTempDirectory("graft_wh3").toFile.getAbsolutePath
+    val models = Seq(Model("inc_empty", Seq.empty,
+      (s, _) => s.range(0).selectExpr("CAST(id AS STRING) AS evt_date", "id AS v"),
+      materialization = IncrementalInsertOverwrite("evt_date", Seq("2024-01-01"))))
+    val out = DagRunner.run(spark, models, n => fail(s"unexpected source $n"), wh)
+    // Empty write leaves no parquet footers; the schema-explicit read-back
+    // still yields a well-typed empty frame instead of an inference error.
+    assert(out("inc_empty").count() === 0L)
+    assert(out("inc_empty").columns.toSet === Set("evt_date", "v"))
+  }
+
   test("insert-overwrite is idempotent for the same window") {
     val dir = Files.createTempDirectory("graft_inc2").toFile.getAbsolutePath + "/t"
     val df = spark.createDataFrame(Seq(("2024-02-01", 5), ("2024-02-02", 7)))

@@ -1,0 +1,55 @@
+package graft
+
+/** Regression tests for the SCALE-CRITICAL plan shapes (VERDICT r2 items
+  * 3-6): the properties that make the similarity/dedup operators safe at
+  * 100 TB are asserted on the optimized physical plan, so a refactor that
+  * silently reintroduces a quadratic block or loses partition pruning
+  * fails here — not at cluster scale.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("llm_cosine_neardup joins on LSH band buckets, never the label column") {
+    val p = plan("llm_cosine_neardup")
+    assert(p.contains("band_hash"), "candidate join must key on band hashes")
+    // The label column must not appear anywhere: blocking on a
+    // low-cardinality categorical is the quadratic scale-killer.
+    assert(!p.contains("label"), "plan must not block on the categorical label")
+  }
+
+  test("llm_ann_ivf cell scan is dynamic-partition-pruned") {
+    val p = plan("llm_ann_ivf")
+    assert(p.contains("dynamicpruning"),
+      "corpus scan must carry a dynamic partition pruning filter")
+  }
+
+  test("llm_ngram_jaccard excludes the high-DF stoplist via a broadcast anti join") {
+    val p = plan("llm_ngram_jaccard")
+    assert(p.contains("LeftAnti"), "stoplist exclusion must be an anti join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the tiny stoplist must broadcast, not shuffle")
+  }
+
+  test("llm_cosine_topk broadcasts the query side (one corpus scan, no shuffle of it)") {
+    val p = plan("llm_cosine_topk")
+    assert(p.contains("Broadcast"), "queries must broadcast against the corpus")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must push a group-limit below the window sort")
+  }
+
+  test("no query plan contains a cartesian product over base tables") {
+    // The only sanctioned cross joins are the ~100-row week spine and
+    // broadcast query sets; a CartesianProduct node means a shuffle-side
+    // cartesian slipped in.
+    for (name <- Seq("llm_cosine_neardup", "llm_minhash_lsh_pairs",
+        "llm_ngram_jaccard", "llm_ann_ivf")) {
+      assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+}
