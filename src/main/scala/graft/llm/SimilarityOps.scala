@@ -110,37 +110,51 @@ object SimilarityOps {
     }
   }
 
-  /** IVF ANN with physical pruning: persisted centroids route each query
-    * to its nearest cell; the scored scan hits ONLY that cell's partition
-    * of the cell-partitioned corpus (dynamic partition pruning on the
-    * broadcast join — `PartitionFilters: dynamicpruning#...` in the plan).
+  /** IVF ANN search over the persisted index: route each query to its
+    * `nprobe` nearest centroids, score only those cells' partitions of
+    * the cell-partitioned corpus (dynamic partition pruning on the
+    * broadcast join — `PartitionFilters: dynamicpruning#...` in the
+    * plan), rank top-k across the probed cells. `nprobe` trades scan
+    * fraction for recall exactly as in the published IVF design
+    * (Jégou et al. 2011) — see `AnnQualitySpec` for the measured
+    * recall-vs-nprobe curve on the test corpus.
+    *
+    * `queries` must have columns (qid, qv).
+    */
+  def ivfSearch(s: SparkSession, dir: String, queries: DataFrame,
+                k: Int, nprobe: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val (corpusPath, centPath) = IvfIndex.ensure(s, dir)
+    val cent = s.read.parquet(centPath)
+    val corpus = s.read.parquet(corpusPath)
+    // Route: nprobe nearest centroids by cosine (deterministic tiebreak).
+    val routed = queries.join(broadcast(cent))
+      .withColumn("c_sim", roundTo(cosine(col("qv"), col("centroid")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("c_sim").desc, col("c_label"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("c_label").as("cell"))
+    // Search only the routed cells: the broadcast join on the PARTITION
+    // column lets dynamic partition pruning skip every other cell.
+    corpus.join(broadcast(routed),
+        col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", roundTo(cosine(col("qv"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("qid", "cell", "rank", "vec_id", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF ANN with physical pruning, k=5, nprobe=1 (the oracle-pinned
+    * configuration; `ivfSearch` is the general surface).
     */
   private val ivf = QueryDef(
     "llm_ann_ivf",
     (s, dir) => {
-      GraftFunctions.register(s)
-      val (corpusPath, centPath) = IvfIndex.ensure(s, dir)
-      val cent = s.read.parquet(centPath)
-      val corpus = s.read.parquet(corpusPath)
       val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      // Route: nearest centroid by cosine (deterministic tiebreak).
-      val routed = q.join(broadcast(cent))
-        .withColumn("c_sim", roundTo(cosine(col("qv"), col("centroid")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("c_sim").desc, col("c_label"))))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("qv"), col("c_label").as("cell"))
-      // Search only the routed cell: the broadcast join on the PARTITION
-      // column lets dynamic partition pruning skip every other cell.
-      corpus.join(broadcast(routed),
-          col("label") === col("cell") && col("vec_id") =!= col("qid"))
-        .withColumn("cos_sim", roundTo(cosine(col("qv"), col("embedding")), 6))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
-        .filter(col("rank") <= 5)
-        .select("qid", "cell", "rank", "vec_id", "cos_sim")
-        .orderBy("qid", "rank")
+      ivfSearch(s, dir, q, k = 5, nprobe = 1)
     },
     Some("""WITH cterms AS (
            |  SELECT label,
