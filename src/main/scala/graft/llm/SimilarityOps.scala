@@ -89,8 +89,13 @@ object SimilarityOps {
     private val memo = scala.collection.mutable.Set.empty[String]
     def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
       val root = s"/root/repo/fixtures/ivf/${new java.io.File(dir).getName}"
-      val marker = Paths.get(s"$root/_GRAFT_IVF_v1")
-      if (!memo(root) && !Files.exists(marker)) {
+      // The marker embeds a fingerprint of the source parquet (size +
+      // mtime) so a regenerated corpus invalidates the index instead of
+      // serving stale cells.
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val fp = s"${src.length()}_${src.lastModified()}"
+      val marker = Paths.get(s"$root/_GRAFT_IVF_v1_$fp")
+      if (!memo(marker.toString) && !Files.exists(marker)) {
         val emb = Tables.load(s, dir, "embeddings")
         emb.write.mode("overwrite").partitionBy("label").parquet(s"$root/corpus")
         // Coarse quantizer: centroid per cell, as (label, pos, c) then
@@ -105,7 +110,7 @@ object SimilarityOps {
           .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
         Files.createFile(marker)
       }
-      memo += root
+      memo += marker.toString
       (s"$root/corpus", s"$root/centroids")
     }
   }
