@@ -701,9 +701,38 @@ object RelationalOps {
            |  UNION ALL SELECT 'orders', o_orderkey, CAST(NULL AS VARCHAR), o_totalprice FROM orders)
            |ORDER BY entity, key""".stripMargin))
 
+  /** J13 (beyond the reference surface): interval/range join via
+    * `ScaleOps.rangeJoinDays` — shipments falling inside each early
+    * order's 30-day window. The bucketed rewrite keeps the plan an
+    * equi-join (no BroadcastNestedLoopJoin / cartesian, asserted in
+    * `PlanAuditSpec`); the DuckDB oracle uses its native BETWEEN
+    * (IEJoin) formulation, so the check is cross-algorithm.
+    */
+  private val j13 = QueryDef(
+    "j13_range_join",
+    (s, dir) => {
+      val ranges = t(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("win_start"),
+          date_add(col("o_orderdate").cast("date"), 30).as("win_end"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_shipdate").cast("date").as("ship_date"))
+      ScaleOps.rangeJoinDays(li, "ship_date", ranges, "win_start", "win_end", 30)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipments"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH r AS (
+           |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ws,
+           |         CAST(o_orderdate AS DATE) + 30 AS we
+           |  FROM orders WHERE o_orderkey < 100)
+           |SELECT o_orderkey, count(*) AS n_shipments, sum(l_quantity) AS sum_qty
+           |FROM r JOIN lineitem ON CAST(l_shipdate AS DATE) BETWEEN ws AND we
+           |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     s1, s4, p1, p2, p3, p4, p5, p6, p7, p8,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a3b, a4, a5, a6, a7, a8,
     w2, w3, w4, o2, u1, u2)
 }

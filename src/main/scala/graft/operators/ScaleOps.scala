@@ -57,6 +57,29 @@ object ScaleOps {
       .drop("__salt").drop("__fsalt").drop(saltedDim(key))
   }
 
+  /** Bucketed interval (range) join: probe rows whose date falls inside
+    * a range-side [start, end] window, WITHOUT the theta-join cartesian a
+    * naive `BETWEEN` predicate plans as (BroadcastNestedLoopJoin — a
+    * scale-killer when neither side broadcasts). Each range explodes to
+    * its covering `bucketDays`-sized day buckets (fan-out ≤
+    * rangeLen/bucketDays + 1, bounded when ranges are), the probe side
+    * maps to its single bucket, and the join becomes a plain shuffled
+    * EQUI-join on the bucket with the exact BETWEEN as a residual filter.
+    * The standard relational formulation of interval joins at scale.
+    */
+  def rangeJoinDays(probe: DataFrame, tsCol: String, ranges: DataFrame,
+                    startCol: String, endCol: String, bucketDays: Int): DataFrame = {
+    require(bucketDays > 0, "bucketDays must be positive")
+    val epoch = lit("1970-01-01").cast("date")
+    def bucketOf(c: Column): Column = floor(datediff(c, epoch) / bucketDays)
+    val pb = probe.withColumn("__bucket", bucketOf(col(tsCol)))
+    val rb = ranges.withColumn("__bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    pb.join(rb, Seq("__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** Count the shuffle exchanges in a frame's executed plan — the metric
     * the bucketed-join test asserts on.
     */

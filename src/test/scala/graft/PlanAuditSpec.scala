@@ -43,6 +43,12 @@ class PlanAuditSpec extends SparkSpec {
       "rank<=k must push a group-limit below the window sort")
   }
 
+  test("j13_range_join plans as an equi-join, not a nested-loop theta join") {
+    val p = plan("j13_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the bucketed rewrite must avoid the theta-join nested loop")
+  }
+
   test("no query plan contains a cartesian product over base tables") {
     // The only sanctioned cross joins are the ~100-row week spine and
     // broadcast query sets; a CartesianProduct node means a shuffle-side
