@@ -120,10 +120,13 @@ object DedupOps {
     (s, dir) => {
       // votes_i = 2*hits_i - n, where hits_i counts words whose i-th md5
       // hex digit has its high bit set — equal to the sum of +/-1 votes.
+      // substring >= '8' is the hex high-bit test: digits are 0-9a-f, so
+      // everything ordinally >= '8' is exactly {8,9,a,b,c,d,e,f} — one
+      // comparison instead of an 8-way IN (same result as the oracle's
+      // IN-list form).
       val bits = (1 to 16).map { i =>
-        s"""CASE WHEN 2 * size(filter(hs, h -> substring(h, $i, 1)
-           |     IN ('8','9','a','b','c','d','e','f'))) - size(hs) >= 0
-           |     THEN '1' ELSE '0' END""".stripMargin
+        s"""CASE WHEN 2 * size(filter(hs, h -> substring(h, $i, 1) >= '8'))
+           |     - size(hs) >= 0 THEN '1' ELSE '0' END""".stripMargin
       }.mkString("concat(", ", ", ")")
       Tables.load(s, dir, "documents")
         .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
