@@ -52,6 +52,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() === 0L)
   }
 
+  test("rangeJoinDays equals the naive BETWEEN theta join (seeded property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def day(n: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(n))
+    for (trial <- 1 to 3; bucketDays <- Seq(1, 7, 30)) {
+      val points = Seq.fill(60)((rnd.nextInt(1000).toLong, day(rnd.nextInt(120))))
+        .toDF("pid", "ts")
+      val ranges = Seq.fill(15) {
+        val s = rnd.nextInt(100)
+        (rnd.nextInt(1000).toLong, day(s), day(s + rnd.nextInt(45)))
+      }.toDF("rid", "ws", "we")
+      val naive = points.join(ranges, col("ts") >= col("ws") && col("ts") <= col("we"))
+        .select("pid", "ts", "rid", "ws", "we")
+      val bucketed = ScaleOps.rangeJoinDays(points, "ts", ranges, "ws", "we", bucketDays)
+        .select("pid", "ts", "rid", "ws", "we")
+      assert(bucketed.count() === naive.count(), s"trial=$trial bucket=$bucketDays")
+      assert(naive.exceptAll(bucketed).count() === 0L, s"trial=$trial bucket=$bucketDays")
+      assert(bucketed.exceptAll(naive).count() === 0L, s"trial=$trial bucket=$bucketDays")
+    }
+  }
+
   test("saltedJoin left-outer preserves unmatched fact rows exactly once") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (2L, "b"), (99L, "no-match")).toDF("k", "v")
