@@ -68,21 +68,7 @@ object DedupOps {
     */
   private val minhash = QueryDef(
     "llm_minhash_lsh_pairs",
-    (s, dir) => {
-      val sigs = shingles(s, dir).groupBy("doc_id")
-        .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
-      val bands = sigs.select(col("doc_id"), posexplode(array(
-        md5(concat(col("mh0"), col("mh1"))), md5(concat(col("mh2"), col("mh3"))),
-        md5(concat(col("mh4"), col("mh5"))), md5(concat(col("mh6"), col("mh7")))))
-        .as(Seq("band_idx", "band_hash")))
-      val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-      val b = bands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
-        col("doc_id").as("doc_b"))
-      a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
-          col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) => lshPairs(s, dir).orderBy("doc_a", "doc_b"),
     Some("""WITH sh AS (
            |  SELECT doc_id, unnest(list_transform(
            |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
@@ -217,5 +203,103 @@ object DedupOps {
            |  JOIN sizes sb ON sb.doc_id = doc_b)
            |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(exact, minhash, simhash, jaccard)
+  /** Candidate pairs from the MinHash-LSH pipeline (shared by
+    * `llm_minhash_lsh_pairs` and the group-resolution step).
+    */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = shingles(s, dir).groupBy("doc_id")
+      .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+    val bands = sigs.select(col("doc_id"), posexplode(array(
+      md5(concat(col("mh0"), col("mh1"))), md5(concat(col("mh2"), col("mh3"))),
+      md5(concat(col("mh4"), col("mh5"))), md5(concat(col("mh6"), col("mh7")))))
+      .as(Seq("band_idx", "band_hash")))
+    val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+      col("doc_id").as("doc_b"))
+    a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Dedup GROUP resolution — the endgame of the near-dup pipeline:
+    * connected components over the LSH candidate-pair graph, each doc
+    * mapped to its group's canonical id (the minimum doc_id in the
+    * component). Computed by iterative min-label propagation — label =
+    * min(own, neighbors') until fixpoint — which converges in
+    * O(diameter) rounds of one equi-join + partial-min aggregate each;
+    * `localCheckpoint` truncates lineage per round so 100 TB graphs
+    * don't accumulate a deep recursive plan (the MapReduce
+    * connected-components formulation of Kiveris et al., KDD 2014
+    * simplifies to this on bounded-diameter near-dup graphs). The DuckDB
+    * oracle computes the same components with a RECURSIVE transitive
+    * closure — a cross-algorithm check.
+    */
+  private val dedupGroups = QueryDef(
+    "llm_dedup_groups",
+    (s, dir) => {
+      val pairs = lshPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("label", col("doc")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(labels.select(col("doc").as("src2"), col("label").as("nl")),
+            col("src") === col("src2"))
+          .groupBy(col("dst").as("doc2")).agg(min("nl").as("nbr_min"))
+        val next = labels
+          .join(nbrMin, col("doc") === col("doc2"), "left")
+          .select(col("doc"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = next
+          .join(labels.select(col("doc").as("d2"), col("label").as("old")),
+            col("doc") === col("d2"))
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+      }
+      labels.select(col("doc").as("doc_id"), col("label").as("canonical_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           |    i -> string_split(text, ' ')[i] || ' ' ||
+           |         string_split(text, ' ')[i+1] || ' ' ||
+           |         string_split(text, ' ')[i+2])) AS shingle
+           |  FROM documents),
+           |sigs AS (
+           |  SELECT doc_id,
+           |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+           |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+           |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+           |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id,
+           |    unnest([0, 1, 2, 3]) AS band_idx,
+           |    unnest([md5(mh0 || mh1), md5(mh2 || mh3),
+           |            md5(mh4 || mh5), md5(mh6 || mh7)]) AS band_hash
+           |  FROM sigs),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM cand
+           |  UNION SELECT doc_b, doc_a FROM cand),
+           |reach AS (
+           |  WITH RECURSIVE r(src, dst) AS (
+           |    SELECT src, dst FROM edges
+           |    UNION
+           |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+           |  ) SELECT * FROM r)
+           |SELECT src AS doc_id,
+           |       least(src, min(dst)) AS canonical_id
+           |FROM reach GROUP BY src
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(exact, minhash, simhash, jaccard, dedupGroups)
 }
