@@ -125,5 +125,68 @@ object TextOps {
            |CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS INTEGER) AS n_special
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, textClean)
+  /** Deterministic stratified sampling — the curation step that rebalances
+    * a corpus by stratum (here: language) with per-stratum keep rates.
+    * The keep decision is a pure function of the row key: the first two
+    * hex chars of md5("sample:" + doc_id) compared against the stratum's
+    * threshold (fixed-width lowercase hex compares lexicographically ==
+    * numerically, so the same rule is expressible in any engine). Rates:
+    * en ≈ 60% (< '99'), de ≈ 30% (< '4d'), others ≈ 10% (< '1a').
+    * Per-row narrow filter — zero shuffle at any scale, reproducible
+    * across reruns and engines (no `rand()`).
+    */
+  private val stratifiedSample = QueryDef(
+    "llm_stratified_sample",
+    (s, dir) => {
+      val bucket = substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2)
+      val threshold = when(col("lang") === "en", "99")
+        .when(col("lang") === "de", "4d")
+        .otherwise("1a")
+      Tables.load(s, dir, "documents")
+        .filter(bucket < threshold)
+        .select(col("doc_id"), col("lang"), col("source"), bucket.as("sample_bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source,
+           |  substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS sample_bucket
+           |FROM documents
+           |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+           |  CASE WHEN lang = 'en' THEN '99' WHEN lang = 'de' THEN '4d' ELSE '1a' END
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Sequence packing — assign documents to fixed-budget context chunks
+    * (the concat-then-chunk packing used in pretraining dataprep): docs
+    * are ordered deterministically within each language, token counts
+    * cumulated with a window sum, and a doc lands in the chunk its
+    * STARTING offset falls into (`floor(start_offset / 512)`). One
+    * ranged window per stratum; at 100 TB the partition key becomes
+    * (lang, shard) so no single window sees the whole corpus.
+    */
+  private val packSequences = QueryDef(
+    "llm_pack_sequences",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(splitLit(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("end_offset", sum("tokens").over(w))
+        .select(col("doc_id"), col("lang"), col("tokens"),
+          (col("end_offset") - col("tokens")).as("start_offset"),
+          floor((col("end_offset") - col("tokens")) / 512).cast("long").as("pack_id"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, tokens,
+           |  CAST(end_offset - tokens AS BIGINT) AS start_offset,
+           |  CAST(floor((end_offset - tokens) / 512) AS BIGINT) AS pack_id
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+           |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+           |      OVER (PARTITION BY lang ORDER BY doc_id) AS end_offset
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, textClean,
+    stratifiedSample, packSequences)
 }
