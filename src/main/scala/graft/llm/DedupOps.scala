@@ -301,5 +301,78 @@ object DedupOps {
            |FROM reach GROUP BY src
            |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(exact, minhash, simhash, jaccard, dedupGroups)
+  /** Benchmark decontamination — the overlap check run before training:
+    * find corpus documents sharing word 3-shingles with a held-out eval
+    * set (here: doc_id < 10 stands in for the benchmark). Both sides
+    * shingle map-side; the overlap is an equi-join on the shingle (the
+    * eval side is tiny → broadcast, so the corpus never shuffles), then
+    * a per-pair count with a ≥ 3 shared-shingles flag threshold. At
+    * 100 TB this is one broadcast-hash-join pass over the corpus.
+    */
+  private val decontaminate = QueryDef(
+    "llm_decontaminate",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val evalSh = sh.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("eval_id"), col("shingle").as("esh")).distinct()
+      val trainSh = sh.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("train_id"), col("shingle")).distinct()
+      trainSh.join(broadcast(evalSh), col("shingle") === col("esh"))
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("shared_shingles"))
+        .filter(col("shared_shingles") >= 3)
+        .orderBy("train_id", "eval_id")
+    },
+    Some("""WITH sh AS (
+           |  SELECT DISTINCT doc_id, shingle FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           |      i -> string_split(text, ' ')[i] || ' ' ||
+           |           string_split(text, ' ')[i+1] || ' ' ||
+           |           string_split(text, ' ')[i+2])) AS shingle
+           |    FROM documents))
+           |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           |       count(*) AS shared_shingles
+           |FROM (SELECT * FROM sh WHERE doc_id >= 10) t
+           |JOIN (SELECT * FROM sh WHERE doc_id < 10) e USING (shingle)
+           |GROUP BY 1, 2 HAVING count(*) >= 3
+           |ORDER BY train_id, eval_id""".stripMargin))
+
+  /** Intra-document repetition score (the Gopher-style quality signal):
+    * 1 − distinct/total word 3-shingles. High values mean boilerplate /
+    * template loops. Pure map-side per row — the shingle array never
+    * leaves the task, so this is a narrow transform at any scale.
+    */
+  private val repetition = QueryDef(
+    "llm_repetition",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .withColumn("words", splitLit(col("text"), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN size(words) < 3 THEN array()
+          |     ELSE transform(sequence(1, size(words) - 2),
+          |            i -> concat_ws(' ', words[i-1], words[i], words[i+1])) END""".stripMargin))
+      .select(col("doc_id"),
+        size(col("sh")).as("n_shingles"),
+        size(array_distinct(col("sh"))).as("n_distinct"),
+        roundTo(when(size(col("sh")) > 0,
+          lit(1.0) - size(array_distinct(col("sh"))).cast("double") / size(col("sh")))
+          .otherwise(0.0), 4).as("repetition"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(len(sh) AS INTEGER) AS n_shingles,
+           |  CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+           |  floor(CASE WHEN len(sh) > 0
+           |        THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+           |        ELSE 0.0 END * 10000.0 + 0.5) / 10000.0 AS repetition
+           |FROM (
+           |  SELECT doc_id, list_transform(
+           |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           |    i -> string_split(text, ' ')[i] || ' ' ||
+           |         string_split(text, ' ')[i+1] || ' ' ||
+           |         string_split(text, ' ')[i+2]) AS sh
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(exact, minhash, simhash, jaccard, dedupGroups,
+    decontaminate, repetition)
 }
