@@ -238,26 +238,34 @@ object DedupOps {
     "llm_dedup_groups",
     (s, dir) => {
       val pairs = lshPairs(s, dir)
+      // Materialize the edge list ONCE — every propagation round re-reads
+      // it, and without the checkpoint each round would re-run the whole
+      // shingle→minhash→band pipeline from scratch.
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
       var labels = edges.select(col("src").as("doc")).distinct()
         .withColumn("label", col("doc")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
+      // Labels only ever decrease, so the total is strictly smaller iff
+      // any label changed — one cheap aggregate over the already-
+      // materialized checkpoint instead of a join-based diff per round.
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum("label")).head().getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      while (!converged) {
         val nbrMin = edges
           .join(labels.select(col("doc").as("src2"), col("label").as("nl")),
             col("src") === col("src2"))
           .groupBy(col("dst").as("doc2")).agg(min("nl").as("nbr_min"))
-        val next = labels
+        labels = labels
           .join(nbrMin, col("doc") === col("doc2"), "left")
           .select(col("doc"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
           .localCheckpoint()
-        changed = next
-          .join(labels.select(col("doc").as("d2"), col("label").as("old")),
-            col("doc") === col("d2"))
-          .filter(col("label") =!= col("old")).count()
-        labels = next
+        val s2 = labelSum(labels)
+        converged = s2 == prevSum
+        prevSum = s2
       }
       labels.select(col("doc").as("doc_id"), col("label").as("canonical_id"))
         .orderBy("doc_id")

@@ -43,6 +43,11 @@ class PlanAuditSpec extends SparkSpec {
       "rank<=k must push a group-limit below the window sort")
   }
 
+  test("llm_decontaminate broadcasts the eval side (corpus never shuffles for the join)") {
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval shingles must broadcast")
+  }
+
   test("j13_range_join plans as an equi-join, not a nested-loop theta join") {
     val p = plan("j13_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
