@@ -104,12 +104,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `expr()` in the given session. Idempotent.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => {
         require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(exprs.head, exprs(1))
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_pairs", exprs => {
+        require(exprs.length == 3, "topk_pairs takes exactly 3 arguments")
+        TopKPairs(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      }, "scala_udf")
+  }
 }
 
 /** SparkSessionExtensions entry point — the deployment-grade
