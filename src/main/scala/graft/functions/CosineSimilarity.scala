@@ -125,7 +125,7 @@ object GraftFunctions {
   * functions with no per-session register() call.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -134,4 +134,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_pairs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKPairs].getCanonicalName, "topk_pairs"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "topk_pairs takes exactly 3 arguments")
+        TopKPairs(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      }))
+  }
 }

@@ -79,6 +79,11 @@ class CosineSpec extends SparkSpec {
       assert(s2 ne prev) // genuinely fresh session state
       val r = s2.sql("SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c").head()
       assert(r.getDouble(0) === 1.0)
+      // The aggregate rides the same injection path.
+      val t = s2.sql(
+        "SELECT topk_pairs(s, id, 2) AS top FROM VALUES (1.0D, 1L), (3.0D, 2L), (2.0D, 3L) AS v(s, id)")
+        .head().getSeq[org.apache.spark.sql.Row](0).map(p => (p.getDouble(0), p.getLong(1)))
+      assert(t === Seq((3.0, 2L), (2.0, 3L)))
       // The suite session must NOT have gained the function (isolation).
       assert(prev.sessionState.functionRegistry ne s2.sessionState.functionRegistry)
     } finally {
