@@ -76,6 +76,49 @@ object SimilarityOps {
            |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim
            |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
+  /** Brute-force top-k via the bounded `topk_pairs`
+    * TypedImperativeAggregate instead of the window: map-side partial
+    * heaps mean each partition ships at most k pairs to the shuffle —
+    * the aggregate formulation of the same query (`TopKSpec` proves
+    * equality; this row gives it an independent DuckDB oracle).
+    */
+  private val topkAgg = QueryDef(
+    "llm_cosine_topk_agg",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim", roundTo(cosine(col("qv"), col("embedding")), 6))
+        .groupBy("qid")
+        .agg(expr("topk_pairs(cos_sim, vec_id, 5)").as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("p.id").as("vec_id"), col("p.score").as("cos_sim"))
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |pairs AS (
+           |  SELECT qid, vec_id, qv, embedding AS v FROM q, embeddings
+           |  WHERE vec_id <> qid),
+           |terms AS (
+           |  SELECT qid, vec_id,
+           |    CAST(unnest(qv) AS DOUBLE) AS qx, CAST(unnest(v) AS DOUBLE) AS vx
+           |  FROM pairs),
+           |scored AS (
+           |  SELECT qid, vec_id,
+           |    floor(sum(qx * vx) / (sqrt(sum(qx * qx)) * sqrt(sum(vx * vx)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+           |  FROM terms GROUP BY qid, vec_id),
+           |ranked AS (
+           |  SELECT qid, vec_id, cos_sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim
+           |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
   /** Persisted IVF index artifacts: the corpus re-written PARTITIONED BY
     * the coarse cell (so a routed query's cell scan is partition-PRUNED —
     * Spark reads only `corpus/label=<cell>/` instead of filtering a full
@@ -293,5 +336,5 @@ object SimilarityOps {
            |SELECT va AS vec_a, vb AS vec_b, cos_sim FROM scored
            |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(topk, ivf, nearDup)
+  val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, nearDup)
 }
