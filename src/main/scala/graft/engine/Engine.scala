@@ -107,25 +107,31 @@ object DagRunner {
     * every LISTED partition even when the new frame has no rows for it
     * (a fully-retracted day must disappear). Spark's dynamic partition
     * overwrite only replaces partitions present in the written frame, so
-    * the listed partition directories are dropped first; the write then
-    * re-creates the non-empty ones.
+    * after the write the listed-but-ABSENT partition directories are
+    * dropped explicitly. Deleting after (not before) the write means a
+    * failed job leaves the previous window intact — no data-loss gap
+    * between delete and write. The extra `distinct` to learn which
+    * partitions were written scans only the reprocessing window (one
+    * narrow column, map-side combined).
     */
   def writeIncremental(spark: SparkSession, df: DataFrame, path: String,
                        partitionCol: String, partitions: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) partitions.foreach { p =>
-      val dir = new Path(root,
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partitionCol, p))
-      if (fs.exists(dir)) fs.delete(dir, true)
-    }
     val filtered = df.filter(col(partitionCol).cast("string").isin(partitions: _*))
+    val written = filtered.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
     filtered.write
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) partitions.filterNot(written).foreach { p =>
+      val dir = new Path(root,
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partitionCol, p))
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
   }
 }

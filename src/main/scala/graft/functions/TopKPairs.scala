@@ -57,6 +57,8 @@ case class TopKPairs(
       TypeCheckResult.TypeCheckFailure("topk_pairs: id must be integral")
     else if (!kExpr.foldable || !isIntegral(kExpr.dataType))
       TypeCheckResult.TypeCheckFailure("topk_pairs: k must be an integer literal")
+    else if (kExpr.eval() == null)
+      TypeCheckResult.TypeCheckFailure("topk_pairs: k must not be NULL")
     else if (k <= 0) TypeCheckResult.TypeCheckFailure("topk_pairs: k must be positive")
     else TypeCheckResult.TypeCheckSuccess
   }
@@ -83,8 +85,14 @@ case class TopKPairs(
                       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null)
-      offer(buf, (s.asInstanceOf[Number].doubleValue(), i.asInstanceOf[Number].longValue()))
+    if (s != null && i != null) {
+      val d = s.asInstanceOf[Number].doubleValue()
+      // NaN scores (e.g. cosine of a zero-norm vector) are unrankable:
+      // admitted, one would sit at the heap root where `better` (all NaN
+      // comparisons false) could never displace it, silently blocking
+      // every true top-k pair. Treated like NULL instead.
+      if (!d.isNaN) offer(buf, (d, i.asInstanceOf[Number].longValue()))
+    }
     buf
   }
 

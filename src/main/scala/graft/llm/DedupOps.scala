@@ -249,8 +249,10 @@ object DedupOps {
       // Labels only ever decrease, so the total is strictly smaller iff
       // any label changed — one cheap aggregate over the already-
       // materialized checkpoint instead of a join-based diff per round.
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(sum("label")).head().getLong(0)
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
+        val r = df.agg(sum("label")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: SUM is NULL
+      }
       var prevSum = labelSum(labels)
       var converged = false
       while (!converged) {

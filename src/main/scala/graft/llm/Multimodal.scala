@@ -77,26 +77,22 @@ object Multimodal {
   }
 
   /** Feature extraction over partitions of binary payloads. The decoder
-    * opens once per partition and closes after the last row — the
-    * amortization shape a native codec needs.
+    * opens once per partition; close is registered as a task-completion
+    * listener so it fires on success, FAILURE, and early termination
+    * (e.g. a limit that stops pulling the iterator) — an
+    * exhaustion-triggered close would leak the native allocation on any
+    * partially-consumed partition.
     */
   def extractFeatures(media: Dataset[MediaRecord],
                       decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       decoder.open()
-      new Iterator[MediaFeatures] {
-        private var closed = false
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h && !closed) { closed = true; decoder.close() }
-          h
-        }
-        def next(): MediaFeatures = {
-          val r = it.next()
-          val (w, h, d) = decoder.decode(r.media_type, r.blob)
-          MediaFeatures(r.doc_id, r.media_type, r.blob.length, w, h, d)
-        }
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => decoder.close())
+      it.map { r =>
+        val (w, h, d) = decoder.decode(r.media_type, r.blob)
+        MediaFeatures(r.doc_id, r.media_type, r.blob.length, w, h, d)
       }
     }
   }

@@ -131,13 +131,14 @@ object SimilarityOps {
     import java.nio.file.{Files, Paths}
     private val memo = scala.collection.mutable.Set.empty[String]
     def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
-      val root = s"/root/repo/fixtures/ivf/${new java.io.File(dir).getName}"
-      // The marker embeds a fingerprint of the source parquet (size +
-      // mtime) so a regenerated corpus invalidates the index instead of
-      // serving stale cells.
+      // The ROOT embeds a fingerprint of the source parquet (size +
+      // mtime): a regenerated corpus gets a fresh index directory, and
+      // two different dirs sharing a basename can never serve each
+      // other's cells (stale roots are just dead directories).
       val src = new java.io.File(s"$dir/embeddings.parquet")
       val fp = s"${src.length()}_${src.lastModified()}"
-      val marker = Paths.get(s"$root/_GRAFT_IVF_v1_$fp")
+      val root = s"/root/repo/fixtures/ivf/${new java.io.File(dir).getName}_$fp"
+      val marker = Paths.get(s"$root/_GRAFT_IVF_v1")
       if (!memo(marker.toString) && !Files.exists(marker)) {
         val emb = Tables.load(s, dir, "embeddings")
         emb.write.mode("overwrite").partitionBy("label").parquet(s"$root/corpus")

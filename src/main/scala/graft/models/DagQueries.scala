@@ -163,11 +163,7 @@ object DagQueries {
   private val youtube = QueryDef(
     "dag_youtube",
     (s, _) => {
-      val raw = srcDf(s, "src_quintly_youtube_v1")
-      val latest = raw
-        .join(raw.groupBy().agg(max(col("partitionDate")).as("mx")),
-          col("partitionDate") === col("mx"))
-        .drop("mx", "partitionDate")
+      val latest = NpoDag.latestYoutube(s, srcDf(s, "src_quintly_youtube_v1"))
       ordered(Reporting.youtube(s,
         srcDf(s, "360_graden_rapportage_vertaaltabel_upload_20_21"), latest, today))
     },

@@ -30,27 +30,36 @@ object NpoDag {
     "atinternet_smarttag_pages_weekly_v2",
     "atinternet_smarttag_pages_programmes_weekly_v2")
 
+  /** The quintly latest-partition freshness rule, shared by the source
+    * model above and `DagQueries.dag_youtube` so the oracle checks the
+    * SAME rule the DAG runs (one definition, no drift).
+    */
+  def latestYoutube(s: org.apache.spark.sql.SparkSession,
+                    src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    src.createOrReplaceTempView("src_quintly_youtube_v1")
+    s.sql("""SELECT * FROM src_quintly_youtube_v1
+            |WHERE partitionDate = (SELECT MAX(partitionDate)
+            |                       FROM src_quintly_youtube_v1)""".stripMargin)
+      .drop("partitionDate")
+  }
+
   /** Project-level `database` routing (`dbt_project.yml:5`): every model
     * targets the same warehouse database; folder overrides add schemas.
     */
   val database: String = "mit-reporting-test-1"
 
+  /** Model-level `database` overrides win over the project default,
+    * matching dbt config precedence (model/folder > project).
+    */
   def models(today: Date): Seq[Model] =
-    modelDefs(today).map(_.copy(database = Some(database)))
+    modelDefs(today).map(m => m.copy(database = m.database.orElse(Some(database))))
 
   private def modelDefs(today: Date): Seq[Model] = Seq(
 
     // Latest-partition source elimination (`/root/reference/models/source/
     // ingest_latest/quintly_youtube_allchannels_weekly.sql:1-13`).
     Model("quintly_youtube_allchannels_weekly", Seq("src_quintly_youtube_v1"),
-      (s, r) => {
-        val src = r("src_quintly_youtube_v1")
-        src.createOrReplaceTempView("src_quintly_youtube_v1")
-        s.sql("""SELECT * FROM src_quintly_youtube_v1
-                |WHERE partitionDate = (SELECT MAX(partitionDate)
-                |                       FROM src_quintly_youtube_v1)""".stripMargin)
-          .drop("partitionDate")
-      }),
+      (s, r) => latestYoutube(s, r("src_quintly_youtube_v1"))),
 
     Model("poms_flattened", Seq("audiovisual_metadata_poms_metadata_v1"),
       (_, r) => PomsFlattened.build(r("audiovisual_metadata_poms_metadata_v1"))),

@@ -25,8 +25,9 @@ object Tables {
   /** Sessions already seen by [[load]] — the nanosAsLong conf only needs
     * setting once per session, not per table read (VERDICT r2 minor 5).
     */
-  private val confSet = java.util.Collections.newSetFromMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val confSet = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (confSet.add(spark))
