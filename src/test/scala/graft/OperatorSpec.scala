@@ -88,6 +88,14 @@ class OperatorSpec extends SparkSpec {
     assert(decodes.value === 8L)           // one decode per row
     assert(opens.value === 2L)             // one init per partition, not per row
     assert(closes.value === opens.value)   // every open matched by a close
+
+    // Early termination (limit stops pulling the iterator mid-partition):
+    // the task-completion listener must still close every opened decoder.
+    opens.reset(); closes.reset(); decodes.reset()
+    Multimodal.extractFeatures(media, new CountingDecoder).limit(3).collect()
+    assert(opens.value > 0L)
+    assert(closes.value === opens.value,
+      "close must fire on early termination, not only on exhaustion")
   }
 
   test("approx_count_distinct tracks the exact count within its rsd bound") {
