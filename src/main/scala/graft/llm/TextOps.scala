@@ -156,34 +156,41 @@ object TextOps {
 
   /** Sequence packing — assign documents to fixed-budget context chunks
     * (the concat-then-chunk packing used in pretraining dataprep): docs
-    * are ordered deterministically within each language, token counts
-    * cumulated with a window sum, and a doc lands in the chunk its
-    * STARTING offset falls into (`floor(start_offset / 512)`). One
-    * ranged window per stratum; at 100 TB the partition key becomes
-    * (lang, shard) so no single window sees the whole corpus.
+    * are ordered deterministically within each (lang, shard), token
+    * counts cumulated with a window sum, and a doc lands in the chunk
+    * its STARTING offset falls into (`floor(start_offset / 512)`).
+    *
+    * The window key is (lang, shard = doc_id % 4), NOT lang alone: with
+    * a handful of languages a per-lang window funnels the whole corpus
+    * into a few giant sorted partitions — the same categorical-blocking
+    * scale-killer as label-blocked near-dup. Sharding caps every window
+    * partition at corpus/(langs×shards); packs are independent per
+    * shard, which packing semantics permit (chunks never span shards).
+    * At 100 TB raise the shard count with the data.
     */
   private val packSequences = QueryDef(
     "llm_pack_sequences",
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("doc_id")
+        .partitionBy("lang", "shard").orderBy("doc_id")
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
+          (col("doc_id") % 4).as("shard"),
           size(splitLit(col("text"), " ")).cast("long").as("tokens"))
         .withColumn("end_offset", sum("tokens").over(w))
-        .select(col("doc_id"), col("lang"), col("tokens"),
+        .select(col("doc_id"), col("lang"), col("shard"), col("tokens"),
           (col("end_offset") - col("tokens")).as("start_offset"),
           floor((col("end_offset") - col("tokens")) / 512).cast("long").as("pack_id"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id, lang, tokens,
+    Some("""SELECT doc_id, lang, shard, tokens,
            |  CAST(end_offset - tokens AS BIGINT) AS start_offset,
            |  CAST(floor((end_offset - tokens) / 512) AS BIGINT) AS pack_id
            |FROM (
-           |  SELECT doc_id, lang,
+           |  SELECT doc_id, lang, doc_id % 4 AS shard,
            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
            |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
-           |      OVER (PARTITION BY lang ORDER BY doc_id) AS end_offset
+           |      OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id) AS end_offset
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
