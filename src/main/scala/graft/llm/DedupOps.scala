@@ -325,9 +325,15 @@ object DedupOps {
       val sh = shingles(s, dir)
       val evalSh = sh.filter(col("doc_id") < 10)
         .select(col("doc_id").as("eval_id"), col("shingle").as("esh")).distinct()
-      val trainSh = sh.filter(col("doc_id") >= 10)
-        .select(col("doc_id").as("train_id"), col("shingle")).distinct()
-      trainSh.join(broadcast(evalSh), col("shingle") === col("esh"))
+      // Join BEFORE deduplicating the corpus side: a pre-join distinct
+      // would shuffle every (doc, shingle) of the whole corpus, while
+      // the broadcast join first shrinks it to eval-matching shingles —
+      // the post-join distinct then dedups a tiny frame. Same distinct
+      // (train, eval, shingle) triples either way.
+      sh.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("train_id"), col("shingle"))
+        .join(broadcast(evalSh), col("shingle") === col("esh"))
+        .select("train_id", "eval_id", "shingle").distinct()
         .groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("shared_shingles"))
         .filter(col("shared_shingles") >= 3)
