@@ -221,6 +221,46 @@ object DedupOps {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Connected components over an undirected pair graph: returns
+    * (doc_id, canonical_id = component minimum) for every doc appearing
+    * in `pairs` (columns doc_a, doc_b). Iterative min-label propagation;
+    * see `llm_dedup_groups` scaladoc for the convergence argument.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Materialize the edge list ONCE — every propagation round re-reads
+    // it, and without the checkpoint each round would re-run the whole
+    // upstream candidate pipeline from scratch.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc")).localCheckpoint()
+    // Labels only ever decrease, so the total is strictly smaller iff
+    // any label changed — one cheap aggregate over the already-
+    // materialized checkpoint instead of a join-based diff per round.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: SUM is NULL
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("src2"), col("label").as("nl")),
+          col("src") === col("src2"))
+        .groupBy(col("dst").as("doc2")).agg(min("nl").as("nbr_min"))
+      labels = labels
+        .join(nbrMin, col("doc") === col("doc2"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s2 = labelSum(labels)
+      converged = s2 == prevSum
+      prevSum = s2
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Dedup GROUP resolution — the endgame of the near-dup pipeline:
     * connected components over the LSH candidate-pair graph, each doc
     * mapped to its group's canonical id (the minimum doc_id in the
@@ -236,42 +276,7 @@ object DedupOps {
     */
   private val dedupGroups = QueryDef(
     "llm_dedup_groups",
-    (s, dir) => {
-      val pairs = lshPairs(s, dir)
-      // Materialize the edge list ONCE — every propagation round re-reads
-      // it, and without the checkpoint each round would re-run the whole
-      // shingle→minhash→band pipeline from scratch.
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("doc")).distinct()
-        .withColumn("label", col("doc")).localCheckpoint()
-      // Labels only ever decrease, so the total is strictly smaller iff
-      // any label changed — one cheap aggregate over the already-
-      // materialized checkpoint instead of a join-based diff per round.
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
-        val r = df.agg(sum("label")).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: SUM is NULL
-      }
-      var prevSum = labelSum(labels)
-      var converged = false
-      while (!converged) {
-        val nbrMin = edges
-          .join(labels.select(col("doc").as("src2"), col("label").as("nl")),
-            col("src") === col("src2"))
-          .groupBy(col("dst").as("doc2")).agg(min("nl").as("nbr_min"))
-        labels = labels
-          .join(nbrMin, col("doc") === col("doc2"), "left")
-          .select(col("doc"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .localCheckpoint()
-        val s2 = labelSum(labels)
-        converged = s2 == prevSum
-        prevSum = s2
-      }
-      labels.select(col("doc").as("doc_id"), col("label").as("canonical_id"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => connectedComponents(lshPairs(s, dir)).orderBy("doc_id"),
     Some("""WITH sh AS (
            |  SELECT doc_id, unnest(list_transform(
            |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
@@ -389,6 +394,80 @@ object DedupOps {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Capstone curation pipeline — the composed filter a pretraining
+    * dataprep run applies, as ONE query: keep a document iff it is
+    * (a) the exact-dedup canonical of its content hash, (b) not a
+    * non-canonical member of an LSH near-dup group, and (c) within
+    * token-count bounds. Each stage reuses the verified building blocks
+    * (hash-group canonical, `connectedComponents` over `lshPairs`,
+    * whitespace token count); the near-dup drop list is tiny (only
+    * non-canonical members) so the exclusion broadcasts.
+    */
+  private val curation = QueryDef(
+    "llm_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ws_tokens", size(splitLit(col("text"), " ")).cast("long"))
+      val exactCanon = docs
+        .groupBy(md5(col("text")).as("ck")).agg(min("doc_id").as("keep_id"))
+      val nearDupDrop = connectedComponents(lshPairs(s, dir))
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id").as("drop_id"))
+      docs
+        .join(exactCanon, md5(col("text")) === col("ck") &&
+          col("doc_id") === col("keep_id"))
+        .join(broadcast(nearDupDrop), col("doc_id") === col("drop_id"), "left_anti")
+        .filter(col("ws_tokens").between(5, 1000))
+        .select("doc_id", "lang", "source", "ws_tokens")
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           |    i -> string_split(text, ' ')[i] || ' ' ||
+           |         string_split(text, ' ')[i+1] || ' ' ||
+           |         string_split(text, ' ')[i+2])) AS shingle
+           |  FROM documents),
+           |sigs AS (
+           |  SELECT doc_id,
+           |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+           |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+           |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+           |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id,
+           |    unnest([0, 1, 2, 3]) AS band_idx,
+           |    unnest([md5(mh0 || mh1), md5(mh2 || mh3),
+           |            md5(mh4 || mh5), md5(mh6 || mh7)]) AS band_hash
+           |  FROM sigs),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM cand
+           |  UNION SELECT doc_b, doc_a FROM cand),
+           |reach AS (
+           |  WITH RECURSIVE r(src, dst) AS (
+           |    SELECT src, dst FROM edges
+           |    UNION
+           |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+           |  ) SELECT * FROM r),
+           |near_drop AS (
+           |  SELECT src AS doc_id FROM reach GROUP BY src
+           |  HAVING least(src, min(dst)) <> src),
+           |exact_canon AS (
+           |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+           |SELECT doc_id, lang, source,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+           |FROM documents d
+           |WHERE doc_id IN (SELECT keep_id FROM exact_canon)
+           |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+           |  AND len(string_split(text, ' ')) BETWEEN 5 AND 1000
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, jaccard, dedupGroups,
-    decontaminate, repetition)
+    decontaminate, repetition, curation)
 }
