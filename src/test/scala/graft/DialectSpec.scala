@@ -12,6 +12,27 @@ import graft.dialect.Dialect._
   */
 class DialectSpec extends SparkSpec {
 
+  test("isoWeek/isoYear match java.time's ISO week fields across random dates") {
+    import java.time.LocalDate
+    import java.time.temporal.WeekFields
+    val rnd = new scala.util.Random(11)
+    val dates = Seq.tabulate(300)(_ =>
+      LocalDate.of(2015 + rnd.nextInt(12), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28))) ++
+      // The boundary traps the reference depends on (spine start, W53).
+      Seq("2018-12-31", "2019-01-01", "2020-12-31", "2021-01-01", "2016-01-03",
+        "2015-12-28").map(LocalDate.parse)
+    val df = spark.createDataFrame(
+      dates.map(d => Tuple1(java.sql.Date.valueOf(d)))).toDF("d")
+    val got = df.select(col("d"), isoWeek(col("d")), isoYear(col("d")))
+      .collect().map(r => r.getDate(0).toLocalDate ->
+        (r.getInt(1), r.getInt(2))).toMap
+    dates.foreach { d =>
+      val expected = (d.get(WeekFields.ISO.weekOfWeekBasedYear()),
+        d.get(WeekFields.ISO.weekBasedYear()))
+      assert(got(d) === expected, s"date $d")
+    }
+  }
+
   test("safeOffset is 0-based and NULL out of range, like SAFE_OFFSET") {
     val df = spark.range(1).select(split(lit("a,b,c"), ",").as("arr"))
     val r = df.select(
