@@ -63,37 +63,60 @@ object DedupOps {
   private def mh(seed: Int): Column =
     min(md5(concat(lit(s"$seed:"), col("shingle")))).as(s"mh$seed")
 
+  /** Shared oracle CTE prefix — shingle → minhash signatures → band
+    * hashes → candidate pairs — interpolated into the minhash,
+    * dedup-groups, and curation oracles so one definition can never
+    * drift between them (it cross-checks the single Scala `lshPairs`).
+    */
+  private val lshOracleCtes =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |    i -> string_split(text, ' ')[i] || ' ' ||
+      |         string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2])) AS shingle
+      |  FROM documents),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+      |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+      |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+      |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id,
+      |    unnest([0, 1, 2, 3]) AS band_idx,
+      |    unnest([md5(mh0 || mh1), md5(mh2 || mh3),
+      |            md5(mh4 || mh5), md5(mh6 || mh7)]) AS band_hash
+      |  FROM sigs),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |   AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Connected-components closure over `cand` (append after
+    * [[lshOracleCtes]]): undirected edges + RECURSIVE reachability.
+    */
+  private val ccOracleCtes =
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION SELECT doc_b, doc_a FROM cand),
+      |reach AS (
+      |  WITH RECURSIVE r(src, dst) AS (
+      |    SELECT src, dst FROM edges
+      |    UNION
+      |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      |  ) SELECT * FROM r)""".stripMargin
+
   /** MinHash + LSH banded candidate pairs: 8 min-hashes, 4 bands of 2 rows;
     * docs sharing any band bucket become a candidate pair.
     */
   private val minhash = QueryDef(
     "llm_minhash_lsh_pairs",
     (s, dir) => lshPairs(s, dir).orderBy("doc_a", "doc_b"),
-    Some("""WITH sh AS (
-           |  SELECT doc_id, unnest(list_transform(
-           |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-           |    i -> string_split(text, ' ')[i] || ' ' ||
-           |         string_split(text, ' ')[i+1] || ' ' ||
-           |         string_split(text, ' ')[i+2])) AS shingle
-           |  FROM documents),
-           |sigs AS (
-           |  SELECT doc_id,
-           |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-           |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-           |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
-           |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
-           |  FROM sh GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id,
-           |    unnest([0, 1, 2, 3]) AS band_idx,
-           |    unnest([md5(mh0 || mh1), md5(mh2 || mh3),
-           |            md5(mh4 || mh5), md5(mh6 || mh7)]) AS band_hash
-           |  FROM sigs)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM bands a JOIN bands b
-           |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           | AND a.doc_id < b.doc_id
-           |ORDER BY doc_a, doc_b""".stripMargin))
+    Some(s"""WITH $lshOracleCtes
+           |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin))
 
   /** 16-bit SimHash from md5 nibbles: bit i is the sign of the sum of
     * (+1/-1) votes from each word's i-th hex digit high bit. Computed
@@ -277,40 +300,8 @@ object DedupOps {
   private val dedupGroups = QueryDef(
     "llm_dedup_groups",
     (s, dir) => connectedComponents(lshPairs(s, dir)).orderBy("doc_id"),
-    Some("""WITH sh AS (
-           |  SELECT doc_id, unnest(list_transform(
-           |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-           |    i -> string_split(text, ' ')[i] || ' ' ||
-           |         string_split(text, ' ')[i+1] || ' ' ||
-           |         string_split(text, ' ')[i+2])) AS shingle
-           |  FROM documents),
-           |sigs AS (
-           |  SELECT doc_id,
-           |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-           |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-           |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
-           |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
-           |  FROM sh GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id,
-           |    unnest([0, 1, 2, 3]) AS band_idx,
-           |    unnest([md5(mh0 || mh1), md5(mh2 || mh3),
-           |            md5(mh4 || mh5), md5(mh6 || mh7)]) AS band_hash
-           |  FROM sigs),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           |   AND a.doc_id < b.doc_id),
-           |edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM cand
-           |  UNION SELECT doc_b, doc_a FROM cand),
-           |reach AS (
-           |  WITH RECURSIVE r(src, dst) AS (
-           |    SELECT src, dst FROM edges
-           |    UNION
-           |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
-           |  ) SELECT * FROM r)
+    Some(s"""WITH $lshOracleCtes,
+           |$ccOracleCtes
            |SELECT src AS doc_id,
            |       least(src, min(dst)) AS canonical_id
            |FROM reach GROUP BY src
@@ -408,53 +399,27 @@ object DedupOps {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .withColumn("ws_tokens", size(splitLit(col("text"), " ")).cast("long"))
-      val exactCanon = docs
+      // doc_id is unique, so membership in the canonical-id set alone
+      // selects the canonical rows (mirrors the oracle's IN formulation;
+      // no second md5 pass on the probe side).
+      val exactCanon = Tables.load(s, dir, "documents")
         .groupBy(md5(col("text")).as("ck")).agg(min("doc_id").as("keep_id"))
+        .select("keep_id")
+      // NOT broadcast: the drop list is corpus-proportional on a
+      // duplicate-heavy corpus (it is large exactly when dedup matters),
+      // so the exclusion stays a shuffled anti join on doc_id.
       val nearDupDrop = connectedComponents(lshPairs(s, dir))
         .filter(col("doc_id") =!= col("canonical_id"))
         .select(col("doc_id").as("drop_id"))
       docs
-        .join(exactCanon, md5(col("text")) === col("ck") &&
-          col("doc_id") === col("keep_id"))
-        .join(broadcast(nearDupDrop), col("doc_id") === col("drop_id"), "left_anti")
+        .join(exactCanon, col("doc_id") === col("keep_id"), "left_semi")
+        .join(nearDupDrop, col("doc_id") === col("drop_id"), "left_anti")
         .filter(col("ws_tokens").between(5, 1000))
         .select("doc_id", "lang", "source", "ws_tokens")
         .orderBy("doc_id")
     },
-    Some("""WITH sh AS (
-           |  SELECT doc_id, unnest(list_transform(
-           |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-           |    i -> string_split(text, ' ')[i] || ' ' ||
-           |         string_split(text, ' ')[i+1] || ' ' ||
-           |         string_split(text, ' ')[i+2])) AS shingle
-           |  FROM documents),
-           |sigs AS (
-           |  SELECT doc_id,
-           |    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-           |    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-           |    min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
-           |    min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
-           |  FROM sh GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id,
-           |    unnest([0, 1, 2, 3]) AS band_idx,
-           |    unnest([md5(mh0 || mh1), md5(mh2 || mh3),
-           |            md5(mh4 || mh5), md5(mh6 || mh7)]) AS band_hash
-           |  FROM sigs),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           |   AND a.doc_id < b.doc_id),
-           |edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM cand
-           |  UNION SELECT doc_b, doc_a FROM cand),
-           |reach AS (
-           |  WITH RECURSIVE r(src, dst) AS (
-           |    SELECT src, dst FROM edges
-           |    UNION
-           |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
-           |  ) SELECT * FROM r),
+    Some(s"""WITH $lshOracleCtes,
+           |$ccOracleCtes,
            |near_drop AS (
            |  SELECT src AS doc_id FROM reach GROUP BY src
            |  HAVING least(src, min(dst)) <> src),
