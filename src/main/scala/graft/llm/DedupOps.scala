@@ -244,44 +244,107 @@ object DedupOps {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Reliable-checkpoint directory for iterative operators. On a cluster
+    * this MUST point at shared storage (HDFS/S3) via
+    * `spark.graft.checkpointDir` — `checkpoint()` (unlike
+    * `localCheckpoint()`) survives executor loss, which is what lets a
+    * multi-hour 100 TB dedup job ride through preemptions mid-iteration.
+    */
+  private def ensureCheckpointDir(s: SparkSession): Unit =
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      val dir =
+        if (s.conf.getAll.contains("spark.graft.checkpointDir"))
+          s.conf.get("spark.graft.checkpointDir")
+        else s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints"
+      s.sparkContext.setCheckpointDir(dir)
+    }
+
+  /** Both directions of an oriented edge list (columns u, v). */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its closed neighborhood. Emitted edges are (v, m) with v > u >= m,
+    * so the output is oriented big→small by construction.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star over big→small oriented edges: every node connects its
+    * (all smaller) neighbors — and itself — to their minimum. Orientation
+    * u > v is preserved.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    e.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionAll(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Connected components over an undirected pair graph: returns
     * (doc_id, canonical_id = component minimum) for every doc appearing
-    * in `pairs` (columns doc_a, doc_b). Iterative min-label propagation;
-    * see `llm_dedup_groups` scaladoc for the convergence argument.
+    * in `pairs` (columns doc_a, doc_b); see `llm_dedup_groups` scaladoc
+    * for the algorithm and convergence argument.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    // Materialize the edge list ONCE — every propagation round re-reads
-    // it, and without the checkpoint each round would re-run the whole
-    // upstream candidate pipeline from scratch.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc")).localCheckpoint()
-    // Labels only ever decrease, so the total is strictly smaller iff
-    // any label changed — one cheap aggregate over the already-
-    // materialized checkpoint instead of a join-based diff per round.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum("label")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: SUM is NULL
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsStats(pairs)._1
+
+  /** [[connectedComponents]] plus the number of large-star/small-star
+    * rounds it took — the observable the O(log n)-convergence regression
+    * test pins (a 1000-node chain must NOT take ~1000 rounds).
+    */
+  def connectedComponentsStats(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    ensureCheckpointDir(spark)
+    // Canonical big→small edge list, materialized ONCE to reliable
+    // storage: without it every round would re-run the whole upstream
+    // candidate pipeline, and with only executor-local blocks a single
+    // executor loss after lineage truncation kills the job mid-loop.
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .checkpoint()
+    // Cheap per-round fingerprint (count + endpoint sums). Equality is
+    // necessary but not sufficient for a fixpoint, so a match is then
+    // CONFIRMED with an exact set difference — the expensive check runs
+    // once, on the terminal round, not every round.
+    def metric(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum("u"), sum("v")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var prevSum = labelSum(labels)
+    var prev = metric(edges)
+    var rounds = 0
     var converged = false
-    while (!converged) {
-      val nbrMin = edges
-        .join(labels.select(col("doc").as("src2"), col("label").as("nl")),
-          col("src") === col("src2"))
-        .groupBy(col("dst").as("doc2")).agg(min("nl").as("nbr_min"))
-      labels = labels
-        .join(nbrMin, col("doc") === col("doc2"), "left")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
-      val s2 = labelSum(labels)
-      converged = s2 == prevSum
-      prevSum = s2
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).checkpoint()
+      rounds += 1
+      val cur = metric(next)
+      // Same count + empty one-sided difference ⇒ equal distinct sets.
+      converged = cur == prev && next.exceptAll(edges).isEmpty
+      prev = cur
+      edges = next
     }
-    labels.select(col("doc").as("doc_id"), col("label").as("canonical_id"))
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        "(alternating large-star/small-star is O(log n) — this graph should be impossible)")
+    // At the fixpoint the edge set is a union of stars rooted at each
+    // component minimum; read labels off the closed neighborhood minimum
+    // (roots label themselves).
+    val labels = symmetrize(edges).groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("canonical_id"))
+    (labels, rounds)
   }
 
   /** Dedup GROUP resolution — the endgame of the near-dup pipeline:
