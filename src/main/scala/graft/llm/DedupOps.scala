@@ -1,7 +1,9 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.dialect.Dialect._
 import graft.operators.QueryDef
@@ -166,9 +168,15 @@ object DedupOps {
     * hottest keys at 100 TB. Words with block-level document frequency
     * above [[jaccardMaxDf]] are dropped from the representation (both
     * intersection AND sizes, so the measure stays a true Jaccard over
-    * the filtered vocabulary). The high-DF stoplist is tiny by
-    * construction (few words exceed the cutoff), so it broadcasts and
-    * the exclusion is a map-side anti join — no extra shuffle.
+    * the filtered vocabulary).
+    *
+    * Single-scan shape: both the DF cutoff and the per-document set size
+    * are window counts over the one exploded word stream (not separate
+    * groupBy branches re-reading the scan), and the self-join's two sides
+    * are alias-only copies of the same subtree, which exchange reuse
+    * collapses to ONE shuffle. The whole query reads `documents` exactly
+    * once — asserted in `PlanAuditSpec` — where the groupBy-stoplist
+    * formulation consumed the scan three times.
     */
   val jaccardMaxDf = 50
 
@@ -179,21 +187,21 @@ object DedupOps {
       val allWords = docs
         .select(col("doc_id"), col("lang"), col("source"),
           explode(array_distinct(splitLit(col("text"), " "))).as("w"))
-      val stop = allWords.groupBy("lang", "source", "w")
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > jaccardMaxDf)
-        .select("lang", "source", "w")
-      val words = allWords.join(broadcast(stop), Seq("lang", "source", "w"), "left_anti")
-      val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("nw"))
-      val aw = words.select(col("lang"), col("source"), col("w"), col("doc_id").as("doc_a"))
+      val words = allWords
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "source", "w")))
+        .filter(col("df") <= jaccardMaxDf)
+        .withColumn("nw", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .select("lang", "source", "w", "doc_id", "nw")
+      val aw = words.select(col("lang"), col("source"), col("w"),
+        col("doc_id").as("doc_a"), col("nw").as("na"))
       val bw = words.select(col("lang").as("l2"), col("source").as("s2"), col("w").as("w2"),
-        col("doc_id").as("doc_b"))
-      val inter = aw.join(bw, col("lang") === col("l2") && col("source") === col("s2") &&
+        col("doc_id").as("doc_b"), col("nw").as("nb"))
+      // na/nb are constant per doc, so min() just carries them through
+      // the pair aggregation — no sizes join needed.
+      aw.join(bw, col("lang") === col("l2") && col("source") === col("s2") &&
           col("w") === col("w2") && col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nw", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nw", "nb"), "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"), min("na").as("na"), min("nb").as("nb"))
         .withColumn("jaccard",
           roundTo(col("inter") / (col("na") + col("nb") - col("inter")), 4))
         .filter(col("jaccard") >= 0.7)
@@ -249,15 +257,64 @@ object DedupOps {
     * `spark.graft.checkpointDir` — `checkpoint()` (unlike
     * `localCheckpoint()`) survives executor loss, which is what lets a
     * multi-hour 100 TB dedup job ride through preemptions mid-iteration.
+    * That property silently evaporates if the dir is executor-local disk,
+    * so on a non-local master an unset conf FAILS FAST instead of falling
+    * back; the tmpdir fallback exists only for local[*] runs, where every
+    * "executor" shares the driver's filesystem anyway.
     */
   private def ensureCheckpointDir(s: SparkSession): Unit =
     if (s.sparkContext.getCheckpointDir.isEmpty) {
       val dir =
         if (s.conf.getAll.contains("spark.graft.checkpointDir"))
           s.conf.get("spark.graft.checkpointDir")
+        else if (!s.sparkContext.isLocal)
+          throw new IllegalStateException(
+            "spark.graft.checkpointDir is unset on a non-local master: reliable " +
+              "checkpoints must live on shared storage (HDFS/S3) to survive " +
+              "executor loss — a local-disk fallback would silently lose that " +
+              "guarantee mid-job")
         else s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints"
       s.sparkContext.setCheckpointDir(dir)
     }
+
+  /** rdd-* subdirectories currently under the session's checkpoint dir. */
+  private def ckptChildren(s: SparkSession): Set[String] = {
+    val base = s.sparkContext.getCheckpointDir.get
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.toString).toSet
+  }
+
+  private def deleteCkptDirs(s: SparkSession, dirs: Set[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** Reliable checkpoint with persist-first materialization: a bare
+    * `checkpoint()` (eager) runs the plan TWICE — once for the eager
+    * action and once more when `ReliableCheckpointRDD` writes the files —
+    * which for the first CC round means re-running the entire upstream
+    * LSH pipeline. Caching first makes the checkpoint write read the
+    * just-computed blocks, then the cache is dropped (the checkpoint
+    * files are now the source of truth). Returns the checkpointed frame
+    * plus the rdd-* directories the write created, so the caller can
+    * delete a round's files as soon as the next round supersedes them —
+    * Spark never deletes reliable checkpoints on its own, and a 64-round
+    * CC run would otherwise retain every round's full edge list.
+    */
+  private def reliableCheckpoint(df: DataFrame): (DataFrame, Set[String]) = {
+    val s = df.sparkSession
+    val before = ckptChildren(s)
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val cp = cached.checkpoint()
+    cached.unpersist(blocking = false)
+    (cp, ckptChildren(s) -- before)
+  }
 
   /** Both directions of an oriented edge list (columns u, v). */
   private def symmetrize(e: DataFrame): DataFrame =
@@ -292,15 +349,20 @@ object DedupOps {
 
   /** Connected components over an undirected pair graph: returns
     * (doc_id, canonical_id = component minimum) for every doc appearing
-    * in `pairs` (columns doc_a, doc_b); see `llm_dedup_groups` scaladoc
-    * for the algorithm and convergence argument.
+    * in a NON-self pair in `pairs` (columns doc_a, doc_b). A doc whose
+    * only appearance is a self-pair (x, x) carries no connectivity and is
+    * excluded from the output — no caller produces one ([[lshPairs]]
+    * enforces doc_a < doc_b); union singleton nodes back in if a future
+    * source can emit them. See [[connectedComponentsStats]] for the
+    * algorithm and convergence argument.
     */
   def connectedComponents(pairs: DataFrame): DataFrame =
     connectedComponentsStats(pairs)._1
 
   /** [[connectedComponents]] plus the number of large-star/small-star
     * rounds it took — the observable the O(log n)-convergence regression
-    * test pins (a 1000-node chain must NOT take ~1000 rounds).
+    * test in `ConnectedComponentsSpec` pins (a 1000-node chain must NOT
+    * take ~1000 rounds).
     */
   def connectedComponentsStats(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     val spark = pairs.sparkSession
@@ -309,11 +371,10 @@ object DedupOps {
     // storage: without it every round would re-run the whole upstream
     // candidate pipeline, and with only executor-local blocks a single
     // executor loss after lineage truncation kills the job mid-loop.
-    var edges = pairs
+    var (edges, edgeDirs) = reliableCheckpoint(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .checkpoint()
+      .filter(col("u") =!= col("v")).distinct())
     // Cheap per-round fingerprint (count + endpoint sums). Equality is
     // necessary but not sufficient for a fixpoint, so a match is then
     // CONFIRMED with an exact set difference — the expensive check runs
@@ -328,13 +389,19 @@ object DedupOps {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).checkpoint()
+      val (next, nextDirs) = reliableCheckpoint(smallStar(largeStar(edges)))
       rounds += 1
       val cur = metric(next)
       // Same count + empty one-sided difference ⇒ equal distinct sets.
       converged = cur == prev && next.exceptAll(edges).isEmpty
       prev = cur
+      // Round N is materialized and compared — round N-1's checkpoint
+      // files are dead weight now; delete them so the on-disk footprint
+      // stays O(one edge list) instead of O(rounds). The FINAL round's
+      // files are retained: the returned labels frame reads them lazily.
+      deleteCkptDirs(spark, edgeDirs)
       edges = next
+      edgeDirs = nextDirs
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxRounds rounds " +
@@ -350,15 +417,17 @@ object DedupOps {
   /** Dedup GROUP resolution — the endgame of the near-dup pipeline:
     * connected components over the LSH candidate-pair graph, each doc
     * mapped to its group's canonical id (the minimum doc_id in the
-    * component). Computed by iterative min-label propagation — label =
-    * min(own, neighbors') until fixpoint — which converges in
-    * O(diameter) rounds of one equi-join + partial-min aggregate each;
-    * `localCheckpoint` truncates lineage per round so 100 TB graphs
-    * don't accumulate a deep recursive plan (the MapReduce
-    * connected-components formulation of Kiveris et al., KDD 2014
-    * simplifies to this on bounded-diameter near-dup graphs). The DuckDB
-    * oracle computes the same components with a RECURSIVE transitive
-    * closure — a cross-algorithm check.
+    * component). Computed by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): each round is two groupBy-min + join passes that rewire
+    * edges toward local minima, and the edge set provably contracts to a
+    * union of min-rooted stars in O(log n) rounds regardless of graph
+    * diameter — a 100 TB chain-shaped graph takes ~a dozen rounds, not
+    * O(diameter). Every round lands a reliable `checkpoint()` (persisted
+    * first, previous round's files deleted) so the plan never deepens and
+    * the loop survives executor loss. The DuckDB oracle computes the same
+    * components with a RECURSIVE transitive closure — a cross-algorithm
+    * check.
     */
   private val dedupGroups = QueryDef(
     "llm_dedup_groups",
@@ -454,8 +523,10 @@ object DedupOps {
     * non-canonical member of an LSH near-dup group, and (c) within
     * token-count bounds. Each stage reuses the verified building blocks
     * (hash-group canonical, `connectedComponents` over `lshPairs`,
-    * whitespace token count); the near-dup drop list is tiny (only
-    * non-canonical members) so the exclusion broadcasts.
+    * whitespace token count); the near-dup drop list is
+    * corpus-proportional on a duplicate-heavy corpus (large exactly when
+    * dedup matters), so its exclusion stays a shuffled anti join on
+    * doc_id — deliberately NOT broadcast.
     */
   private val curation = QueryDef(
     "llm_curation_pipeline",

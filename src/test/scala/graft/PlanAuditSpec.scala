@@ -29,11 +29,24 @@ class PlanAuditSpec extends SparkSpec {
       "corpus scan must carry a dynamic partition pruning filter")
   }
 
-  test("llm_ngram_jaccard excludes the high-DF stoplist via a broadcast anti join") {
-    val p = plan("llm_ngram_jaccard")
-    assert(p.contains("LeftAnti"), "stoplist exclusion must be an anti join")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      "the tiny stoplist must broadcast, not shuffle")
+  test("llm_ngram_jaccard reads documents exactly once (exchange-reused self-join)") {
+    // AQE hides its inner tree from plan.collect; disable it so the scan
+    // count inspects the real physical operators.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("llm_ngram_jaccard")(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      val scans = exec.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size === 1,
+        s"jaccard must scan documents once; found ${scans.size} file scans " +
+          "(the DF cutoff and set sizes must be window counts over the one " +
+          "word stream, and the self-join sides must reuse one exchange)")
+      assert(exec.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }.nonEmpty, "the self-join's second side must reuse the first side's exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("llm_cosine_topk broadcasts the query side (one corpus scan, no shuffle of it)") {
