@@ -76,11 +76,42 @@ object Dialect {
   /** BigQuery `STRING_AGG(x, sep ORDER BY x)` — deterministic ordered
     * concatenation (`atinternet_smarttag_streams_daily_v4.sql:219`).
     * `collect_list` order is nondeterministic under parallelism, so the
-    * sort happens after collection; for very large groups prefer a
-    * pre-sorted repartition, but reference usage is small-group.
+    * sort happens after collection. CAP: the whole group is buffered in
+    * ONE in-memory aggregation buffer, so this form is for groups that
+    * fit comfortably in a task's heap (the reference's usage —
+    * channel-per-day lists — is tiny). For skewed or unbounded groups
+    * use [[stringAggOrderedLarge]], whose buffers are bounded.
     */
   def stringAggOrdered(c: Column, sep: String): Column =
     array_join(array_sort(collect_list(c)), sep)
+
+  /** Ordered STRING_AGG for LARGE/skewed groups, with bounded
+    * aggregation buffers: `ntile(chunks)` over the value order splits
+    * each group into ~equal runs (the window sort is spillable —
+    * Spark's external sorter — unlike a `collect_list` buffer, which is
+    * not), each run concatenates in its own reducer (a hot key spreads
+    * over `chunks` tasks instead of one), and the per-group finish
+    * stitches `chunks` strings in run order. Result rows are identical
+    * to `groupBy(group).agg(stringAggOrdered(value, sep))` — proved in
+    * `DialectSpec` on a pathologically skewed key. The final row still
+    * holds the full concatenation (that IS the output); what's bounded
+    * is every intermediate buffer.
+    */
+  def stringAggOrderedLarge(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                            value: String, sep: String, chunks: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunks > 0, "chunks must be positive")
+    val g = groupCols.map(org.apache.spark.sql.functions.col)
+    df.withColumn("__chunk", org.apache.spark.sql.functions.ntile(chunks).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(g: _*).orderBy(col(value))))
+      .groupBy((g :+ col("__chunk")): _*)
+      .agg(array_join(array_sort(collect_list(col(value))), sep).as("__part"))
+      .groupBy(g: _*)
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(__chunk, __part))), p -> p.__part)"),
+        sep).as(s"${value}_agg"))
+  }
 
   /** BigQuery `NULLIF(s, '')` — the reference's empty-split-segment escape
     * (`atinternet_smarttag_streams_daily_v4.sql:113-119`).

@@ -359,22 +359,82 @@ object DedupOps {
   def connectedComponents(pairs: DataFrame): DataFrame =
     connectedComponentsStats(pairs)._1
 
+  /** Driver-side union-find (path compression + union by size) labeling
+    * each node with its component MINIMUM — the small-graph tier of
+    * [[connectedComponentsStats]].
+    */
+  private def localComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    val size = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (sa, sb) = (size.getOrElse(ra, 1L), size.getOrElse(rb, 1L))
+        val (big, small) = if (sa >= sb) (ra, rb) else (rb, ra)
+        parent(small) = big
+        size(big) = sa + sb
+      }
+    }
+    val compMin = scala.collection.mutable.LongMap.empty[Long]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      compMin(r) = math.min(compMin.getOrElse(r, Long.MaxValue), n)
+    }
+    parent.keys.toSeq.map(n => (n, compMin(find(n))))
+  }
+
   /** [[connectedComponents]] plus the number of large-star/small-star
     * rounds it took — the observable the O(log n)-convergence regression
     * test in `ConnectedComponentsSpec` pins (a 1000-node chain must NOT
     * take ~1000 rounds).
+    *
+    * Two-tier strategy, same idea as Spark's broadcast-join threshold:
+    * when the deduplicated edge list fits under
+    * `spark.graft.ccLocalMaxEdges` (default 100k edges ≈ a few MB — a
+    * bounded, conf-controlled driver batch, NOT an unbounded collect),
+    * the components are solved in one pass of driver union-find and
+    * `rounds` is 0 — at test/bench scale the candidate graph is a few
+    * hundred edges, and burning 6 shuffle stages per distributed round
+    * on it is pure scheduler overhead. Graphs above the threshold (the
+    * 100 TB case) run the checkpointed distributed loop below, which
+    * `ConnectedComponentsSpec` exercises directly by setting the
+    * threshold to 0.
     */
   def connectedComponentsStats(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     val spark = pairs.sparkSession
+    val localMax = spark.conf.get("spark.graft.ccLocalMaxEdges", "100000").toInt
+    // Canonical big→small edge list; persisted so the tier probe and the
+    // consuming tier (local collect OR initial reliable checkpoint) pay
+    // for the upstream candidate pipeline once.
+    val canon = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).cast("long").as("u"),
+        least(col("doc_a"), col("doc_b")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // take(max+1) both probes the size and, when small, IS the data.
+    val head = canon.take(localMax + 1)
+    if (head.length <= localMax) {
+      canon.unpersist(blocking = false)
+      import spark.implicits._
+      val labels = localComponents(head.map(r => (r.getLong(0), r.getLong(1))))
+        .toDF("doc_id", "canonical_id")
+      return (labels, 0)
+    }
     ensureCheckpointDir(spark)
-    // Canonical big→small edge list, materialized ONCE to reliable
-    // storage: without it every round would re-run the whole upstream
-    // candidate pipeline, and with only executor-local blocks a single
-    // executor loss after lineage truncation kills the job mid-loop.
-    var (edges, edgeDirs) = reliableCheckpoint(pairs
-      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
-        least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
+    // Materialized ONCE to reliable storage: without it every round
+    // would re-run the whole upstream candidate pipeline, and with only
+    // executor-local blocks a single executor loss after lineage
+    // truncation kills the job mid-loop.
+    var (edges, edgeDirs) = reliableCheckpoint(canon)
+    canon.unpersist(blocking = false)
     // Cheap per-round fingerprint (count + endpoint sums). Equality is
     // necessary but not sufficient for a fixpoint, so a match is then
     // CONFIRMED with an exact set difference — the expensive check runs

@@ -13,11 +13,10 @@ import graft.sources.Tables
   */
 final case class MediaRecord(doc_id: Long, media_type: String, blob: Array[Byte])
 
-/** Extracted features. In production `width/height/duration_ms` come from
-  * an image/audio decoder; this container has no codec libraries, so the
-  * decode step is STUBBED with a deterministic fake (below) while the
-  * Spark-side plumbing — schema, encoders, per-partition batching — is
-  * real and tested.
+/** Extracted features. `width/height/duration_ms` come from the header
+  * decode: for images (width, height, 0); for audio the two int slots
+  * carry (sample_rate, channels) and duration_ms is the PCM data length
+  * over the byte rate.
   */
 final case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Int,
@@ -43,24 +42,60 @@ trait MediaDecoder extends Serializable {
   def close(): Unit = ()
 }
 
-/** STUB decoder — deterministic fake standing in for an image decode.
-  * Real implementation would parse the container header; the fake
-  * derives plausible dimensions from content bytes so tests are stable.
-  * (This container ships no codec libraries; see Multimodal scaladoc.)
+/** Real container-header decoder, pure-JVM byte parsing (no codec
+  * library): PNG IHDR gives (width, height, 0); WAV RIFF chunks give
+  * (sample_rate, channels, data_bytes·1000/byte_rate). Dispatch is on
+  * the MAGIC BYTES, not the claimed media_type — corpus metadata lies.
+  * Unparseable payloads throw `IllegalArgumentException` (an honest
+  * decoder fails loudly; route dirty corpora through [[tryDecode]]).
   */
-object StubDecoder extends MediaDecoder {
+object HeaderDecoder extends MediaDecoder {
+
+  private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u32be(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)).toLong | (u8(b, i + 3).toLong << 24)
+  private def u16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
   def decode(mediaType: String, blob: Array[Byte]): (Int, Int, Long) = {
-    val n = blob.length
-    val b0 = if (n > 0) blob(0) & 0xff else 0
-    (64 + (n % 577), 64 + (b0 * 7 % 359), n.toLong * 3L)
+    if (blob.length >= 24 && blob.take(8).sameElements(pngSig) && tag(blob, 12) == "IHDR")
+      // PNG: signature(8) + IHDR chunk (len 4, type 4, then width/height
+      // as big-endian u32 at offsets 16 and 20).
+      (u32be(blob, 16), u32be(blob, 20), 0L)
+    else if (blob.length >= 44 && tag(blob, 0) == "RIFF" && tag(blob, 8) == "WAVE") {
+      // WAV: walk [id(4) size(4 LE) payload(size, padded to even)]
+      // chunks after the 12-byte RIFF header — a general walk, not a
+      // fixed 44-byte layout, so LIST/fact chunks don't break parsing.
+      var sampleRate = 0L; var channels = 0; var byteRate = 0L; var dataBytes = -1L
+      var i = 12
+      while (i + 8 <= blob.length && dataBytes < 0) {
+        val id = tag(blob, i)
+        val size = u32le(blob, i + 4)
+        if (id == "fmt " && i + 8 + 16 <= blob.length) {
+          channels = u16le(blob, i + 10)
+          sampleRate = u32le(blob, i + 12)
+          byteRate = u32le(blob, i + 16)
+        } else if (id == "data") dataBytes = size
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (byteRate <= 0 || dataBytes < 0)
+        throw new IllegalArgumentException("WAV missing fmt/data chunk")
+      (sampleRate.toInt, channels, dataBytes * 1000L / byteRate)
+    } else throw new IllegalArgumentException(
+      s"unrecognized container (media_type=$mediaType, ${blob.length} bytes)")
   }
+
+  /** None instead of throwing — the dirty-corpus entry point. */
+  def tryDecode(mediaType: String, blob: Array[Byte]): Option[(Int, Int, Long)] =
+    try Some(decode(mediaType, blob)) catch { case _: IllegalArgumentException => None }
 }
 
 object Multimodal {
-
-  /** Back-compat alias for the stub decode (tests, sampleFrames). */
-  def decodeStub(blob: Array[Byte]): (Int, Int, Long) =
-    StubDecoder.decode("application/octet-stream", blob)
 
   /** The media table derived from `documents` (text bytes as the opaque
     * payload — same plumbing as a real image column).
@@ -84,7 +119,7 @@ object Multimodal {
     * partially-consumed partition.
     */
   def extractFeatures(media: Dataset[MediaRecord],
-                      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+                      decoder: MediaDecoder = HeaderDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       decoder.open()
@@ -104,24 +139,34 @@ object Multimodal {
       frame_bytes: Array[Byte])
 
   /** Frame-sampling over binary payloads: emit `n` evenly-spaced slices
-    * per record (a real sampler seeks keyframes; the slicing stub keeps
-    * the fan-out/row-multiplication plumbing real). flatMap shape: one
-    * input row → up to n frame rows, all computed map-side.
+    * per record (a real sampler seeks keyframes; the byte slicing keeps
+    * the fan-out/row-multiplication plumbing real). `offset_ms` spaces
+    * the container's header-decoded duration evenly across frames; a
+    * container the decoder can't time (e.g. a still image or an unknown
+    * format) gets offset 0 for every frame. flatMap shape: one input
+    * row → up to n frame rows, all computed map-side.
     */
-  def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
+  def sampleFrames(media: Dataset[MediaRecord], n: Int,
+                   decoder: MediaDecoder = HeaderDecoder): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val len = r.blob.length
-      if (len == 0) Iterator.empty
-      else {
-        val step = math.max(len / n, 1)
-        (0 until math.min(n, len)).iterator.map { i =>
-          val from = i * step
-          val until = math.min(from + step, len)
-          // STUB: a real decoder would decode the container and seek;
-          // offset_ms uses the stubbed duration for deterministic tests.
-          Frame(r.doc_id, i, decodeStub(r.blob)._3 * i / math.max(n, 1),
-            java.util.Arrays.copyOfRange(r.blob, from, until))
+    media.mapPartitions { it =>
+      decoder.open()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => decoder.close())
+      it.flatMap { r =>
+        val len = r.blob.length
+        if (len == 0) Iterator.empty
+        else {
+          val duration =
+            try decoder.decode(r.media_type, r.blob)._3
+            catch { case _: IllegalArgumentException => 0L }
+          val step = math.max(len / n, 1)
+          (0 until math.min(n, len)).iterator.map { i =>
+            val from = i * step
+            val until = math.min(from + step, len)
+            Frame(r.doc_id, i, duration * i / math.max(n, 1),
+              java.util.Arrays.copyOfRange(r.blob, from, until))
+          }
         }
       }
     }
@@ -140,9 +185,100 @@ object Multimodal {
     })
   }
 
+  /** Deterministic REAL media payloads for the decode oracle: tiny PNGs
+    * (`javax.imageio` encoder) and PCM WAVs (`javax.sound.sampled`
+    * writer) — both pure JDK, no codec library — written once to a
+    * fixture parquet that BOTH engines read (same pattern as the NPO DAG
+    * fixtures). Determinism across runs is not required: Spark and the
+    * DuckDB oracle parse the SAME file, whatever the encoder emitted.
+    */
+  object MediaFixtures {
+    import java.nio.file.{Files, Paths}
+    private val version = "v1"
+    def ensure(s: SparkSession): String = synchronized {
+      val root = s.conf.get("spark.graft.mediaFixtureRoot", "/root/repo/fixtures/media")
+      val marker = Paths.get(s"$root/_GRAFT_MEDIA_$version")
+      val path = s"$root/media_real.parquet"
+      if (!Files.exists(marker)) {
+        val pngs = (0 until 6).map { i =>
+          val w = 3 + 5 * i
+          val h = 2 + 3 * i
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (x <- 0 until w; y <- 0 until h)
+            img.setRGB(x, y, (x * 31 + y * 7 + i * 131) & 0xffffff)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          MediaRecord(i.toLong, "image/png", out.toByteArray)
+        }
+        val rates = Seq(8000, 11025, 16000, 22050, 32000, 44100)
+        val wavs = rates.zipWithIndex.map { case (rate, i) =>
+          val channels = 1 + (i % 2)
+          val nFrames = rate / 50 + i * 17 // ~20ms + a ragged tail
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, channels, true, false)
+          val pcm = Array.tabulate(nFrames * channels * 2)(j => ((j * 37 + i) % 251).toByte)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          MediaRecord((10 + i).toLong, "audio/wav", out.toByteArray)
+        }
+        import s.implicits._
+        s.createDataset(pngs ++ wavs).toDF()
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        Files.createFile(marker)
+      }
+      path
+    }
+  }
+
+  // DuckDB-side byte arithmetic over hex(blob): decode() would choke on
+  // non-UTF8 bytes, so fields are read as hex-digit pairs. `off` is the
+  // 0-BASED byte offset; hex chars are 1-based, byte k = chars 2k+1..2k+2.
+  private def hxDigit(pos: String) = s"(strpos('0123456789ABCDEF', substr(h, $pos, 1)) - 1)"
+  private def byteAt(off: Int) =
+    s"(${hxDigit((2 * off + 1).toString)} * 16 + ${hxDigit((2 * off + 2).toString)})"
+  private def u32be(off: Int) =
+    s"(${byteAt(off)} * 16777216 + ${byteAt(off + 1)} * 65536 + ${byteAt(off + 2)} * 256 + ${byteAt(off + 3)})"
+  private def u32le(off: Int) =
+    s"(${byteAt(off)} + ${byteAt(off + 1)} * 256 + ${byteAt(off + 2)} * 65536 + ${byteAt(off + 3)} * 16777216)"
+  private def u16le(off: Int) = s"(${byteAt(off)} + ${byteAt(off + 1)} * 256)"
+
+  /** Header decode over REAL payloads, cross-checked: Spark parses the
+    * binary in [[HeaderDecoder]] (JVM byte arithmetic inside the
+    * mapPartitions batch path); the oracle re-derives every field with
+    * DuckDB string/hex arithmetic over the same blobs — two independent
+    * parsers agreeing on real encoder output. Byte offsets in the oracle
+    * assume the JDK writers' canonical layouts (IHDR first; RIFF+fmt+data
+    * with no extra chunks) — which the fixtures guarantee; the Scala
+    * decoder does a general chunk walk and is additionally unit-tested.
+    */
+  private val decodeQ = QueryDef(
+    "llm_multimodal_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(MediaFixtures.ensure(s)).as[MediaRecord]
+      extractFeatures(media, HeaderDecoder).toDF().orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+           |  SELECT doc_id, media_type, blob, hex(blob) AS h
+           |  FROM read_parquet('/root/repo/fixtures/media/media_real.parquet/*.parquet'))
+           |SELECT doc_id, media_type,
+           |  CAST(octet_length(blob) AS INTEGER) AS n_bytes,
+           |  CAST(CASE WHEN media_type = 'image/png'
+           |       THEN ${u32be(16)} ELSE ${u32le(24)} END AS INTEGER) AS width,
+           |  CAST(CASE WHEN media_type = 'image/png'
+           |       THEN ${u32be(20)} ELSE ${u16le(22)} END AS INTEGER) AS height,
+           |  CAST(CASE WHEN media_type = 'image/png' THEN 0
+           |       ELSE (${u32le(40)} * 1000) // ${u32le(28)} END AS BIGINT) AS duration_ms
+           |FROM t ORDER BY doc_id""".stripMargin))
+
   /** Metadata query over the binary column using only engine-portable
-    * functions (so DuckDB can oracle it); the mapPartitions decoder path
-    * above is covered by ScalaTest instead (its stub is not ANSI SQL).
+    * functions — byte length, content hash, size bucket — the narrow
+    * typed-metadata projection a 100 TB multimodal corpus materializes
+    * without ever decoding payloads ([[decodeQ]] covers the decode path).
     */
   private val meta = QueryDef(
     "llm_multimodal_meta",
@@ -161,5 +297,5 @@ object Multimodal {
            |CAST(floor(octet_length(encode(text)) / 1024.0) AS BIGINT) AS kb_bucket
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(meta)
+  val all: Seq[QueryDef] = Seq(meta, decodeQ)
 }

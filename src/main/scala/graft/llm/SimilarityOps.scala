@@ -137,7 +137,11 @@ object SimilarityOps {
       // other's cells (stale roots are just dead directories).
       val src = new java.io.File(s"$dir/embeddings.parquet")
       val fp = s"${src.length()}_${src.lastModified()}"
-      val root = s"/root/repo/fixtures/ivf/${new java.io.File(dir).getName}_$fp"
+      // Index location is deployment conf, not code: spark.graft.ivfRoot
+      // points at the shared index store (HDFS/S3 on a cluster); the
+      // default is this sandbox's fixture dir.
+      val base = s.conf.get("spark.graft.ivfRoot", "/root/repo/fixtures/ivf")
+      val root = s"$base/${new java.io.File(dir).getName}_$fp"
       val marker = Paths.get(s"$root/_GRAFT_IVF_v1")
       if (!memo(marker.toString) && !Files.exists(marker)) {
         val emb = Tables.load(s, dir, "embeddings")

@@ -89,4 +89,49 @@ object ScaleOps {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }.size
   }
+
+  /** Oracle-checked rows for the scale rewrites: `ScaleOpsSpec` proves
+    * the PLAN properties (zero exchanges, salt fan-out), these prove the
+    * RESULTS against a plain-join DuckDB oracle — a semantics-preserving
+    * rewrite must be invisible in the output.
+    */
+  private val bucketizeJoin = QueryDef(
+    "s_bucketize_join",
+    (s, dir) => {
+      val ord = graft.sources.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+      val bord = bucketize(s, ord, "sq_orders_bkt", "o_custkey", 8)
+      val bcust = bucketize(s, cust, "sq_customer_bkt", "c_custkey", 8)
+      // merge hint keeps the co-located sort-merge path (not broadcast),
+      // i.e. the plan shape ScaleOpsSpec certifies as exchange-free.
+      bord.hint("merge").join(bcust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+           |round(sum(o_totalprice), 2) AS sum_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  private val saltedJoinQ = QueryDef(
+    "s_salted_join",
+    (s, dir) => {
+      val ev = graft.sources.Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "value")
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      saltedJoin(ev, cust, "user_id", salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_events,
+           |round(sum(value), 2) AS sum_value
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(bucketizeJoin, saltedJoinQ)
 }

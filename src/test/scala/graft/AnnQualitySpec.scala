@@ -53,4 +53,18 @@ class AnnQualitySpec extends SparkSpec {
     assert(r2 >= r1, "probing more cells must not lose candidates")
     assert(rAll === 1.0, "probing every cell must reproduce the exact top-k")
   }
+
+  test("index root is conf-driven: a temp-dir spark.graft.ivfRoot builds a fresh index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-test").toString
+    spark.conf.set("spark.graft.ivfRoot", tmp)
+    try {
+      val got = pairs(SimilarityOps.ivfSearch(spark, dir, queries, k, nprobe = 10))
+      assert(got === exact, "full-probe search over the relocated index must match exact top-k")
+      val built = new java.io.File(tmp).listFiles()
+      assert(built != null && built.nonEmpty, "the index must have been built under the conf root")
+    } finally {
+      spark.conf.unset("spark.graft.ivfRoot")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }

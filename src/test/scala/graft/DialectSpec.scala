@@ -108,4 +108,27 @@ class DialectSpec extends SparkSpec {
     assert(r.getDouble(1) === 3.0)
     assert(r.getDouble(2) === 0.3333)
   }
+
+  test("stringAggOrderedLarge equals the naive form on a pathologically skewed key") {
+    import spark.implicits._
+    // One hot group 50k values, others tiny — the shape that OOMs a
+    // single collect_list buffer at scale.
+    val rows = (0 until 50000).map(i => ("hot", f"v$i%06d")) ++
+      (0 until 20).map(i => (s"g${i % 4}", f"w$i%03d"))
+    val df = rows.toDF("k", "v").repartition(8)
+    val naive = df.groupBy("k").agg(stringAggOrdered(col("v"), ",").as("v_agg"))
+    val large = stringAggOrderedLarge(df, Seq("k"), "v", ",", chunks = 16)
+    val n = naive.orderBy("k").as[(String, String)].collect()
+    val l = large.orderBy("k").as[(String, String)].collect()
+    assert(l.map(_._1).toSeq === n.map(_._1).toSeq)
+    assert(l.map(_._2).toSeq === n.map(_._2).toSeq,
+      "chunked concatenation must be byte-identical to the single-buffer form")
+    // Ties across chunk boundaries must not duplicate or drop values.
+    val ties = (0 until 1000).map(i => ("t", s"dup${i % 3}")).toDF("k", "v")
+    val tn = ties.groupBy("k").agg(stringAggOrdered(col("v"), ",").as("v_agg"))
+      .head().getString(1)
+    val tl = stringAggOrderedLarge(ties, Seq("k"), "v", ",", chunks = 7)
+      .head().getString(1)
+    assert(tl === tn)
+  }
 }

@@ -48,24 +48,52 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("multimodal mapPartitions feature extraction is deterministic and schema-typed") {
+  /** Real encoder output, pure JDK: a wxh RGB PNG via ImageIO. */
+  private def makePng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 13 + y) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real 16-bit PCM WAV via javax.sound: `frames` frames at `rate` Hz. */
+  private def makeWav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * channels * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("multimodal header decode extracts real PNG and WAV metadata") {
     import spark.implicits._
+    val png = makePng(5, 3)
+    val wav = makeWav(8000, 1, 800) // 1600 data bytes / 16000 B/s = 100 ms
     val media = Seq(
-      graft.llm.MediaRecord(1L, "image/png", "hello world".getBytes("UTF-8")),
-      graft.llm.MediaRecord(2L, "audio/wav", Array.emptyByteArray))
-      .toDS()
+      graft.llm.MediaRecord(1L, "image/png", png),
+      graft.llm.MediaRecord(2L, "audio/wav", wav)).toDS()
     val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
-    assert(feats.map(_.doc_id).toSeq === Seq(1L, 2L))
-    assert(feats(0).n_bytes === 11)
-    assert(feats(1).n_bytes === 0)
-    // Deterministic stub: same bytes -> same fake decode.
-    val again = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
-    assert(again.map(f => (f.width, f.height, f.duration_ms)).toSeq ===
-      feats.map(f => (f.width, f.height, f.duration_ms)).toSeq)
+    assert(feats(0).n_bytes === png.length)
+    assert((feats(0).width, feats(0).height, feats(0).duration_ms) === ((5, 3, 0L)))
+    // Audio rides the int slots as (sample_rate, channels).
+    assert((feats(1).width, feats(1).height, feats(1).duration_ms) === ((8000, 1, 100L)))
     // Schema carries through the Dataset encoder.
     val df = Multimodal.extractFeatures(media).toDF()
     assert(df.schema.fieldNames.toSeq ===
       Seq("doc_id", "media_type", "n_bytes", "width", "height", "duration_ms"))
+    // Dispatch is on magic bytes: a lying media_type must not flip the parser.
+    val lied = Seq(graft.llm.MediaRecord(3L, "audio/wav", png)).toDS()
+    assert(Multimodal.extractFeatures(lied).collect().head.width === 5)
+    // Garbage fails loudly through decode, quietly through tryDecode.
+    assert(graft.llm.HeaderDecoder.tryDecode("image/png", "hello".getBytes("UTF-8")).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.llm.HeaderDecoder.decode("image/png", "hello".getBytes("UTF-8"))
+    }
   }
 
   test("multimodal decoder is pluggable and open/close bracket each partition") {
@@ -122,11 +150,18 @@ class OperatorSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3))
     // Slices tile the payload without overlap, in order.
     assert(frames.flatMap(_.frame_bytes).take(100).toSeq === payload.take(100).toSeq)
-    assert(frames.map(_.offset_ms).toSeq === frames.map(_.offset_ms).sorted.toSeq)
+    // An untimeable container gets offset 0 on every frame.
+    assert(frames.map(_.offset_ms).toSeq === Seq(0L, 0L, 0L, 0L))
 
-    val feats = Multimodal.extractFeatures(media)
+    // A decodable WAV spaces offsets evenly across its real duration.
+    val wav = Seq(graft.llm.MediaRecord(3L, "audio/wav", makeWav(8000, 1, 800))).toDS()
+    val wframes = Multimodal.sampleFrames(wav, 4).collect().sortBy(_.frame_idx)
+    assert(wframes.map(_.offset_ms).toSeq === Seq(0L, 25L, 50L, 75L))
+
+    val feats = Multimodal.extractFeatures(
+      Seq(graft.llm.MediaRecord(4L, "image/png", makePng(100, 40))).toDS())
     val resized = Multimodal.resize(feats, 64).collect()
-    assert(resized.forall(f => f.width <= 64 && f.height <= 64))
-    assert(resized.forall(f => f.width >= 1 && f.height >= 1))
+    assert(resized.head.width === 64)
+    assert(resized.head.height === 25) // 40 * 64/100, floored
   }
 }
