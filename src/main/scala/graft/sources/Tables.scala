@@ -33,7 +33,11 @@ object Tables {
     if (confSet.add(spark))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // Gate on the actual type, not the table name alone: re-materialized
+    // copies (e.g. the MakeSf 10x bench data) already carry a true
+    // TimestampType ts and must not be divided again.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
