@@ -555,6 +555,22 @@ object RelationalOps {
     Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
            |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
 
+  /** A5 scale variant: the bounded-buffer chunked ordered STRING_AGG
+    * ([[graft.dialect.Dialect.stringAggOrderedLarge]]) oracle-checked
+    * against DuckDB's native ordered string_agg on customer names per
+    * market segment — thousands of values per group at sf0.1, ~30k at
+    * sf1, concatenated through ntile-chunked runs instead of one
+    * unbounded collect_list buffer.
+    */
+  private val a5b = QueryDef(
+    "a5b_string_agg_chunked",
+    (s, dir) => stringAggOrderedLarge(
+        t(s, dir, "customer").select("c_mktsegment", "c_name"),
+        Seq("c_mktsegment"), "c_name", ",", chunks = 16)
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS c_name_agg
+           |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   /** A6 HAVING (`integral_reporting_dashboard_channel_weekly.sql:33`). */
   private val a6 = QueryDef(
     "a6_having",
@@ -744,6 +760,6 @@ object RelationalOps {
   val all: Seq[QueryDef] = Seq(
     s1, s4, p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
-    a1, a2, a3, a3b, a4, a5, a6, a7, a8,
+    a1, a2, a3, a3b, a4, a5, a5b, a6, a7, a8,
     w2, w3, w4, o2, u1, u2)
 }

@@ -41,6 +41,30 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("n_qualified"), col("total_value"))
 
+  /** Streaming exact dedup — the streaming face of `llm_exact_dedup`:
+    * first arrival per content key (md5 of the payload) survives,
+    * duplicates within the watermark horizon are dropped. Works on any
+    * frame with (ts TIMESTAMP, text STRING). State discipline for a
+    * 100 TB/day feed: a plain `dropDuplicates` keeps every key seen
+    * FOREVER (state grows with the corpus);
+    * `dropDuplicatesWithinWatermark` expires a key once the watermark
+    * passes its event time, so state is bounded by the duplicate-arrival
+    * horizon — the right contract for ingest dedup, where duplicates
+    * are retries/replays clustered in time, while global historical
+    * dedup stays the batch `llm_exact_dedup` job. Keyed state shards by
+    * content hash across executors (skew-free by construction).
+    */
+  def streamingExactDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val keyed = docs.withColumn("content_key", md5(col("text")))
+    if (docs.isStreaming)
+      keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("content_key")
+    else
+      // Batch sees the whole input at once, so the watermark horizon is
+      // vacuous and plain key dedup IS the same contract
+      // (dropDuplicatesWithinWatermark itself is streaming-only).
+      keyed.dropDuplicates("content_key")
+  }
+
   /** Streaming analog of the streams-daily DAILY rollup over the raw NPO
     * event feed (`atinternet_smarttag_streams_daily_v4.sql:139-161`
     * collapsed to the date grain): same inclusion rules as the batch

@@ -52,6 +52,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq === got.toSeq)
   }
 
+  test("streamingExactDedup keeps one row per content key and bounds state by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String)]
+    stream.addData(
+      (ts("2024-01-01 00:00:00"), "alpha text"),
+      (ts("2024-01-01 00:00:10"), "alpha text"), // retry duplicate
+      (ts("2024-01-01 00:00:20"), "beta text"),
+      (ts("2024-01-01 00:00:30"), "alpha text"), // another replay
+      (ts("2024-01-01 00:00:40"), "gamma text"))
+    val deduped = StreamingOps.streamingExactDedup(
+      stream.toDF().toDF("ts", "text"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("sed").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sed").select("text").as[String].collect().sorted
+    assert(got.toSeq === Seq("alpha text", "beta text", "gamma text"),
+      "exactly one survivor per distinct content, first arrival wins")
+    // Same operator on the same frame as batch: same survivors.
+    val batch = StreamingOps.streamingExactDedup(
+      Seq((ts("2024-01-01 00:00:00"), "alpha text"),
+        (ts("2024-01-01 00:00:10"), "alpha text"),
+        (ts("2024-01-01 00:00:20"), "beta text"),
+        (ts("2024-01-01 00:00:30"), "alpha text"),
+        (ts("2024-01-01 00:00:40"), "gamma text")).toDF("ts", "text"))
+      .select("text").as[String].collect().sorted
+    assert(batch.toSeq === got.toSeq)
+  }
+
   test("npoDailyPlayback over the fixture stream agrees with the batch DAG model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
