@@ -193,13 +193,13 @@ object Multimodal {
     * DuckDB oracle parse the SAME file, whatever the encoder emitted.
     */
   object MediaFixtures {
-    import java.nio.file.{Files, Paths}
     private val version = "v1"
     def ensure(s: SparkSession): String = synchronized {
       val root = s.conf.get("spark.graft.mediaFixtureRoot", "/root/repo/fixtures/media")
-      val marker = Paths.get(s"$root/_GRAFT_MEDIA_$version")
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_MEDIA_$version")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       val path = s"$root/media_real.parquet"
-      if (!Files.exists(marker)) {
+      if (!fs.exists(marker)) {
         val pngs = (0 until 6).map { i =>
           val w = 3 + 5 * i
           val h = 2 + 3 * i
@@ -228,7 +228,7 @@ object Multimodal {
         import s.implicits._
         s.createDataset(pngs ++ wavs).toDF()
           .coalesce(1).write.mode("overwrite").parquet(path)
-        Files.createFile(marker)
+        fs.create(marker, false).close()
       }
       path
     }

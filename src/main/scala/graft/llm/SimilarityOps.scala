@@ -128,22 +128,26 @@ object SimilarityOps {
     * marker lets later sessions reuse the artifact.
     */
   private object IvfIndex {
-    import java.nio.file.{Files, Paths}
     private val memo = scala.collection.mutable.Set.empty[String]
     def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
       // The ROOT embeds a fingerprint of the source parquet (size +
       // mtime): a regenerated corpus gets a fresh index directory, and
       // two different dirs sharing a basename can never serve each
       // other's cells (stale roots are just dead directories).
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val fp = s"${src.length()}_${src.lastModified()}"
+      val hconf = s.sparkContext.hadoopConfiguration
+      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val srcFs = srcPath.getFileSystem(hconf)
+      val st = srcFs.getFileStatus(srcPath)
+      val fp = s"${st.getLen}_${st.getModificationTime}"
       // Index location is deployment conf, not code: spark.graft.ivfRoot
-      // points at the shared index store (HDFS/S3 on a cluster); the
-      // default is this sandbox's fixture dir.
+      // points at the shared index store (HDFS/S3 on a cluster — all
+      // artifact IO goes through the Hadoop FileSystem API, never
+      // java.io); the default is this sandbox's fixture dir.
       val base = s.conf.get("spark.graft.ivfRoot", "/root/repo/fixtures/ivf")
-      val root = s"$base/${new java.io.File(dir).getName}_$fp"
-      val marker = Paths.get(s"$root/_GRAFT_IVF_v1")
-      if (!memo(marker.toString) && !Files.exists(marker)) {
+      val root = s"$base/${srcPath.getParent.getName}_$fp"
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_IVF_v1")
+      val fs = marker.getFileSystem(hconf)
+      if (!memo(marker.toString) && !fs.exists(marker)) {
         val emb = Tables.load(s, dir, "embeddings")
         emb.write.mode("overwrite").partitionBy("label").parquet(s"$root/corpus")
         // Coarse quantizer: centroid per cell, as (label, pos, c) then
@@ -156,7 +160,7 @@ object SimilarityOps {
           .select(col("label").as("c_label"),
             expr("transform(pc, p -> p.c)").as("centroid"))
           .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-        Files.createFile(marker)
+        fs.create(marker, false).close()
       }
       memo += marker.toString
       (s"$root/corpus", s"$root/centroids")
