@@ -67,6 +67,24 @@ class PlanAuditSpec extends SparkSpec {
       "the bucketed rewrite must avoid the theta-join nested loop")
   }
 
+  test("s_bucketize_join joins co-located buckets with no exchange below the join") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("s_bucketize_join")(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      val smj = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, "bucketed join must stay sort-merge (not broadcast)")
+      val below = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(below.isEmpty,
+        "bucketed scans must feed the join directly — a shuffle here means the " +
+          "bucket partitioning was lost (the whole point of the rewrite)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no query plan contains a cartesian product over base tables") {
     // The only sanctioned cross joins are the ~100-row week spine and
     // broadcast query sets; a CartesianProduct node means a shuffle-side
