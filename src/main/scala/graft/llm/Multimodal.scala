@@ -72,16 +72,19 @@ object HeaderDecoder extends MediaDecoder {
       // chunks after the 12-byte RIFF header — a general walk, not a
       // fixed 44-byte layout, so LIST/fact chunks don't break parsing.
       var sampleRate = 0L; var channels = 0; var byteRate = 0L; var dataBytes = -1L
-      var i = 12
+      // Long cursor: a crafted/corrupt chunk size near 2^32 would wrap an
+      // Int cursor back into the buffer and loop; Long arithmetic walks
+      // straight off the end and terminates.
+      var i = 12L
       while (i + 8 <= blob.length && dataBytes < 0) {
-        val id = tag(blob, i)
-        val size = u32le(blob, i + 4)
+        val id = tag(blob, i.toInt)
+        val size = u32le(blob, i.toInt + 4)
         if (id == "fmt " && i + 8 + 16 <= blob.length) {
-          channels = u16le(blob, i + 10)
-          sampleRate = u32le(blob, i + 12)
-          byteRate = u32le(blob, i + 16)
+          channels = u16le(blob, i.toInt + 10)
+          sampleRate = u32le(blob, i.toInt + 12)
+          byteRate = u32le(blob, i.toInt + 16)
         } else if (id == "data") dataBytes = size
-        i += 8 + size.toInt + (size.toInt & 1)
+        i += 8L + size + (size & 1L)
       }
       if (byteRate <= 0 || dataBytes < 0)
         throw new IllegalArgumentException("WAV missing fmt/data chunk")

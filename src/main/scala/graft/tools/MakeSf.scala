@@ -21,6 +21,8 @@ import graft.sources.Tables
   * (bench data only — no oracle covers the scaled output.)
   */
 object MakeSf {
+  val stride = 1000000000L
+
   def main(args: Array[String]): Unit = {
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,8 +33,11 @@ object MakeSf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, copies)
+    spark.stop()
+  }
 
-    val stride = 1000000000L
+  def run(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
 
     def write(name: String, keys: Seq[String]): Unit = {
       val base = Tables.load(spark, src, name)
@@ -55,6 +60,5 @@ object MakeSf {
     write("events", Seq("event_id", "user_id"))
     write("documents", Seq("doc_id"))
     write("embeddings", Seq("vec_id"))
-    spark.stop()
   }
 }
