@@ -15,16 +15,29 @@ import graft.sources.Tables
   */
 object TextOps {
 
-  /** Token counting: whitespace tokens + a BPE-ish chars/4 estimate. */
+  /** BPE-style pre-tokenizer regex (the GPT-2 shape minus contractions
+    * and the trailing-space lookahead, which RE2 — DuckDB's engine —
+    * does not support): a token is an optionally space-prefixed letter
+    * run, digit run, or punctuation run, or a residual space run. Both
+    * engines use leftmost-first alternation, so match COUNTS agree
+    * bit-for-bit — which the oracle hash proves on real data.
+    */
+  val bpeTokenRegex = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  /** Token counting: whitespace tokens, a chars/4 budget estimate, and
+    * the BPE-ish pre-tokenizer match count — all narrow per-row codegen.
+    */
   private val tokenCount = QueryDef(
     "llm_token_count",
     (s, dir) => Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         size(splitLit(col("text"), " ")).as("ws_tokens"),
-        ceil(col("n_chars") / lit(4.0)).cast("long").as("bpe_est"))
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("bpe_est"),
+        regexp_count(col("text"), lit(bpeTokenRegex)).cast("long").as("bpe_pretokens"))
       .orderBy("doc_id"),
-    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
-           |CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
+    Some(s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           |CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est,
+           |CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS bpe_pretokens
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Quality scoring: length, mean word length, stopword ratio. The
@@ -102,6 +115,53 @@ object TextOps {
       .orderBy("doc_id"),
     Some("""SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every k-gram (k=8 chars, the rolling-hash step, here md5 per
+    * position — same selection semantics), keep the minimum of each
+    * w=4 window, and fingerprint the document as the distinct window-min
+    * set. Guarantees any shared substring of length ≥ k+w−1 contributes
+    * a shared fingerprint — the locality property whole-document hashes
+    * (`llm_fingerprint`) lack. Entirely map-side array HOFs: at 100 TB
+    * this stays a narrow scan; the per-row digest (sorted distinct mins
+    * re-hashed) bounds the output width regardless of document length.
+    *
+    * k-gram hash choice, MEASURED: the paper's cheap polynomial rolling
+    * hash is the wrong trade inside Spark — array HOF lambdas evaluate
+    * interpreted (no whole-stage codegen), so the base-31 polynomial's
+    * 8 ascii+substring calls per position benched 24–30 s at sf0.1
+    * where one `md5(substring(...))` per position benches ~7 s. Same
+    * selection semantics (any deterministic k-gram hash works); md5
+    * also keeps the external oracle bit-identical.
+    */
+  private val winnow = QueryDef(
+    "llm_winnow_fingerprint",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .withColumn("hs", expr(
+        "transform(sequence(1, greatest(length(text) - 7, 0)), i -> md5(substring(text, i, 8)))"))
+      .withColumn("mins", expr(
+        "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 0)), j -> array_min(slice(hs, j, 4))))"))
+      .select(col("doc_id"),
+        size(col("hs")).as("n_grams"),
+        size(col("mins")).as("n_fp"),
+        md5(expr("concat_ws('', array_sort(mins))")).as("fp_digest"))
+      .orderBy("doc_id"),
+    Some("""WITH g AS (
+           |  SELECT doc_id,
+           |    list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+           |                   i -> md5(substr(text, i, 8))) AS hs
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, hs,
+           |    list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+           |                  j -> list_min(hs[j:j+3]))) AS mins
+           |  FROM g)
+           |SELECT doc_id,
+           |  CAST(len(hs) AS INTEGER) AS n_grams,
+           |  CAST(len(mins) AS INTEGER) AS n_fp,
+           |  md5(array_to_string(list_sort(mins), '')) AS fp_digest
+           |FROM m ORDER BY doc_id""".stripMargin))
 
   /** Training-data text cleaning: whitespace collapse + lowercasing,
     * punctuation strip, and PII-style digit masking — per-row regex
@@ -194,6 +254,6 @@ object TextOps {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, textClean,
-    stratifiedSample, packSequences)
+  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
+    textClean, stratifiedSample, packSequences)
 }
