@@ -123,45 +123,88 @@ object TextOps {
     * w=4 window, and fingerprint the document as the distinct window-min
     * set. Guarantees any shared substring of length ≥ k+w−1 contributes
     * a shared fingerprint — the locality property whole-document hashes
-    * (`llm_fingerprint`) lack. Entirely map-side array HOFs: at 100 TB
-    * this stays a narrow scan; the per-row digest (sorted distinct mins
-    * re-hashed) bounds the output width regardless of document length.
+    * (`llm_fingerprint`) lack. Map-side only at any scale: one pruned
+    * (doc_id, text) scan, no shuffle except the deterministic dump sort;
+    * the per-row digest (sorted distinct mins re-hashed) bounds output
+    * width regardless of document length.
     *
-    * k-gram hash choice, MEASURED: the paper's cheap polynomial rolling
-    * hash is the wrong trade inside Spark — array HOF lambdas evaluate
-    * interpreted (no whole-stage codegen), so the base-31 polynomial's
-    * 8 ascii+substring calls per position benched 24–30 s at sf0.1
-    * where one `md5(substring(...))` per position benches ~7 s. Same
-    * selection semantics (any deterministic k-gram hash works); md5
-    * also keeps the external oracle bit-identical.
+    * Execution shape, MEASURED: the per-character work runs as the
+    * paper's O(1)-per-position rolling base-31 polynomial in a typed
+    * JVM loop (`Dataset.map`), NOT as array higher-order functions —
+    * HOF lambdas evaluate interpreted per element, and both relational
+    * formulations benched badly at sf0.1 (md5-per-k-gram ~7 s, the
+    * polynomial as a HOF 24–30 s) where the tight loop runs in ~0.5 s.
+    * Same trade as the media decoder: per-row sequential scalar work
+    * belongs in typed code; relational stays for everything the
+    * optimizer can help with. The DuckDB oracle recomputes the SAME
+    * polynomial with vectorized list functions — an independent
+    * implementation agreeing bit-for-bit (values stay < 2^63: max
+    * codepoint 0xFFFF times Σ31^j ≈ 2^54, so JVM Long and DuckDB
+    * BIGINT never overflow and never diverge).
     */
   private val winnow = QueryDef(
     "llm_winnow_fingerprint",
-    (s, dir) => Tables.load(s, dir, "documents")
-      .withColumn("hs", expr(
-        "transform(sequence(1, greatest(length(text) - 7, 0)), i -> md5(substring(text, i, 8)))"))
-      .withColumn("mins", expr(
-        "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 0)), j -> array_min(slice(hs, j, 4))))"))
-      .select(col("doc_id"),
-        size(col("hs")).as("n_grams"),
-        size(col("mins")).as("n_fp"),
-        md5(expr("concat_ws('', array_sort(mins))")).as("fp_digest"))
-      .orderBy("doc_id"),
-    Some("""WITH g AS (
-           |  SELECT doc_id,
-           |    list_transform(generate_series(1, greatest(length(text) - 7, 0)),
-           |                   i -> md5(substr(text, i, 8))) AS hs
-           |  FROM documents),
-           |m AS (
-           |  SELECT doc_id, hs,
-           |    list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
-           |                  j -> list_min(hs[j:j+3]))) AS mins
-           |  FROM g)
-           |SELECT doc_id,
-           |  CAST(len(hs) AS INTEGER) AS n_grams,
-           |  CAST(len(mins) AS INTEGER) AS n_fp,
-           |  md5(array_to_string(list_sort(mins), '')) AS fp_digest
-           |FROM m ORDER BY doc_id""".stripMargin))
+    (s, dir) => {
+      import s.implicits._
+      val k = 8; val w = 4
+      val bk = Seq.fill(k - 1)(31L).product // 31^(k-1), the outgoing-char weight
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val n = math.max(text.length - k + 1, 0)
+          val hs = new Array[Long](n)
+          if (n > 0) {
+            var h = 0L
+            var i = 0
+            while (i < k) { h = h * 31L + text.charAt(i); i += 1 }
+            hs(0) = h
+            var p = 1
+            while (p < n) {
+              h = (h - text.charAt(p - 1) * bk) * 31L + text.charAt(p + k - 1)
+              hs(p) = h
+              p += 1
+            }
+          }
+          val m = math.max(n - w + 1, 0)
+          val mins = scala.collection.mutable.SortedSet.empty[Long]
+          var j = 0
+          while (j < m) {
+            var mn = hs(j)
+            var t = j + 1
+            while (t < j + w) { if (hs(t) < mn) mn = hs(t); t += 1 }
+            mins += mn
+            j += 1
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val dig = md.digest(mins.iterator.map(_.toString).mkString("")
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, n, mins.size, dig)
+        }
+        .toDF("doc_id", "n_grams", "n_fp", "fp_digest")
+        .orderBy("doc_id")
+    },
+    Some {
+      val poly = (0 until 8).map { j =>
+        val pow = Seq.fill(7 - j)(31L).product
+        s"CAST(ascii(substr(text, i + $j, 1)) AS BIGINT) * $pow"
+      }.mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+         |                   i -> $poly) AS hs
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, hs,
+         |    list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 0)),
+         |                  j -> list_min(hs[j:j+3]))) AS mins
+         |  FROM g)
+         |SELECT doc_id,
+         |  CAST(len(hs) AS INTEGER) AS n_grams,
+         |  CAST(len(mins) AS INTEGER) AS n_fp,
+         |  md5(array_to_string(list_transform(list_sort(mins), x -> CAST(x AS VARCHAR)), '')) AS fp_digest
+         |FROM m ORDER BY doc_id""".stripMargin
+    })
 
   /** Training-data text cleaning: whitespace collapse + lowercasing,
     * punctuation strip, and PII-style digit masking — per-row regex
