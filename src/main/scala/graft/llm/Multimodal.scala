@@ -175,9 +175,10 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: deterministic downscale of the fake dimensions with
-    * the payload untouched (a real implementation re-encodes bytes).
-    * Runs through the same mapPartitions batch path as extractFeatures.
+  /** Metadata resize: recompute the (width, height) columns for a
+    * bounded box without touching payloads — the cheap planning pass a
+    * pipeline runs before deciding what to re-encode. For the real
+    * pixel transform see [[resizeImages]].
     */
   def resize(feats: Dataset[MediaFeatures], maxSide: Int): Dataset[MediaFeatures] = {
     import feats.sparkSession.implicits._
@@ -185,6 +186,43 @@ object Multimodal {
       val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
       f.copy(width = math.max(1, (f.width * scale).toInt),
         height = math.max(1, (f.height * scale).toInt))
+    })
+  }
+
+  /** REAL image resize — decode pixels, bilinear-downscale into a
+    * bounded box, re-encode PNG — using only the JDK's built-in codecs
+    * (`javax.imageio` decodes/encodes PNG natively; no external
+    * library). Non-image or already-small payloads pass through
+    * unchanged, so the operator is safe over a mixed corpus. Same
+    * mapPartitions batch discipline as [[extractFeatures]]; at 100 TB
+    * this is the pattern for any per-payload transcode: narrow map, no
+    * shuffle, output blob replaces input blob.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxSide: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        catch { case _: java.io.IOException => null }
+      if (img == null) r // not decodable by the JDK — pass through
+      else {
+        val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+        if (scale >= 1.0) r
+        else {
+          val w = math.max(1, (img.getWidth * scale).toInt)
+          val h = math.max(1, (img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          MediaRecord(r.doc_id, r.media_type, baos.toByteArray)
+        }
+      }
     })
   }
 

@@ -164,4 +164,19 @@ class OperatorSpec extends SparkSpec {
     assert(resized.head.width === 64)
     assert(resized.head.height === 25) // 40 * 64/100, floored
   }
+
+  test("resizeImages re-encodes real pixels into the bounded box") {
+    import spark.implicits._
+    val media = Seq(
+      graft.llm.MediaRecord(1L, "image/png", makePng(100, 40)),
+      graft.llm.MediaRecord(2L, "image/png", makePng(10, 10)), // already small
+      graft.llm.MediaRecord(3L, "audio/wav", makeWav(8000, 1, 800))).toDS()
+    val out = Multimodal.resizeImages(media, 64).collect().sortBy(_.doc_id)
+    // The resized payload is a REAL new PNG: header-decode proves it.
+    val (w, h, _) = graft.llm.HeaderDecoder.decode("image/png", out(0).blob)
+    assert((w, h) === ((64, 25)))
+    // Already-bounded and non-image payloads pass through byte-identical.
+    assert(out(1).blob.toSeq === makePng(10, 10).toSeq)
+    assert(out(2).blob.length === makeWav(8000, 1, 800).length)
+  }
 }
