@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llm.{DedupOps, Multimodal, SimilarityOps, TextOps}
 import graft.models.DagQueries
-import graft.operators.{DialectOps, Flagship, QueryDef, RelationalOps, ScaleOps}
+import graft.operators.{DialectOps, Flagship, OlapOps, QueryDef, RelationalOps, ScaleOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 is one entry in `queries`
@@ -13,7 +13,7 @@ import graft.operators.{DialectOps, Flagship, QueryDef, RelationalOps, ScaleOps}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    RelationalOps.all ++ DialectOps.all ++ Flagship.all ++ ScaleOps.all ++
+    RelationalOps.all ++ DialectOps.all ++ Flagship.all ++ ScaleOps.all ++ OlapOps.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all ++
       DagQueries.all
 

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect._
+import graft.sources.Tables
+
+/** OLAP operator classes beyond the reference's own workload — the
+  * engine-completeness extensions (multi-level aggregation, sketch
+  * quantiles, sessionization) a warehouse user expects, each with a
+  * DuckDB oracle.
+  *
+  * Scale notes: ROLLUP is one pass (Spark plans grouping sets as a
+  * single Expand + aggregate — no per-level rescan); the quantile
+  * sketch shuffles fixed-size buffers, not values; sessionization is
+  * two windows over one (user, ts) sort — no self-join.
+  */
+object OlapOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** ROLLUP (multi-level subtotals + grand total) over the pricing
+    * aggregation. NULL grouping indicators sort first in both engines
+    * (Spark asc_nulls_first default = DuckDB NULLS FIRST).
+    */
+  private val rollupAgg = QueryDef(
+    "a10_rollup_pricing",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
+  /** Approximate median via the Greenwald-Khanna sketch
+    * (`approx_percentile`) — at 100 TB exact quantiles sort every value;
+    * the sketch shuffles bounded buffers. Tolerance oracle in the same
+    * style as `a3b`: the sketch's rank error is ≤ 1/accuracy, so the
+    * estimate must land between the exact 45th and 55th percentiles
+    * (±5% rank band at accuracy 1000 ≫ needed); the row carries the
+    * deterministic group count plus the band flag the oracle pins as
+    * literal `true`. The exact percentiles are oracle harness, not the
+    * production shape.
+    */
+  private val approxQuantile = QueryDef(
+    "a9_approx_quantile",
+    (s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(value, 0.5, 1000)").as("ap"),
+        expr("percentile(value, 0.45)").as("lo"),
+        expr("percentile(value, 0.55)").as("hi"))
+      .select(col("event_type"), col("n"),
+        (col("ap") >= col("lo") && col("ap") <= col("hi")).as("q50_ok"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n, true AS q50_ok
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** PIVOT (long→wide conditional aggregation). Pivot values are given
+    * EXPLICITLY — without them Spark runs a driver-side distinct scan
+    * over the pivot column before planning, which at 100 TB is an extra
+    * pass and an unbounded column count; a fixed value list keeps the
+    * plan one aggregate. The oracle is the equivalent conditional
+    * aggregation (the relational meaning of pivot).
+    */
+  private val pivotAgg = QueryDef(
+    "a11_pivot_returnflag",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_linestatus"),
+    Some("""SELECT l_linestatus,
+           |round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+           |round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+           |round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+
+  /** Batch sessionization — gap-based session ids (30-minute timeout)
+    * as the classic two-window formulation: lag() marks session starts,
+    * a running sum over the marks numbers the sessions, then one
+    * aggregate per (user, session). No self-join, no state: at 100 TB
+    * this is one shuffle on user_id + two sorted window passes, the
+    * batch twin of the `mapGroupsWithState` streaming sessionizer
+    * (`StreamingOps.sessionize`).
+    */
+  private val sessionize = QueryDef(
+    "a12_sessionize_batch",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            timestampDiffSeconds(col("ts"), col("prev_ts")) >= 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          timestampDiffSeconds(max(col("ts")), min(col("ts"))).as("duration_s"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |marked AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |         OR CAST(floor(epoch(ts - lag(ts) OVER w)) AS BIGINT) >= 1800
+           |         THEN 1 ELSE 0 END AS new_session
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, ts,
+           |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS session_id
+           |  FROM marked)
+           |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           |  count(*) AS n_events,
+           |  min(ts) AS session_start,
+           |  CAST(floor(epoch(max(ts) - min(ts))) AS BIGINT) AS duration_s
+           |FROM sess GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize)
+}
