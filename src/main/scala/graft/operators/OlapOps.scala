@@ -125,5 +125,80 @@ object OlapOps {
            |FROM sess GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize)
+  /** Time-interval window frame (RANGE BETWEEN 7 days): the moving
+    * average every time-series dashboard needs. Both engines order by
+    * epoch SECONDS so the frame bound (604800) means the same physical
+    * window; RANGE semantics include peers, so same-timestamp ties
+    * cannot diverge between engines.
+    */
+  private val movingAvg = QueryDef(
+    "w5_moving_avg_range",
+    (s, dir) => {
+      // o_orderdate parquet-loads as TIMESTAMP_NTZ, which has no direct
+      // long cast; the session is pinned UTC so the TIMESTAMP hop is
+      // value-preserving and matches DuckDB's epoch() on the naive value.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-604800L, 0L)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          roundTo(avg("o_totalprice").over(w), 4).as("avg_7d"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+           |floor(avg(o_totalprice) OVER (PARTITION BY o_custkey
+           |    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+           |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) * 10000.0 + 0.5) / 10000.0 AS avg_7d
+           |FROM orders
+           |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+
+  /** The ranking-function family (ntile / dense_rank / percent_rank /
+    * cume_dist) with a fully deterministic tiebreak so both engines
+    * agree row-for-row.
+    */
+  private val rankFamily = QueryDef(
+    "w6_rank_family",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("drank"),
+          roundTo(percent_rank().over(w), 6).as("prank"),
+          roundTo(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+           |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           |CAST(dense_rank() OVER w AS INTEGER) AS drank,
+           |floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS prank,
+           |floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cdist
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+           |ORDER BY c_nationkey, c_custkey""".stripMargin))
+
+  /** EXISTS / NOT EXISTS — Catalyst plans them as left-semi and
+    * left-anti joins (no subquery re-execution per row); the paired
+    * counts partition `customer`, which the oracle confirms.
+    */
+  private val existsSemiAnti = QueryDef(
+    "j14_exists_semi_anti",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT 'with_orders' AS grp, count(*) AS n FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              |UNION ALL
+              |SELECT 'without_orders' AS grp, count(*) AS n FROM customer c
+              |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              |ORDER BY grp""".stripMargin)
+    },
+    Some("""SELECT 'with_orders' AS grp, count(*) AS n FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |UNION ALL
+           |SELECT 'without_orders' AS grp, count(*) AS n FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |ORDER BY grp""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize,
+    movingAvg, rankFamily, existsSemiAnti)
 }
