@@ -428,6 +428,21 @@ object DedupOps {
         .toDF("doc_id", "canonical_id")
       return (labels, 0)
     }
+    // The round bookkeeping below identifies each round's checkpoint
+    // files by diffing the SHARED per-context checkpoint directory, so
+    // two concurrent distributed loops in one session would capture (and
+    // later delete) each other's live files. Serializing the loop keeps
+    // the delete-round-N-1 protocol sound; concurrent small-graph calls
+    // (the common case) never take this lock.
+    ccLock.synchronized {
+      distributedComponents(spark, canon, maxRounds)
+    }
+  }
+
+  private val ccLock = new Object
+
+  private def distributedComponents(spark: SparkSession, canon: DataFrame,
+                                    maxRounds: Int): (DataFrame, Int) = {
     ensureCheckpointDir(spark)
     // Materialized ONCE to reliable storage: without it every round
     // would re-run the whole upstream candidate pipeline, and with only

@@ -211,11 +211,16 @@ object Multimodal {
         else {
           val w = math.max(1, (img.getWidth * scale).toInt)
           val h = math.max(1, (img.getHeight * scale).toInt)
-          val out = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // Preserve transparency: compositing an RGBA source onto an
+          // RGB target would turn every transparent pixel opaque black.
+          val imgType =
+            if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val out = new java.awt.image.BufferedImage(w, h, imgType)
           val g = out.createGraphics()
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.setComposite(java.awt.AlphaComposite.Src)
           g.drawImage(img, 0, 0, w, h, null)
           g.dispose()
           val baos = new java.io.ByteArrayOutputStream()
@@ -235,12 +240,14 @@ object Multimodal {
     */
   object MediaFixtures {
     private val version = "v1"
+    // FIXED path, deliberately not conf-driven: the DuckDB oracle SQL is
+    // a static string reading this exact location, so a relocatable root
+    // would silently desynchronize the two engines. This is an oracle
+    // fixture, not a production artifact (unlike the IVF index).
+    val root = "/root/repo/fixtures/media"
     def ensure(s: SparkSession): String = synchronized {
-      val root = s.conf.get("spark.graft.mediaFixtureRoot", "/root/repo/fixtures/media")
-      val marker = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_MEDIA_$version")
-      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       val path = s"$root/media_real.parquet"
-      if (!fs.exists(marker)) {
+      graft.sources.Artifacts.ensureOnce(s, root, s"_GRAFT_MEDIA_$version") {
         val pngs = (0 until 6).map { i =>
           val w = 3 + 5 * i
           val h = 2 + 3 * i
@@ -269,7 +276,6 @@ object Multimodal {
         import s.implicits._
         s.createDataset(pngs ++ wavs).toDF()
           .coalesce(1).write.mode("overwrite").parquet(path)
-        fs.create(marker, false).close()
       }
       path
     }

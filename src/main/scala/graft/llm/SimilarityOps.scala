@@ -145,24 +145,23 @@ object SimilarityOps {
       // java.io); the default is this sandbox's fixture dir.
       val base = s.conf.get("spark.graft.ivfRoot", "/root/repo/fixtures/ivf")
       val root = s"$base/${srcPath.getParent.getName}_$fp"
-      val marker = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_IVF_v1")
-      val fs = marker.getFileSystem(hconf)
-      if (!memo(marker.toString) && !fs.exists(marker)) {
-        val emb = Tables.load(s, dir, "embeddings")
-        emb.write.mode("overwrite").partitionBy("label").parquet(s"$root/corpus")
-        // Coarse quantizer: centroid per cell, as (label, pos, c) then
-        // re-assembled in pos order — portable and shuffle-light (the
-        // per-(label,pos) partial means aggregate before one small shuffle).
-        emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("c"))
-          .groupBy("label")
-          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-          .select(col("label").as("c_label"),
-            expr("transform(pc, p -> p.c)").as("centroid"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-        fs.create(marker, false).close()
-      }
-      memo += marker.toString
+      val markerName = "_GRAFT_IVF_v1"
+      if (!memo(s"$root/$markerName"))
+        graft.sources.Artifacts.ensureOnce(s, root, markerName) {
+          val emb = Tables.load(s, dir, "embeddings")
+          emb.write.mode("overwrite").partitionBy("label").parquet(s"$root/corpus")
+          // Coarse quantizer: centroid per cell, as (label, pos, c) then
+          // re-assembled in pos order — portable and shuffle-light (the
+          // per-(label,pos) partial means aggregate before one small shuffle).
+          emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+            .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("c"))
+            .groupBy("label")
+            .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+            .select(col("label").as("c_label"),
+              expr("transform(pc, p -> p.c)").as("centroid"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+        }
+      memo += s"$root/$markerName"
       (s"$root/corpus", s"$root/centroids")
     }
   }

@@ -138,9 +138,10 @@ object TextOps {
     * belongs in typed code; relational stays for everything the
     * optimizer can help with. The DuckDB oracle recomputes the SAME
     * polynomial with vectorized list functions — an independent
-    * implementation agreeing bit-for-bit (values stay < 2^63: max
-    * codepoint 0xFFFF times Σ31^j ≈ 2^54, so JVM Long and DuckDB
-    * BIGINT never overflow and never diverge).
+    * implementation agreeing bit-for-bit: both sides iterate Unicode
+    * CODE POINTS (not UTF-16 units), NULL text coalesces to '' on both
+    * sides, and values stay < 2^63 (max codepoint 0x10FFFF × Σ31^j ≈
+    * 2^55), so JVM Long and DuckDB BIGINT never overflow or diverge.
     */
   private val winnow = QueryDef(
     "llm_winnow_fingerprint",
@@ -152,16 +153,21 @@ object TextOps {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val n = math.max(text.length - k + 1, 0)
+          // Code POINTS, not UTF-16 code units: DuckDB's substr/ascii/
+          // length are code-point functions, so charAt would diverge on
+          // any non-BMP character (surrogate pair = 2 units, 1 point).
+          // NULL text mirrors the oracle's COALESCE(text, '').
+          val cps = (if (text == null) "" else text).codePoints().toArray
+          val n = math.max(cps.length - k + 1, 0)
           val hs = new Array[Long](n)
           if (n > 0) {
             var h = 0L
             var i = 0
-            while (i < k) { h = h * 31L + text.charAt(i); i += 1 }
+            while (i < k) { h = h * 31L + cps(i); i += 1 }
             hs(0) = h
             var p = 1
             while (p < n) {
-              h = (h - text.charAt(p - 1) * bk) * 31L + text.charAt(p + k - 1)
+              h = (h - cps(p - 1) * bk) * 31L + cps(p + k - 1)
               hs(p) = h
               p += 1
             }
@@ -189,11 +195,13 @@ object TextOps {
         val pow = Seq.fill(7 - j)(31L).product
         s"CAST(ascii(substr(text, i + $j, 1)) AS BIGINT) * $pow"
       }.mkString(" + ")
-      s"""WITH g AS (
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |g AS (
          |  SELECT doc_id,
          |    list_transform(generate_series(1, greatest(length(text) - 7, 0)),
          |                   i -> $poly) AS hs
-         |  FROM documents),
+         |  FROM d),
          |m AS (
          |  SELECT doc_id, hs,
          |    list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 0)),

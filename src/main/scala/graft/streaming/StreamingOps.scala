@@ -58,11 +58,19 @@ object StreamingOps {
     val keyed = docs.withColumn("content_key", md5(col("text")))
     if (docs.isStreaming)
       keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("content_key")
-    else
+    else {
       // Batch sees the whole input at once, so the watermark horizon is
-      // vacuous and plain key dedup IS the same contract
-      // (dropDuplicatesWithinWatermark itself is streaming-only).
-      keyed.dropDuplicates("content_key")
+      // vacuous — but the contract stays FIRST ARRIVAL WINS, which plain
+      // dropDuplicates does NOT honor (it keeps an arbitrary partition-
+      // order row); the min-ts window keeps the earliest row per key,
+      // matching what the streaming path would have emitted.
+      import org.apache.spark.sql.expressions.Window
+      keyed
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("content_key").orderBy("ts")))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
   }
 
   /** Streaming analog of the streams-daily DAILY rollup over the raw NPO

@@ -57,29 +57,42 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
 
     val stream = MemoryStream[(Timestamp, String)]
-    stream.addData(
-      (ts("2024-01-01 00:00:00"), "alpha text"),
-      (ts("2024-01-01 00:00:10"), "alpha text"), // retry duplicate
-      (ts("2024-01-01 00:00:20"), "beta text"),
-      (ts("2024-01-01 00:00:30"), "alpha text"), // another replay
-      (ts("2024-01-01 00:00:40"), "gamma text"))
     val deduped = StreamingOps.streamingExactDedup(
       stream.toDF().toDF("ts", "text"))
     val q = deduped.writeStream.format("memory")
       .queryName("sed").outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    // Separate micro-batches enforce the arrival order, so "first
+    // arrival wins" is deterministic (within one batch Spark keeps an
+    // engine-order row).
+    try {
+      stream.addData((ts("2024-01-01 00:00:00"), "alpha text"))
+      q.processAllAvailable()
+      stream.addData(
+        (ts("2024-01-01 00:00:10"), "alpha text"), // retry duplicate
+        (ts("2024-01-01 00:00:20"), "beta text"))
+      q.processAllAvailable()
+      stream.addData(
+        (ts("2024-01-01 00:00:30"), "alpha text"), // another replay
+        (ts("2024-01-01 00:00:40"), "gamma text"))
+      q.processAllAvailable()
+    } finally q.stop()
 
-    val got = spark.table("sed").select("text").as[String].collect().sorted
-    assert(got.toSeq === Seq("alpha text", "beta text", "gamma text"),
-      "exactly one survivor per distinct content, first arrival wins")
-    // Same operator on the same frame as batch: same survivors.
+    val got = spark.table("sed").select("ts", "text").as[(Timestamp, String)]
+      .collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq === Seq("alpha text", "beta text", "gamma text"),
+      "exactly one survivor per distinct content")
+    assert(got.head._1 === ts("2024-01-01 00:00:00"),
+      "the FIRST arrival must survive, not an arbitrary duplicate")
+    // Same operator on the same frame as batch: same survivor ROWS
+    // (including timestamps — first-arrival-wins must hold in both modes,
+    // even with the duplicates listed out of order).
     val batch = StreamingOps.streamingExactDedup(
-      Seq((ts("2024-01-01 00:00:00"), "alpha text"),
+      Seq((ts("2024-01-01 00:00:30"), "alpha text"), // later replay listed first
         (ts("2024-01-01 00:00:10"), "alpha text"),
         (ts("2024-01-01 00:00:20"), "beta text"),
-        (ts("2024-01-01 00:00:30"), "alpha text"),
+        (ts("2024-01-01 00:00:00"), "alpha text"), // true first arrival
         (ts("2024-01-01 00:00:40"), "gamma text")).toDF("ts", "text"))
-      .select("text").as[String].collect().sorted
+      .select("ts", "text").as[(Timestamp, String)].collect().sortBy(_._2)
     assert(batch.toSeq === got.toSeq)
   }
 
