@@ -143,49 +143,63 @@ object TextOps {
     * sides, and values stay < 2^63 (max codepoint 0x10FFFF × Σ31^j ≈
     * 2^55), so JVM Long and DuckDB BIGINT never overflow or diverge.
     */
+  val winnowK = 8
+  val winnowW = 4
+
+  /** (n_grams, sorted distinct window minima) for one document — the
+    * pure per-row core, exposed so the locality guarantee (shared
+    * substring of length ≥ k+w−1 ⇒ shared fingerprint) is directly
+    * property-testable in `OperatorSpec`.
+    *
+    * Code POINTS, not UTF-16 code units: DuckDB's substr/ascii/length
+    * are code-point functions, so charAt would diverge on any non-BMP
+    * character (surrogate pair = 2 units, 1 point). NULL text mirrors
+    * the oracle's COALESCE(text, '').
+    */
+  def winnowFingerprint(text: String): (Int, Array[Long]) = {
+    val k = winnowK; val w = winnowW
+    val bk = Seq.fill(k - 1)(31L).product // 31^(k-1), the outgoing-char weight
+    val cps = (if (text == null) "" else text).codePoints().toArray
+    val n = math.max(cps.length - k + 1, 0)
+    val hs = new Array[Long](n)
+    if (n > 0) {
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * 31L + cps(i); i += 1 }
+      hs(0) = h
+      var p = 1
+      while (p < n) {
+        h = (h - cps(p - 1) * bk) * 31L + cps(p + k - 1)
+        hs(p) = h
+        p += 1
+      }
+    }
+    val m = math.max(n - w + 1, 0)
+    val mins = scala.collection.mutable.SortedSet.empty[Long]
+    var j = 0
+    while (j < m) {
+      var mn = hs(j)
+      var t = j + 1
+      while (t < j + w) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      mins += mn
+      j += 1
+    }
+    (n, mins.toArray)
+  }
+
   private val winnow = QueryDef(
     "llm_winnow_fingerprint",
     (s, dir) => {
       import s.implicits._
-      val k = 8; val w = 4
-      val bk = Seq.fill(k - 1)(31L).product // 31^(k-1), the outgoing-char weight
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          // Code POINTS, not UTF-16 code units: DuckDB's substr/ascii/
-          // length are code-point functions, so charAt would diverge on
-          // any non-BMP character (surrogate pair = 2 units, 1 point).
-          // NULL text mirrors the oracle's COALESCE(text, '').
-          val cps = (if (text == null) "" else text).codePoints().toArray
-          val n = math.max(cps.length - k + 1, 0)
-          val hs = new Array[Long](n)
-          if (n > 0) {
-            var h = 0L
-            var i = 0
-            while (i < k) { h = h * 31L + cps(i); i += 1 }
-            hs(0) = h
-            var p = 1
-            while (p < n) {
-              h = (h - cps(p - 1) * bk) * 31L + cps(p + k - 1)
-              hs(p) = h
-              p += 1
-            }
-          }
-          val m = math.max(n - w + 1, 0)
-          val mins = scala.collection.mutable.SortedSet.empty[Long]
-          var j = 0
-          while (j < m) {
-            var mn = hs(j)
-            var t = j + 1
-            while (t < j + w) { if (hs(t) < mn) mn = hs(t); t += 1 }
-            mins += mn
-            j += 1
-          }
+          val (n, mins) = winnowFingerprint(text)
           val md = java.security.MessageDigest.getInstance("MD5")
           val dig = md.digest(mins.iterator.map(_.toString).mkString("")
             .getBytes("UTF-8")).map("%02x".format(_)).mkString
-          (id, n, mins.size, dig)
+          (id, n, mins.length, dig)
         }
         .toDF("doc_id", "n_grams", "n_fp", "fp_digest")
         .orderBy("doc_id")

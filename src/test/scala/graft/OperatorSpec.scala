@@ -165,6 +165,27 @@ class OperatorSpec extends SparkSpec {
     assert(resized.head.height === 25) // 40 * 64/100, floored
   }
 
+  test("winnowing locality: docs sharing a >= k+w-1 substring share a fingerprint") {
+    import graft.llm.TextOps
+    val rnd = new scala.util.Random(23)
+    def randText(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val guarantee = TextOps.winnowK + TextOps.winnowW - 1 // 11 chars
+    for (trial <- 1 to 20) {
+      val shared = randText(guarantee + rnd.nextInt(20))
+      val a = randText(rnd.nextInt(40)) + shared + randText(rnd.nextInt(40))
+      val b = randText(rnd.nextInt(40)) + shared + randText(rnd.nextInt(40))
+      val fa = TextOps.winnowFingerprint(a)._2.toSet
+      val fb = TextOps.winnowFingerprint(b)._2.toSet
+      assert(fa.intersect(fb).nonEmpty,
+        s"trial=$trial: the published winnowing guarantee (shared substring of " +
+          s"length >= $guarantee contributes a shared fingerprint) must hold")
+    }
+    // Degenerate inputs: empty / null / shorter than k.
+    assert(TextOps.winnowFingerprint("")._2.isEmpty)
+    assert(TextOps.winnowFingerprint(null)._2.isEmpty)
+    assert(TextOps.winnowFingerprint("short")._1 === 0)
+  }
+
   test("resizeImages re-encodes real pixels into the bounded box") {
     import spark.implicits._
     val media = Seq(
