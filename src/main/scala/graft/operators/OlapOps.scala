@@ -199,6 +199,46 @@ object OlapOps {
            |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
            |ORDER BY grp""".stripMargin))
 
+  /** CUBE with `grouping()` indicators — the indicators matter because a
+    * NULL in the output is otherwise ambiguous between "NULL in the
+    * data" and "this level aggregates the column away"; every BI layer
+    * on top of a cube relies on them.
+    */
+  private val cubeGrouping = QueryDef(
+    "a13_cube_grouping",
+    (s, dir) => t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping("o_orderstatus").cast("int").as("g_status"),
+        grouping("o_orderpriority").cast("int").as("g_prio"),
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority", "g_status", "g_prio"),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           |CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+           |count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+           |         g_status, g_prio""".stripMargin))
+
+  /** Distinct count over a window — Spark does not support
+    * COUNT(DISTINCT) OVER, so the portable formulation is
+    * `size(collect_set(...))` (identical semantics: both ignore NULLs);
+    * DuckDB states it natively. Partition-sized state either way — fine
+    * for bounded partitions (per-customer here), a sketch for unbounded.
+    */
+  private val windowedDistinct = QueryDef(
+    "w7_windowed_distinct",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          size(collect_set("o_orderpriority").over(w)).as("nd_prio"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |CAST(count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS INTEGER) AS nd_prio
+           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize,
-    movingAvg, rankFamily, existsSemiAnti)
+    movingAvg, rankFamily, existsSemiAnti, cubeGrouping, windowedDistinct)
 }
