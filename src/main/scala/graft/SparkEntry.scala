@@ -14,6 +14,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     RelationalOps.all ++ DialectOps.all ++ Flagship.all ++ ScaleOps.all ++ OlapOps.all ++
+      graft.sources.SourceFormats.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all ++
       DagQueries.all
 

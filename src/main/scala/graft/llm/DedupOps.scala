@@ -126,37 +126,161 @@ object DedupOps {
     * (which would multiply rows ~|words|×) and no aggregation shuffle:
     * at 100 TB, signature generation stays a narrow scan.
     */
+  /** Hex digits with bit `v` (8/4/2/1) set — the per-bit membership
+    * test both engines evaluate as one strpos/instr over a literal.
+    */
+  private val hexBitSets = Seq(
+    8 -> "89abcdef", 4 -> "4567cdef", 2 -> "2367abef", 1 -> "13579bdf")
+
+  /** Per-document 64-bit SimHash signatures (doc_id, simhash) — the
+    * PRODUCTION width (16-bit bands → 65536 bucket values keep bucket
+    * sizes bounded on a large corpus; a 16-bit toy signature's 16-value
+    * bands turn quadratic — measured 63 s at sf0.1 before this).
+    * Bit (i,v) votes +1 when bit v of md5(word)'s i-th hex digit is
+    * set: all 4 bits of all 16 digits = 64 sign sums. Computed
+    * RELATIONALLY (explode → 64 conditional sums → partial-aggregated
+    * groupBy): conditional sums ride whole-stage codegen, where the
+    * previous array-HOF formulation evaluated interpreted per element;
+    * the shuffle carries 64 longs per doc, not words.
+    */
+  /** (doc_id, 64 vote columns b<i>_<v>) — the shared aggregation both
+    * signature forms project from.
+    */
+  private def simhashVotes(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(splitLit(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val votes = for {
+      i <- 1 to 16
+      (v, set) <- hexBitSets
+    } yield sum(when(expr(s"instr('$set', substring(h, $i, 1))") > 0, 1)
+      .otherwise(-1)).as(s"b${i}_$v")
+    words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+  }
+
+  /** Ordered (i, v) bit positions, MSB first — position p = (i-1)*4 +
+    * index of v in 8,4,2,1.
+    */
+  private val simhashBitOrder: Seq[(Int, Int)] =
+    for { i <- 1 to 16; (v, _) <- hexBitSets } yield (i, v)
+
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val bits = simhashBitOrder.map { case (i, v) =>
+      when(col(s"b${i}_$v") >= 0, "1").otherwise("0")
+    }
+    simhashVotes(s, dir).select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** Oracle CTE producing (doc_id, simhash) — interpolated into both
+    * simhash oracles so the definition can never drift between them.
+    */
+  private val simhashOracleCte = {
+    val votes = (for {
+      i <- 1 to 16
+      (v, set) <- hexBitSets
+    } yield s"sum(CASE WHEN strpos('$set', substr(md5(w), $i, 1)) > 0 THEN 1 ELSE -1 END) AS b${i}_$v")
+      .mkString(",\n    ")
+    val bits = (for { i <- 1 to 16; (v, _) <- hexBitSets }
+      yield s"CASE WHEN b${i}_$v >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |agg AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM words GROUP BY doc_id),
+       |sh_sigs AS (
+       |  SELECT doc_id, $bits AS simhash FROM agg)""".stripMargin
+  }
+
   private val simhash = QueryDef(
     "llm_simhash",
+    (s, dir) => simhashSigs(s, dir).orderBy("doc_id"),
+    Some(s"""WITH $simhashOracleCte
+           |SELECT doc_id, simhash FROM sh_sigs ORDER BY doc_id""".stripMargin))
+
+  /** SimHash near-dup PAIRS — the pairing step that completes the
+    * SimHash pipeline: banded blocking (4 bands of 16 bits → 65536
+    * bucket values, so bucket sizes stay bounded as the corpus grows)
+    * makes candidates collide only inside a (band_idx, band) bucket,
+    * then the exact Hamming distance filters to ≤ [[simhashMaxHamming]].
+    * By pigeonhole, ≤ 3 differing bits cannot touch all 4 bands, so at
+    * least one band matches exactly and banding has RECALL 1 for the
+    * threshold — the same no-all-pairs shape as the MinHash/hyperplane
+    * LSH pipelines, with provably zero missed pairs.
+    */
+  val simhashMaxHamming = 3
+
+  private val simhashNearDup = QueryDef(
+    "llm_simhash_neardup",
     (s, dir) => {
-      // votes_i = 2*hits_i - n, where hits_i counts words whose i-th md5
-      // hex digit has its high bit set — equal to the sum of +/-1 votes.
-      // substring >= '8' is the hex high-bit test: digits are 0-9a-f, so
-      // everything ordinally >= '8' is exactly {8,9,a,b,c,d,e,f} — one
-      // comparison instead of an 8-way IN (same result as the oracle's
-      // IN-list form).
-      val bits = (1 to 16).map { i =>
-        s"""CASE WHEN 2 * size(filter(hs, h -> substring(h, $i, 1) >= '8'))
-           |     - size(hs) >= 0 THEN '1' ELSE '0' END""".stripMargin
-      }.mkString("concat(", ", ", ")")
-      Tables.load(s, dir, "documents")
-        .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
-        .select(col("doc_id"), expr(bits).as("simhash"))
-        .orderBy("doc_id")
+      // Bands as 16-bit INTEGERS built straight from the votes: the
+      // hamming distance then costs 4 bit_count(xor) per candidate pair
+      // — a string-positional compare (64 substring CASEs per pair) was
+      // measured 3x the whole query's runtime at sf0.1.
+      val bandInt = (b: Int) => (0 until 16).map { idx =>
+        val (i, v) = simhashBitOrder(b * 16 + idx)
+        when(col(s"b${i}_$v") >= 0, lit(1 << (15 - idx))).otherwise(0)
+      }.reduce(_ + _).cast("int")
+      val sigs = simhashVotes(s, dir).select(col("doc_id") +:
+        (0 until 4).map(b => bandInt(b).as(s"band$b")): _*)
+      val bands = sigs.select(col("doc_id"), col("band0"), col("band1"),
+        col("band2"), col("band3"),
+        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band")))
+      val a = bands.select(col("band_idx"), col("band"), col("doc_id").as("doc_a"),
+        col("band0").as("a0"), col("band1").as("a1"), col("band2").as("a2"),
+        col("band3").as("a3"))
+      val b = bands.select(col("band_idx").as("bi"), col("band").as("bb"),
+        col("doc_id").as("doc_b"),
+        col("band0").as("c0"), col("band1").as("c1"), col("band2").as("c2"),
+        col("band3").as("c3"))
+      val ham = (0 until 4).map(i =>
+        expr(s"bit_count(a$i ^ c$i)")).reduce(_ + _)
+      a.join(b, col("band_idx") === col("bi") && col("band") === col("bb") &&
+          col("doc_a") < col("doc_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(col("hamming") <= simhashMaxHamming)
+        .select("doc_a", "doc_b", "hamming").distinct()
+        .orderBy("doc_a", "doc_b")
     },
     Some {
-      val votes = (0 until 16).map(i =>
-        s"sum(CASE WHEN substr(md5(w), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$i")
+      // DuckDB mirror: same integer bands (xor() is the function there —
+      // its ^ operator is exponentiation).
+      val bandInt = (b: Int) => (0 until 16).map { idx =>
+        val (i, v) = simhashBitOrder(b * 16 + idx)
+        s"CASE WHEN b${i}_$v >= 0 THEN ${1 << (15 - idx)} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      val votes = (for {
+        i <- 1 to 16
+        (v, set) <- hexBitSets
+      } yield s"sum(CASE WHEN strpos('$set', substr(md5(w), $i, 1)) > 0 THEN 1 ELSE -1 END) AS b${i}_$v")
         .mkString(",\n    ")
-      val bits = (0 until 16).map(i => s"CASE WHEN b$i >= 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
+      val ham = (0 until 4).map(i => s"bit_count(xor(a.band$i, b.band$i))").mkString(" + ")
       s"""WITH words AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |agg AS (
          |  SELECT doc_id,
          |    $votes
-         |  FROM words GROUP BY doc_id)
-         |SELECT doc_id, $bits AS simhash FROM agg ORDER BY doc_id""".stripMargin
+         |  FROM words GROUP BY doc_id),
+         |isigs AS (
+         |  SELECT doc_id, ${(0 until 4).map(b => s"${bandInt(b)} AS band$b").mkString(", ")}
+         |  FROM agg),
+         |bands AS (
+         |  SELECT doc_id, band0, band1, band2, band3, b AS band_idx,
+         |    CASE b WHEN 0 THEN band0 WHEN 1 THEN band1 WHEN 2 THEN band2 ELSE band3 END AS band
+         |  FROM isigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST($ham AS INTEGER) AS hamming
+         |FROM cand
+         |JOIN isigs a ON a.doc_id = doc_a
+         |JOIN isigs b ON b.doc_id = doc_b
+         |WHERE $ham <= $simhashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
     })
 
   /** n-gram (word-set) Jaccard similarity over blocked candidate pairs —
@@ -642,6 +766,6 @@ object DedupOps {
            |  AND len(string_split(text, ' ')) BETWEEN 5 AND 1000
            |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(exact, minhash, simhash, jaccard, dedupGroups,
-    decontaminate, repetition, curation)
+  val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
+    dedupGroups, decontaminate, repetition, curation)
 }
