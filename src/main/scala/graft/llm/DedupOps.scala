@@ -171,24 +171,31 @@ object DedupOps {
     simhashVotes(s, dir).select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
-  /** Oracle CTE producing (doc_id, simhash) — interpolated into both
-    * simhash oracles so the definition can never drift between them.
+  /** words+agg oracle CTEs producing the 64 vote columns — the shared
+    * trunk interpolated into BOTH simhash oracles (signature and
+    * near-dup pairs), so the vote definition can never drift between
+    * them.
     */
-  private val simhashOracleCte = {
+  private val simhashVotesCte = {
     val votes = (for {
       i <- 1 to 16
       (v, set) <- hexBitSets
     } yield s"sum(CASE WHEN strpos('$set', substr(md5(w), $i, 1)) > 0 THEN 1 ELSE -1 END) AS b${i}_$v")
       .mkString(",\n    ")
-    val bits = (for { i <- 1 to 16; (v, _) <- hexBitSets }
-      yield s"CASE WHEN b${i}_$v >= 0 THEN '1' ELSE '0' END")
-      .mkString(" || ")
     s"""words AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |agg AS (
        |  SELECT doc_id,
        |    $votes
-       |  FROM words GROUP BY doc_id),
+       |  FROM words GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Oracle CTE producing (doc_id, simhash) on top of [[simhashVotesCte]]. */
+  private val simhashOracleCte = {
+    val bits = (for { i <- 1 to 16; (v, _) <- hexBitSets }
+      yield s"CASE WHEN b${i}_$v >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""$simhashVotesCte,
        |sh_sigs AS (
        |  SELECT doc_id, $bits AS simhash FROM agg)""".stripMargin
   }
@@ -251,18 +258,8 @@ object DedupOps {
         val (i, v) = simhashBitOrder(b * 16 + idx)
         s"CASE WHEN b${i}_$v >= 0 THEN ${1 << (15 - idx)} ELSE 0 END"
       }.mkString("(", " + ", ")")
-      val votes = (for {
-        i <- 1 to 16
-        (v, set) <- hexBitSets
-      } yield s"sum(CASE WHEN strpos('$set', substr(md5(w), $i, 1)) > 0 THEN 1 ELSE -1 END) AS b${i}_$v")
-        .mkString(",\n    ")
       val ham = (0 until 4).map(i => s"bit_count(xor(a.band$i, b.band$i))").mkString(" + ")
-      s"""WITH words AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |agg AS (
-         |  SELECT doc_id,
-         |    $votes
-         |  FROM words GROUP BY doc_id),
+      s"""WITH $simhashVotesCte,
          |isigs AS (
          |  SELECT doc_id, ${(0 until 4).map(b => s"${bandInt(b)} AS band$b").mkString(", ")}
          |  FROM agg),

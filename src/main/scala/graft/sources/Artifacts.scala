@@ -9,14 +9,33 @@ import org.apache.spark.sql.SparkSession
   * the Hadoop FileSystem resolved from the path — local disk and
   * HDFS/S3 behave identically. One implementation for every artifact
   * (IVF index, media fixtures) so hardening lands in one place.
+  *
+  * Concurrency contract: builders within ONE JVM are serialized per
+  * marker path, and a lost marker-create race (another writer finished
+  * while ours built — both builds are deterministic, so the bytes are
+  * identical) is treated as success. Across JVMs the protocol assumes a
+  * SINGLE WRITER per root: two drivers racing the same unbuilt root can
+  * interleave `mode=overwrite` writes with the other's reads, which no
+  * marker can repair — coordinate externally (pre-build the artifact,
+  * or give each driver its own root) in multi-driver deployments.
   */
 object Artifacts {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def ensureOnce(s: SparkSession, root: String, markerName: String)(build: => Unit): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$root/$markerName")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      build
-      fs.create(marker, false).close()
+    val key = s"$root/$markerName"
+    locks.computeIfAbsent(key, _ => new Object).synchronized {
+      val marker = new org.apache.hadoop.fs.Path(key)
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        build
+        try fs.create(marker, false).close()
+        catch {
+          // Exists-after-build: a concurrent writer completed the same
+          // deterministic build first; ours is byte-identical — success.
+          case _: java.io.IOException if fs.exists(marker) => ()
+        }
+      }
     }
   }
 }

@@ -12,37 +12,82 @@ import graft.operators.QueryDef
   * oracle reads). Any serialization loss — quoting, escaping, type
   * coercion, NULL/empty-string conflation — breaks the row hash.
   *
+  * The corpus is augmented with ADVERSARIAL rows before serialization
+  * (embedded newline, quotes, commas, an empty string, and NULLs) and
+  * the oracle unions the SAME literal rows in SQL — so the quoting
+  * paths (`multiLine` reads, quote escaping, NULL vs `""`
+  * distinction) are actually exercised, not just latent until a
+  * hostile document shows up in production.
+  *
   * Scale notes: both readers stream splittable files with the schema
   * given EXPLICITLY (schema inference is a full extra pass over 100 TB
   * and is nondeterministic under sampling — never ship it); CSV sets
   * mode=FAILFAST so a malformed row fails loudly instead of silently
-  * nulling columns.
+  * nulling columns. `multiLine=true` on CSV makes a file with quoted
+  * newlines non-splittable — acceptable here because documents with
+  * embedded newlines make the option mandatory for correctness; at
+  * 100 TB keep text corpora in parquet/JSON-lines and treat CSV as an
+  * ingest edge.
   */
 object SourceFormats {
 
+  /** Hostile rows (negative doc_ids keep them disjoint from real data):
+    * newline + quote + comma in one text, an empty string, and NULLs.
+    * Mirrored literally in [[docsOracle]].
+    */
+  private def edgeRows(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (-1L, Option("line one\nline two, \"quoted\" and a, comma"), Option("en"), "edge", Option(40L)),
+      (-2L, Option(""), Option("en"), "edge", Option(0L)),
+      (-3L, Option.empty[String], Option.empty[String], "edge", Option.empty[Long]))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   private def roundTrip(s: SparkSession, dir: String, fmt: String,
-                        options: Map[String, String]): DataFrame = {
+                        writeOptions: Map[String, String],
+                        readOptions: Map[String, String]): DataFrame = {
     val src = Tables.load(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(edgeRows(s))
     val out = s"${sys.props("java.io.tmpdir")}/graft-src-$fmt-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    src.write.mode("overwrite").options(options).format(fmt).save(out)
-    s.read.schema(src.schema).options(options).format(fmt).load(out)
+    src.write.mode("overwrite").options(writeOptions).format(fmt).save(out)
+    s.read.schema(src.schema).options(readOptions).format(fmt).load(out)
       .orderBy("doc_id")
   }
 
   private val docsOracle =
-    """SELECT doc_id, text, lang, source, n_chars
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |UNION ALL
+      |SELECT * FROM (VALUES
+      |  (-1, 'line one' || chr(10) || 'line two, "quoted" and a, comma', 'en', 'edge', 40),
+      |  (-2, '', 'en', 'edge', 0),
+      |  (-3, NULL, NULL, 'edge', NULL)
+      |) AS t(doc_id, text, lang, source, n_chars)
+      |ORDER BY doc_id""".stripMargin
 
   private val jsonSource = QueryDef(
     "s9_json_source",
-    (s, dir) => roundTrip(s, dir, "json", Map.empty)
+    (s, dir) => roundTrip(s, dir, "json", Map.empty, Map.empty)
       .select("doc_id", "text", "lang", "source", "n_chars"),
     Some(docsOracle))
 
   private val csvSource = QueryDef(
     "s10_csv_source",
     (s, dir) => roundTrip(s, dir, "csv",
+      // Write: RFC-style doubled-quote escaping; NULL → the Hive-style
+      // \N sentinel, '' → quoted "". A default-config reader conflates
+      // the two: it unescapes quoted "" to empty and THEN applies
+      // nullValue='', nulling real empty strings.
       Map("header" -> "true", "quote" -> "\"", "escape" -> "\"",
+        "nullValue" -> "\\N", "emptyValue" -> "\"\""),
+      // Read: multiLine so quoted embedded newlines parse as one row
+      // (without it the reader splits mid-record); \N → NULL, quoted
+      // "" → empty string (emptyValue on read is what a quoted-empty
+      // field PARSES TO — asymmetric with the write side, where it is
+      // what an empty string is WRITTEN AS).
+      Map("header" -> "true", "quote" -> "\"", "escape" -> "\"",
+        "multiLine" -> "true", "nullValue" -> "\\N", "emptyValue" -> "",
         "mode" -> "FAILFAST"))
       .select("doc_id", "text", "lang", "source", "n_chars"),
     Some(docsOracle))

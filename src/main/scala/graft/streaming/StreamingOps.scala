@@ -63,11 +63,14 @@ object StreamingOps {
       // vacuous — but the contract stays FIRST ARRIVAL WINS, which plain
       // dropDuplicates does NOT honor (it keeps an arbitrary partition-
       // order row); the min-ts window keeps the earliest row per key,
-      // matching what the streaming path would have emitted.
+      // matching what the streaming path would have emitted. Ties on ts
+      // (same content, same arrival instant) break on the full row's
+      // hash so the survivor is deterministic, not partition-order luck.
       import org.apache.spark.sql.expressions.Window
       keyed
         .withColumn("__rn", row_number().over(
-          Window.partitionBy("content_key").orderBy("ts")))
+          Window.partitionBy("content_key")
+            .orderBy(col("ts"), xxhash64(keyed.columns.map(col): _*))))
         .filter(col("__rn") === 1)
         .drop("__rn")
     }
