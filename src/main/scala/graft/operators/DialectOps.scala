@@ -169,5 +169,40 @@ object DialectOps {
            |CAST(json_extract(props, '$.k') AS INTEGER) AS k_int
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(fSplit, fIso, fDatetime, fString, fMath, fGenTs, fJson)
+  /** Array higher-order functions — transform / filter / aggregate /
+    * array_distinct / sort_array / slice / array_join over the
+    * word-split corpus, mirrored against DuckDB's list_* family (two
+    * independent HOF implementations). ASCII-only corpus keeps the sort
+    * collation-free.
+    *
+    * Scale note: Spark evaluates HOF lambdas INTERPRETED per element
+    * (no codegen). That is fine here — a handful of cheap ops per
+    * short array — but heavy per-element scalar work (hashing, big
+    * polynomials) belongs in a typed `Dataset.map` JVM loop instead:
+    * the winnowing fingerprint benched 24–30 s as HOFs vs ~0.9 s typed
+    * at sf0.1 (see `TextOps.winnowFingerprint`).
+    */
+  private val fArrayHof = QueryDef(
+    "f_array_hof",
+    (s, dir) => {
+      val words = splitLit(col("text"), " ")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(words, w => length(w) > 4)).as("n_long"),
+          aggregate(transform(words, w => length(w).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("total_len"),
+          array_join(slice(sort_array(array_distinct(words)), 1, 3), ",")
+            .as("first3_distinct"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(list_filter(words, w -> strlen(w) > 4)) AS INTEGER) AS n_long,
+           |  CAST(list_sum(list_transform(words, w -> strlen(w))) AS BIGINT) AS total_len,
+           |  array_to_string(list_slice(list_sort(list_distinct(words)), 1, 3), ',')
+           |    AS first3_distinct
+           |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(fSplit, fIso, fDatetime, fString, fMath, fGenTs, fJson,
+    fArrayHof)
 }

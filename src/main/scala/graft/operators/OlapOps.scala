@@ -239,6 +239,96 @@ object OlapOps {
            |CAST(count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS INTEGER) AS nd_prio
            |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** Explicit GROUPING SETS — level combinations CUBE/ROLLUP cannot
+    * express (here: each dimension alone plus the grand total, but NOT
+    * the cross). Still ONE Expand + aggregate pass, so the cost is
+    * (#sets × input) map-side rows, not #sets rescans of the table.
+    */
+  private val groupingSets = QueryDef(
+    "a14_grouping_sets",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping("l_returnflag").cast("int").as("g_rf"),
+        grouping("l_linestatus").cast("int").as("g_ls"),
+        count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus", "g_rf", "g_ls"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+           |CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+           |count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+           |         g_rf, g_ls""".stripMargin))
+
+  /** SCD2 (type-2 slowly-changing dimension) history build from a
+    * change-event stream: collapse consecutive same-state events per
+    * user (gaps-and-islands), then derive [valid_from, valid_to)
+    * intervals with `lead`, current row = open interval. Both windows
+    * share the (user_id, ts) sort, so the whole build is ONE shuffle
+    * on user_id + in-partition sorts — no self-join, which is the trap
+    * formulation at 100 TB (a billion-user dimension self-joined on
+    * date ranges).
+    */
+  private val scd2History = QueryDef(
+    "w8_scd2_history",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead("ts", 1).over(byUser))
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+           |  FROM events),
+           |ch AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |      AS prev_type
+           |  FROM e),
+           |scd AS (
+           |  SELECT user_id, event_type, ts AS valid_from, event_id,
+           |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |      AS valid_to
+           |  FROM ch WHERE prev_type IS NULL OR prev_type <> event_type)
+           |SELECT user_id, event_type, valid_from, valid_to,
+           |  valid_to IS NULL AS is_current
+           |FROM scd ORDER BY user_id, valid_from, event_type""".stripMargin))
+
+  /** Interval attribution join — every click paired with the views it
+    * followed within 10 minutes, same user. The SAME code
+    * (`StreamingOps.attributeClicks`) runs batch here (watermarks are
+    * no-ops on a batch frame) and stream-stream in `StreamingSpec` —
+    * batch/stream parity by construction. Equi key user_id carries the
+    * shuffle; the time bound is an in-partition filter — NOT a
+    * cross/range join, so the plan is a plain sort-merge join that
+    * survives any corpus size with bounded per-user state.
+    */
+  private val clickAttribution = QueryDef(
+    "j15_click_attribution",
+    (s, dir) => graft.streaming.StreamingOps.attributeClicks(
+      t(s, dir, "events").select("event_id", "ts", "user_id", "event_type"))
+      .orderBy("user_id", "view_id", "click_id"),
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+           |  FROM events)
+           |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           |  CAST(floor(epoch(c.ts - v.ts)) AS BIGINT) AS gap_s
+           |FROM e v JOIN e c
+           |  ON v.user_id = c.user_id AND v.event_type = 'view'
+           | AND c.event_type = 'click'
+           | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 10 MINUTE
+           |ORDER BY v.user_id, view_id, click_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize,
-    movingAvg, rankFamily, existsSemiAnti, cubeGrouping, windowedDistinct)
+    movingAvg, rankFamily, existsSemiAnti, cubeGrouping, windowedDistinct,
+    groupingSets, scd2History, clickAttribution)
 }

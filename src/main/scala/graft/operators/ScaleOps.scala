@@ -80,6 +80,43 @@ object ScaleOps {
       .drop("__bucket")
   }
 
+  /** Small-file compaction: rewrite a fragmented dataset into a
+    * partition-pruned layout with bounded file counts — the maintenance
+    * job every long-lived 100 TB table needs (streaming sinks and
+    * incremental overwrites accrete kilobyte files until scan cost is
+    * file-open overhead and the driver chokes on listing). The
+    * `repartition` on the partition columns routes each Hive partition
+    * to one task (one file per partition dir at the target), while
+    * `maxRecordsPerFile` re-splits any partition too big for a single
+    * healthy file — so file count is Θ(partitions + data/target), the
+    * layout a 1000-executor scan wants. Content-preserving — proved by
+    * the `s12_compact_roundtrip` oracle; file-count collapse by
+    * `ScaleOpsSpec`.
+    */
+  def compact(df: DataFrame, out: String, partCols: Seq[String],
+              shufflePartitions: Int, maxRecordsPerFile: Long): Unit =
+    df.repartition(shufflePartitions, partCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(out)
+
+  private val compactRoundTrip = QueryDef(
+    "s12_compact_roundtrip",
+    (s, dir) => {
+      val docs = graft.sources.Tables.load(s, dir, "documents")
+      val base = s"${sys.props("java.io.tmpdir")}/graft-compact-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // Fragment first — simulate a micro-batch sink's accretion.
+      docs.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+      compact(s.read.parquet(s"$base/frag"), s"$base/tidy",
+        Seq("lang"), shufflePartitions = 4, maxRecordsPerFile = 1000000L)
+      s.read.parquet(s"$base/tidy")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Count the shuffle exchanges in a frame's executed plan — the metric
     * the bucketed-join test asserts on.
     */
@@ -133,5 +170,5 @@ object ScaleOps {
            |FROM events JOIN customer ON user_id = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(bucketizeJoin, saltedJoinQ)
+  val all: Seq[QueryDef] = Seq(bucketizeJoin, saltedJoinQ, compactRoundTrip)
 }

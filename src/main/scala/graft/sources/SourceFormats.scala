@@ -92,5 +92,17 @@ object SourceFormats {
       .select("doc_id", "text", "lang", "source", "n_chars"),
     Some(docsOracle))
 
-  val all: Seq[QueryDef] = Seq(jsonSource, csvSource)
+  /** ORC — the other columnar format Spark ships a vectorized reader
+    * for. Typed storage means no quoting/NULL pitfalls; the round trip
+    * (same adversarial rows) guards type mapping and the reader config
+    * instead. Splittable + predicate-pushdown-capable, so unlike
+    * multiLine CSV it is a legitimate 100 TB format.
+    */
+  private val orcSource = QueryDef(
+    "s11_orc_source",
+    (s, dir) => roundTrip(s, dir, "orc", Map.empty, Map.empty)
+      .select("doc_id", "text", "lang", "source", "n_chars"),
+    Some(docsOracle))
+
+  val all: Seq[QueryDef] = Seq(jsonSource, csvSource, orcSource)
 }

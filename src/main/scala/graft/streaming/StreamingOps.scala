@@ -110,6 +110,35 @@ object StreamingOps {
         col("playback_sec"), col("n_events"))
   }
 
+  /** Stream-stream interval join: every click paired with the views it
+    * followed within `windowMinutes`, same user — the continuous face
+    * of the batch `j15_click_attribution` query (parity asserted in
+    * `StreamingSpec`). Both sides are watermarked, so the join state is
+    * BOUNDED: the time-range condition lets Spark prove a buffered view
+    * older than watermark + window can never match a future click, and
+    * evict it. Without the interval bound a stream-stream inner join
+    * buffers both streams forever — the unbounded-state trap at
+    * 100 TB/day. On a batch frame the watermarks are no-ops and the
+    * plan is the same sort-merge join as the batch query.
+    */
+  def attributeClicks(events: DataFrame, windowMinutes: Int = 10,
+                      watermark: String = "30 minutes"): DataFrame = {
+    import graft.dialect.Dialect.timestampDiffSeconds
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("cu") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        timestampDiffSeconds(col("click_ts"), col("view_ts")).as("gap_s"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -73,6 +73,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("compact collapses a fragmented table to ~one file per partition") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    docs.repartition(32).write.mode("overwrite").parquet(s"$base/frag")
+
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(p))
+    }
+    assert(parquetFiles(s"$base/frag").size === 32)
+
+    ScaleOps.compact(spark.read.parquet(s"$base/frag"), s"$base/tidy",
+      Seq("lang"), shufflePartitions = 4, maxRecordsPerFile = 1000000L)
+
+    val langs = docs.select("lang").distinct().count()
+    val tidyFiles = parquetFiles(s"$base/tidy")
+    assert(tidyFiles.size === langs,
+      "exactly one file per lang partition at this size")
+    // Pruning layout: every file sits under its lang=... directory.
+    assert(tidyFiles.forall(_.getParentFile.getName.startsWith("lang=")))
+    // Content preserved (the oracle also proves this vs DuckDB).
+    val back = spark.read.parquet(s"$base/tidy")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs.select("doc_id", "text", "lang", "source", "n_chars")).count() === 0L)
+  }
+
   test("saltedJoin left-outer preserves unmatched fact rows exactly once") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (2L, "b"), (99L, "no-match")).toDF("k", "v")

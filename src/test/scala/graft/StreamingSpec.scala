@@ -127,6 +127,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("attributeClicks stream-stream interval join matches the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // (event_id, ts, user_id, event_type): user 1 has a view matched by
+    // one in-window click (300 s) and one out-of-window click (900 s),
+    // then a second view that re-attributes the late click (180 s);
+    // user 2 clicks with no view at all.
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:05:00"), 1L, "click"),
+      (3L, ts("2024-01-01 00:12:00"), 1L, "view"),
+      (4L, ts("2024-01-01 00:15:00"), 1L, "click"),
+      (5L, ts("2024-01-01 00:01:00"), 2L, "click"))
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    stream.addData(rows: _*)
+    val q = StreamingOps.attributeClicks(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("attr").orderBy("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 1L, 2L, 300L), (1L, 3L, 4L, 180L)),
+      "in-window pairs only; the 15-min gap and the view-less click drop")
+
+    // Identical rows from the SAME operator run as a batch frame.
+    val batch = StreamingOps.attributeClicks(
+        rows.toDF("event_id", "ts", "user_id", "event_type"))
+      .orderBy("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.toSeq === got.toSeq)
+  }
+
   test("sessionize groups events into gap-bounded sessions with state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
