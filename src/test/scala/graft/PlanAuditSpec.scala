@@ -85,6 +85,56 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("j15_click_attribution joins on the user equi-key, not a nested loop") {
+    val p = plan("j15_click_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the interval condition must ride the user_id equi-join as a residual " +
+        "filter — a nested loop here is quadratic in events per time window")
+  }
+
+  test("w8_scd2_history runs both windows over one shuffle on user_id") {
+    val df = SparkEntry.queries("w8_scd2_history")(spark, dir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // One hash partitioning on user_id shared by lag + lead, plus the
+    // final global ORDER BY range exchange — nothing else.
+    assert(exchanges.size <= 2,
+      s"SCD2 build must reuse the user_id partitioning across its windows, " +
+        s"got ${exchanges.size} exchanges")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The 100 TB lever Catalyst provides for free when the join is
+    // declarative: a selective filter on the dimension side turns into a
+    // bloom_filter_agg whose might_contain() is pushed into the fact
+    // scan, so most fact rows die before the shuffle. Thresholds are
+    // size-based (default: creation side < 10 MB, application side >
+    // 10 GB) — forced here since testdata is tiny on both counts.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val ord = graft.sources.Tables.load(spark, dir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val p = li.join(ord,
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        "selective dim join must inject a runtime bloom filter on the fact side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no query plan contains a cartesian product over base tables") {
     // The only sanctioned cross joins are the ~100-row week spine and
     // broadcast query sets; a CartesianProduct node means a shuffle-side

@@ -53,4 +53,41 @@ class StreamingFileSpec extends SparkSpec {
     assert(g.head.getAs[Long]("n_events") === k.getAs[Long]("n_events"))
     assert(g.head.getAs[Double]("total_value") === k.getAs[Double]("total_value"))
   }
+
+  test("Trigger.AvailableNow ingest processes only new files per run, exactly once") {
+    // The scheduled-batch ingestion pattern for a landing zone: each run
+    // drains what's there and exits; the checkpoint's file log guarantees
+    // a file is processed exactly once across runs — no external
+    // bookkeeping of which files were loaded, no reprocessing of a
+    // 100 TB history to pick up today's drop.
+    val dir = Files.createTempDirectory("graft_avnow").toFile.getAbsolutePath
+    val landing = s"$dir/landing"
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "event_type", "value")
+    val first = events.filter(col("event_id") < 500)
+    val second = events.filter(col("event_id") >= 500)
+
+    import org.apache.spark.sql.streaming.Trigger
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(events.schema).parquet(landing)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    first.write.mode("append").parquet(landing)
+    runOnce()
+    assert(spark.read.parquet(out).count() === first.count())
+
+    second.write.mode("append").parquet(landing)
+    runOnce()
+    val sink = spark.read.parquet(out)
+    assert(sink.count() === events.count())
+    assert(sink.select("event_id").distinct().count() === events.count(),
+      "exactly once: the second run must not reprocess the first drop")
+  }
 }
