@@ -28,6 +28,17 @@ case object Table extends Materialization
 final case class IncrementalInsertOverwrite(
     partitionCol: String, partitions: Seq[String]) extends Materialization
 
+/** Incremental merge/upsert — dbt's other incremental strategy
+  * (`incremental_strategy='merge'` with a `unique_key`): rows in the
+  * new frame REPLACE target rows with the same key, new keys insert,
+  * untouched rows survive. The reference project uses only
+  * insert_overwrite; merge completes the materialization surface a dbt
+  * user expects. Partition-scoped at scale: only partitions the update
+  * frame touches are rewritten — see `DagRunner.writeMerge`.
+  */
+final case class MergeUpsert(
+    uniqueKey: String, partitionCol: String) extends Materialization
+
 /** `database`/`schema` are dbt's two-level routing (S7,
   * `/root/reference/dbt_project.yml:5-11`): they namespace the physical
   * target of table-like materializations as
@@ -90,6 +101,10 @@ object DagRunner {
           val path = target(m)
           writeIncremental(spark, df, path, partCol, parts)
           spark.read.schema(df.schema).parquet(path)
+        case MergeUpsert(key, partCol) =>
+          val path = target(m)
+          writeMerge(spark, df, path, key, partCol)
+          spark.read.schema(df.schema).parquet(path)
       }
       built += m.name -> out
     }
@@ -114,6 +129,52 @@ object DagRunner {
     * partitions were written scans only the reprocessing window (one
     * narrow column, map-side combined).
     */
+  /** Upsert `updates` into the parquet target by `uniqueKey`,
+    * PARTITION-SCOPED: only the partitions the update frame touches are
+    * read back, merged (existing rows whose key is being updated are
+    * anti-joined away, then the updates union in), and dynamically
+    * overwritten — a day of updates against a 100 TB table rewrites one
+    * day, not the table. The merged window is staged to a scratch dir
+    * first because Spark (correctly) refuses to overwrite a path it is
+    * lazily reading from; the stage write is the same bounded window.
+    *
+    * Contract: `updates` carries at most one row per `uniqueKey` (dbt's
+    * unique_key contract) and a key's partition value must not change
+    * across runs (else the old row lives in a partition this run never
+    * rewrites — same constraint dbt merge has when the table is
+    * partition-filtered).
+    */
+  def writeMerge(spark: SparkSession, updates: DataFrame, path: String,
+                 uniqueKey: String, partitionCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) {
+      updates.write.partitionBy(partitionCol).parquet(path)
+      return
+    }
+    val parts = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val old = spark.read.schema(updates.schema).parquet(path)
+      .filter(col(partitionCol).cast("string").isin(parts: _*))
+    // No broadcast hint: the update-key set is usually small (AQE will
+    // broadcast it), but a backfill-sized update must stay a shuffled
+    // anti join rather than OOM the driver.
+    val survivors = old.join(
+      updates.select(col(uniqueKey)).distinct(), Seq(uniqueKey), "left_anti")
+    // NOT dot/underscore-prefixed: Spark's file index treats those as
+    // hidden and would read the staging dir back as empty.
+    val staging = new Path(root.getParent, s"${root.getName}-merge-staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    try {
+      survivors.unionByName(updates)
+        .write.partitionBy(partitionCol).parquet(staging.toString)
+      spark.read.schema(updates.schema).parquet(staging.toString)
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy(partitionCol).parquet(path)
+    } finally if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
   def writeIncremental(spark: SparkSession, df: DataFrame, path: String,
                        partitionCol: String, partitions: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path

@@ -94,12 +94,54 @@ object ScaleOps {
     * `ScaleOpsSpec`.
     */
   def compact(df: DataFrame, out: String, partCols: Seq[String],
-              shufflePartitions: Int, maxRecordsPerFile: Long): Unit =
+              shufflePartitions: Int, maxRecordsPerFile: Long,
+              sortCols: Seq[String] = Nil): Unit =
     df.repartition(shufflePartitions, partCols.map(col): _*)
+      // Clustering rows by sortCols inside each file tightens parquet
+      // row-group min/max stats, so later range predicates on those
+      // columns skip whole row groups — free pruning at read time.
+      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCols: _*)
       .parquet(out)
+
+  /** Dense sequential ids (1..N in `orderCol` order) WITHOUT the
+    * single-task trap: the naive `row_number() OVER (ORDER BY ...)`
+    * plans a global window — every row through ONE task, the canonical
+    * driver-shaped bottleneck at 100 TB. Here the global order is
+    * decomposed by a caller-supplied deterministic `bucket` expression
+    * (monotone in `orderCol`, e.g. `floor(doc_id / 1M)` or a date): a
+    * tiny per-bucket count table gets cumulative offsets (the only
+    * global window runs over #buckets rows, not N), broadcasts back,
+    * and each bucket numbers its own rows in parallel.
+    * id = bucket_offset + rank_within_bucket.
+    */
+  def denseIds(df: DataFrame, orderCol: String, bucket: Column,
+               idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__bucket", bucket)
+    val offsets = b.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(
+        sum("__n").over(Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    b.join(broadcast(offsets), "__bucket")
+      .withColumn(idCol, col("__offset") +
+        row_number().over(Window.partitionBy("__bucket").orderBy(orderCol)))
+      .drop("__bucket", "__offset")
+  }
+
+  private val denseIdsQ = QueryDef(
+    "s13_dense_ids",
+    (s, dir) => denseIds(
+      graft.sources.Tables.load(s, dir, "documents").select("doc_id", "lang"),
+      "doc_id", floor(col("doc_id") / 100))
+      .select("doc_id", "lang", "id")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang,
+           |row_number() OVER (ORDER BY doc_id) AS id
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   private val compactRoundTrip = QueryDef(
     "s12_compact_roundtrip",
@@ -109,7 +151,7 @@ object ScaleOps {
       // Fragment first — simulate a micro-batch sink's accretion.
       docs.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
       compact(s.read.parquet(s"$base/frag"), s"$base/tidy",
-        Seq("lang"), shufflePartitions = 4, maxRecordsPerFile = 1000000L)
+        Seq("lang"), shufflePartitions = 4, maxRecordsPerFile = 1000000L, sortCols = Seq("doc_id"))
       s.read.parquet(s"$base/tidy")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
@@ -170,5 +212,5 @@ object ScaleOps {
            |FROM events JOIN customer ON user_id = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(bucketizeJoin, saltedJoinQ, compactRoundTrip)
+  val all: Seq[QueryDef] = Seq(bucketizeJoin, saltedJoinQ, compactRoundTrip, denseIdsQ)
 }

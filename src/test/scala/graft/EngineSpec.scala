@@ -115,6 +115,51 @@ class EngineSpec extends SparkSpec {
     assert(out("inc_empty").columns.toSet === Set("evt_date", "v"))
   }
 
+  test("merge upsert updates matched keys, inserts new, rewrites only touched partitions") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_merge").toFile.getAbsolutePath + "/t"
+    def df(rows: (Long, String, Int)*) =
+      spark.createDataFrame(rows).toDF("k", "evt_date", "v")
+
+    // Seed two partitions.
+    DagRunner.writeMerge(spark, df(
+      (1L, "2024-03-01", 10), (2L, "2024-03-01", 20), (3L, "2024-03-02", 30)),
+      dir, "k", "evt_date")
+    val day1 = new java.io.File(s"$dir/evt_date=2024-03-01")
+    val before = day1.listFiles().map(_.getName).toSet
+
+    // Update key 3, insert key 4 — both in the 03-02 partition only.
+    DagRunner.writeMerge(spark, df(
+      (3L, "2024-03-02", 31), (4L, "2024-03-02", 40)),
+      dir, "k", "evt_date")
+
+    // Partition-column inference types evt_date as DATE on read-back;
+    // compare via toString.
+    val got = spark.read.parquet(dir).select("k", "evt_date", "v")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getInt(2))).toSet
+    assert(got === Set(
+      (1L, "2024-03-01", 10), (2L, "2024-03-01", 20), // untouched partition intact
+      (3L, "2024-03-02", 31),                          // updated in place
+      (4L, "2024-03-02", 40)))                         // inserted
+    // The untouched partition's files were not rewritten.
+    assert(day1.listFiles().map(_.getName).toSet === before,
+      "merge must not rewrite partitions the update frame does not touch")
+
+    // Idempotent: replaying the same update changes nothing.
+    DagRunner.writeMerge(spark, df(
+      (3L, "2024-03-02", 31), (4L, "2024-03-02", 40)),
+      dir, "k", "evt_date")
+    assert(spark.read.parquet(dir).count() === 4L)
+
+    // And the materialization routes through DagRunner.run.
+    val wh = JFiles.createTempDirectory("graft_merge_wh").toFile.getAbsolutePath
+    val models = Seq(Model("m_upsert", Seq.empty,
+      (_, _) => df((1L, "2024-03-01", 1)),
+      materialization = MergeUpsert("k", "evt_date")))
+    val out = DagRunner.run(spark, models, n => fail(s"unexpected source $n"), wh)
+    assert(out("m_upsert").count() === 1L)
+  }
+
   test("insert-overwrite is idempotent for the same window") {
     val dir = Files.createTempDirectory("graft_inc2").toFile.getAbsolutePath + "/t"
     val df = spark.createDataFrame(Seq(("2024-02-01", 5), ("2024-02-02", 7)))
