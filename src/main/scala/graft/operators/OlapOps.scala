@@ -328,7 +328,76 @@ object OlapOps {
            | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 10 MINUTE
            |ORDER BY v.user_id, view_id, click_id""".stripMargin))
 
+  /** Native `session_window` aggregation — Spark's declarative gap
+    * sessionizer (the same 30-min sessions as `a12_sessionize_batch`'s
+    * two-window formulation, here as ONE groupBy the optimizer fully
+    * owns; in streaming mode the identical expression runs with
+    * merging session state). Window end = last event + gap, mirrored
+    * in the oracle's islands computation. A new event exactly at the
+    * gap boundary starts a new session in both formulations (diff >=
+    * gap ends; the window end is exclusive).
+    */
+  private val sessionWindowAgg = QueryDef(
+    "a12b_session_window",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |marked AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |         OR CAST(floor(epoch(ts - lag(ts) OVER w)) AS BIGINT) >= 1800
+           |         THEN 1 ELSE 0 END AS new_session
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, ts,
+           |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM marked)
+           |SELECT user_id, min(ts) AS session_start,
+           |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+           |  count(*) AS n_events
+           |FROM sess GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin))
+
+  /** Count-Min-Sketch frequency estimation — the third sketch in the
+    * family (HLL cardinality `a3b`, GK quantiles `a9`): mergeable
+    * fixed-size counters, so a 100 TB frequency table shuffles
+    * eps⁻¹·ln(δ⁻¹) ints per partition instead of one row per key. The
+    * AGGREGATION is fully distributed (partial sketches merge
+    * map-side); only the probe of the finished ~KB sketch runs on the
+    * driver, like `a3b`'s cardinality readout. Tolerance oracle: CMS
+    * never underestimates, and with eps=0.001 the overestimate is
+    * ≤ eps·N with 99% confidence — pinned deterministic by the fixed
+    * seed.
+    */
+  private val cmsFreq = QueryDef(
+    "a15_cms_freq",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val total = exact.map(_._2).sum
+      val bytes = ev.agg(
+        expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)")).head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val bound = math.ceil(0.001 * total).toLong
+      import s.implicits._
+      exact.map { case (et, n) =>
+        val est = cms.estimateCount(et)
+        (et, n, est >= n && est <= n + bound)
+      }.toSeq.toDF("event_type", "n", "cms_ok")
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n, true AS cms_ok
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize,
     movingAvg, rankFamily, existsSemiAnti, cubeGrouping, windowedDistinct,
-    groupingSets, scd2History, clickAttribution)
+    groupingSets, scd2History, clickAttribution, sessionWindowAgg, cmsFreq)
 }
