@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.llm.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.llm.{DedupOps, Multimodal, PrivacyOps, SimilarityOps, TextOps}
 import graft.models.DagQueries
 import graft.operators.{DialectOps, Flagship, OlapOps, QueryDef, RelationalOps, ScaleOps}
 
@@ -15,7 +15,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     RelationalOps.all ++ DialectOps.all ++ Flagship.all ++ ScaleOps.all ++ OlapOps.all ++
       graft.sources.SourceFormats.all ++
-      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all ++
+      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all ++ PrivacyOps.all ++
       DagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

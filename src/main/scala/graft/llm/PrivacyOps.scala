@@ -1,0 +1,186 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect._
+import graft.operators.QueryDef
+import graft.sources.Tables
+
+/** Privacy / normalization operators for a training-data pipeline:
+  * PII redaction, URL canonicalization, and int8 embedding quantization.
+  *
+  * The synthetic `documents.text` contains no PII (word-salad, zero
+  * digits), so the first two queries derive a deterministic PII-bearing
+  * column FROM the table (same expression on the Spark and DuckDB
+  * sides) before scrubbing it — the regex machinery is exercised on
+  * every row and the oracle hash proves the redaction byte-for-byte,
+  * rather than trivially matching on zero hits.
+  *
+  * All three are narrow per-row transformations: at 100 TB they
+  * pipeline through the scan with no shuffle (the final orderBy exists
+  * only for the deterministic verify dump). Regexes are written in the
+  * RE2 ∩ java.util.regex common subset (no lookaround, no backrefs,
+  * explicit [0-9] classes) so both engines match identically —
+  * leftmost-first alternation semantics agree.
+  */
+object PrivacyOps {
+
+  /** Email / NANP-ish phone / IPv4 literals. Kept deliberately in the
+    * RE2-compatible subset; `{2,}` bounded reps and char classes only.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val ipRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction: count then mask emails → phones → IPv4s (in that
+    * order — the email pattern would otherwise eat the dotted host out
+    * of a URL-shaped IP, and phones contain no dots so the IP pass
+    * cannot double-fire on a masked phone).
+    */
+  private val piiRedact = QueryDef(
+    "llm_pii_redact",
+    (s, dir) => {
+      val pii = concat(
+        col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@Example.COM or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" node 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit("."), ((col("doc_id") * 13) % 256).cast("string"))
+      Tables.load(s, dir, "documents")
+        .withColumn("pii_text", pii)
+        .select(col("doc_id"),
+          regexp_count(col("pii_text"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("pii_text"), lit(phoneRe)).cast("long").as("n_phone"),
+          regexp_count(col("pii_text"), lit(ipRe)).cast("long").as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"),
+            ipRe, "<IP>").as("redacted"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(pii_text, '$emailRe')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(pii_text, '$phoneRe')) AS BIGINT) AS n_phone,
+           |  CAST(len(regexp_extract_all(pii_text, '$ipRe')) AS BIGINT) AS n_ip,
+           |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+           |    '$emailRe', '<EMAIL>', 'g'),
+           |    '$phoneRe', '<PHONE>', 'g'),
+           |    '$ipRe', '<IP>', 'g') AS redacted
+           |FROM (
+           |  SELECT doc_id,
+           |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+           |      || '@Example.COM or call +1-555-'
+           |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |      || ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+           |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+           |      || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS pii_text
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  import org.apache.spark.sql.Column
+
+  /** Lowercased host with `www.` and default `:443`/`:80` port
+    * stripped — the dedup key for crawl frontier / per-domain stats.
+    */
+  def urlDomain(raw: Column): Column = {
+    val url0 = regexp_replace(raw, "#.*$", "")
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(url0, "^https?://([^/?#]+)", 1)),
+        "^www\\.", ""),
+      ":443$|:80$", "")
+  }
+
+  /** Canonical form: fragment stripped, host normalized via
+    * [[urlDomain]], trailing path slashes trimmed, `utm_*` tracking
+    * params removed (remaining query-string order preserved). Path
+    * case is preserved (RFC 3986 — only scheme and host are
+    * case-insensitive).
+    */
+  def canonicalizeUrl(raw: Column): Column = {
+    val url0 = regexp_replace(raw, "#.*$", "")
+    val path = regexp_replace(
+      regexp_extract(url0, "^https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val q = regexp_replace(
+      regexp_replace(regexp_extract(url0, "\\?([^#]*)", 1),
+        "(^|&)utm_[^&]*", ""),
+      "^&+", "")
+    concat(lit("https://"), urlDomain(raw), path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  private val urlCanon = QueryDef(
+    "llm_url_canon",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("raw_url", concat(
+          lit("https://WWW.Example"), (col("doc_id") % 50).cast("string"),
+          lit(".COM:443/Videos/"), col("doc_id").cast("string"),
+          lit("/?utm_source=feed&id="), col("doc_id").cast("string"),
+          lit("&utm_medium=rss#sec-"), (col("doc_id") % 7).cast("string")))
+        .select(col("doc_id"), urlDomain(col("raw_url")).as("domain"),
+          canonicalizeUrl(col("raw_url")).as("canon_url"),
+          regexp_count(col("raw_url"), lit("(^|[?&])utm_[^&#]*")).cast("long")
+            .as("n_tracking_params"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  host AS domain,
+           |  'https://' || host || path
+           |    || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url,
+           |  CAST(len(regexp_extract_all(raw_url, '(^|[?&])utm_[^&#]*')) AS BIGINT)
+           |    AS n_tracking_params
+           |FROM (
+           |  SELECT doc_id, raw_url,
+           |    regexp_replace(regexp_replace(
+           |      lower(regexp_extract(url0, '^https?://([^/?#]+)', 1)),
+           |      '^www\.', ''), ':443$|:80$', '') AS host,
+           |    regexp_replace(
+           |      regexp_extract(url0, '^https?://[^/?#]+([^?#]*)', 1),
+           |      '/+$', '') AS path,
+           |    regexp_replace(regexp_replace(
+           |      regexp_extract(url0, '\?([^#]*)', 1),
+           |      '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS q
+           |  FROM (
+           |    SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS url0
+           |    FROM (
+           |      SELECT doc_id,
+           |        'https://WWW.Example' || CAST(doc_id % 50 AS VARCHAR)
+           |          || '.COM:443/Videos/' || CAST(doc_id AS VARCHAR)
+           |          || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+           |          || '&utm_medium=rss#sec-' || CAST(doc_id % 7 AS VARCHAR) AS raw_url
+           |      FROM documents)))
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Int8 symmetric quantization of the embedding column — the
+    * compression step before an ANN index ships to serving. scale =
+    * 127 / max|x|; q_i = floor(x_i*scale + 0.5) (the portable
+    * half-away formula for non-negative .5 offsets — identical in both
+    * engines, no round() semantics in play). Emitted as a joined
+    * string so the oracle hash pins every element. float→double
+    * promotion is exact IEEE in both engines, so the doubles agree
+    * bit-for-bit before the floor.
+    */
+  private val embedQuantize = QueryDef(
+    "llm_embed_quantize",
+    (s, dir) => Tables.load(s, dir, "embeddings")
+      .withColumn("maxabs",
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .select(col("vec_id"), roundTo(col("scale"), 6).as("scale_r"),
+        expr("array_join(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)), ',')")
+          .as("q8"))
+      .orderBy("vec_id"),
+    Some("""SELECT vec_id,
+           |  floor(127.0 / maxabs * 1000000 + 0.5) / 1000000 AS scale_r,
+           |  array_to_string(list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INTEGER)), ',') AS q8
+           |FROM (
+           |  SELECT vec_id, embedding,
+           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           |  FROM embeddings)
+           |ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(piiRedact, urlCanon, embedQuantize)
+}

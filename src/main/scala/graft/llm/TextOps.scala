@@ -319,6 +319,38 @@ object TextOps {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Sliding-window document chunking (size 200 chars, stride 150 →
+    * 50-char overlap) — the retrieval/RAG prep step: each document
+    * explodes into its chunk spans with stable (doc_id, chunk_id)
+    * identity and char offsets, so chunks join back to their source and
+    * embeddings attach downstream. Pure map-side explode (fan-out
+    * n_chars/stride per doc, bounded by document length) — no shuffle
+    * until a consumer asks for one; at 100 TB this is the shape that
+    * matters, since chunking multiplies row count ~7× before the
+    * embedding stage.
+    */
+  private val chunkDocs = QueryDef(
+    "llm_chunk_docs",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), greatest(lit(0L), col("n_chars") - 1),
+          lit(150L))).as("chunk_start"))
+      .select(col("doc_id"),
+        (col("chunk_start") / 150).cast("int").as("chunk_id"),
+        col("chunk_start"),
+        expr("substring(text, chunk_start + 1, 200)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .orderBy("doc_id", "chunk_id"),
+    Some("""SELECT doc_id, CAST(start / 150 AS INTEGER) AS chunk_id,
+           |  start AS chunk_start,
+           |  substr(text, CAST(start + 1 AS INTEGER), 200) AS chunk,
+           |  CAST(strlen(substr(text, CAST(start + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len
+           |FROM (
+           |  SELECT doc_id, text,
+           |    unnest(generate_series(0, greatest(0, n_chars - 1), 150)) AS start
+           |  FROM documents)
+           |ORDER BY doc_id, chunk_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
-    textClean, stratifiedSample, packSequences)
+    textClean, stratifiedSample, packSequences, chunkDocs)
 }
