@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect._
+import graft.sources.Tables
+
+/** Time-series operators over the `events` stream table: dense gap-fill
+  * with linear interpolation, and OHLC-style resampling. Both are the
+  * standard shape for sensor/metric pipelines.
+  *
+  * Scale: everything partitions by `user_id` — the window functions and
+  * the spine explode shuffle once on the user key and then stay
+  * co-partitioned; no global window appears in any plan (a global sort
+  * exists only as the verify dump's final ORDER BY). The hourly spine
+  * fan-out is bounded by the observed [min,max] hour span per user, not
+  * by a fixed calendar, so idle series cost nothing.
+  */
+object TimeSeriesOps {
+
+  /** Hourly gap-fill + linear interpolation of the per-user mean `view`
+    * value: every hour between a user's first and last observation gets
+    * a value — observed hours keep theirs, gap hours get
+    * `pv + (nv-pv) * elapsed/gap` between the flanking observations.
+    *
+    * Formulated as ONE scan: `lead()` pairs each observation with its
+    * successor, then each pair explodes into its gap hours and
+    * interpolates directly. The naive spine-join form (build a per-user
+    * min..max hour spine, left-join observations back, IGNORE-NULLS
+    * windows to find flanks) reads and aggregates the events table
+    * TWICE and shuffles the dense spine; this form shuffles the sparse
+    * observations once on `user_id` and fans out map-side. Plan locked
+    * in `PlanAuditSpec`: exactly one parquet scan, one Window, no join.
+    */
+  private val gapfill = QueryDef(
+    "ts1_gapfill_interp",
+    (s, dir) => {
+      val wUser = Window.partitionBy("user_id").orderBy("hr")
+      val hEpoch = unix_timestamp(col("h"))
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(avg("value").as("obs_v"))
+        .withColumn("next_hr", lead("hr", 1).over(wUser))
+        .withColumn("next_v", lead("obs_v", 1).over(wUser))
+        .select(col("user_id"), col("hr"), col("obs_v"), col("next_v"),
+          unix_timestamp(col("hr")).as("t0"),
+          unix_timestamp(col("next_hr")).as("t1"),
+          explode(sequence(col("hr"),
+            coalesce(col("next_hr") - expr("interval 1 hour"), col("hr")),
+            expr("interval 1 hour"))).as("h"))
+        .select(col("user_id"), col("h").as("hr"),
+          roundTo(
+            when(col("h") === col("hr"), col("obs_v"))
+              .otherwise(col("obs_v") + (col("next_v") - col("obs_v")) *
+                (hEpoch - col("t0")) / (col("t1") - col("t0"))), 4).as("v"),
+          (col("h") === col("hr")).as("is_observed"))
+        .orderBy("user_id", "hr")
+    },
+    Some("""WITH obs AS (
+           |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+           |         avg(value) AS obs_v
+           |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+           |paired AS (
+           |  SELECT user_id, hr, obs_v,
+           |    lead(hr) OVER w AS next_hr, lead(obs_v) OVER w AS next_v
+           |  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY hr)),
+           |fanned AS (
+           |  SELECT user_id, hr, obs_v, next_v,
+           |    epoch(hr) AS t0, epoch(next_hr) AS t1,
+           |    unnest(generate_series(hr,
+           |      coalesce(next_hr - INTERVAL 1 HOUR, hr), INTERVAL 1 HOUR)) AS h
+           |  FROM paired)
+           |SELECT user_id, h AS hr,
+           |  floor((CASE WHEN h = fanned.hr THEN obs_v
+           |              ELSE obs_v + (next_v - obs_v) * (epoch(h) - t0) / (t1 - t0)
+           |         END) * 10000 + 0.5) / 10000 AS v,
+           |  h = fanned.hr AS is_observed
+           |FROM fanned
+           |ORDER BY user_id, 2""".stripMargin))
+
+  /** OHLC resample: per user per 6-hour bucket, open/high/low/close of
+    * `value` with a deterministic (ts, event_id) intra-bucket order.
+    * Open/close come from a windowed row_number rather than min_by/
+    * max_by so tie-breaking is identical in both engines.
+    */
+  private val ohlc = QueryDef(
+    "ts2_resample_ohlc",
+    (s, dir) => {
+      val bucketed = Tables.load(s, dir, "events")
+        .withColumn("bucket",
+          timestamp_seconds(floor(unix_timestamp(col("ts")) / 21600L) * 21600L))
+      val w = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+      bucketed
+        .withColumn("rn_a", row_number().over(w))
+        .withColumn("rn_d", row_number().over(
+          Window.partitionBy("user_id", "bucket")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .groupBy("user_id", "bucket")
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "bucket")
+    },
+    Some("""SELECT user_id, bucket,
+           |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           |  max(value) AS high, min(value) AS low,
+           |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           |  count(*) AS n
+           |FROM (
+           |  SELECT user_id, value,
+           |    CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT) * 21600) AS TIMESTAMP) AS bucket,
+           |    row_number() OVER (PARTITION BY user_id,
+           |      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT)
+           |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_a,
+           |    row_number() OVER (PARTITION BY user_id,
+           |      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT)
+           |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+           |  FROM events)
+           |GROUP BY user_id, bucket
+           |ORDER BY user_id, bucket""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(gapfill, ohlc)
+}

@@ -104,6 +104,22 @@ class PlanAuditSpec extends SparkSpec {
         s"got ${exchanges.size} exchanges")
   }
 
+  test("ts1_gapfill_interp is single-scan: lead+explode, no spine join") {
+    // AQE hides its inner tree from plan.collect (see the jaccard lock).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("ts1_gapfill_interp")(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      assert(exec.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.size === 1, "gap-fill must read events exactly once (lead-pair form, " +
+        "not the double-reading spine-join form)")
+      assert(exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, "gap-fill must not plan any join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // The 100 TB lever Catalyst provides for free when the join is
     // declarative: a selective filter on the dimension side turns into a
