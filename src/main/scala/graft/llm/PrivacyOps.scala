@@ -161,6 +161,11 @@ object PrivacyOps {
     * string so the oracle hash pins every element. float→double
     * promotion is exact IEEE in both engines, so the doubles agree
     * bit-for-bit before the floor.
+    *
+    * The array HOFs here evaluate interpreted (no codegen — see the
+    * winnowing note in TextOps), which is acceptable at 2 flops per
+    * element; if quantization ever dominates a profile, the typed
+    * `Dataset.map` JVM-loop form is the drop-in upgrade.
     */
   private val embedQuantize = QueryDef(
     "llm_embed_quantize",

@@ -351,6 +351,77 @@ object TextOps {
            |  FROM documents)
            |ORDER BY doc_id, chunk_id""".stripMargin))
 
+  /** Deterministic train/val/test split — the hash-bucket assignment
+    * every training pipeline needs: stable across reruns and additions
+    * (a doc's split never depends on what else is in the corpus),
+    * map-side only, salted so it decorrelates from every other
+    * md5-bucket decision in the pipeline (sampling uses "sample:").
+    * 90/5/5 by first two hex digits: [00,e6) / [e6,f3) / [f3,ff].
+    */
+  private val trainSplit = QueryDef(
+    "llm_train_split",
+    (s, dir) => {
+      val bucket = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+      val split = when(bucket < "e6", "train").when(bucket < "f3", "val")
+        .otherwise("test")
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split.as("split"))
+      // Per-row assignment + the split-size audit every pipeline runs.
+      docs.groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+    Some("""SELECT lang, split, count(*) AS n FROM (
+           |  SELECT lang,
+           |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+           |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents)
+           |GROUP BY lang, split ORDER BY lang, split""".stripMargin))
+
+  /** Corpus-wide top-k n-grams (k=20 trigrams) — the frequency table
+    * behind contamination checks and boilerplate detection. Explode is
+    * map-side; the count shuffles once on the trigram (partial
+    * aggregation first, so the shuffle carries distinct trigrams, not
+    * occurrences); the final top-k is a single window over the already
+    * tiny aggregate. Ties broken lexicographically for determinism.
+    */
+  private val ngramTopk = QueryDef(
+    "llm_ngram_topk",
+    (s, dir) => {
+      // Guard: Spark's sequence(1, n) INFERS A NEGATIVE STEP when n < 1
+      // (a <3-word doc would yield [1, 0] and bogus slices), while
+      // DuckDB's generate_series returns empty — hence the explicit
+      // size filter on both sides.
+      Tables.load(s, dir, "documents")
+        .filter(size(splitLit(col("text"), " ")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 2),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        // top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+        // heaps), NOT a global window over every distinct trigram — the
+        // trailing row_number then ranks only the 20 survivors.
+        .orderBy(col("n").desc, col("trigram")).limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("trigram"))))
+        .select("rk", "trigram", "n")
+        .orderBy("rk")
+    },
+    Some("""SELECT CAST(row_number() OVER (ORDER BY n DESC, trigram) AS INTEGER) AS rk,
+           |  trigram, n FROM (
+           |  SELECT trigram, count(*) AS n FROM (
+           |    SELECT words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS trigram
+           |    FROM (
+           |      SELECT string_split(text, ' ') AS words,
+           |        unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+           |      FROM documents
+           |      WHERE len(string_split(text, ' ')) >= 3))
+           |  GROUP BY trigram)
+           |QUALIFY rk <= 20
+           |ORDER BY rk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
-    textClean, stratifiedSample, packSequences, chunkDocs)
+    textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk)
 }

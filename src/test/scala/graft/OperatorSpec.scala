@@ -200,4 +200,26 @@ class OperatorSpec extends SparkSpec {
     assert(out(1).blob.toSeq === makePng(10, 10).toSeq)
     assert(out(2).blob.length === makeWav(8000, 1, 800).length)
   }
+
+  test("train/val/test split is ~90/5/5 and every doc lands in exactly one") {
+    val out = SparkEntry.queries("llm_train_split")(spark, "/root/testdata/sf0.01")
+      .groupBy("split").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = out.values.sum
+    assert(out.keySet === Set("train", "val", "test"))
+    assert(total === 500L, "every document must land in exactly one split")
+    // e6/100 ≈ 0.898, (f3-e6)/100 ≈ 0.051 — allow sampling noise on 500 docs.
+    assert(out("train") > total * 0.85 && out("train") < total * 0.94)
+    assert(out("val") > 0 && out("test") > 0)
+  }
+
+  test("ngram top-k is rank-consistent: counts descend, ties lexicographic") {
+    val rows = SparkEntry.queries("llm_ngram_topk")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === 20)
+    assert(rows.map(_._1).toSeq === (1 to 20))
+    rows.sliding(2).foreach { case Array((_, t1, n1), (_, t2, n2)) =>
+      assert(n1 > n2 || (n1 === n2 && t1 < t2), s"($t1,$n1) before ($t2,$n2)")
+    }
+  }
 }
