@@ -335,15 +335,15 @@ object OlapOps {
     * merging session state). Window end = last event + gap, mirrored
     * in the oracle's islands computation. A new event exactly at the
     * gap boundary starts a new session in both formulations (diff >=
-    * gap ends; the window end is exclusive).
+    * gap ends; the window end is exclusive). Delegates to
+    * `StreamingOps.sessionWindowCounts` — the SAME code runs on a
+    * watermarked stream in `StreamingSpec` (parity by construction,
+    * like `j15_click_attribution`).
     */
   private val sessionWindowAgg = QueryDef(
     "a12b_session_window",
-    (s, dir) => t(s, dir, "events")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("sw.start").as("session_start"),
-        col("sw.end").as("session_end"), col("n_events"))
+    (s, dir) => graft.streaming.StreamingOps
+      .sessionWindowCounts(t(s, dir, "events"))
       .orderBy("user_id", "session_start"),
     Some("""WITH e AS (
            |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -26,6 +26,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object StreamingOps {
 
+  /** Native `session_window` gap sessions — ONE declarative groupBy
+    * that runs identically batch (the `a12b_session_window` oracle row
+    * calls this) and streaming (merging session state; with the
+    * watermark, closed sessions emit in append mode and state is
+    * bounded by gap + watermark delay). Expects (user_id, ts); session
+    * end = last event + gap, end-exclusive.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+  }
+
   /** Tumbling event-time aggregation with late-data watermark. Works on
     * any frame with (ts TIMESTAMP, event_type STRING, value DOUBLE) —
     * batch or streaming (same plan shape, which is the point).

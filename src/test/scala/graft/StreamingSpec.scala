@@ -193,4 +193,47 @@ class StreamingSpec extends SparkSpec {
       assert(ext.getAs[Double]("total_value") === 15.0)
     } finally q.stop()
   }
+
+  test("sessionWindowCounts (a12b's code) emits closed sessions on a watermarked stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")), // same session (gap < 30 min)
+      (1L, ts("2024-01-01 01:30:00")), // new session for user 1
+      (2L, ts("2024-01-01 00:05:00")))
+    val flush = (99L, ts("2024-01-01 12:00:00")) // advances the watermark
+
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.sessionWindowCounts(stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("swc").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      stream.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("swc")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+    // Sessions whose end precedes the watermark (12:00 - 1h) have closed;
+    // the flush user's own session is still open and must NOT appear.
+    assert(streamed.toSeq === Seq(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:40:00.0", 2L),
+      (1L, "2024-01-01 01:30:00.0", "2024-01-01 02:00:00.0", 1L),
+      (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:35:00.0", 1L)))
+
+    // The SAME function over the same rows as a batch frame produces the
+    // same closed sessions (plus the flush user's, which batch can close).
+    val batch = StreamingOps.sessionWindowCounts(
+      (rows :+ flush).toDF("user_id", "ts"))
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+    assert(batch.toSeq === streamed.toSeq)
+  }
 }
