@@ -129,52 +129,6 @@ object DagRunner {
     * partitions were written scans only the reprocessing window (one
     * narrow column, map-side combined).
     */
-  /** Upsert `updates` into the parquet target by `uniqueKey`,
-    * PARTITION-SCOPED: only the partitions the update frame touches are
-    * read back, merged (existing rows whose key is being updated are
-    * anti-joined away, then the updates union in), and dynamically
-    * overwritten — a day of updates against a 100 TB table rewrites one
-    * day, not the table. The merged window is staged to a scratch dir
-    * first because Spark (correctly) refuses to overwrite a path it is
-    * lazily reading from; the stage write is the same bounded window.
-    *
-    * Contract: `updates` carries at most one row per `uniqueKey` (dbt's
-    * unique_key contract) and a key's partition value must not change
-    * across runs (else the old row lives in a partition this run never
-    * rewrites — same constraint dbt merge has when the table is
-    * partition-filtered).
-    */
-  def writeMerge(spark: SparkSession, updates: DataFrame, path: String,
-                 uniqueKey: String, partitionCol: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) {
-      updates.write.partitionBy(partitionCol).parquet(path)
-      return
-    }
-    val parts = updates.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val old = spark.read.schema(updates.schema).parquet(path)
-      .filter(col(partitionCol).cast("string").isin(parts: _*))
-    // No broadcast hint: the update-key set is usually small (AQE will
-    // broadcast it), but a backfill-sized update must stay a shuffled
-    // anti join rather than OOM the driver.
-    val survivors = old.join(
-      updates.select(col(uniqueKey)).distinct(), Seq(uniqueKey), "left_anti")
-    // NOT dot/underscore-prefixed: Spark's file index treats those as
-    // hidden and would read the staging dir back as empty.
-    val staging = new Path(root.getParent, s"${root.getName}-merge-staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
-    try {
-      survivors.unionByName(updates)
-        .write.partitionBy(partitionCol).parquet(staging.toString)
-      spark.read.schema(updates.schema).parquet(staging.toString)
-        .write.option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").partitionBy(partitionCol).parquet(path)
-    } finally if (fs.exists(staging)) fs.delete(staging, true)
-  }
-
   def writeIncremental(spark: SparkSession, df: DataFrame, path: String,
                        partitionCol: String, partitions: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
@@ -194,5 +148,73 @@ object DagRunner {
           .getPartitionPathString(partitionCol, p))
       if (fs.exists(dir)) fs.delete(dir, true)
     }
+  }
+
+  /** Upsert `updates` into the parquet target by `uniqueKey`,
+    * PARTITION-SCOPED: only the partitions the update frame touches are
+    * read back, merged (existing rows whose key is being updated are
+    * anti-joined away, then the updates union in), and dynamically
+    * overwritten — a day of updates against a 100 TB table rewrites one
+    * day, not the table. The merged window is staged to a scratch dir
+    * first because Spark (correctly) refuses to overwrite a path it is
+    * lazily reading from; the stage write is the same bounded window.
+    * `updates` is persisted for the three passes over it (partition
+    * list, key probe, staged union) so the upstream model pipeline runs
+    * once, not three times.
+    *
+    * A NULL partition value is part of the window like any other:
+    * survivors are selected with an explicit isNull branch (a bare
+    * `isin` over a list containing null matches NOTHING under SQL null
+    * semantics — old null-partition rows would silently vanish when the
+    * dynamic overwrite replaces `__HIVE_DEFAULT_PARTITION__`).
+    *
+    * Failure behavior: if the final overwrite dies mid-commit, the
+    * staging dir is deliberately LEFT IN PLACE — it holds the only
+    * complete copy of the merged window once target partitions have
+    * started being replaced. Staging is deleted only after a successful
+    * overwrite (and any stale leftover is cleared at the start of the
+    * next run).
+    *
+    * Contract: `updates` carries at most one row per `uniqueKey` (dbt's
+    * unique_key contract) and a key's partition value must not change
+    * across runs (else the old row lives in a partition this run never
+    * rewrites — same constraint dbt merge has when the table is
+    * partition-filtered).
+    */
+  def writeMerge(spark: SparkSession, updates: DataFrame, path: String,
+                 uniqueKey: String, partitionCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) {
+      updates.write.partitionBy(partitionCol).parquet(path)
+      return
+    }
+    updates.persist()
+    try {
+      val parts = updates.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val partStr = col(partitionCol).cast("string")
+      val nonNullParts = parts.filter(_ != null)
+      val inWindow =
+        if (parts.contains(null)) partStr.isin(nonNullParts: _*) || partStr.isNull
+        else partStr.isin(nonNullParts: _*)
+      val old = spark.read.schema(updates.schema).parquet(path).filter(inWindow)
+      // No broadcast hint: the update-key set is usually small (AQE will
+      // broadcast it), but a backfill-sized update must stay a shuffled
+      // anti join rather than OOM the driver.
+      val survivors = old.join(
+        updates.select(col(uniqueKey)).distinct(), Seq(uniqueKey), "left_anti")
+      // NOT dot/underscore-prefixed: Spark's file index treats those as
+      // hidden and would read the staging dir back as empty.
+      val staging = new Path(root.getParent, s"${root.getName}-merge-staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      survivors.unionByName(updates)
+        .write.partitionBy(partitionCol).parquet(staging.toString)
+      spark.read.schema(updates.schema).parquet(staging.toString)
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy(partitionCol).parquet(path)
+      fs.delete(staging, true) // success only — see scaladoc
+    } finally updates.unpersist()
   }
 }

@@ -167,24 +167,37 @@ object PrivacyOps {
     * element; if quantization ever dominates a profile, the typed
     * `Dataset.map` JVM-loop form is the drop-in upgrade.
     */
+  /** Adds `scale_r` + `q8` to any frame with an `embedding` float-array
+    * column. All-zero vectors (failed encoder output) get scale=0 → q8
+    * all zeros, NOT 127/0=Inf whose 0·Inf=NaN casts differently in the
+    * two engines (Spark→0, DuckDB→error); zero-path pinned in
+    * `PrivacyOpsSpec`.
+    */
+  def quantizeInt8(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+    .withColumn("maxabs",
+      expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+    .withColumn("scale",
+      when(col("maxabs") === 0d, lit(0.0)).otherwise(lit(127.0) / col("maxabs")))
+    .withColumn("scale_r", roundTo(col("scale"), 6))
+    .withColumn("q8",
+      expr("array_join(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)), ',')"))
+
   private val embedQuantize = QueryDef(
     "llm_embed_quantize",
-    (s, dir) => Tables.load(s, dir, "embeddings")
-      .withColumn("maxabs",
-        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
-      .withColumn("scale", lit(127.0) / col("maxabs"))
-      .select(col("vec_id"), roundTo(col("scale"), 6).as("scale_r"),
-        expr("array_join(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)), ',')")
-          .as("q8"))
+    (s, dir) => quantizeInt8(Tables.load(s, dir, "embeddings"))
+      .select("vec_id", "scale_r", "q8")
       .orderBy("vec_id"),
     Some("""SELECT vec_id,
-           |  floor(127.0 / maxabs * 1000000 + 0.5) / 1000000 AS scale_r,
+           |  floor(scale * 1000000 + 0.5) / 1000000 AS scale_r,
            |  array_to_string(list_transform(embedding,
-           |    x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INTEGER)), ',') AS q8
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)), ',') AS q8
            |FROM (
            |  SELECT vec_id, embedding,
-           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-           |  FROM embeddings)
+           |    CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale
+           |  FROM (
+           |    SELECT vec_id, embedding,
+           |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           |    FROM embeddings))
            |ORDER BY vec_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(piiRedact, urlCanon, embedQuantize)

@@ -113,7 +113,7 @@ object TimeSeriesOps {
            |  count(*) AS n
            |FROM (
            |  SELECT user_id, value,
-           |    CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT) * 21600) AS TIMESTAMP) AS bucket,
+           |    make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT) * 21600 * 1000000) AS bucket,
            |    row_number() OVER (PARTITION BY user_id,
            |      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT)
            |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_a,

@@ -160,6 +160,31 @@ class EngineSpec extends SparkSpec {
     assert(out("m_upsert").count() === 1L)
   }
 
+  test("merge upsert preserves untouched rows in the NULL partition") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_merge_null").toFile.getAbsolutePath + "/t"
+    def df(rows: (Long, String, Int)*) =
+      spark.createDataFrame(rows).toDF("k", "evt_date", "v")
+
+    // Seed: two rows in the NULL partition, one in a real date.
+    DagRunner.writeMerge(spark, df(
+      (1L, null, 10), (2L, null, 20), (3L, "2024-03-01", 30)),
+      dir, "k", "evt_date")
+    // Update key 1 — its partition value is NULL, so the window is the
+    // NULL partition: key 2 must SURVIVE the dynamic overwrite of
+    // __HIVE_DEFAULT_PARTITION__ (a bare isin over a null-bearing list
+    // matches nothing and would silently drop it).
+    DagRunner.writeMerge(spark, df((1L, null, 11)), dir, "k", "evt_date")
+
+    val got = spark.read.parquet(dir).select("k", "evt_date", "v")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString).orNull, r.getInt(2))).toSet
+    assert(got === Set(
+      (1L, null, 11),          // updated in the NULL partition
+      (2L, null, 20),          // untouched NULL-partition row preserved
+      (3L, "2024-03-01", 30))) // other partition untouched
+  }
+
   test("insert-overwrite is idempotent for the same window") {
     val dir = Files.createTempDirectory("graft_inc2").toFile.getAbsolutePath + "/t"
     val df = spark.createDataFrame(Seq(("2024-02-01", 5), ("2024-02-02", 7)))

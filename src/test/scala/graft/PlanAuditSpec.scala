@@ -93,15 +93,21 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("w8_scd2_history runs both windows over one shuffle on user_id") {
-    val df = SparkEntry.queries("w8_scd2_history")(spark, dir)
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }
-    // One hash partitioning on user_id shared by lag + lead, plus the
-    // final global ORDER BY range exchange — nothing else.
-    assert(exchanges.size <= 2,
-      s"SCD2 build must reuse the user_id partitioning across its windows, " +
-        s"got ${exchanges.size} exchanges")
+    // AQE hides its inner tree from plan.collect — with it on, the
+    // exchange count is always 0 and the assertion would be vacuous.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("w8_scd2_history")(spark, dir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      // One hash partitioning on user_id shared by lag + lead, plus the
+      // final global ORDER BY range exchange — nothing else.
+      assert(exchanges.nonEmpty, "AQE must be off so the plan is inspectable")
+      assert(exchanges.size <= 2,
+        s"SCD2 build must reuse the user_id partitioning across its windows, " +
+          s"got ${exchanges.size} exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("ts1_gapfill_interp is single-scan: lead+explode, no spine join") {

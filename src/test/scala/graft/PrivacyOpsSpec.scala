@@ -69,4 +69,15 @@ class PrivacyOpsSpec extends SparkSpec {
       .withColumn("bound", col("maxabs") / 254.0 * 1.0000001)
     assert(joined.filter(col("maxerr") > col("bound")).count() === 0L)
   }
+
+  test("int8 quantization of an all-zero vector: scale 0, q8 all zeros (no NaN)") {
+    import spark.implicits._
+    val out = PrivacyOps.quantizeInt8(
+      Seq((1L, Array(0f, 0f, 0f)), (2L, Array(0f, -2f, 1f))).toDF("vec_id", "embedding"))
+      .select("vec_id", "scale_r", "q8").collect().sortBy(_.getLong(0))
+    assert(out(0).getDouble(1) === 0.0)
+    assert(out(0).getString(2) === "0,0,0")
+    assert(out(1).getDouble(1) === 63.5)
+    assert(out(1).getString(2) === "0,-127,64") // floor(63.5+0.5)=64
+  }
 }
