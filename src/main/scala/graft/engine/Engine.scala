@@ -217,4 +217,64 @@ object DagRunner {
       fs.delete(staging, true) // success only — see scaladoc
     } finally updates.unpersist()
   }
+
+  /** Targeted erasure (the GDPR right-to-be-forgotten job every
+    * long-lived table needs): delete all rows whose `keyCol` appears in
+    * `keys`, rewriting ONLY partitions that contain at least one hit —
+    * a handful of user-ids against a 100 TB table rewrites the touched
+    * partitions, not the table. `keys` is a DataFrame, not a driver
+    * list: erasure batches can be millions of keys, so the probe and
+    * the anti-join stay distributed (semi/anti joins AQE can
+    * broadcast when small). Partitions whose every row is deleted are
+    * dropped explicitly (dynamic overwrite never replaces a partition
+    * the staged frame has no rows for). NULL-partition and staging
+    * semantics follow `writeMerge` (explicit isNull branch; staging
+    * kept on failure). Returns the number of rows deleted.
+    */
+  def deleteByKeys(spark: SparkSession, path: String, keyCol: String,
+                   keys: DataFrame, partitionCol: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val table = spark.read.parquet(path)
+    val keyDf = keys.select(col(keyCol)).distinct()
+    val partStr = col(partitionCol).cast("string")
+    // Probe pass: key + partition columns only (column-pruned scan).
+    val hits = table.join(keyDf, Seq(keyCol), "left_semi")
+      .select(partStr.as("p")).persist()
+    val touched = hits.groupBy("p").count().collect()
+    val nHits = touched.map(_.getLong(1)).sum
+    hits.unpersist()
+    if (touched.isEmpty) return 0L
+    val touchedParts = touched.map(r => Option(r.getString(0))).toSeq
+    val nonNull = touchedParts.flatten
+    val inWindow =
+      if (touchedParts.contains(None)) partStr.isin(nonNull: _*) || partStr.isNull
+      else partStr.isin(nonNull: _*)
+    // Keep the original column order: a Seq-join reorders keyCol first,
+    // and mixed column orders across parquet files corrupt later reads.
+    val survivors = table.filter(inWindow)
+      .join(keyDf, Seq(keyCol), "left_anti")
+      .select(table.columns.map(col): _*).persist()
+    val staging = new Path(root.getParent, s"${root.getName}-erase-staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    try {
+      survivors.write.partitionBy(partitionCol).parquet(staging.toString)
+      spark.read.schema(table.schema).parquet(staging.toString)
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy(partitionCol).parquet(path)
+      // Touched partitions with zero survivors must be dropped by hand.
+      val written = survivors.select(partStr).distinct().collect()
+        .map(r => Option(r.getString(0))).toSet
+      touchedParts.filterNot(written).foreach { p =>
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val dir = new Path(root, ExternalCatalogUtils.getPartitionPathString(
+          partitionCol, p.getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+      fs.delete(staging, true) // success only, as in writeMerge
+    } finally survivors.unpersist()
+    nHits
+  }
 }

@@ -179,8 +179,9 @@ object PrivacyOps {
     .withColumn("scale",
       when(col("maxabs") === 0d, lit(0.0)).otherwise(lit(127.0) / col("maxabs")))
     .withColumn("scale_r", roundTo(col("scale"), 6))
-    .withColumn("q8",
-      expr("array_join(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)), ',')"))
+    .withColumn("q8v",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT))"))
+    .withColumn("q8", expr("array_join(q8v, ',')"))
 
   private val embedQuantize = QueryDef(
     "llm_embed_quantize",

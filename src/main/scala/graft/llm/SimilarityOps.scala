@@ -344,5 +344,75 @@ object SimilarityOps {
            |SELECT va AS vec_a, vb AS vec_b, cos_sim FROM scored
            |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, nearDup)
+  /** Brute-force cosine top-k over the INT8-QUANTIZED codes — the
+    * serving-path variant of `llm_cosine_topk`: the corpus lives as
+    * 64-byte codes (16× smaller than float32, so 16× more vectors per
+    * executor and per shuffle byte) and similarity is an integer dot
+    * product. Per-vector scales cancel in the cosine, so the score is
+    * `dot(qa,qb) / (sqrt(Σqa²)·sqrt(Σqb²))` — ALL-INTEGER numerators
+    * and norms make the cross-engine comparison exact (no float-sum
+    * ordering drift), which is why this row can hash-match DuckDB.
+    * Same broadcast-queries / one-corpus-scan shape as the float row;
+    * `PrivacyOpsSpec` pins top-5 recall of the quantized ranking vs
+    * the exact float ranking.
+    *
+    * Scored with the fused native `cosine` expression over the codes
+    * cast to double (int8 products and 64-element sums are exact
+    * integers far below 2^53, so the codegen'd double loop equals the
+    * all-integer oracle formula bit-for-bit) — the interpreted
+    * `aggregate(zip_with(...))` formulation of the same score benched
+    * 5× slower at sf0.1.
+    */
+  private val topkQ8 = QueryDef(
+    "llm_cosine_topk_q8",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val qz = PrivacyOps.quantizeInt8(Tables.load(s, dir, "embeddings"))
+        .filter(col("scale") > 0) // zero vectors have no direction — excluded
+        .withColumn("q8d", col("q8v").cast("array<double>"))
+        .select("vec_id", "q8d")
+      val q = qz.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q8d").as("qq"))
+      qz.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos_q8", roundTo(cosine(col("qq"), col("q8d")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_q8").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos_q8")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH sc AS (
+           |  SELECT vec_id, embedding,
+           |    CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale
+           |  FROM (
+           |    SELECT vec_id, embedding,
+           |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           |    FROM embeddings)),
+           |qz AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS qv
+           |  FROM sc),
+           |q AS (SELECT vec_id AS qid, qv AS qq FROM qz WHERE vec_id < 8),
+           |pairs AS (
+           |  SELECT qid, vec_id, qq, qv FROM q, qz WHERE vec_id <> qid),
+           |terms AS (
+           |  SELECT qid, vec_id,
+           |    CAST(unnest(qq) AS BIGINT) AS qx, CAST(unnest(qv) AS BIGINT) AS vx
+           |  FROM pairs),
+           |scored AS (
+           |  SELECT qid, vec_id,
+           |    floor(CAST(sum(qx * vx) AS DOUBLE)
+           |          / (sqrt(CAST(sum(qx * qx) AS DOUBLE)) * sqrt(CAST(sum(vx * vx) AS DOUBLE)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_q8
+           |  FROM terms GROUP BY qid, vec_id
+           |  HAVING sum(qx * qx) > 0 AND sum(vx * vx) > 0),
+           |ranked AS (
+           |  SELECT qid, vec_id, cos_q8,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos_q8 DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_q8
+           |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, nearDup, topkQ8)
 }

@@ -104,5 +104,51 @@ object SourceFormats {
       .select("doc_id", "text", "lang", "source", "n_chars"),
     Some(docsOracle))
 
-  val all: Seq[QueryDef] = Seq(jsonSource, csvSource, orcSource)
+  /** Corrupt-record QUARANTINE — the ingest posture for hostile 100 TB
+    * feeds where FAILFAST would let one bad line kill a day's load:
+    * PERMISSIVE parsing routes malformed lines (truncated JSON, non-JSON
+    * garbage) and type-mismatched fields into the corrupt-record column
+    * so good rows load and bad raw lines are preserved for triage. The
+    * fixture file is written deterministically each run (3 valid lines,
+    * 2 malformed, 1 type-mismatch); the oracle mirrors the expected
+    * parse verdicts literally — pinning WHICH lines quarantine and that
+    * partially-parseable rows keep their parseable fields.
+    */
+  private val jsonQuarantine = QueryDef(
+    "s14_json_quarantine",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val lines = Seq(
+        """{"doc_id": 1, "text": "alpha", "n_chars": 5}""",
+        """{"doc_id": 2, "text": "beta", "n_chars": 4""", // truncated
+        """{"doc_id": 3, "text": "gamma", "n_chars": 5}""",
+        """not json at all""",
+        """{"doc_id": "NaN", "text": "delta", "n_chars": 5}""", // type mismatch
+        """{"doc_id": 6, "text": "zeta", "n_chars": 4}""")
+      val out = s"${sys.props("java.io.tmpdir")}/graft-src-quarantine"
+      lines.toDS().coalesce(1).write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("n_chars", LongType), StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          col("_bad").isNotNull.as("is_quarantined"), col("_bad").as("bad_raw"))
+        .orderBy(col("is_quarantined"), col("doc_id").asc_nulls_first,
+          col("bad_raw").asc_nulls_first)
+    },
+    Some("""SELECT * FROM (VALUES
+           |  (1, 'alpha', 5, false, NULL),
+           |  (3, 'gamma', 5, false, NULL),
+           |  (6, 'zeta', 4, false, NULL),
+           |  (NULL, NULL, NULL, true, '{"doc_id": 2, "text": "beta", "n_chars": 4'),
+           |  (NULL, NULL, NULL, true, 'not json at all'),
+           |  (NULL, 'delta', 5, true, '{"doc_id": "NaN", "text": "delta", "n_chars": 5}')
+           |) AS t(doc_id, text, n_chars, is_quarantined, bad_raw)
+           |ORDER BY is_quarantined, doc_id NULLS FIRST, bad_raw NULLS FIRST""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(jsonSource, csvSource, orcSource, jsonQuarantine)
 }

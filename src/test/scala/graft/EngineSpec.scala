@@ -185,6 +185,43 @@ class EngineSpec extends SparkSpec {
       (3L, "2024-03-01", 30))) // other partition untouched
   }
 
+  test("deleteByKeys erases hits, drops emptied partitions, leaves the rest byte-identical") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_erase").toFile.getAbsolutePath + "/t"
+    def df(rows: (Long, String, Int)*) =
+      spark.createDataFrame(rows).toDF("k", "evt_date", "v")
+
+    // Partition A: partial hit; B: ALL rows hit; C: no hits; NULL: one hit.
+    df((1L, "2024-04-01", 10), (2L, "2024-04-01", 20),
+       (3L, "2024-04-02", 30),
+       (4L, "2024-04-03", 40),
+       (5L, null, 50), (6L, null, 60))
+      .write.partitionBy("evt_date").parquet(dir)
+    val dayC = new java.io.File(s"$dir/evt_date=2024-04-03")
+    val before = dayC.listFiles().map(_.getName).toSet
+
+    val keys = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(3L), Tuple1(5L),
+      Tuple1(999L))).toDF("k")
+    val deleted = DagRunner.deleteByKeys(spark, dir, "k", keys, "evt_date")
+    assert(deleted === 3L, "three keys exist in the table (999 does not)")
+
+    val got = spark.read.parquet(dir).select("k", "evt_date", "v")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString).orNull, r.getInt(2))).toSet
+    assert(got === Set(
+      (2L, "2024-04-01", 20), // survivor in the partial partition
+      (4L, "2024-04-03", 40), // untouched partition
+      (6L, null, 60)))        // NULL-partition survivor
+    // The fully-erased partition directory is gone.
+    assert(!new java.io.File(s"$dir/evt_date=2024-04-02").exists(),
+      "a partition whose every row was deleted must be dropped")
+    // Untouched partitions were not rewritten.
+    assert(dayC.listFiles().map(_.getName).toSet === before)
+
+    // Idempotent: nothing left to delete.
+    assert(DagRunner.deleteByKeys(spark, dir, "k", keys, "evt_date") === 0L)
+  }
+
   test("insert-overwrite is idempotent for the same window") {
     val dir = Files.createTempDirectory("graft_inc2").toFile.getAbsolutePath + "/t"
     val df = spark.createDataFrame(Seq(("2024-02-01", 5), ("2024-02-02", 7)))

@@ -80,4 +80,15 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(out(1).getDouble(1) === 63.5)
     assert(out(1).getString(2) === "0,-127,64") // floor(63.5+0.5)=64
   }
+
+  test("quantized top-5 retrieval recalls the exact float top-5") {
+    val exact = SparkEntry.queries("llm_cosine_topk")(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q8 = SparkEntry.queries("llm_cosine_topk_q8")(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q8.size === exact.size)
+    val recall = (exact & q8).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      f"int8 top-5 must substantially agree with float top-5, recall=$recall%.2f")
+  }
 }
