@@ -397,7 +397,36 @@ object OlapOps {
     Some("""SELECT event_type, count(*) AS n, true AS cms_ok
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** EXACT interpolated percentiles (median + quartiles) per group —
+    * the ground truth the GK sketch (`a9`) approximates. Spark's
+    * `percentile` is a sort-based exact aggregate (same linear
+    * interpolation as DuckDB's `quantile_cont`), so unlike float SUMs
+    * the result is independent of partial-aggregation order and can be
+    * rounded-then-hashed. Exact percentiles hold the whole group in
+    * memory — that is WHY `a9`'s sketch exists; this row is the
+    * small-group/audit path, `a9` is the 100 TB path.
+    */
+  private val exactPercentiles = QueryDef(
+    "a16_exact_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("_qs"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        roundTo(element_at(col("_qs"), 1), 4).as("p25"),
+        roundTo(element_at(col("_qs"), 2), 4).as("p50"),
+        roundTo(element_at(col("_qs"), 3), 4).as("p75"),
+        col("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+           |  floor(quantile_cont(l_extendedprice, 0.5)  * 10000 + 0.5) / 10000 AS p50,
+           |  floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize,
     movingAvg, rankFamily, existsSemiAnti, cubeGrouping, windowedDistinct,
-    groupingSets, scd2History, clickAttribution, sessionWindowAgg, cmsFreq)
+    groupingSets, scd2History, clickAttribution, sessionWindowAgg, cmsFreq,
+    exactPercentiles)
 }
