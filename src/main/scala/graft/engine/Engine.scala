@@ -142,12 +142,36 @@ object DagRunner {
       .parquet(path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) partitions.filterNot(written).foreach { p =>
-      val dir = new Path(root,
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partitionCol, p))
-      if (fs.exists(dir)) fs.delete(dir, true)
-    }
+    if (fs.exists(root)) partitions.filterNot(written)
+      .foreach(p => dropPartitionDir(fs, root, partitionCol, Option(p)))
+  }
+
+  /** NULL-safe partition-window predicate: a bare `isin` over a list
+    * containing null matches NOTHING under SQL null semantics, so the
+    * NULL partition needs an explicit isNull branch. Shared by
+    * writeMerge and deleteByKeys so the null handling can never
+    * diverge between them.
+    */
+  private def partitionWindow(partitionCol: String,
+                              parts: Seq[Option[String]]): org.apache.spark.sql.Column = {
+    val partStr = col(partitionCol).cast("string")
+    val nonNull = parts.flatten
+    if (parts.contains(None)) partStr.isin(nonNull: _*) || partStr.isNull
+    else partStr.isin(nonNull: _*)
+  }
+
+  /** Delete one partition directory (None = the NULL partition's
+    * `__HIVE_DEFAULT_PARTITION__`), using the same escaping Spark's
+    * writer uses for the directory name.
+    */
+  private def dropPartitionDir(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path,
+                               partitionCol: String, value: Option[String]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val dir = new org.apache.hadoop.fs.Path(root,
+      ExternalCatalogUtils.getPartitionPathString(
+        partitionCol, value.getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
+    if (fs.exists(dir)) fs.delete(dir, true)
   }
 
   /** Upsert `updates` into the parquet target by `uniqueKey`,
@@ -190,16 +214,15 @@ object DagRunner {
       updates.write.partitionBy(partitionCol).parquet(path)
       return
     }
-    updates.persist()
+    // Persist only if the CALLER has not: unpersisting a caller-owned
+    // cache here would silently evict it for their later reuse.
+    val weCache = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCache) updates.persist()
     try {
       val parts = updates.select(col(partitionCol).cast("string"))
-        .distinct().collect().map(_.getString(0)).toSeq
-      val partStr = col(partitionCol).cast("string")
-      val nonNullParts = parts.filter(_ != null)
-      val inWindow =
-        if (parts.contains(null)) partStr.isin(nonNullParts: _*) || partStr.isNull
-        else partStr.isin(nonNullParts: _*)
-      val old = spark.read.schema(updates.schema).parquet(path).filter(inWindow)
+        .distinct().collect().map(r => Option(r.getString(0))).toSeq
+      val old = spark.read.schema(updates.schema).parquet(path)
+        .filter(partitionWindow(partitionCol, parts))
       // No broadcast hint: the update-key set is usually small (AQE will
       // broadcast it), but a backfill-sized update must stay a shuffled
       // anti join rather than OOM the driver.
@@ -215,7 +238,7 @@ object DagRunner {
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").partitionBy(partitionCol).parquet(path)
       fs.delete(staging, true) // success only — see scaladoc
-    } finally updates.unpersist()
+    } finally if (weCache) updates.unpersist()
   }
 
   /** Targeted erasure (the GDPR right-to-be-forgotten job every
@@ -240,39 +263,39 @@ object DagRunner {
     val table = spark.read.parquet(path)
     val keyDf = keys.select(col(keyCol)).distinct()
     val partStr = col(partitionCol).cast("string")
-    // Probe pass: key + partition columns only (column-pruned scan).
-    val hits = table.join(keyDf, Seq(keyCol), "left_semi")
-      .select(partStr.as("p")).persist()
-    val touched = hits.groupBy("p").count().collect()
+    // Probe pass: key + partition columns only (column-pruned scan);
+    // one aggregation yields both the touched-partition set and the
+    // total hit count — no persist needed for a single action.
+    val touched = table.join(keyDf, Seq(keyCol), "left_semi")
+      .groupBy(partStr.as("p")).count().collect()
     val nHits = touched.map(_.getLong(1)).sum
-    hits.unpersist()
     if (touched.isEmpty) return 0L
     val touchedParts = touched.map(r => Option(r.getString(0))).toSeq
-    val nonNull = touchedParts.flatten
-    val inWindow =
-      if (touchedParts.contains(None)) partStr.isin(nonNull: _*) || partStr.isNull
-      else partStr.isin(nonNull: _*)
     // Keep the original column order: a Seq-join reorders keyCol first,
     // and mixed column orders across parquet files corrupt later reads.
-    val survivors = table.filter(inWindow)
+    val survivors = table.filter(partitionWindow(partitionCol, touchedParts))
       .join(keyDf, Seq(keyCol), "left_anti")
       .select(table.columns.map(col): _*).persist()
     val staging = new Path(root.getParent, s"${root.getName}-erase-staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     try {
       survivors.write.partitionBy(partitionCol).parquet(staging.toString)
+      // Collect the surviving-partition set BEFORE mutating the target:
+      // after the overwrite, losing a cache block would recompute
+      // `survivors` against source files the overwrite just deleted —
+      // FileNotFoundException at best, and with ignoreMissingFiles a
+      // silently smaller set that makes the drop loop below delete a
+      // partition that still has survivors.
+      val written = survivors.select(partStr).distinct().collect()
+        .map(r => Option(r.getString(0))).toSet
       spark.read.schema(table.schema).parquet(staging.toString)
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").partitionBy(partitionCol).parquet(path)
-      // Touched partitions with zero survivors must be dropped by hand.
-      val written = survivors.select(partStr).distinct().collect()
-        .map(r => Option(r.getString(0))).toSet
-      touchedParts.filterNot(written).foreach { p =>
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        val dir = new Path(root, ExternalCatalogUtils.getPartitionPathString(
-          partitionCol, p.getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
-        if (fs.exists(dir)) fs.delete(dir, true)
-      }
+      // Touched partitions with zero survivors must be dropped by hand
+      // (dynamic overwrite never replaces a partition the staged frame
+      // has no rows for).
+      touchedParts.filterNot(written)
+        .foreach(p => dropPartitionDir(fs, root, partitionCol, p))
       fs.delete(staging, true) // success only, as in writeMerge
     } finally survivors.unpersist()
     nHits

@@ -153,27 +153,33 @@ object PrivacyOps {
            |      FROM documents)))
            |ORDER BY doc_id""".stripMargin))
 
-  /** Int8 symmetric quantization of the embedding column — the
-    * compression step before an ANN index ships to serving. scale =
-    * 127 / max|x|; q_i = floor(x_i*scale + 0.5) (the portable
-    * half-away formula for non-negative .5 offsets — identical in both
-    * engines, no round() semantics in play). Emitted as a joined
-    * string so the oracle hash pins every element. float→double
-    * promotion is exact IEEE in both engines, so the doubles agree
-    * bit-for-bit before the floor.
+  /** Int8 symmetric quantization of an `embedding` float-array column —
+    * the compression step before an ANN index ships to serving. scale =
+    * 127 / max|x|; q_i = floor(x_i*scale + 0.5) (the portable half-away
+    * formula for non-negative .5 offsets — identical in both engines,
+    * no round() semantics in play). float→double promotion is exact
+    * IEEE in both engines, so the doubles agree bit-for-bit before the
+    * floor. All-zero vectors (failed encoder output) get scale=0 → q8
+    * all zeros, NOT 127/0=Inf whose 0·Inf=NaN casts differently in the
+    * two engines (Spark→0, DuckDB→error); zero-path pinned in
+    * `PrivacyOpsSpec`.
+    *
+    * ADDS COLUMNS `maxabs`, `scale`, `scale_r`, `q8v` (int codes — the
+    * retrieval input for `llm_cosine_topk_q8`), and `q8` (the codes as
+    * a joined string, hash-pinnable by the oracle); the input frame
+    * must not already carry any of them (guarded).
     *
     * The array HOFs here evaluate interpreted (no codegen — see the
     * winnowing note in TextOps), which is acceptable at 2 flops per
     * element; if quantization ever dominates a profile, the typed
     * `Dataset.map` JVM-loop form is the drop-in upgrade.
     */
-  /** Adds `scale_r` + `q8` to any frame with an `embedding` float-array
-    * column. All-zero vectors (failed encoder output) get scale=0 → q8
-    * all zeros, NOT 127/0=Inf whose 0·Inf=NaN casts differently in the
-    * two engines (Spark→0, DuckDB→error); zero-path pinned in
-    * `PrivacyOpsSpec`.
-    */
-  def quantizeInt8(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+  def quantizeInt8(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val added = Seq("maxabs", "scale", "scale_r", "q8v", "q8")
+    val clash = df.columns.intersect(added)
+    require(clash.isEmpty,
+      s"quantizeInt8 adds columns ${added.mkString(", ")}; input already has ${clash.mkString(", ")}")
+    df
     .withColumn("maxabs",
       expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
     .withColumn("scale",
@@ -182,6 +188,7 @@ object PrivacyOps {
     .withColumn("q8v",
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT))"))
     .withColumn("q8", expr("array_join(q8v, ',')"))
+  }
 
   private val embedQuantize = QueryDef(
     "llm_embed_quantize",

@@ -126,7 +126,9 @@ object SourceFormats {
         """not json at all""",
         """{"doc_id": "NaN", "text": "delta", "n_chars": 5}""", // type mismatch
         """{"doc_id": 6, "text": "zeta", "n_chars": 4}""")
-      val out = s"${sys.props("java.io.tmpdir")}/graft-src-quarantine"
+      // Suffixed with the data dir like roundTrip's paths: concurrent
+      // processes (bench + test suite) must not race on one directory.
+      val out = s"${sys.props("java.io.tmpdir")}/graft-src-quarantine-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       lines.toDS().coalesce(1).write.mode("overwrite").text(out)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
