@@ -422,6 +422,49 @@ object TextOps {
            |QUALIFY rk <= 20
            |ORDER BY rk""".stripMargin))
 
+  /** BPE merge-candidate counting — the inner step of BPE tokenizer
+    * training: count adjacent character pairs across the corpus; the
+    * max pair becomes the next merge. Uses the classic two-stage
+    * shape: aggregate the corpus to a WORD-FREQUENCY table first (the
+    * shuffle shrinks from corpus size to vocabulary size), then explode
+    * each DISTINCT word's pairs weighted by its frequency — at 100 TB
+    * the pair aggregation runs over the vocab, never the raw text.
+    * Top-k via orderBy+limit (per-partition heaps) as in
+    * `llm_ngram_topk`. ASCII corpus; a multilingual corpus needs
+    * codepoint-aware slicing on both sides (see the winnowing note).
+    */
+  private val bpePairs = QueryDef(
+    "llm_bpe_pair_counts",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(explode(splitLit(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2) // sequence(1,0) infers step -1
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("pair"))))
+        .select("rk", "pair", "n")
+        .orderBy("rk")
+    },
+    Some("""SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rk,
+           |  pair, n FROM (
+           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |    SELECT freq, substr(word, i, 2) AS pair FROM (
+           |      SELECT word, freq, unnest(generate_series(1, strlen(word) - 1)) AS i
+           |      FROM (
+           |        SELECT word, count(*) AS freq FROM (
+           |          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |        WHERE strlen(word) >= 2 GROUP BY word)))
+           |  GROUP BY pair)
+           |QUALIFY rk <= 20
+           |ORDER BY rk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
-    textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk)
+    textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk,
+    bpePairs)
 }
