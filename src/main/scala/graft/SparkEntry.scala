@@ -12,7 +12,7 @@ import graft.operators.{DialectOps, Flagship, OlapOps, QueryDef, RelationalOps, 
   */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] =
+  private[graft] def allDefs: Seq[QueryDef] =
     RelationalOps.all ++ DialectOps.all ++ Flagship.all ++ ScaleOps.all ++ OlapOps.all ++
       TimeSeriesOps.all ++
       graft.sources.SourceFormats.all ++

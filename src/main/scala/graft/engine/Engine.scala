@@ -132,9 +132,13 @@ object DagRunner {
   def writeIncremental(spark: SparkSession, df: DataFrame, path: String,
                        partitionCol: String, partitions: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
-    val filtered = df.filter(col(partitionCol).cast("string").isin(partitions: _*))
+    // NULL-safe via the shared window predicate: a listed null (or "")
+    // partition must select its replacement rows, not silently filter
+    // them out and then have the drop loop erase the existing data.
+    val partsOpt = partitions.map(p => normPart(Option(p))).distinct
+    val filtered = df.filter(partitionWindow(partitionCol, partitions.map(Option(_))))
     val written = filtered.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
+      .distinct().collect().map(r => normPart(Option(r.getString(0)))).toSet
     filtered.write
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
@@ -142,21 +146,32 @@ object DagRunner {
       .parquet(path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) partitions.filterNot(written)
-      .foreach(p => dropPartitionDir(fs, root, partitionCol, Option(p)))
+    if (fs.exists(root)) partsOpt.filterNot(written)
+      .foreach(p => dropPartitionDir(fs, root, partitionCol, p))
   }
+
+  /** Spark's parquet writer stores BOTH null and the empty string as
+    * `__HIVE_DEFAULT_PARTITION__`, and the directory reads back as
+    * null — so for window/drop purposes "" IS the NULL partition.
+    * Normalizing here keeps an in-memory "" (from an updates frame)
+    * and the null it becomes on read in the same window.
+    */
+  private def normPart(p: Option[String]): Option[String] =
+    p.filter(_.nonEmpty)
 
   /** NULL-safe partition-window predicate: a bare `isin` over a list
     * containing null matches NOTHING under SQL null semantics, so the
-    * NULL partition needs an explicit isNull branch. Shared by
-    * writeMerge and deleteByKeys so the null handling can never
-    * diverge between them.
+    * NULL partition needs an explicit isNull-or-empty branch. Shared by
+    * writeIncremental, writeMerge, and deleteByKeys so the null
+    * handling can never diverge between them.
     */
   private def partitionWindow(partitionCol: String,
                               parts: Seq[Option[String]]): org.apache.spark.sql.Column = {
+    val normed = parts.map(normPart)
     val partStr = col(partitionCol).cast("string")
-    val nonNull = parts.flatten
-    if (parts.contains(None)) partStr.isin(nonNull: _*) || partStr.isNull
+    val nonNull = normed.flatten
+    if (normed.contains(None))
+      partStr.isin(nonNull: _*) || partStr.isNull || partStr === ""
     else partStr.isin(nonNull: _*)
   }
 

@@ -15,6 +15,20 @@ import graft.sources.Tables
   */
 object TextOps {
 
+  /** Shared corpus top-k tail: orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition heaps) — NEVER a global
+    * window over every distinct key — and the trailing row_number
+    * ranks only the k survivors. Ties break lexicographically on the
+    * key for cross-engine determinism.
+    */
+  private def rankedTopK(df: org.apache.spark.sql.DataFrame,
+                         keyCol: String, k: Int): org.apache.spark.sql.DataFrame = df
+    .orderBy(col("n").desc, col(keyCol)).limit(k)
+    .withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col(keyCol))))
+    .select("rk", keyCol, "n")
+    .orderBy("rk")
+
   /** BPE-style pre-tokenizer regex (the GPT-2 shape minus contractions
     * and the trailing-space lookahead, which RE2 — DuckDB's engine —
     * does not support): a token is an optionally space-prefixed letter
@@ -399,15 +413,7 @@ object TextOps {
             |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin))
           .as("trigram"))
         .groupBy("trigram").agg(count(lit(1)).as("n"))
-        // top-k via orderBy+limit = TakeOrderedAndProject (per-partition
-        // heaps), NOT a global window over every distinct trigram — the
-        // trailing row_number then ranks only the 20 survivors.
-        .orderBy(col("n").desc, col("trigram")).limit(20)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("n").desc, col("trigram"))))
-        .select("rk", "trigram", "n")
-        .orderBy("rk")
+        .transform(rankedTopK(_, "trigram", 20))
     },
     Some("""SELECT CAST(row_number() OVER (ORDER BY n DESC, trigram) AS INTEGER) AS rk,
            |  trigram, n FROM (
@@ -444,22 +450,17 @@ object TextOps {
           "transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))"))
           .as("pair"))
         .groupBy("pair").agg(sum("freq").as("n"))
-        .orderBy(col("n").desc, col("pair")).limit(20)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("n").desc, col("pair"))))
-        .select("rk", "pair", "n")
-        .orderBy("rk")
+        .transform(rankedTopK(_, "pair", 20))
     },
     Some("""SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rk,
            |  pair, n FROM (
            |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
            |    SELECT freq, substr(word, i, 2) AS pair FROM (
-           |      SELECT word, freq, unnest(generate_series(1, strlen(word) - 1)) AS i
+           |      SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
            |      FROM (
            |        SELECT word, count(*) AS freq FROM (
            |          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-           |        WHERE strlen(word) >= 2 GROUP BY word)))
+           |        WHERE length(word) >= 2 GROUP BY word)))
            |  GROUP BY pair)
            |QUALIFY rk <= 20
            |ORDER BY rk""".stripMargin))

@@ -185,6 +185,41 @@ class EngineSpec extends SparkSpec {
       (3L, "2024-03-01", 30))) // other partition untouched
   }
 
+  test("merge upsert: empty-string partition IS the NULL partition (writer conflates them)") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_merge_empty").toFile.getAbsolutePath + "/t"
+    def df(rows: (Long, String, Int)*) =
+      spark.createDataFrame(rows).toDF("k", "evt_date", "v")
+
+    // Seed with "" partition values: Spark stores them in
+    // __HIVE_DEFAULT_PARTITION__ and they READ BACK as null.
+    DagRunner.writeMerge(spark, df((1L, "", 10), (2L, "", 20)), dir, "k", "evt_date")
+    // An update whose in-memory partition value is "" must still select
+    // the (null-reading) survivors of that partition.
+    DagRunner.writeMerge(spark, df((1L, "", 11)), dir, "k", "evt_date")
+    val got = spark.read.parquet(dir).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 11), (2L, 20)),
+      "the untouched row in the default partition must survive an empty-string-keyed merge")
+  }
+
+  test("insert-overwrite with a listed NULL partition replaces it instead of erasing it") {
+    val dir = Files.createTempDirectory("graft_inc_null").toFile.getAbsolutePath + "/t"
+    def df(rows: (String, Int)*) =
+      spark.createDataFrame(rows).toDF("evt_date", "v")
+    DagRunner.writeIncremental(spark, df((null, 1), ("2024-05-01", 2)),
+      dir, "evt_date", Seq(null, "2024-05-01"))
+    // Replace the NULL partition's content.
+    DagRunner.writeIncremental(spark, df((null, 9)), dir, "evt_date", Seq(null))
+    val got = spark.read.parquet(dir).select("v").collect().map(_.getInt(0)).toSet
+    assert(got === Set(9, 2),
+      "new NULL-partition rows must land and the dated partition must be untouched")
+    // A listed-but-absent NULL partition is dropped (retraction).
+    DagRunner.writeIncremental(spark, df(("2024-05-01", 3)), dir, "evt_date", Seq(null))
+    assert(spark.read.parquet(dir).select("v").collect().map(_.getInt(0)).toSet === Set(2),
+      "retracting the NULL partition must delete exactly it")
+  }
+
   test("deleteByKeys erases hits, drops emptied partitions, leaves the rest byte-identical") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft_erase").toFile.getAbsolutePath + "/t"
