@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.llm.{DedupOps, Multimodal, PrivacyOps, SimilarityOps, TextOps}
+import graft.llm.{CorpusOps, DedupOps, Multimodal, PrivacyOps, SimilarityOps, TextOps}
 import graft.models.DagQueries
-import graft.operators.{DialectOps, Flagship, OlapOps, QueryDef, RelationalOps, ScaleOps, TimeSeriesOps}
+import graft.operators.{DialectOps, ExtensionOps, Flagship, OlapOps, QueryDef, RelationalOps, ScaleOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 is one entry in `queries`
@@ -14,10 +14,10 @@ object SparkEntry {
 
   private[graft] def allDefs: Seq[QueryDef] =
     RelationalOps.all ++ DialectOps.all ++ Flagship.all ++ ScaleOps.all ++ OlapOps.all ++
-      TimeSeriesOps.all ++
+      TimeSeriesOps.all ++ ExtensionOps.all ++
       graft.sources.SourceFormats.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all ++ PrivacyOps.all ++
-      DagQueries.all
+      CorpusOps.all ++ DagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

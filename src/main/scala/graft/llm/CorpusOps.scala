@@ -1,0 +1,185 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect._
+import graft.functions.GraftFunctions
+import graft.operators.QueryDef
+import graft.sources.Tables
+
+/** Corpus-statistics operators for training-data curation: unigram
+  * language-model scoring (the classic "perplexity-ish" quality filter
+  * — rare-word-heavy documents score low), per-document TF-IDF keyword
+  * extraction, and embedding-centroid outlier detection (mislabeled /
+  * off-distribution vectors score low against their own class mean).
+  *
+  * Cross-engine determinism: every per-word/per-element statistic is
+  * quantized to a scaled BIGINT (`floor(x·10^6 + 0.5)`) BEFORE any
+  * multi-row summation, so the reductions are exact integer arithmetic
+  * — order-independent, hash-identical in Spark and DuckDB — and the
+  * only floating-point steps left are per-row divisions of identical
+  * inputs. (A double sum's value depends on partition order; an
+  * integer sum's does not.)
+  *
+  * Scale notes (100 TB corpus):
+  *  - tokens are aggregated to (doc_id, word) FIRST — the map-side
+  *    combine collapses each document's repeats, so the word-keyed
+  *    shuffle carries |doc vocab| rows, not |tokens|, and the hot-word
+  *    skew ("the" in every doc) is bounded at one row per document
+  *    (AQE skew-join splitting covers the residual imbalance);
+  *  - the corpus vocabulary joins back by word — a plain shuffled
+  *    equi-join that scales with vocab size, never a broadcast of an
+  *    unbounded dictionary; the one genuinely global scalar (corpus
+  *    token total / document count) is a 1-row broadcast;
+  *  - the embedding centroid is a (label, pos) partial-sum aggregate —
+  *    64·|labels| rows out of any corpus size — then a broadcast back
+  *    over the fused codegen'd `cosine_sim` scan.
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** (doc_id, word, tf) — shared token-frequency base for the two text
+    * rows; same space-split convention as `j5_explode_words` /
+    * `llm_token_count`.
+    */
+  private def docWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(splitLit(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
+  /** Unigram LM scoring: each word's corpus log-probability
+    * log10(cnt/total), quantized to 1e-6, then the per-document
+    * token-weighted mean. `avg_logp` near the corpus ceiling means
+    * common-word text; very negative means rare-token noise — the
+    * standard cheap LM-quality proxy (CCNet-style) before a real LM.
+    */
+  private val unigramLm = QueryDef(
+    "llm_unigram_lm",
+    (s, dir) => {
+      val dw = docWords(t(s, dir, "documents"))
+      val vocab = dw.groupBy("word").agg(sum("tf").as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      val scored = vocab.crossJoin(broadcast(total))
+        .withColumn("lp6",
+          floor(log10(col("cnt") / col("total")) * lit(1e6) + lit(0.5)).cast("long"))
+        .select("word", "lp6")
+      dw.join(scored, "word")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("lp6")).as("s6"), sum("tf").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          roundTo(col("s6") / (col("n_tokens") * lit(1e6)), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           |doc_words AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY doc_id, word),
+           |vocab AS (SELECT word, sum(tf) AS cnt FROM doc_words GROUP BY word),
+           |tot AS (SELECT sum(cnt) AS total FROM vocab),
+           |scored AS (
+           |  SELECT word,
+           |    CAST(floor(log10(cnt / total) * 1000000.0 + 0.5) AS BIGINT) AS lp6
+           |  FROM vocab, tot)
+           |SELECT d.doc_id, CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+           |  floor(sum(d.tf * s.lp6) / (sum(d.tf) * 1000000.0) * 10000.0 + 0.5)
+           |    / 10000.0 AS avg_logp
+           |FROM doc_words d JOIN scored s USING (word)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+
+  /** TF-IDF keyword extraction: idf = log10(N/df) quantized to 1e-6,
+    * score = tf·idf6 (exact BIGINT), top-3 words per document with a
+    * deterministic (score DESC, word) tiebreak. The rank filter plans
+    * as WindowGroupLimit, so each shuffle partition ships at most 3
+    * rows per document to the sort.
+    */
+  private val tfidfTopk = QueryDef(
+    "llm_tfidf_topk",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dw = docWords(docs)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfw = dw.groupBy("word").agg(count(lit(1)).as("dfreq"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf6",
+          floor(log10(col("n_docs") / col("dfreq")) * lit(1e6) + lit(0.5)).cast("long"))
+        .select("word", "idf6")
+      dw.join(dfw, "word")
+        .select(col("doc_id"), col("word"), (col("tf") * col("idf6")).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "word", "score")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           |doc_words AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY doc_id, word),
+           |nd AS (SELECT count(*) AS n_docs FROM documents),
+           |dfw AS (
+           |  SELECT word,
+           |    CAST(floor(log10(n_docs / count(*)) * 1000000.0 + 0.5) AS BIGINT) AS idf6
+           |  FROM doc_words, nd GROUP BY word, n_docs),
+           |scored AS (
+           |  SELECT d.doc_id, d.word, d.tf * f.idf6 AS score
+           |  FROM doc_words d JOIN dfw f USING (word)),
+           |ranked AS (
+           |  SELECT doc_id, word, score,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+           |  FROM scored)
+           |SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, score
+           |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
+  /** Embedding-centroid outlier detection: per-label mean vector (each
+    * element quantized to a scaled BIGINT before the sum, so the
+    * centroid is exact), then every vector's cosine against its own
+    * class centroid via the fused codegen'd `cosine_sim`. Vectors
+    * anti-correlated with their class mean (`cos < 0`) are flagged —
+    * the cheap first-pass screen for label noise in an embedding
+    * corpus.
+    */
+  private val embedOutlier = QueryDef(
+    "llm_embed_outlier",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "elem")))
+        .withColumn("n6",
+          floor(col("elem").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy("label", "pos")
+        .agg((sum("n6") / (count(lit(1)) * lit(1e6))).as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
+      emb.join(broadcast(cent), "label")
+        .withColumn("cos_centroid",
+          roundTo(call_function("cosine_sim", col("embedding"), col("centroid")), 6))
+        .select(col("vec_id"), col("label"), col("cos_centroid"),
+          (col("cos_centroid") < 0.0).as("is_outlier"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH elems AS (
+           |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+           |    unnest(embedding) AS elem
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT label, pos,
+           |    sum(CAST(floor(CAST(elem AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+           |      / (count(*) * 1000000.0) AS c
+           |  FROM elems GROUP BY label, pos),
+           |pairs AS (
+           |  SELECT e.vec_id, e.label, CAST(e.elem AS DOUBLE) AS x, c.c AS y
+           |  FROM elems e JOIN cent c ON c.label = e.label AND c.pos = e.pos),
+           |scored AS (
+           |  SELECT vec_id, label,
+           |    floor(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_centroid
+           |  FROM pairs GROUP BY vec_id, label)
+           |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
+           |FROM scored ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the corpus-statistics rows beyond the oracle
+  * hash: LM scores are proper log-probabilities, TF-IDF ranking honors
+  * its contract, set ops partition correctly, and the centroid-outlier
+  * scores behave like cosines.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("unigram LM scores are negative log-probs with sane token counts") {
+    val out = SparkEntry.queries("llm_unigram_lm")(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    // log10 p < 0 for every word (no word IS the whole corpus), so the
+    // weighted mean must be strictly negative; and every document's
+    // token count is positive.
+    assert(out.filter(col("avg_logp") >= 0 || col("n_tokens") <= 0).count() === 0L)
+    // Token totals agree with the independent whitespace tokenizer row.
+    val tok = SparkEntry.queries("llm_token_count")(spark, sf)
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("n_tokens"))
+    val lm = out.select(col("doc_id"), col("n_tokens"))
+    assert(lm.except(tok).count() === 0L)
+    out.unpersist()
+  }
+
+  test("tfidf top-k keeps at most 3 ranked keywords per doc, scores descending") {
+    val out = SparkEntry.queries("llm_tfidf_topk")(spark, sf).cache()
+    assert(out.count() > 0)
+    val bad = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max("rank").as("maxr"),
+        min("rank").as("minr"))
+      .filter(col("k") > 3 || col("maxr") =!= col("k") || col("minr") =!= 1)
+    assert(bad.count() === 0L)
+    // Within a doc, score never increases as rank increases.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rank")
+    val inc = out.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(inc.count() === 0L)
+    out.unpersist()
+  }
+
+  test("intersect/except partition the 1995 cohort") {
+    val out = SparkEntry.queries("u3_intersect_except")(spark, sf).cache()
+    val retained = out.filter(col("op") === "retained").count()
+    val churned = out.filter(col("op") === "churned").count()
+    assert(retained > 0 && churned > 0)
+    // retained ∪ churned = 1995 actives, disjointly.
+    val y95 = graft.sources.Tables.load(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select("o_custkey").distinct().count()
+    assert(retained + churned === y95)
+    assert(out.select("o_custkey").distinct().count() === y95)
+    out.unpersist()
+  }
+
+  test("unpivot melts the four measures with full row counts") {
+    val out = SparkEntry.queries("p9_unpivot")(spark, sf).cache()
+    val li = graft.sources.Tables.load(spark, sf, "lineitem").count()
+    assert(out.count() === 4L)
+    assert(out.filter(col("n") =!= li).count() === 0L)
+    out.unpersist()
+  }
+
+  test("embedding centroid outliers are a proper cosine in [-1, 1]") {
+    val out = SparkEntry.queries("llm_embed_outlier")(spark, sf).cache()
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(out.count() === emb)
+    assert(out.filter(col("cos_centroid") < -1 || col("cos_centroid") > 1).count() === 0L)
+    // The flag is exactly the sign test on the rounded score.
+    assert(out.filter(col("is_outlier") =!= (col("cos_centroid") < 0.0)).count() === 0L)
+    // Not everything is an outlier: class means correlate with members.
+    assert(out.filter(!col("is_outlier")).count() > out.filter(col("is_outlier")).count())
+    out.unpersist()
+  }
+
+  test("lag/lead navigation agrees with a self-join reconstruction") {
+    val out = SparkEntry.queries("w9_lag_lead")(spark, sf)
+      .select("user_id", "event_id", "prev_value").cache()
+    // Reconstruct lag(value) independently: join each event to the
+    // max-(ts,event_id) predecessor within the same user.
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val recon = ev
+      .withColumn("rn", row_number().over(w))
+      .as("a")
+      .join(ev.withColumn("rn", row_number().over(w)).as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.rn") === col("b.rn") + 1,
+        "left")
+      .select(col("a.user_id").as("user_id"), col("a.event_id").as("event_id"),
+        col("b.value").as("prev_value"))
+    assert(out.except(recon).count() === 0L)
+    assert(recon.except(out).count() === 0L)
+    out.unpersist()
+  }
+}
