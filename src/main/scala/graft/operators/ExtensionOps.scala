@@ -121,5 +121,137 @@ object ExtensionOps {
            |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
            |GROUP BY measure ORDER BY measure""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt)
+  /** A17: the statistical-aggregate family — stddev_samp / var_samp /
+    * covar_samp / corr per group. All four are single-pass co-moment
+    * aggregates (partial states merge associatively), so at scale this
+    * is one shuffle of four small states per group, never a second
+    * pass over the data. Results are portably rounded: the co-moment
+    * merge order differs between engines only at ~1e-15 relative.
+    */
+  private val statsFamily = QueryDef(
+    "a17_stats_family",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(roundTo(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        roundTo(var_samp(col("l_discount")), 8).as("var_disc"),
+        roundTo(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"),
+        roundTo(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  floor(stddev_samp(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS sd_price,
+           |  floor(var_samp(l_discount) * 100000000.0 + 0.5) / 100000000.0 AS var_disc,
+           |  floor(covar_samp(l_quantity, l_extendedprice) * 100.0 + 0.5) / 100.0 AS cov_qty_price,
+           |  floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** A19: MIN_BY / MAX_BY (argmin/argmax). The ordering key is the
+    * composite `round(acctbal·100)·10^8 + custkey` — an exact BIGINT
+    * both engines compute identically, so acctbal ties (present at
+    * sf0.1+, and systematic in the key-shifted sf1 corpus where every
+    * balance exists 10×) still pick ONE deterministic winner. A plain
+    * `max_by(x, acctbal)` would be nondeterministic under ties — the
+    * same trap as unordered `first()`.
+    */
+  private val argMinMax = QueryDef(
+    "a19_min_max_by",
+    (s, dir) => {
+      val key = (round(col("c_acctbal") * 100).cast("long") * lit(100000000L) +
+        col("c_custkey")).as("k")
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), key)
+        .groupBy("c_nationkey")
+        .agg(max_by(col("c_custkey"), col("k")).as("richest_cust"),
+          min_by(col("c_custkey"), col("k")).as("poorest_cust"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey,
+           |  arg_max(c_custkey, k) AS richest_cust,
+           |  arg_min(c_custkey, k) AS poorest_cust,
+           |  count(*) AS n
+           |FROM (SELECT c_nationkey, c_custkey,
+           |        CAST(round(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey AS k
+           |      FROM customer)
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  /** U4: INTERSECT ALL / EXCEPT ALL — the multiset variants (bag
+    * semantics: min / difference of multiplicities). Catalyst plans
+    * them via a per-side count aggregate + join on the value, so the
+    * shuffle carries one row per DISTINCT value and side, not the raw
+    * bags.
+    */
+  private val setOpsAll = QueryDef(
+    "u4_intersect_except_all",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.filter(col("p_size") <= 25).select("p_brand")
+      val b = p.filter(col("p_size") >= 20).select("p_brand")
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .groupBy("op", "p_brand").agg(count(lit(1)).as("multiplicity"))
+        .orderBy("op", "p_brand")
+    },
+    Some("""WITH a AS (SELECT p_brand FROM part WHERE p_size <= 25),
+           |b AS (SELECT p_brand FROM part WHERE p_size >= 20),
+           |ia AS (SELECT p_brand FROM a INTERSECT ALL SELECT p_brand FROM b),
+           |ea AS (SELECT p_brand FROM a EXCEPT ALL SELECT p_brand FROM b)
+           |SELECT op, p_brand, multiplicity FROM (
+           |  SELECT 'intersect_all' AS op, p_brand, count(*) AS multiplicity
+           |  FROM ia GROUP BY p_brand
+           |  UNION ALL
+           |  SELECT 'except_all' AS op, p_brand, count(*) AS multiplicity
+           |  FROM ea GROUP BY p_brand)
+           |ORDER BY op, p_brand""".stripMargin))
+
+  /** F-BIT: bitwise scalar family (AND/OR/XOR, shifts, bit_count) —
+    * pure codegen'd per-row arithmetic over the event ids.
+    */
+  private val bitwiseFuncs = QueryDef(
+    "f_bitwise_funcs",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        (col("event_id").bitwiseAND(lit(255L))).as("lo_byte"),
+        (col("event_id").bitwiseOR(lit(4096L))).as("with_flag"),
+        (col("event_id").bitwiseXOR(col("user_id"))).as("xored"),
+        expr("shiftleft(event_id, 3)").as("shl3"),
+        expr("shiftright(event_id, 2)").as("shr2"),
+        bit_count(col("event_id")).as("popcount"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  event_id & 255 AS lo_byte,
+           |  event_id | 4096 AS with_flag,
+           |  xor(event_id, user_id) AS xored,
+           |  event_id << 3 AS shl3,
+           |  event_id >> 2 AS shr2,
+           |  CAST(bit_count(event_id) AS INTEGER) AS popcount
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** J16: correlated LATERAL join — top-2 customers per nation through
+    * a correlated subquery with ORDER BY + LIMIT. Catalyst
+    * decorrelates this into a window rank-filter (WindowGroupLimit at
+    * scale), i.e. the same physical shape as `p7_w1_qualify_first` —
+    * no per-row re-execution of the inner query.
+    */
+  private val lateralTopN = QueryDef(
+    "j16_lateral_topn",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n.n_name, c.c_custkey, c.c_acctbal
+              |FROM nation n,
+              |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+              |         WHERE c_nationkey = n.n_nationkey
+              |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+              |ORDER BY n_name, c_custkey""".stripMargin)
+    },
+    Some("""SELECT n.n_name, c.c_custkey, c.c_acctbal
+           |FROM nation n,
+           |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+           |         WHERE c_nationkey = n.n_nationkey
+           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+           |ORDER BY n_name, c_custkey""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
+    statsFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN)
 }
