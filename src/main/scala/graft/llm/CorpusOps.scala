@@ -100,7 +100,16 @@ object CorpusOps {
       val docs = t(s, dir, "documents")
       val dw = docWords(docs)
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val dfw = dw.groupBy("word").agg(count(lit(1)).as("dfreq"))
+      // sum(when(tf > 0, 1)), not count(*): tf >= 1 by construction so
+      // the value is identical, but count(*) (or count(tf), which
+      // Catalyst rewrites to count(1)) lets the optimizer column-prune
+      // this branch's (doc_id, word) subtree into a DIFFERENT canonical
+      // plan than the join's left side — two tokenize passes over the
+      // corpus. The tf-dependent form keeps the subtrees identical, so
+      // AQE computes the tokenize shuffle ONCE and feeds both consumers
+      // via ReusedExchange (asserted in PlanAuditSpec).
+      val dfw = dw.groupBy("word")
+        .agg(sum(when(col("tf") > 0, 1L)).as("dfreq"))
         .crossJoin(broadcast(nDocs))
         .withColumn("idf6",
           floor(log10(col("n_docs") / col("dfreq")) * lit(1e6) + lit(0.5)).cast("long"))

@@ -157,6 +157,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("corpus-stats rows tokenize the corpus once (AQE reuses the docWords shuffle)") {
+    // llm_unigram_lm / llm_tfidf_topk derive vocabulary statistics AND
+    // join them back to the same (doc_id, word) aggregate. If the
+    // branches' canonical plans drift apart (e.g. a count(*) lets the
+    // optimizer column-prune one branch), each branch re-tokenizes the
+    // whole corpus — at 100 TB that doubles the most expensive stage.
+    // The final adaptive plan must show the shared shuffle stage reused.
+    for (name <- Seq("llm_unigram_lm", "llm_tfidf_topk")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // AQE resolves reuse at runtime; inspect the final plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$name must reuse the tokenize shuffle across its branches")
+    }
+  }
+
   test("no query plan contains a cartesian product over base tables") {
     // The only sanctioned cross joins are the ~100-row week spine and
     // broadcast query sets; a CartesianProduct node means a shuffle-side
