@@ -763,6 +763,85 @@ object DedupOps {
            |  AND len(string_split(text, ' ')) BETWEEN 5 AND 1000
            |ORDER BY doc_id""".stripMargin))
 
+  /** PageRank centrality over the near-dup candidate graph — 3 fixed
+    * iterations, damping 0.85, undirected edges from [[lshPairs]]. In a
+    * duplicate cluster the highest-centrality member is the natural
+    * canonical pick (the doc most "agreed with" by its near-copies), a
+    * complementary signal to `llm_dedup_groups`'s min-id convention.
+    *
+    * Exact cross-engine arithmetic: ranks live at a fixed 1e12 integer
+    * scale and every step is BIGINT — `pr div outdeg` per edge
+    * (truncating division; DuckDB's floor `//` agrees on non-negatives),
+    * an exact integer sum of contributions, then
+    * `base + (85·S) div 100`. No floating point anywhere, so iteration
+    * order and partial-sum order cannot perturb the hash. Dangling and
+    * isolated docs keep the undamped base share (no dangling-mass
+    * redistribution — the standard simplification, stated here so the
+    * oracle pins it).
+    *
+    * Scale shape (100 TB): classic distributed PageRank — per iteration
+    * ONE shuffle of edge contributions keyed by dst plus an aggregate;
+    * the degree table joins the edge list once, outside the loop. Three
+    * unrolled iterations keep the lineage shallow enough to skip
+    * checkpointing; a converging variant would reuse the
+    * [[checkpointDir]] discipline of the CC loop.
+    */
+  private val dupPagerank = QueryDef(
+    "llm_dup_pagerank",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      val pairs = lshPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // Degree joins the edge list ONCE; the loop only re-joins ranks.
+      val edgesDeg = edges.join(deg, "src")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val base = expr("150000000000L div n_docs") // (1e12 * 15/100) div N
+      var pr = docs.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_docs"),
+          expr("1000000000000L div n_docs").as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edgesDeg
+          .join(pr.select(col("doc_id").as("src"), col("pr").as("src_pr")), "src")
+          .select(col("dst"), expr("src_pr div outdeg").as("c"))
+          .groupBy("dst").agg(sum("c").as("s"))
+        pr = pr.join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_docs"),
+            (base + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+      }
+      pr.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pr").as("pr3"),
+          coalesce(col("outdeg"), lit(0L)).as("degree"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def iter(i: Int, prev: String) =
+        s"""it$i AS (
+           |  SELECT d.doc_id, n.n_docs,
+           |    (150000000000 // n.n_docs) + ((85 * coalesce(c.s, 0)) // 100) AS pr
+           |  FROM documents d CROSS JOIN nd n
+           |  LEFT JOIN (SELECT e.dst, sum(p.pr // g.outdeg) AS s
+           |             FROM edges e JOIN deg g ON g.src = e.src
+           |             JOIN $prev p ON p.doc_id = e.src
+           |             GROUP BY e.dst) c ON c.dst = d.doc_id)""".stripMargin
+      s"""WITH $lshOracleCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION ALL SELECT doc_b, doc_a FROM cand),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |pr0 AS (
+         |  SELECT d.doc_id, n.n_docs, 1000000000000 // n.n_docs AS pr
+         |  FROM documents d CROSS JOIN nd n),
+         |${iter(1, "pr0")},
+         |${iter(2, "it1")},
+         |${iter(3, "it2")}
+         |SELECT t.doc_id, CAST(t.pr AS BIGINT) AS pr3,
+         |  CAST(coalesce(g.outdeg, 0) AS BIGINT) AS degree
+         |FROM it3 t LEFT JOIN deg g ON g.src = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
-    dedupGroups, decontaminate, repetition, curation)
+    dedupGroups, decontaminate, repetition, curation, dupPagerank)
 }

@@ -78,6 +78,26 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pagerank keeps mass bounded and gives isolated docs exactly the base share") {
+    val out = SparkEntry.queries("llm_dup_pagerank")(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    val base = 150000000000L / n
+    // Isolated docs (degree 0, no inbound mass) sit exactly at the
+    // damped base; every doc is at or above it.
+    assert(out.filter(col("degree") === 0 && col("pr3") =!= base).count() === 0L)
+    assert(out.filter(col("pr3") < base).count() === 0L)
+    // Total mass: bounded above by the full 1e12 scale, below by the
+    // damped base floor — mass held by isolated docs evaporates each
+    // iteration by design (no dangling redistribution; see scaladoc),
+    // so the total sits between base·N and 1e12.
+    val total = out.agg(sum("pr3")).head.getLong(0)
+    assert(total <= 1000000000000L && total >= base * n)
+    // Connected docs strictly exceed the base (they receive inbound mass).
+    assert(out.filter(col("degree") > 0 && col("pr3") <= base).count() === 0L)
+    out.unpersist()
+  }
+
   test("lag/lead navigation agrees with a self-join reconstruction") {
     val out = SparkEntry.queries("w9_lag_lead")(spark, sf)
       .select("user_id", "event_id", "prev_value").cache()
