@@ -190,5 +190,108 @@ object CorpusOps {
            |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
            |FROM scored ORDER BY vec_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier)
+  /** Bigram conditional LM: p(w2|w1) = c(w1 w2) / c(w1 ·) over the
+    * corpus, quantized per bigram to 1e-6 log10 units, then the
+    * per-document bigram-weighted mean — one LM order deeper than
+    * [[unigramLm]], catching word-salad text whose unigram profile
+    * looks normal. The context count derives from the bigram table
+    * itself (c(w1·) = Σ_w2 c(w1 w2)), so the two statistics share one
+    * tokenize pipeline; docs with fewer than 2 words have no bigrams
+    * and are absent from the result (both engines agree by
+    * construction).
+    */
+  private val bigramLm = QueryDef(
+    "llm_bigram_lm",
+    (s, dir) => {
+      // Docs with < 2 words have no bigrams: filter BEFORE the explode
+      // (the DuckDB side's empty generate_series drops them the same
+      // way — an empty `array()` branch would type-clash with the
+      // struct array anyway).
+      val words = splitLit(col("text"), " ")
+      val bigrams =
+        expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))")
+      val dwb = t(s, dir, "documents")
+        .filter(size(words) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tfb"))
+      val cb = dwb.groupBy("w1", "w2").agg(sum("tfb").as("cnt"))
+      val cf = cb.groupBy("w1").agg(sum("cnt").as("ctx"))
+      val scored = cb.join(cf, "w1")
+        .withColumn("lp6",
+          floor(log10(col("cnt") / col("ctx")) * lit(1e6) + lit(0.5)).cast("long"))
+        .select("w1", "w2", "lp6")
+      dwb.join(scored, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(sum(col("tfb") * col("lp6")).as("s6"), sum("tfb").as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          roundTo(col("s6") / (col("n_bigrams") * lit(1e6)), 4).as("avg_logp2"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(w) - 1, 0)),
+           |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+           |  FROM words),
+           |dwb AS (
+           |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS tfb
+           |  FROM bg GROUP BY doc_id, b.w1, b.w2),
+           |cb AS (SELECT w1, w2, sum(tfb) AS cnt FROM dwb GROUP BY w1, w2),
+           |cf AS (SELECT w1, sum(cnt) AS ctx FROM cb GROUP BY w1),
+           |scored AS (
+           |  SELECT cb.w1, cb.w2,
+           |    CAST(floor(log10(cnt / ctx) * 1000000.0 + 0.5) AS BIGINT) AS lp6
+           |  FROM cb JOIN cf USING (w1))
+           |SELECT d.doc_id, CAST(sum(d.tfb) AS BIGINT) AS n_bigrams,
+           |  floor(sum(d.tfb * s.lp6) / (sum(d.tfb) * 1000000.0) * 10000.0 + 0.5)
+           |    / 10000.0 AS avg_logp2
+           |FROM dwb d JOIN scored s USING (w1, w2)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+
+  /** Character-entropy quality signal (log10 units): near-zero entropy
+    * means repeated-character noise, unusually high means binary
+    * garbage — the cheap Shannon screen before LM scoring. Each
+    * (doc, char) term p·(−log10 p) is quantized to 1e-6 BEFORE the
+    * per-doc sum (exact BIGINT reduction, same discipline as the LM
+    * rows); the whole query is one explode + two keyed aggregates, no
+    * joins.
+    */
+  private val charEntropy = QueryDef(
+    "llm_char_entropy",
+    (s, dir) => {
+      // split on the literal empty pattern (not Pattern.quote("") —
+      // "\\Q\\E" — whose behavior around empty matches is murkier):
+      // both engines yield exactly one element per character.
+      val perChar = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
+      perChar
+        .withColumn("n", sum("nc").over(Window.partitionBy("doc_id")))
+        .withColumn("term6",
+          floor((col("nc") / col("n")) * -log10(col("nc") / col("n")) * lit(1e6) +
+            lit(0.5)).cast("long"))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_chars_counted"),
+          count(lit(1)).as("distinct_chars"),
+          roundTo(sum("term6") / lit(1e6), 4).as("entropy10"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH chars AS (
+           |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+           |per_char AS (
+           |  SELECT doc_id, ch, count(*) AS nc FROM chars GROUP BY doc_id, ch),
+           |with_n AS (
+           |  SELECT doc_id, nc, sum(nc) OVER (PARTITION BY doc_id) AS n
+           |  FROM per_char)
+           |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars_counted,
+           |  count(*) AS distinct_chars,
+           |  floor(sum(CAST(floor((nc / n) * -log10(nc / n) * 1000000.0 + 0.5)
+           |                 AS BIGINT)) / 1000000.0 * 10000.0 + 0.5) / 10000.0
+           |    AS entropy10
+           |FROM with_n GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier,
+    bigramLm, charEntropy)
 }

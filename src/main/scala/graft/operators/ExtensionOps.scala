@@ -176,6 +176,40 @@ object ExtensionOps {
            |      FROM customer)
            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
 
+  /** A20: deterministic MODE (most frequent value, ties broken by the
+    * smaller value) — the count + rank-filter formulation rather than a
+    * native `mode()` aggregate, because mode's tie behavior is
+    * engine-defined; the explicit (cnt DESC, value) tiebreak makes the
+    * answer reproducible anywhere. Plans as two aggregates + a
+    * WindowGroupLimit rank filter — one row per group crosses the final
+    * shuffle.
+    */
+  private val modeAgg = QueryDef(
+    "a20_mode",
+    (s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("cnt").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("cnt"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH counts AS (
+           |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+           |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+           |ranked AS (
+           |  SELECT o_orderstatus, o_orderpriority, cnt,
+           |    row_number() OVER (PARTITION BY o_orderstatus
+           |                       ORDER BY cnt DESC, o_orderpriority) AS rn
+           |  FROM counts)
+           |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+           |FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin))
+
   /** U4: INTERSECT ALL / EXCEPT ALL — the multiset variants (bag
     * semantics: min / difference of multiplicities). Catalyst plans
     * them via a per-side count aggregate + join on the value, so the
@@ -253,5 +287,5 @@ object ExtensionOps {
            |ORDER BY n_name, c_custkey""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
-    statsFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN)
+    statsFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg)
 }

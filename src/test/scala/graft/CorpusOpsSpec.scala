@@ -78,6 +78,49 @@ class CorpusOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bigram counts are exactly words-minus-one per document") {
+    val out = SparkEntry.queries("llm_bigram_lm")(spark, sf).cache()
+    assert(out.count() > 0)
+    // Conditional log-probs are never positive.
+    assert(out.filter(col("avg_logp2") > 0).count() === 0L)
+    val tok = SparkEntry.queries("llm_token_count")(spark, sf)
+      .select(col("doc_id"), (col("ws_tokens").cast("long") - 1).as("n_bigrams"))
+      .filter(col("n_bigrams") >= 1)
+    assert(out.select("doc_id", "n_bigrams").except(tok).count() === 0L)
+    assert(tok.except(out.select("doc_id", "n_bigrams")).count() === 0L)
+    out.unpersist()
+  }
+
+  test("char entropy is bounded by log10 of the alphabet size") {
+    val out = SparkEntry.queries("llm_char_entropy")(spark, sf).cache()
+    assert(out.count() > 0)
+    // 0 <= H <= log10(k) for k distinct symbols (uniform maximizes), with
+    // a small allowance for the per-term 1e-6 quantization.
+    val bad = out.filter(col("entropy10") < 0 ||
+      col("entropy10") > log10(col("distinct_chars")) + 0.001)
+    assert(bad.count() === 0L)
+    // Char totals agree with the raw text length.
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_counted"))
+    assert(out.select("doc_id", "n_chars_counted").except(docs).count() === 0L)
+    out.unpersist()
+  }
+
+  test("mode picks the maximal count with the smallest-value tiebreak") {
+    val out = SparkEntry.queries("a20_mode")(spark, sf).cache()
+    val counts = graft.sources.Tables.load(spark, sf, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c")).cache()
+    val maxc = counts.groupBy("o_orderstatus").agg(max("c").as("mc"))
+    // Reported count is the group max, and no tied value sorts earlier.
+    val joined = out.join(maxc, "o_orderstatus")
+    assert(joined.filter(col("cnt") =!= col("mc")).count() === 0L)
+    val earlierTie = out.join(counts, "o_orderstatus")
+      .filter(col("c") === col("cnt") && col("o_orderpriority") < col("mode_priority"))
+    assert(earlierTie.count() === 0L)
+    counts.unpersist(); out.unpersist()
+  }
+
   test("pagerank keeps mass bounded and gives isolated docs exactly the base share") {
     val out = SparkEntry.queries("llm_dup_pagerank")(spark, sf).cache()
     val n = out.count()
