@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 concurrent tasks in ONE JVM; at 8g
+  // (250 MB/task) the late queries of a long run degrade into GC thrash
+  // as accumulated broadcasts/shuffle state fill the heap (observed:
+  // string-heavy aggregations 30x slower at position ~90 of a 128-query
+  // run than in isolation). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -28,8 +28,14 @@ object Bench {
         .withColumn("r", row_number().over(Window.partitionBy("g").orderBy("id")))
         .groupBy("g").agg(sum("r").as("s")).orderBy("g")
         .write.format("noop").mode("overwrite").save()
-      graft.sources.Tables.load(spark, sfDir, "region")
-        .write.format("noop").mode("overwrite").save()
+      // Touch every benchmark table once (untimed) so the first query
+      // over each file measures the operator, not the page-cache fill —
+      // without this the alphabetically-first queries absorb the whole
+      // cold-IO cost and run-to-run variance swamps plan differences.
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"))
+        graft.sources.Tables.load(spark, sfDir, t)
+          .write.format("noop").mode("overwrite").save()
     }
     var timings = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
