@@ -210,6 +210,26 @@ object ExtensionOps {
            |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
            |FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin))
 
+  /** A21: boolean/conditional aggregates — COUNT_IF, BOOL_AND, BOOL_OR
+    * (ANSI ANY/EVERY). All are single-pass mergeable states (a count
+    * and two booleans per group cross the shuffle).
+    */
+  private val boolAggs = QueryDef(
+    "a21_bool_aggs",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("count_if(o_totalprice > 150000)").as("n_big"),
+        expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_finished"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           |  bool_and(o_totalprice > 1000) AS all_over_1k,
+           |  bool_or(o_orderstatus = 'F') AS any_finished,
+           |  count(*) AS n
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   /** U4: INTERSECT ALL / EXCEPT ALL — the multiset variants (bag
     * semantics: min / difference of multiplicities). Catalyst plans
     * them via a per-side count aggregate + join on the value, so the
@@ -287,5 +307,6 @@ object ExtensionOps {
            |ORDER BY n_name, c_custkey""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
-    statsFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg)
+    statsFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg,
+    boolAggs)
 }

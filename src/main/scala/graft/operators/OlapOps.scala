@@ -425,8 +425,36 @@ object OlapOps {
            |  count(*) AS n
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** A22: partitioned HLL sketch-merge — the pattern that actually runs
+    * at 100 TB: one DataSketches HLL per partition (here per
+    * event_type, in production per day/shard), persisted tiny (~KBs),
+    * then `hll_union_agg` + `hll_sketch_estimate` answer "distinct over
+    * ANY union of partitions" without rescanning data. Register maxima
+    * are item-determined, so the merged estimate is deterministic under
+    * any partitioning/merge order. Tolerance oracle in the `a3b` style:
+    * lgConfigK=12 gives rsd ≈ 1.04/√4096 ≈ 1.6%, the flag allows 5×.
+    */
+  private val hllUnion = QueryDef(
+    "a22_hll_partitioned_union",
+    (s, dir) => {
+      val perPart = t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct(col("user_id")).as("nd_part"))
+      perPart
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
+          count(lit(1)).as("n_parts"))
+        .crossJoin(t(s, dir, "events").agg(countDistinct("user_id").as("nd_exact")))
+        .select(col("n_parts"), col("nd_exact"),
+          (abs(col("est") - col("nd_exact")) <= col("nd_exact") * lit(5 * 0.0163))
+            .as("hll_ok"))
+    },
+    Some("""SELECT count(DISTINCT event_type) AS n_parts,
+           |count(DISTINCT user_id) AS nd_exact, true AS hll_ok
+           |FROM events""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize,
     movingAvg, rankFamily, existsSemiAnti, cubeGrouping, windowedDistinct,
     groupingSets, scd2History, clickAttribution, sessionWindowAgg, cmsFreq,
-    exactPercentiles)
+    exactPercentiles, hllUnion)
 }

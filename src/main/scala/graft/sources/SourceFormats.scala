@@ -152,5 +152,100 @@ object SourceFormats {
            |) AS t(doc_id, text, n_chars, is_quarantined, bad_raw)
            |ORDER BY is_quarantined, doc_id NULLS FIRST, bad_raw NULLS FIRST""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(jsonSource, csvSource, orcSource, jsonQuarantine)
+  /** S15: STATIC partition pruning — the first lever anyone reaches for
+    * at 100 TB. The corpus is persisted once partitioned by `lang`
+    * (hive-style directories, marker-guarded like the IVF index, root
+    * fingerprinted to the source so regeneration invalidates), and the
+    * query's literal `lang = 'en'` must be satisfied from the directory
+    * listing alone: the FileScan shows it under `PartitionFilters` (no
+    * data filter, no row-group reads outside the matching directory) —
+    * pinned in `PlanAuditSpec`. The oracle is the same filter over the
+    * unpartitioned table, so the row-equality check also proves the
+    * partitioned layout lost nothing.
+    */
+  private object PartDocs {
+    private val memo = scala.collection.mutable.Set.empty[String]
+    def ensure(s: SparkSession, dir: String): String = synchronized {
+      val hconf = s.sparkContext.hadoopConfiguration
+      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
+      val fp = s"${st.getLen}_${st.getModificationTime}"
+      val base = s.conf.get("spark.graft.partDocsRoot", "/root/repo/fixtures/partdocs")
+      val root = s"$base/${srcPath.getParent.getName}_$fp"
+      val markerName = "_GRAFT_PARTDOCS_v1"
+      if (!memo(s"$root/$markerName"))
+        Artifacts.ensureOnce(s, root, markerName) {
+          Tables.load(s, dir, "documents")
+            .write.mode("overwrite").partitionBy("lang").parquet(s"$root/docs")
+        }
+      memo += s"$root/$markerName"
+      s"$root/docs"
+    }
+  }
+
+  private val partitionPrune = QueryDef(
+    "s15_partition_prune",
+    (s, dir) => {
+      val root = PartDocs.ensure(s, dir)
+      s.read.parquet(root)
+        .filter(col("lang") === "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars
+           |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin))
+
+  /** S16: schema evolution — a long-lived lake table accretes columns;
+    * readers must see old files with the new columns as NULL without a
+    * rewrite. Two generations are persisted under one root (v=1 writes
+    * only (doc_id, text); v=2 adds lang + n_chars) and read back with
+    * `mergeSchema` — Spark unions the footers per file, old files
+    * null-fill. The oracle is the explicit UNION ALL with typed NULLs,
+    * so the null-fill semantics are row-hash-pinned. Scale note:
+    * `mergeSchema` reads every file footer (cheap but not free at 1e6
+    * files) — production tables pin the merged schema in a metastore
+    * and readers pass it explicitly; the read path is otherwise
+    * identical.
+    */
+  private object EvoDocs {
+    private val memo = scala.collection.mutable.Set.empty[String]
+    def ensure(s: SparkSession, dir: String): String = synchronized {
+      val hconf = s.sparkContext.hadoopConfiguration
+      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
+      val fp = s"${st.getLen}_${st.getModificationTime}"
+      val base = s.conf.get("spark.graft.evoDocsRoot", "/root/repo/fixtures/evodocs")
+      val root = s"$base/${srcPath.getParent.getName}_$fp"
+      val markerName = "_GRAFT_EVODOCS_v1"
+      if (!memo(s"$root/$markerName"))
+        Artifacts.ensureOnce(s, root, markerName) {
+          val docs = Tables.load(s, dir, "documents")
+          docs.select("doc_id", "text")
+            .write.mode("overwrite").parquet(s"$root/docs/v=1")
+          docs.select("doc_id", "text", "lang", "n_chars")
+            .write.mode("overwrite").parquet(s"$root/docs/v=2")
+        }
+      memo += s"$root/$markerName"
+      s"$root/docs"
+    }
+  }
+
+  private val schemaEvolution = QueryDef(
+    "s16_schema_evolution",
+    (s, dir) => {
+      val root = EvoDocs.ensure(s, dir)
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("v").cast("int").as("v"))
+        .orderBy("v", "doc_id")
+    },
+    Some("""SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang,
+           |  CAST(NULL AS BIGINT) AS n_chars, 1 AS v
+           |FROM documents
+           |UNION ALL
+           |SELECT doc_id, text, lang, n_chars, 2 AS v FROM documents
+           |ORDER BY v, doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(jsonSource, csvSource, orcSource, jsonQuarantine,
+    partitionPrune, schemaEvolution)
 }

@@ -173,6 +173,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s15 literal lang filter is satisfied by STATIC partition pruning") {
+    val p = plan("s15_partition_prune")
+    // The filter must appear as a partition-directory predicate on the
+    // scan, not a per-row data filter over all partitions.
+    assert(p.contains("PartitionFilters") && p.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      "lang = 'en' must prune at the directory level")
+    assert(!p.matches("(?s).*PushedFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      "lang must not degrade into a row-group data filter")
+  }
+
   test("no query plan contains a cartesian product over base tables") {
     // The only sanctioned cross joins are the ~100-row week spine and
     // broadcast query sets; a CartesianProduct node means a shuffle-side
