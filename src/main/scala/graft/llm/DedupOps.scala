@@ -790,7 +790,14 @@ object DedupOps {
     "llm_dup_pagerank",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id")
-      val pairs = lshPairs(s, dir)
+      // Persist the candidate pairs: the LSH pipeline (shingle → minhash
+      // → band join) is the expensive subtree and it feeds deg, all
+      // three iteration joins, and the final degree join — without the
+      // cache, exchange reuse is at AQE's mercy across ~7 consumers
+      // (probed: the uncached plan re-scans documents ~20x). The pair
+      // list is near-dup-sized (two longs per candidate), orders of
+      // magnitude smaller than the corpus.
+      val pairs = lshPairs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
