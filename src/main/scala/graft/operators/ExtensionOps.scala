@@ -210,6 +210,57 @@ object ExtensionOps {
            |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
            |FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin))
 
+  /** W10: explicit ROWS sliding frame (3-row centered moving window) —
+    * the frame variant the reference never uses (its windows are
+    * running or unbounded; `w5` covers RANGE intervals). ROWS frames
+    * are tie-sensitive, so the order key includes the unique event_id
+    * — without it two engines could legally disagree inside tied
+    * timestamps.
+    */
+  private val slidingFrame = QueryDef(
+    "w10_sliding_frame",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-1, 1)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          roundTo(avg("value").over(w), 4).as("centered_avg"),
+          count(lit(1)).over(w).as("frame_n"),
+          roundTo(min("value").over(w), 2).as("frame_min"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+           |SELECT user_id, event_id,
+           |  floor(avg(value) OVER w * 10000.0 + 0.5) / 10000.0 AS centered_avg,
+           |  count(*) OVER w AS frame_n,
+           |  floor(min(value) OVER w * 100.0 + 0.5) / 100.0 AS frame_min
+           |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+           |ORDER BY user_id, event_id""".stripMargin))
+
+  /** F-COND: conditional scalar family — COALESCE chains, NULLIF,
+    * GREATEST/LEAST (NULL-tolerant in both engines), IF. All pure
+    * codegen'd row expressions.
+    */
+  private val condFuncs = QueryDef(
+    "f_conditional_funcs",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("price_floor"),
+        least(col("o_totalprice"), lit(200000.0)).as("price_cap"),
+        when(col("o_orderpriority") < lit("3"), "urgentish")
+          .otherwise("relaxed").as("prio_bucket"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           |  greatest(o_totalprice, 100000.0) AS price_floor,
+           |  least(o_totalprice, 200000.0) AS price_cap,
+           |  CASE WHEN o_orderpriority < '3' THEN 'urgentish' ELSE 'relaxed' END
+           |    AS prio_bucket
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** A21: boolean/conditional aggregates — COUNT_IF, BOOL_AND, BOOL_OR
     * (ANSI ANY/EVERY). All are single-pass mergeable states (a count
     * and two booleans per group cross the shuffle).
@@ -308,5 +359,5 @@ object ExtensionOps {
 
   val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
     statsFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg,
-    boolAggs)
+    boolAggs, slidingFrame, condFuncs)
 }
