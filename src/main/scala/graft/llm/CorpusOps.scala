@@ -65,7 +65,11 @@ object CorpusOps {
         .withColumn("lp6",
           floor(log10(col("cnt") / col("total")) * lit(1e6) + lit(0.5)).cast("long"))
         .select("word", "lp6")
-      dw.join(scored, "word")
+      // MERGE hint: both sides are corpus-proportional (per-doc vocab ×
+      // corpus vocab). Left to runtime stats, AQE sometimes converts a
+      // multi-million-row side into a broadcast hash relation — a
+      // single-threaded build that benched 10-30x the sort-merge join.
+      dw.hint("MERGE").join(scored, "word")
         .groupBy("doc_id")
         .agg(sum(col("tf") * col("lp6")).as("s6"), sum("tf").as("n_tokens"))
         .select(col("doc_id"), col("n_tokens"),
@@ -114,7 +118,8 @@ object CorpusOps {
         .withColumn("idf6",
           floor(log10(col("n_docs") / col("dfreq")) * lit(1e6) + lit(0.5)).cast("long"))
         .select("word", "idf6")
-      dw.join(dfw, "word")
+      // MERGE hint: same broadcast-conversion guard as llm_unigram_lm.
+      dw.hint("MERGE").join(dfw, "word")
         .select(col("doc_id"), col("word"), (col("tf") * col("idf6")).as("score"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))))
@@ -218,11 +223,14 @@ object CorpusOps {
         .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tfb"))
       val cb = dwb.groupBy("w1", "w2").agg(sum("tfb").as("cnt"))
       val cf = cb.groupBy("w1").agg(sum("cnt").as("ctx"))
-      val scored = cb.join(cf, "w1")
+      // MERGE hints: the bigram vocabulary is corpus-proportional on
+      // both sides of both joins — never let runtime stats promote one
+      // to a broadcast hash build (observed 65-196 s vs ~5 s merged).
+      val scored = cb.hint("MERGE").join(cf, "w1")
         .withColumn("lp6",
           floor(log10(col("cnt") / col("ctx")) * lit(1e6) + lit(0.5)).cast("long"))
         .select("w1", "w2", "lp6")
-      dwb.join(scored, Seq("w1", "w2"))
+      dwb.hint("MERGE").join(scored, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(sum(col("tfb") * col("lp6")).as("s6"), sum("tfb").as("n_bigrams"))
         .select(col("doc_id"), col("n_bigrams"),

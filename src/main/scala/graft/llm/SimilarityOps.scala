@@ -291,7 +291,14 @@ object SimilarityOps {
         .select(col("vec_id"), col("band_idx"),
           expr("bits[band_idx*4] + bits[band_idx*4+1]*2 + bits[band_idx*4+2]*4 + bits[band_idx*4+3]*8")
             .as("band_hash"))
+      // MERGE hint: the band rows are cheap but their CHILD (the 16x64
+      // interpreted-HOF bit computation) is not. If AQE broadcast-
+      // converts one side (the row count qualifies), that child runs
+      // single-threaded inside the broadcast build — observed 10-50x
+      // the shuffled join. Sort-merge keeps the bits computation
+      // parallel and lets the exchange be reused across both sides.
       val cands = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("va"))
+        .hint("MERGE")
         .join(banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
           col("vec_id").as("vb")),
           col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
