@@ -5,8 +5,35 @@ import org.apache.spark.sql.SparkSession
   * noop sink (so Catalyst cannot prune work the way a bare `count()` lets
   * it), reports per-query seconds, and reports failures as an `err` field
   * instead of a fake timing — a broken query must not improve the total.
+  *
+  * Starvation-robust protocol: this host exhibits CPU-starvation waves that
+  * can inflate a single timing 100-300x (e.g. a pure map-side md5 recorded
+  * at 400 s vs 1.3 s warm). A single-shot timing loop cannot distinguish
+  * that artifact from a genuine regression, so each query is timed once and
+  * then adaptively re-timed (up to 2 extra runs) whenever its first timing
+  * exceeds 3x the trailing median of recent queries; the recorded value is
+  * the MIN across runs (the run least affected by host noise). Rows whose
+  * rerun improved by >3x are listed in `starved_queries` and flip the
+  * top-level `starved` flag, and /proc/stat steal time is sampled across
+  * the run, so a poisoned record is machine-detectable instead of needing
+  * prose disclaimers in BASELINE.md.
   */
 object Bench {
+  /** Fraction of CPU time stolen by the hypervisor between two samples of
+    * /proc/stat's aggregate cpu line (field 8 = steal). 0.0 when the file
+    * or field is unavailable (non-Linux, restricted container).
+    */
+  private def readProcStat(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        src.getLines().find(_.startsWith("cpu ")).flatMap { line =>
+          val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+          if (f.length >= 8) Some((f.sum, f(7))) else None
+        }
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,23 +59,76 @@ object Bench {
       // over each file measures the operator, not the page-cache fill —
       // without this the alphabetically-first queries absorb the whole
       // cold-IO cost and run-to-run variance swamps plan differences.
+      // Each load is individually guarded: a missing fixture (e.g. an SF
+      // dir without embeddings) degrades to a cold first query for that
+      // table instead of aborting the bench before any timing is recorded.
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"))
-        graft.sources.Tables.load(spark, sfDir, t)
+        try graft.sources.Tables.load(spark, sfDir, t)
           .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
     }
-    var timings = Vector.empty[(String, Double)]
+    val startStat = readProcStat()
+
+    // Trailing median of the last `window` accepted (min) timings — the
+    // baseline a fresh timing is judged against. Seeded empty: the first
+    // few queries fall back to an absolute 5 s trigger only.
+    val trailing = scala.collection.mutable.Queue.empty[Double]
+    val trailingWindow = 15
+    def trailingMedian: Option[Double] =
+      if (trailing.isEmpty) None
+      else {
+        val s = trailing.toVector.sorted
+        Some(s(s.length / 2))
+      }
+
+    var timings = Vector.empty[(String, Double)]          // per-query min
+    var reruns = Vector.empty[(String, Vector[Double])]   // all runs, rerun rows only
+    var starvedQ = Vector.empty[String]
     var errors = Vector.empty[(String, String)]
+    val maxExtraRuns = 2
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings :+= name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      def timeOnce(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      }
+      timeOnce() match {
+        case Left(err) => errors :+= name -> err
+        case Right(t1) =>
+          // Suspicious = >3x the trailing median (or >5 s before a median
+          // exists). Genuine heavyweights just pay 1-2 cheap confirmations;
+          // a starvation spike is replaced by its warm re-measurement.
+          val threshold = trailingMedian.map(m => math.max(3.0 * m, 2.0)).getOrElse(5.0)
+          var runs = Vector(t1)
+          while (runs.length <= maxExtraRuns && runs.min > threshold)
+            timeOnce() match {
+              case Right(t) => runs :+= t
+              case Left(_)  => runs :+= runs.min // re-run failed: keep existing evidence
+            }
+          val best = runs.min
+          timings :+= name -> best
+          if (runs.length > 1) reruns :+= name -> runs
+          if (runs.length > 1 && runs.max / math.max(best, 1e-9) > 3.0)
+            starvedQ :+= name
+          trailing.enqueue(best)
+          if (trailing.size > trailingWindow) trailing.dequeue()
       }
     }
+
+    val endStat = readProcStat()
+    val stealPct = (startStat, endStat) match {
+      case (Some((tot0, st0)), Some((tot1, st1))) if tot1 > tot0 =>
+        100.0 * (st1 - st0) / (tot1 - tot0)
+      case _ => 0.0
+    }
+
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -56,8 +136,13 @@ object Bench {
       } + "\""
     val qs = timings.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val rr = reruns.map { case (k, v) =>
+      jq(k) + ":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val sq = starvedQ.map(jq).mkString("[", ",", "]")
+    val starved = starvedQ.nonEmpty || stealPct > 5.0
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"starved":$starved,"starved_queries":$sq,"steal_pct":${f"$stealPct%.2f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -562,6 +562,30 @@ object DedupOps {
 
   private val ccLock = new Object
 
+  /** Reliable-checkpoint `df` into a named SLOT: the checkpoint files a
+    * previous call with the same slot left behind are deleted once the
+    * new ones are written, so repeated invocations (a bench loop, a
+    * resubmitted job) keep the on-disk footprint at O(one artifact per
+    * slot) instead of growing forever — and, unlike `persist`, nothing
+    * occupies unified executor memory after the call returns (the
+    * transient cache inside [[reliableCheckpoint]] is dropped
+    * immediately; ADVICE r6 flagged the old persist-and-never-unpersist
+    * as a late-run memory leak in the 134-query single-JVM bench).
+    * Holds [[ccLock]] so the shared checkpoint-directory diffing stays
+    * sound against a concurrent CC loop. Contract: a DataFrame returned
+    * by a PREVIOUS invocation of the same slot dies when the next
+    * invocation supersedes it — hold results before re-invoking.
+    */
+  private val slotDirs = scala.collection.mutable.Map.empty[String, Set[String]]
+  private def checkpointSlot(slot: String, df: DataFrame): DataFrame = ccLock.synchronized {
+    val s = df.sparkSession
+    ensureCheckpointDir(s)
+    val (cp, dirs) = reliableCheckpoint(df)
+    slotDirs.get(slot).foreach(deleteCkptDirs(s, _))
+    slotDirs(slot) = dirs
+    cp
+  }
+
   private def distributedComponents(spark: SparkSession, canon: DataFrame,
                                     maxRounds: Int): (DataFrame, Int) = {
     ensureCheckpointDir(spark)
@@ -790,14 +814,18 @@ object DedupOps {
     "llm_dup_pagerank",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id")
-      // Persist the candidate pairs: the LSH pipeline (shingle → minhash
-      // → band join) is the expensive subtree and it feeds deg, all
-      // three iteration joins, and the final degree join — without the
-      // cache, exchange reuse is at AQE's mercy across ~7 consumers
-      // (probed: the uncached plan re-scans documents ~20x). The pair
-      // list is near-dup-sized (two longs per candidate), orders of
-      // magnitude smaller than the corpus.
-      val pairs = lshPairs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      // Checkpoint the candidate pairs: the LSH pipeline (shingle →
+      // minhash → band join) is the expensive subtree and it feeds deg,
+      // all three iteration joins, and the final degree join — without
+      // materialization, exchange reuse is at AQE's mercy across ~7
+      // consumers (probed: the uncached plan re-scans documents ~20x).
+      // A reliable checkpoint (not persist) both truncates the lineage —
+      // so the iteration joins re-plan a parquet scan, not the LSH
+      // subtree (the round-6 19.6 s cold vs 5.5 s warm gap) — and leaves
+      // no cache entry behind in the long-lived bench JVM. The pair list
+      // is near-dup-sized (two longs per candidate), orders of magnitude
+      // smaller than the corpus.
+      val pairs = checkpointSlot("llm_dup_pagerank", lshPairs(s, dir))
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -849,6 +877,105 @@ object DedupOps {
          |ORDER BY t.doc_id""".stripMargin
     })
 
+  /** PageRank iterated to CONVERGENCE — the production form of
+    * [[dupPagerank]]'s fixed 3 unrolled iterations: keep iterating until
+    * the max per-node rank delta drops to `spark.graft.pagerankEpsilon`
+    * (default 1e6 at the 1e12 integer scale, i.e. 1e-6 of total mass),
+    * with the CC loop's checkpoint discipline so the lineage never
+    * deepens and round N-1's files are deleted as round N lands. Same
+    * exact BIGINT arithmetic as the 3-iteration variant (truncating
+    * division, no floats), so the iteration is deterministic; damping
+    * 85/100 contracts the max delta by ≥0.85× per round, which bounds
+    * rounds at log(Δ₀/ε)/log(1/0.85) — ~60 for the worst-case Δ₀ = 1e10
+    * — enforced by `maxRounds = 100` fail-fast.
+    * `PagerankConvergenceSpec` pins the bound and replays the identical
+    * integer recurrence driver-side for an exact cross-implementation
+    * rank check.
+    *
+    * The stop test is data-dependent, so (like `a3b`/`a22`) the DuckDB
+    * oracle pins what IS statically checkable: the exact per-doc degree
+    * table (graph structure, shared with [[dupPagerank]]'s fully exact
+    * oracle) plus rank-sanity and convergence flags computed as Spark-side
+    * invariants — every rank in [base, 1e12] and the final delta under
+    * epsilon.
+    *
+    * Scale shape (100 TB): pair list checkpointed once; per round ONE
+    * dst-keyed shuffle of contributions over the (docs-sized, far smaller
+    * than the corpus) rank table, a checkpoint write of that table, and
+    * one max-delta action.
+    */
+  /** The iteration loop of [[dupPagerankConv]], factored out so
+    * `PagerankConvergenceSpec` can drive it over small synthetic graphs
+    * and replay the identical integer recurrence driver-side. `docs` has
+    * column doc_id; `pairs` has doc_a/doc_b (undirected, doc_a < doc_b).
+    * Returns (frame with doc_id / n_docs / pr / degree, rounds run,
+    * final max delta); throws if `maxRounds` is exhausted before the max
+    * per-round rank delta drops to `eps`.
+    */
+  private[graft] def pagerankConvergedStats(docs: DataFrame, pairs: DataFrame,
+      eps: Long, maxRounds: Int = 100): (DataFrame, Int, Long) = {
+    val s = docs.sparkSession
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val base = expr("150000000000L div n_docs")
+    var pr = docs.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_docs"),
+        expr("1000000000000L div n_docs").as("pr"))
+    var prDirs = Set.empty[String]
+    var delta = Long.MaxValue
+    var rounds = 0
+    ccLock.synchronized {
+      ensureCheckpointDir(s)
+      while (delta > eps && rounds < maxRounds) {
+        val contrib = edgesDeg
+          .join(pr.select(col("doc_id").as("src"), col("pr").as("src_pr")), "src")
+          .select(col("dst"), expr("src_pr div outdeg").as("c"))
+          .groupBy("dst").agg(sum("c").as("s"))
+        val next = pr.join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_docs"), col("pr").as("pr_prev"),
+            (base + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+        val (cp, dirs) = reliableCheckpoint(next)
+        rounds += 1
+        delta = cp.agg(max(abs(col("pr") - col("pr_prev")))).head().getLong(0)
+        deleteCkptDirs(s, prDirs)
+        pr = cp.drop("pr_prev")
+        prDirs = dirs
+      }
+    }
+    if (delta > eps) throw new IllegalStateException(
+      s"pagerank did not converge to eps=$eps in $maxRounds rounds " +
+        "(damping 85/100 contracts the delta ≥0.85x per round — this should be impossible)")
+    val out = pr.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_docs"), col("pr"),
+        coalesce(col("outdeg"), lit(0L)).as("degree"))
+    (out, rounds, delta)
+  }
+
+  private val dupPagerankConv = QueryDef(
+    "llm_dup_pagerank_conv",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      val eps = s.conf.get("spark.graft.pagerankEpsilon", "1000000").toLong
+      val pairs = checkpointSlot("llm_dup_pagerank_conv", lshPairs(s, dir))
+      val (ranks, _, delta) = pagerankConvergedStats(docs, pairs, eps)
+      ranks.select(col("doc_id"), col("degree"),
+          (col("pr") >= expr("150000000000L div n_docs") &&
+            col("pr") <= lit(1000000000000L)).as("rank_ok"),
+          lit(delta <= eps).as("converged"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+           |          UNION ALL SELECT doc_b, doc_a FROM cand),
+           |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+           |SELECT d.doc_id, CAST(coalesce(g.outdeg, 0) AS BIGINT) AS degree,
+           |  true AS rank_ok, true AS converged
+           |FROM documents d LEFT JOIN deg g ON g.src = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
-    dedupGroups, decontaminate, repetition, curation, dupPagerank)
+    dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv)
 }

@@ -439,8 +439,7 @@ object OlapOps {
     (s, dir) => {
       val perPart = t(s, dir, "events")
         .groupBy("event_type")
-        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
-          countDistinct(col("user_id")).as("nd_part"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
       perPart
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
           count(lit(1)).as("n_parts"))

@@ -22,6 +22,30 @@ import org.apache.spark.sql.SparkSession
 object Artifacts {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Delete sibling roots under `base` that share `prefix` (same source
+    * table) but are not `keep` (the current fingerprint): every
+    * regeneration of the source parquet mints a fresh fingerprinted root,
+    * and without this the dead ones accumulate on disk forever. Best
+    * effort — a prune failure (permissions, concurrent reader on another
+    * driver) must never fail the query that triggered it.
+    *
+    * Assumes one live source per basename under `base`: two source dirs
+    * sharing a basename (`/a/sf0.1` and `/b/sf0.1`) would prune each
+    * other's roots on alternating access. Give such deployments distinct
+    * artifact bases via the `spark.graft.*Root` confs.
+    */
+  def pruneStaleSiblings(s: SparkSession, base: String, prefix: String, keep: String): Unit =
+    try {
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath))
+        fs.listStatus(basePath).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith(prefix) && n != keep)
+            fs.delete(st.getPath, true)
+        }
+    } catch { case _: Throwable => () }
+
   def ensureOnce(s: SparkSession, root: String, markerName: String)(build: => Unit): Unit = {
     val key = s"$root/$markerName"
     locks.computeIfAbsent(key, _ => new Object).synchronized {

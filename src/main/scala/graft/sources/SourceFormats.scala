@@ -171,8 +171,10 @@ object SourceFormats {
       val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
       val fp = s"${st.getLen}_${st.getModificationTime}"
       val base = s.conf.get("spark.graft.partDocsRoot", "/root/repo/fixtures/partdocs")
-      val root = s"$base/${srcPath.getParent.getName}_$fp"
+      val prefix = s"${srcPath.getParent.getName}_"
+      val root = s"$base/$prefix$fp"
       val markerName = "_GRAFT_PARTDOCS_v1"
+      Artifacts.pruneStaleSiblings(s, base, prefix, s"$prefix$fp")
       if (!memo(s"$root/$markerName"))
         Artifacts.ensureOnce(s, root, markerName) {
           Tables.load(s, dir, "documents")
@@ -215,8 +217,10 @@ object SourceFormats {
       val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
       val fp = s"${st.getLen}_${st.getModificationTime}"
       val base = s.conf.get("spark.graft.evoDocsRoot", "/root/repo/fixtures/evodocs")
-      val root = s"$base/${srcPath.getParent.getName}_$fp"
+      val prefix = s"${srcPath.getParent.getName}_"
+      val root = s"$base/$prefix$fp"
       val markerName = "_GRAFT_EVODOCS_v1"
+      Artifacts.pruneStaleSiblings(s, base, prefix, s"$prefix$fp")
       if (!memo(s"$root/$markerName"))
         Artifacts.ensureOnce(s, root, markerName) {
           val docs = Tables.load(s, dir, "documents")

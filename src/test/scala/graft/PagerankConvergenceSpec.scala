@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.DedupOps
+
+/** Convergence + exactness regression for the iterate-until-stable
+  * PageRank (`llm_dup_pagerank_conv`). The arithmetic is pure BIGINT
+  * (1e12 total mass, truncating `div`, damping 85/100), so the iteration
+  * is bit-deterministic: a driver-side Long replay of the identical
+  * recurrence must produce EXACTLY the same ranks, round count, and final
+  * delta as the distributed loop — not approximately. Damping contracts
+  * the max delta geometrically, which is what bounds rounds at
+  * log(delta0/eps)/log(100/85) independent of graph size; the specs pin
+  * that bound so a future edit that accidentally breaks the contraction
+  * (e.g. dropping the damping from the delta path) fails loudly instead
+  * of running to maxRounds on 100 TB.
+  */
+class PagerankConvergenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side replay of the exact integer recurrence over an
+    * undirected pair list: returns (doc_id -> rank, rounds, finalDelta).
+    */
+  private def replay(nDocs: Long, pairs: Seq[(Long, Long)], eps: Long,
+      maxRounds: Int = 100): (Map[Long, Long], Int, Long) = {
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = 150000000000L / nDocs
+    var pr = (0L until nDocs).map(d => d -> 1000000000000L / nDocs).toMap
+    var delta = Long.MaxValue
+    var rounds = 0
+    while (delta > eps && rounds < maxRounds) {
+      val contrib = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+      for ((src, dst) <- edges) contrib(dst) += pr(src) / outdeg(src)
+      val next = pr.map { case (d, _) => d -> (base + 85L * contrib(d) / 100L) }
+      delta = pr.map { case (d, v) => math.abs(next(d) - v) }.max
+      pr = next
+      rounds += 1
+    }
+    (pr, rounds, delta)
+  }
+
+  private def run(nDocs: Long, pairs: Seq[(Long, Long)], eps: Long,
+      maxRounds: Int = 100) = {
+    val docs = (0L until nDocs).toDF("doc_id")
+    val pairDf = pairs.toDF("doc_a", "doc_b")
+    DedupOps.pagerankConvergedStats(docs, pairDf, eps, maxRounds)
+  }
+
+  // A path, a triangle, and an isolated doc: mixed degrees, a dangling
+  // mass sink (the isolated doc keeps only its base share).
+  private val graph = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+  private val nDocs = 8L
+
+  test("distributed ranks exactly equal the driver-side integer replay") {
+    val eps = 1000L // tight epsilon => a meaningful number of rounds
+    val (df, rounds, delta) = run(nDocs, graph, eps)
+    val (expected, expRounds, expDelta) = replay(nDocs, graph, eps)
+    assert(rounds === expRounds)
+    assert(delta === expDelta)
+    val got = df.select("doc_id", "pr").as[(Long, Long)].collect().toMap
+    assert(got === expected, "BIGINT arithmetic must be bit-identical across implementations")
+  }
+
+  test("round count respects the geometric contraction bound") {
+    val eps = 1000L
+    val (_, rounds, delta) = run(nDocs, graph, eps)
+    assert(delta <= eps)
+    // delta0 <= initial total mass 1e12; 85/100 damping contracts the max
+    // delta at least geometrically, so log(1e12/eps)/log(100/85) bounds
+    // the rounds (plus 1 for the final confirming round).
+    val bound = math.ceil(math.log(1e12 / eps) / math.log(100.0 / 85.0)).toInt + 1
+    assert(rounds <= bound,
+      s"$rounds rounds exceeds the damping contraction bound $bound — is the 85/100 damping still applied?")
+    assert(rounds >= 3, "eps=1000 on this graph must take several rounds — a 1-round exit means the delta test is broken")
+  }
+
+  test("degree column matches the undirected degree of each doc") {
+    val (df, _, _) = run(nDocs, graph, 1000000L)
+    val deg = df.select("doc_id", "degree").as[(Long, Long)].collect().toMap
+    assert(deg === Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L,
+      4L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 0L))
+  }
+
+  test("maxRounds exhaustion fails fast") {
+    val e = intercept[IllegalStateException] { run(nDocs, graph, 10L, maxRounds = 1) }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("every rank stays within [base, total mass]") {
+    val (df, _, _) = run(nDocs, graph, 1000000L)
+    val base = 150000000000L / nDocs
+    val bad = df.filter(col("pr") < base || col("pr") > 1000000000000L).count()
+    assert(bad === 0L,
+      "base share is a hard floor (every doc receives it each round) and total mass a hard ceiling")
+  }
+}
