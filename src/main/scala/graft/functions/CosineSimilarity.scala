@@ -115,6 +115,18 @@ object GraftFunctions {
         require(exprs.length == 3, "topk_pairs takes exactly 3 arguments")
         TopKPairs(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bits", exprs => mkHyperplaneBits(exprs), "scala_udf")
+  }
+
+  private[functions] def mkHyperplaneBits(exprs: Seq[Expression]): HyperplaneBits = {
+    require(exprs.length == 2, "hyperplane_bits takes exactly 2 arguments")
+    val planes = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case e => throw new IllegalArgumentException(
+        s"hyperplane_bits plane count must be an integer literal, got $e")
+    }
+    HyperplaneBits(exprs.head, planes)
   }
 }
 
@@ -142,5 +154,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(exprs.length == 3, "topk_pairs takes exactly 3 arguments")
         TopKPairs(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
       }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_bits"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HyperplaneBits].getCanonicalName, "hyperplane_bits"),
+      (exprs: Seq[Expression]) => GraftFunctions.mkHyperplaneBits(exprs)))
   }
 }

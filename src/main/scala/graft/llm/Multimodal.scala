@@ -44,10 +44,12 @@ trait MediaDecoder extends Serializable {
 
 /** Real container-header decoder, pure-JVM byte parsing (no codec
   * library): PNG IHDR gives (width, height, 0); WAV RIFF chunks give
-  * (sample_rate, channels, data_bytes·1000/byte_rate). Dispatch is on
-  * the MAGIC BYTES, not the claimed media_type — corpus metadata lies.
-  * Unparseable payloads throw `IllegalArgumentException` (an honest
-  * decoder fails loudly; route dirty corpora through [[tryDecode]]).
+  * (sample_rate, channels, data_bytes·1000/byte_rate); MP4/ISO-BMFF box
+  * walking gives (tkhd width, tkhd height, mvhd duration·1000/timescale).
+  * Dispatch is on the MAGIC BYTES, not the claimed media_type — corpus
+  * metadata lies. Unparseable payloads throw `IllegalArgumentException`
+  * (an honest decoder fails loudly; route dirty corpora through
+  * [[tryDecode]]).
   */
 object HeaderDecoder extends MediaDecoder {
 
@@ -56,6 +58,9 @@ object HeaderDecoder extends MediaDecoder {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def u32be(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def u32beL(b: Array[Byte], i: Int): Long = u32be(b, i).toLong & 0xffffffffL
+  private def u64be(b: Array[Byte], i: Int): Long =
+    (u32beL(b, i) << 32) | u32beL(b, i + 4)
   private def u32le(b: Array[Byte], i: Int): Long =
     (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)).toLong | (u8(b, i + 3).toLong << 24)
   private def u16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
@@ -89,6 +94,55 @@ object HeaderDecoder extends MediaDecoder {
       if (byteRate <= 0 || dataBytes < 0)
         throw new IllegalArgumentException("WAV missing fmt/data chunk")
       (sampleRate.toInt, channels, dataBytes * 1000L / byteRate)
+    } else if (blob.length >= 12 && tag(blob, 4) == "ftyp") {
+      // MP4 / ISO-BMFF (ISO 14496-12): a tree of [size(4 BE) type(4)]
+      // boxes. Walk top-level boxes to `moov`, then its children for
+      // `mvhd` (movie timescale + duration) and each `trak`'s `tkhd`
+      // (16.16 fixed-point presentation width/height; audio tracks carry
+      // 0×0, so the max across tracks is the video size). A general
+      // recursive walk like the WAV path — no fixed layout assumed —
+      // with Long cursors so a crafted 32-bit size can't wrap.
+      var timescale = 0L; var duration = -1L
+      var width = 0; var height = 0
+      def walk(from: Long, until: Long): Unit = {
+        var i = from
+        var ok = true
+        while (ok && i + 8 <= until) {
+          val size = u32beL(blob, i.toInt)
+          val id = tag(blob, i.toInt + 4)
+          // size 0 = box extends to end of enclosure; size 1 = 64-bit
+          // largesize (only meaningful for >4 GiB mdat — out of scope
+          // for an in-memory header parse, skip the walk honestly).
+          val boxEnd = if (size == 0) until else i + size
+          if (size == 1 || (size != 0 && size < 8) || boxEnd > until) ok = false
+          else {
+            id match {
+              case "moov" | "trak" => walk(i + 8, boxEnd)
+              case "mvhd" if boxEnd - i >= 32 =>
+                if (u8(blob, i.toInt + 8) == 1 && boxEnd - i >= 44) {
+                  timescale = u32beL(blob, i.toInt + 28)
+                  duration = u64be(blob, i.toInt + 32)
+                } else {
+                  timescale = u32beL(blob, i.toInt + 20)
+                  duration = u32beL(blob, i.toInt + 24)
+                }
+              case "tkhd" if boxEnd - i >= 92 =>
+                val v1 = u8(blob, i.toInt + 8) == 1
+                val (wOff, hOff) = if (v1) (96, 100) else (84, 88)
+                if (boxEnd - i >= hOff + 4) {
+                  width = math.max(width, u32be(blob, i.toInt + wOff) >>> 16)
+                  height = math.max(height, u32be(blob, i.toInt + hOff) >>> 16)
+                }
+              case _ => ()
+            }
+            i = boxEnd
+          }
+        }
+      }
+      walk(0L, blob.length.toLong)
+      if (timescale <= 0 || duration < 0)
+        throw new IllegalArgumentException("MP4 missing moov/mvhd box")
+      (width, height, duration * 1000L / timescale)
     } else throw new IllegalArgumentException(
       s"unrecognized container (media_type=$mediaType, ${blob.length} bytes)")
   }
@@ -239,7 +293,7 @@ object Multimodal {
     * DuckDB oracle parse the SAME file, whatever the encoder emitted.
     */
   object MediaFixtures {
-    private val version = "v1"
+    private val version = "v2"
     // FIXED path, deliberately not conf-driven: the DuckDB oracle SQL is
     // a static string reading this exact location, so a relocatable root
     // would silently desynchronize the two engines. This is an oracle
@@ -273,8 +327,43 @@ object Multimodal {
             ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
           MediaRecord((10 + i).toLong, "audio/wav", out.toByteArray)
         }
+        // Minimal REAL MP4 containers, hand-assembled (ISO 14496-12 is
+        // pure box framing — no codec needed for header metadata): ftyp
+        // + moov(mvhd v0 + trak(tkhd v0)) + trailing mdat. The writer
+        // emits the canonical v0 layout, so moov field offsets are FIXED
+        // (mdat last): timescale@44, duration@48, 16.16 width@224,
+        // height@228 — which is what lets the DuckDB oracle re-derive
+        // every field with static hex arithmetic while the Scala decoder
+        // does an independent general box walk.
+        def be(vs: Long*): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+          vs.foreach(v => bb.putInt(v.toInt))
+          bb.array()
+        }
+        def mkBox(typ: String, body: Array[Byte]): Array[Byte] =
+          be(8L + body.length) ++
+            typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+        val unity = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+        val mp4Params = Seq( // (timescale, duration, width, height)
+          (1000L, 2000L, 320L, 240L), (600L, 1234L, 640L, 360L),
+          (90000L, 630000L, 1280L, 720L), (12288L, 8192L, 16L, 9L),
+          (44100L, 44100L, 1920L, 1080L), (30L, 95L, 8L, 8L))
+        val mp4s = mp4Params.zipWithIndex.map { case ((ts, dur, w, h), i) =>
+          val mvhd = mkBox("mvhd", be(
+            Seq(0L, 0L, 0L, ts, dur, 0x00010000L, 0x01000000L, 0L, 0L) ++ unity ++
+              Seq(0L, 0L, 0L, 0L, 0L, 0L, 2L): _*))
+          val tkhd = mkBox("tkhd", be(
+            Seq(7L, 0L, 0L, 1L, 0L, dur, 0L, 0L, 0L, 0L) ++ unity ++
+              Seq(w << 16, h << 16): _*))
+          val moov = mkBox("moov", mvhd ++ mkBox("trak", tkhd))
+          val mdat = mkBox("mdat",
+            Array.tabulate(32 + i * 57)(j => ((j * 41 + i) % 253).toByte))
+          val ftyp = mkBox("ftyp",
+            "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ be(0L))
+          MediaRecord((20 + i).toLong, "video/mp4", ftyp ++ moov ++ mdat)
+        }
         import s.implicits._
-        s.createDataset(pngs ++ wavs).toDF()
+        s.createDataset(pngs ++ wavs ++ mp4s).toDF()
           .coalesce(1).write.mode("overwrite").parquet(path)
       }
       path
@@ -298,9 +387,10 @@ object Multimodal {
     * mapPartitions batch path); the oracle re-derives every field with
     * DuckDB string/hex arithmetic over the same blobs — two independent
     * parsers agreeing on real encoder output. Byte offsets in the oracle
-    * assume the JDK writers' canonical layouts (IHDR first; RIFF+fmt+data
-    * with no extra chunks) — which the fixtures guarantee; the Scala
-    * decoder does a general chunk walk and is additionally unit-tested.
+    * assume the writers' canonical layouts (IHDR first; RIFF+fmt+data
+    * with no extra chunks; ftyp+moov before mdat with v0 mvhd/tkhd) —
+    * which the fixtures guarantee; the Scala decoder does a general
+    * chunk/box walk and is additionally unit-tested.
     */
   private val decodeQ = QueryDef(
     "llm_multimodal_decode",
@@ -314,12 +404,15 @@ object Multimodal {
            |  FROM read_parquet('/root/repo/fixtures/media/media_real.parquet/*.parquet'))
            |SELECT doc_id, media_type,
            |  CAST(octet_length(blob) AS INTEGER) AS n_bytes,
-           |  CAST(CASE WHEN media_type = 'image/png'
-           |       THEN ${u32be(16)} ELSE ${u32le(24)} END AS INTEGER) AS width,
-           |  CAST(CASE WHEN media_type = 'image/png'
-           |       THEN ${u32be(20)} ELSE ${u16le(22)} END AS INTEGER) AS height,
+           |  CAST(CASE WHEN media_type = 'image/png' THEN ${u32be(16)}
+           |       WHEN media_type = 'audio/wav' THEN ${u32le(24)}
+           |       ELSE ${u32be(224)} // 65536 END AS INTEGER) AS width,
+           |  CAST(CASE WHEN media_type = 'image/png' THEN ${u32be(20)}
+           |       WHEN media_type = 'audio/wav' THEN ${u16le(22)}
+           |       ELSE ${u32be(228)} // 65536 END AS INTEGER) AS height,
            |  CAST(CASE WHEN media_type = 'image/png' THEN 0
-           |       ELSE (${u32le(40)} * 1000) // ${u32le(28)} END AS BIGINT) AS duration_ms
+           |       WHEN media_type = 'audio/wav' THEN (${u32le(40)} * 1000) // ${u32le(28)}
+           |       ELSE (${u32be(48)} * 1000) // ${u32be(44)} END AS BIGINT) AS duration_ms
            |FROM t ORDER BY doc_id""".stripMargin))
 
   /** Metadata query over the binary column using only engine-portable

@@ -144,8 +144,10 @@ object SimilarityOps {
       // artifact IO goes through the Hadoop FileSystem API, never
       // java.io); the default is this sandbox's fixture dir.
       val base = s.conf.get("spark.graft.ivfRoot", "/root/repo/fixtures/ivf")
-      val root = s"$base/${srcPath.getParent.getName}_$fp"
+      val prefix = s"${srcPath.getParent.getName}_"
+      val root = s"$base/$prefix$fp"
       val markerName = "_GRAFT_IVF_v1"
+      graft.sources.Artifacts.pruneStaleSiblings(s, base, prefix, s"$prefix$fp")
       if (!memo(s"$root/$markerName"))
         graft.sources.Artifacts.ensureOnce(s, root, markerName) {
           val emb = Tables.load(s, dir, "embeddings")
@@ -277,28 +279,21 @@ object SimilarityOps {
     (s, dir) => {
       GraftFunctions.register(s)
       val emb = Tables.load(s, dir, "embeddings")
-      // 16 sign bits, all map-side: bit p = sign of <embedding, h_p>
-      // where h_p[d] = lcg(p*64+d) scaled into [-1, 1].
-      val bitsExpr =
-        """transform(sequence(0, 15), p ->
-          |  CASE WHEN aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),
-          |    (acc, d) -> acc + CAST(embedding[d] AS DOUBLE) *
-          |      ((CAST((p * 64 + d) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0) * 2.0 - 1.0)
-          |  ) > 0.0 THEN 1 ELSE 0 END)""".stripMargin
+      // 16 sign bits in one fused codegen pass (bit p = sign of
+      // <embedding, h_p> where h_p[d] = lcg(p*64+d) scaled into [-1, 1]),
+      // then band b is the b-th 4-bit nibble of the mask. The former
+      // interpreted transform/aggregate HOF formulation of the same bits
+      // was the expensive child that forced a MERGE join hint here (AQE
+      // broadcast-converting a side re-ran it single-threaded inside the
+      // broadcast build, 10-50x the shuffled join); with the bits codegen'd
+      // the child is a cheap scan-side projection and AQE can pick the
+      // join strategy freely.
       val banded = emb
-        .select(col("vec_id"), expr(bitsExpr).as("bits"))
-        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("band_idx"), col("bits"))
+        .select(col("vec_id"), expr("hyperplane_bits(embedding, 16)").as("mask"))
+        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("band_idx"), col("mask"))
         .select(col("vec_id"), col("band_idx"),
-          expr("bits[band_idx*4] + bits[band_idx*4+1]*2 + bits[band_idx*4+2]*4 + bits[band_idx*4+3]*8")
-            .as("band_hash"))
-      // MERGE hint: the band rows are cheap but their CHILD (the 16x64
-      // interpreted-HOF bit computation) is not. If AQE broadcast-
-      // converts one side (the row count qualifies), that child runs
-      // single-threaded inside the broadcast build — observed 10-50x
-      // the shuffled join. Sort-merge keeps the bits computation
-      // parallel and lets the exchange be reused across both sides.
+          expr("shiftright(mask, band_idx * 4) & 15").as("band_hash"))
       val cands = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("va"))
-        .hint("MERGE")
         .join(banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
           col("vec_id").as("vb")),
           col("band_idx") === col("bi") && col("band_hash") === col("bh") &&

@@ -96,6 +96,54 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("multimodal header decode walks real MP4 boxes: v0, v1, and mdat-first layouts") {
+    def be32(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => bb.putInt(v.toInt)); bb.array()
+    }
+    def be64(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val unity = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0L))
+    def mvhd0(ts: Long, dur: Long) = box("mvhd",
+      be32(Seq(0L, 0L, 0L, ts, dur, 0x00010000L, 0x01000000L, 0L, 0L) ++ unity ++
+        Seq(0L, 0L, 0L, 0L, 0L, 0L, 2L): _*))
+    def tkhd0(w: Long, h: Long, dur: Long) = box("tkhd",
+      be32(Seq(7L, 0L, 0L, 1L, 0L, dur, 0L, 0L, 0L, 0L) ++ unity ++
+        Seq(w << 16, h << 16): _*))
+    val mdat = box("mdat", Array.fill(100)(42.toByte))
+
+    // v0, canonical order: 90000-tick timescale, 7 s of ticks.
+    val v0 = ftyp ++ box("moov", mvhd0(90000L, 630000L) ++ box("trak", tkhd0(1280L, 720L, 630000L))) ++ mdat
+    assert(graft.llm.HeaderDecoder.decode("video/mp4", v0) === ((1280, 720, 7000L)))
+
+    // mdat BEFORE moov (streaming-unfriendly but legal): the general box
+    // walk must find moov regardless of position.
+    val mdatFirst = ftyp ++ mdat ++ box("moov", mvhd0(1000L, 2500L) ++ box("trak", tkhd0(320L, 240L, 2500L)))
+    assert(graft.llm.HeaderDecoder.decode("video/mp4", mdatFirst) === ((320, 240, 2500L)))
+
+    // v1 mvhd/tkhd: 64-bit times; duration past 2^32 ticks.
+    val bigDur = 0x100000000L + 90000L // 2^32 + 1 s of 90k ticks
+    val mvhd1 = box("mvhd",
+      be32(0x01000000L) ++ be64(0L) ++ be64(0L) ++ be32(90000L) ++ be64(bigDur) ++
+        be32(Seq(0x00010000L, 0x01000000L, 0L, 0L) ++ unity ++
+          Seq(0L, 0L, 0L, 0L, 0L, 0L, 2L): _*))
+    val tkhd1 = box("tkhd",
+      be32(0x01000007L) ++ be64(0L) ++ be64(0L) ++ be32(1L, 0L) ++ be64(bigDur) ++
+        be32(Seq(0L, 0L, 0L, 0L) ++ unity ++ Seq(640L << 16, 480L << 16): _*))
+    val v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1)) ++ mdat
+    assert(graft.llm.HeaderDecoder.decode("video/mp4", v1) ===
+      ((640, 480, bigDur * 1000L / 90000L)))
+
+    // ftyp with no moov anywhere: honest failure, None through tryDecode.
+    intercept[IllegalArgumentException] {
+      graft.llm.HeaderDecoder.decode("video/mp4", ftyp ++ mdat)
+    }
+    assert(graft.llm.HeaderDecoder.tryDecode("video/mp4", ftyp ++ mdat).isEmpty)
+  }
+
   test("multimodal decoder is pluggable and open/close bracket each partition") {
     import spark.implicits._
     val opens = spark.sparkContext.longAccumulator("opens")

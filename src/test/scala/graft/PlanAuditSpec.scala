@@ -21,6 +21,13 @@ class PlanAuditSpec extends SparkSpec {
     // The label column must not appear anywhere: blocking on a
     // low-cardinality categorical is the quadratic scale-killer.
     assert(!p.contains("label"), "plan must not block on the categorical label")
+    // The sign bits must come from the fused codegen expression, not an
+    // interpreted HOF fold (the expensive non-codegen child that once
+    // forced a MERGE hint to keep AQE from rebuilding it single-threaded
+    // inside a broadcast build).
+    assert(p.contains("hyperplane_bits"), "banding must use the native expression")
+    assert(!p.contains("lambdafunction"),
+      "no interpreted lambda may remain on the banding path")
   }
 
   test("llm_ann_ivf cell scan is dynamic-partition-pruned") {
