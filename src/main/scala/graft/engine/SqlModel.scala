@@ -1,0 +1,130 @@
+package graft.engine
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** dbt's SQL-TEXT authoring surface: a model is a `.sql` file whose body
+  * is a single SELECT with `{{ ref('name') }}` / `{{ source('src',
+  * 'table') }}` / `{{ var('name') }}` template calls (e.g.
+  * `/root/reference/models/datamarts/npo-data-hub/reporting/
+  * integral_reporting/integral_reporting_youtube.sql:18,21`). This
+  * frontend turns such text into an engine [[Model]] WITHOUT
+  * recompilation: refs are extracted by parsing the template, and at
+  * build time each resolved upstream frame is registered as a temp view,
+  * the call sites are rewritten to those view names, and the body runs
+  * through `spark.sql`.
+  *
+  * Design choices vs dbt/Jinja:
+  *   - The SQL dialect is Spark SQL (the engine's native dialect), not
+  *     BigQuery — same policy as the Scala model ports, which re-express
+  *     the reference's BigQuery constructs with `graft.dialect.Dialect`
+  *     semantics. `SqlModelSpec` proves the six reporting models
+  *     authored as Spark-SQL text produce frame-identical output to the
+  *     compiled builders (which are DuckDB-oracled end-to-end via the
+  *     `dag_*` rows).
+  *   - Full Jinja (loops, macros) is out of scope; `{{ config(...) }}`
+  *     headers are stripped (materialization is declared engine-side),
+  *     `{{ var('x') }}` substitutes from a caller map at parse time —
+  *     the `today` injection keeping runs reproducible where the
+  *     reference calls CURRENT_DATE().
+  *   - Catalyst still optimizes ACROSS model boundaries: a View
+  *     materialization registers the parsed plan as a temp view, so a
+  *     downstream model's filter pushes through the upstream SQL text
+  *     exactly as it does through a DataFrame-built model.
+  *
+  * View registration: upstream names are rewritten to `graft_ref_`-
+  * prefixed sanitized identifiers (a ref like
+  * `360_graden_rapportage_...` is not a legal bare Spark identifier).
+  * Registration happens per-build, immediately before `spark.sql`, so
+  * two models reffing the same upstream never race in a sequential DAG
+  * run.
+  */
+object SqlModel {
+
+  private val refPat =
+    Pattern.compile("""\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""")
+  private val sourcePat =
+    Pattern.compile("""\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""")
+  private val varPat =
+    Pattern.compile("""\{\{\s*var\(\s*'([^']+)'\s*\)\s*\}\}""")
+  private val configPat =
+    Pattern.compile("""\{\{\s*config\([^}]*\)\s*\}\}""")
+
+  private[engine] def viewName(ref: String): String =
+    "graft_ref_" + ref.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Upstream names referenced by the template: `ref('x')` contributes
+    * `x`; `source('s','t')` contributes `t` (sources resolve by bare
+    * table name through `DagRunner.run`'s resolve callback, the same
+    * namespace `NpoDag.sources` uses). Order of first appearance,
+    * deduplicated.
+    */
+  def extractRefs(sqlText: String): Seq[String] = {
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val rm = refPat.matcher(sqlText)
+    while (rm.find()) hits += rm.start -> rm.group(1)
+    val sm = sourcePat.matcher(sqlText)
+    while (sm.find()) hits += sm.start -> sm.group(2)
+    hits.sortBy(_._1).map(_._2).distinct.toSeq
+  }
+
+  /** Render the template: strip config headers, substitute vars, and
+    * rewrite every ref/source call site to its registered view name.
+    * Throws on an unbound `var` — silently leaving `{{ var('x') }}` in
+    * SQL text produces an unhelpful parser error downstream.
+    */
+  private[engine] def render(sqlText: String, vars: Map[String, String]): String = {
+    val noConfig = configPat.matcher(sqlText).replaceAll("")
+    val vm = varPat.matcher(noConfig)
+    val sb = new java.lang.StringBuilder
+    while (vm.find()) {
+      val v = vars.getOrElse(vm.group(1), throw new IllegalArgumentException(
+        s"unbound var '${vm.group(1)}' in SQL model (bound: ${vars.keys.toSeq.sorted.mkString(", ")})"))
+      vm.appendReplacement(sb, Matcher.quoteReplacement(v))
+    }
+    vm.appendTail(sb)
+    val rendered = refPat.matcher(sb.toString)
+      .replaceAll(m => Matcher.quoteReplacement(viewName(m.group(1))))
+    sourcePat.matcher(rendered)
+      .replaceAll(m => Matcher.quoteReplacement(viewName(m.group(2))))
+  }
+
+  /** Build a [[Model]] from SQL text. `refs` are extracted from the
+    * template — the DAG edge list and the SQL body can never drift
+    * apart (dbt's own property).
+    */
+  def fromSqlText(name: String, sqlText: String,
+                  materialization: Materialization = View,
+                  schema: Option[String] = None,
+                  database: Option[String] = None,
+                  vars: Map[String, String] = Map.empty): Model = {
+    val refs = extractRefs(sqlText)
+    val rendered = render(sqlText, vars)
+    Model(name, refs,
+      (spark: SparkSession, resolved: Map[String, DataFrame]) => {
+        refs.foreach(r => resolved(r).createOrReplaceTempView(viewName(r)))
+        spark.sql(rendered)
+      },
+      materialization, schema, database)
+  }
+
+  /** Load the SQL text from a classpath resource (the engine's analog of
+    * dbt's `models/` directory — `.sql` files shipped under
+    * `src/main/resources`); model name defaults to the file basename,
+    * exactly like dbt.
+    */
+  def fromResource(resourcePath: String,
+                   materialization: Materialization = View,
+                   schema: Option[String] = None,
+                   database: Option[String] = None,
+                   vars: Map[String, String] = Map.empty): Model = {
+    val in = getClass.getClassLoader.getResourceAsStream(resourcePath)
+    require(in != null, s"SQL model resource not found: $resourcePath")
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val base = resourcePath.split('/').last.stripSuffix(".sql")
+    fromSqlText(base, text, materialization, schema, database, vars)
+  }
+}

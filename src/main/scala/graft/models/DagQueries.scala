@@ -737,7 +737,52 @@ object DagQueries {
        |FROM u
        |ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  // ------------------------------------------------- SQL-text frontend
+
+  /** Build one reporting model through the SQL-TEXT path: the `.sql`
+    * resource via [[graft.engine.SqlModel]] (templating → temp views →
+    * `spark.sql`), inputs wired by the refs the template itself
+    * declares.
+    */
+  private def sqlTextModel(s: SparkSession, name: String,
+      inputs: Map[String, DataFrame]): DataFrame = {
+    val m = SqlReporting.models(today).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no SQL-text model $name"))
+    m.build(s, m.refs.map(r => r -> inputs(r)).toMap)
+  }
+
+  /** `dag_youtube`'s oracle re-run against the SQL-TEXT frontend — the
+    * simplest reporting model proving the text path (ref extraction,
+    * view registration, var injection) end-to-end against DuckDB, not
+    * merely spec-equivalent to the compiled builder.
+    */
+  private val sqlYoutube = QueryDef(
+    "dag_sql_youtube",
+    (s, _) => ordered(sqlTextModel(s, "integral_reporting_youtube", Map(
+      "360_graden_rapportage_vertaaltabel_upload_20_21" ->
+        srcDf(s, "360_graden_rapportage_vertaaltabel_upload_20_21"),
+      "quintly_youtube_allchannels_weekly" ->
+        NpoDag.latestYoutube(s, srcDf(s, "src_quintly_youtube_v1"))))),
+    youtube.oracle)
+
+  /** `dag_vodstreaming`'s oracle against the SQL-TEXT frontend — the
+    * most complex reporting model (window functions, 90-day release
+    * rule, typed-NULL union branches) through the same text path.
+    */
+  private val sqlVodStreaming = QueryDef(
+    "dag_sql_vodstreaming",
+    (s, _) => ordered(sqlTextModel(s, "integral_reporting_vodstreaming", Map(
+      "advantedge_tv_viewer_density_per_show_daily_v1" ->
+        srcDf(s, "advantedge_tv_viewer_density_per_show_daily_v1"),
+      "poms_flattened" -> modelDf(s, "poms_flattened"),
+      "atinternet_smarttag_streams_daily_v4" ->
+        modelDf(s, "atinternet_smarttag_streams_daily_v4"),
+      "dim_poms_episodes" -> srcDf(s, "dim_poms_episodes"),
+      "360_graden_rapportage_vertaaltabel_upload_20_21" ->
+        srcDf(s, "360_graden_rapportage_vertaaltabel_upload_20_21")))),
+    vodStreaming.oracle)
+
   val all: Seq[QueryDef] = Seq(
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
-    streamsDaily, vodStreaming, dashboard)
+    streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming)
 }
