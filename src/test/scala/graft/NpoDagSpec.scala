@@ -133,6 +133,53 @@ class NpoDagSpec extends SparkSpec {
     assert(w.head.getAs[Long]("streaming_playcount_over_30s") >= 1L)
   }
 
+  test("multi-day incremental replay converges to the from-scratch build") {
+    import graft.models.StreamsDaily
+    // Replay the DAG's one incremental model across three consecutive
+    // injected "todays" against ONE warehouse — the production cadence:
+    // each run insert-overwrites its rolling 9-day window, older
+    // partitions written by earlier runs must survive untouched. With
+    // static sources the end state must equal a single from-scratch
+    // build over the union of the three windows — any drift means
+    // insert-overwrite either leaked rows across windows or clobbered a
+    // partition it did not own.
+    val fixtures = NpoFixtures.all(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_inc").toFile.getAbsolutePath
+    // 3-day strides: the final run's 9-day window (01-10..01-18) no
+    // longer covers the event partitions 01-04..01-09 the first run
+    // wrote, so preservation is actually exercised, not vacuous.
+    val days = Seq("2021-01-12", "2021-01-15", "2021-01-18").map(java.sql.Date.valueOf)
+    val incName = "atinternet_smarttag_streams_daily_v4"
+    days.foreach { d =>
+      val inc = NpoDag.models(d).filter(_.name == incName)
+      DagRunner.run(spark, inc, fixtures.apply, wh)
+    }
+    val path = s"$wh/${NpoDag.database}/atinternet_smarttag_streams_daily/$incName"
+    val replayed = spark.read.parquet(path)
+    val unionWindow = days.flatMap(StreamsDaily.partitionsFor).distinct
+    val scratch = StreamsDaily.build(
+      fixtures("advantedge_tv_viewer_density_per_show_daily_v1"),
+      fixtures("media_events"), fixtures("live_stream_name_mapping_v1"),
+      fixtures("audiovisual_metadata_poms_metadata_v1"), unionWindow)
+    // Hash-compare on a canonical projection: same column set (partition
+    // read-back reorders evt_date), dates as strings, total row order.
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+        .orderBy(cols.map(c => col(c).asc_nulls_first): _*)
+        .collect().map(_.mkString("|")).toSeq
+    }
+    assert(canon(replayed) === canon(scratch))
+    // And the replay really did retain partitions the FINAL window no
+    // longer covers (written by the first run, preserved since).
+    val finalWindow = StreamsDaily.partitionsFor(days.last).toSet
+    val retained = replayed.select(col("evt_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).filterNot(finalWindow)
+    assert(retained.nonEmpty,
+      "fixtures must exercise at least one partition outside the final window " +
+        "(else the preservation property is vacuous here)")
+  }
+
   test("dashboard: 7-channel stack with windowed title flags") {
     val dash = built("integral_reporting_dashboard_channel_weekly")
     assert(dash.select("reporting_channel").distinct().collect().map(_.getString(0)).toSet ===
