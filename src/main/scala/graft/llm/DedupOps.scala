@@ -879,18 +879,20 @@ object DedupOps {
 
   /** PageRank iterated to CONVERGENCE — the production form of
     * [[dupPagerank]]'s fixed 3 unrolled iterations: keep iterating until
-    * the max per-node rank delta drops to `spark.graft.pagerankEpsilon`
-    * (default 1e6 at the 1e12 integer scale, i.e. 1e-6 of total mass),
-    * with the CC loop's checkpoint discipline so the lineage never
-    * deepens and round N-1's files are deleted as round N lands. Same
-    * exact BIGINT arithmetic as the 3-iteration variant (truncating
-    * division, no floats), so the iteration is deterministic; damping
-    * 85/100 contracts the max delta by ≥0.85× per round, which bounds
-    * rounds at log(Δ₀/ε)/log(1/0.85) — ~60 for the worst-case Δ₀ = 1e10
-    * — enforced by `maxRounds = 100` fail-fast.
+    * the summed per-round |Δrank| (L1) drops to
+    * `spark.graft.pagerankEpsilon` (default 1e6 at the 1e12 integer
+    * scale, i.e. 1e-6 of total mass), with the CC loop's checkpoint
+    * discipline so the lineage never deepens and superseded round files
+    * are deleted as the next block lands. Same exact BIGINT arithmetic
+    * as the 3-iteration variant (truncating division, no floats), so the
+    * iteration is deterministic; damping 85/100 contracts the L1 delta
+    * by ≥0.85× per round, which both bounds total rounds at
+    * log(Δ₀/ε)/log(100/85) (~57 for Δ₀ ≈ 1e12, `maxRounds = 200`
+    * fail-fast) and lets [[pagerankBlockRounds]]-sized blocks run as one
+    * lazy plan between materializations.
     * `PagerankConvergenceSpec` pins the bound and replays the identical
-    * integer recurrence driver-side for an exact cross-implementation
-    * rank check.
+    * integer recurrence (including the block schedule) driver-side for
+    * an exact cross-implementation rank check.
     *
     * The stop test is data-dependent, so (like `a3b`/`a22`) the DuckDB
     * oracle pins what IS statically checkable: the exact per-doc degree
@@ -904,50 +906,84 @@ object DedupOps {
     * than the corpus) rank table, a checkpoint write of that table, and
     * one max-delta action.
     */
+  /** Rounds to run lazily before the next materialize-and-measure: the
+    * contribution operator is column-stochastic over out-degreed nodes,
+    * so the L1 (summed |Δrank|) delta contracts by ≥0.85× per round —
+    * which makes log(delta/eps)/log(100/85) a sound LOWER bound on the
+    * rounds still needed once `delta` is observed. (The per-node MAX
+    * delta has no such bound: an in-degree hub can transiently amplify
+    * it.) Capped so the un-materialized join lineage stays shallow.
+    */
+  private[graft] def pagerankBlockRounds(delta: Long, eps: Long): Int =
+    if (delta == Long.MaxValue) 1
+    else math.min(5, math.max(1,
+      math.ceil(math.log(delta.toDouble / eps) / math.log(100.0 / 85.0)).toInt))
+
   /** The iteration loop of [[dupPagerankConv]], factored out so
     * `PagerankConvergenceSpec` can drive it over small synthetic graphs
     * and replay the identical integer recurrence driver-side. `docs` has
     * column doc_id; `pairs` has doc_a/doc_b (undirected, doc_a < doc_b).
     * Returns (frame with doc_id / n_docs / pr / degree, rounds run,
-    * final max delta); throws if `maxRounds` is exhausted before the max
-    * per-round rank delta drops to `eps`.
+    * final L1 delta); throws if `maxRounds` is exhausted before the
+    * summed per-round |Δrank| drops to `eps`.
+    *
+    * Convergence is checked per BLOCK, not per round: after each
+    * measurement, [[pagerankBlockRounds]] rounds run as one lazy plan
+    * (no per-round action), then one checkpoint + one L1-delta action
+    * lands the block — ~57 default-eps rounds cost ~13 Spark jobs
+    * instead of 57, and round N-1's checkpoint files are deleted as
+    * round N's land. At 100 TB each skipped materialization is a full
+    * write+read of the rank table.
     */
   private[graft] def pagerankConvergedStats(docs: DataFrame, pairs: DataFrame,
-      eps: Long, maxRounds: Int = 100): (DataFrame, Int, Long) = {
+      eps: Long, maxRounds: Int = 200): (DataFrame, Int, Long) = {
     val s = docs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Deliberately NOT persisted: every round inside a lazy block
+    // references the same edgesDeg subtree, and AQE's ReusedExchange
+    // shares its one shuffle across all rounds of the block plan. A
+    // persist here was measured ~2x SLOWER — the InMemoryRelation hides
+    // the exchange, so every round re-shuffles the cached rows instead
+    // of reusing the exchange output.
     val edgesDeg = edges.join(deg, "src")
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val base = expr("150000000000L div n_docs")
     var pr = docs.crossJoin(broadcast(n))
       .select(col("doc_id"), col("n_docs"),
         expr("1000000000000L div n_docs").as("pr"))
+    def step(cur: DataFrame): DataFrame = {
+      val contrib = edgesDeg
+        .join(cur.select(col("doc_id").as("src"), col("pr").as("src_pr")), "src")
+        .select(col("dst"), expr("src_pr div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      cur.join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_docs"), col("pr").as("pr_prev"),
+          (base + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+    }
     var prDirs = Set.empty[String]
     var delta = Long.MaxValue
     var rounds = 0
-    ccLock.synchronized {
-      ensureCheckpointDir(s)
-      while (delta > eps && rounds < maxRounds) {
-        val contrib = edgesDeg
-          .join(pr.select(col("doc_id").as("src"), col("pr").as("src_pr")), "src")
-          .select(col("dst"), expr("src_pr div outdeg").as("c"))
-          .groupBy("dst").agg(sum("c").as("s"))
-        val next = pr.join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_docs"), col("pr").as("pr_prev"),
-            (base + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
-        val (cp, dirs) = reliableCheckpoint(next)
-        rounds += 1
-        delta = cp.agg(max(abs(col("pr") - col("pr_prev")))).head().getLong(0)
-        deleteCkptDirs(s, prDirs)
-        pr = cp.drop("pr_prev")
-        prDirs = dirs
+    try {
+      ccLock.synchronized {
+        ensureCheckpointDir(s)
+        while (delta > eps && rounds < maxRounds) {
+          val k = pagerankBlockRounds(delta, eps)
+          var cur = pr
+          for (_ <- 1 to k) cur = step(cur.select("doc_id", "n_docs", "pr"))
+          val (cp, dirs) = reliableCheckpoint(cur)
+          rounds += k
+          delta = cp.agg(sum(abs(col("pr") - col("pr_prev")))).head().getLong(0)
+          deleteCkptDirs(s, prDirs)
+          pr = cp.drop("pr_prev")
+          prDirs = dirs
+        }
       }
-    }
+    } finally edgesDeg.unpersist(blocking = false)
     if (delta > eps) throw new IllegalStateException(
       s"pagerank did not converge to eps=$eps in $maxRounds rounds " +
-        "(damping 85/100 contracts the delta ≥0.85x per round — this should be impossible)")
+        "(damping 85/100 contracts the L1 delta ≥0.85x per round — this should be impossible)")
     val out = pr.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_docs"), col("pr"),
         coalesce(col("outdeg"), lit(0L)).as("degree"))

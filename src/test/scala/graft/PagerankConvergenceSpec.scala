@@ -8,9 +8,12 @@ import graft.llm.DedupOps
   * PageRank (`llm_dup_pagerank_conv`). The arithmetic is pure BIGINT
   * (1e12 total mass, truncating `div`, damping 85/100), so the iteration
   * is bit-deterministic: a driver-side Long replay of the identical
-  * recurrence must produce EXACTLY the same ranks, round count, and final
-  * delta as the distributed loop — not approximately. Damping contracts
-  * the max delta geometrically, which is what bounds rounds at
+  * recurrence — including the lazy block schedule, which determines how
+  * many rounds run past the convergence crossing — must produce EXACTLY
+  * the same ranks, round count, and final L1 delta as the distributed
+  * loop, not approximately. Damping contracts the summed |Δrank| (L1)
+  * geometrically (the contribution operator is column-stochastic over
+  * out-degreed nodes), which is what bounds rounds at
   * log(delta0/eps)/log(100/85) independent of graph size; the specs pin
   * that bound so a future edit that accidentally breaks the contraction
   * (e.g. dropping the damping from the delta path) fails loudly instead
@@ -20,10 +23,11 @@ class PagerankConvergenceSpec extends SparkSpec {
   import spark.implicits._
 
   /** Driver-side replay of the exact integer recurrence over an
-    * undirected pair list: returns (doc_id -> rank, rounds, finalDelta).
+    * undirected pair list, mirroring the distributed loop's block
+    * schedule: returns (doc_id -> rank, rounds, final L1 delta).
     */
   private def replay(nDocs: Long, pairs: Seq[(Long, Long)], eps: Long,
-      maxRounds: Int = 100): (Map[Long, Long], Int, Long) = {
+      maxRounds: Int = 200): (Map[Long, Long], Int, Long) = {
     val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     val base = 150000000000L / nDocs
@@ -31,18 +35,22 @@ class PagerankConvergenceSpec extends SparkSpec {
     var delta = Long.MaxValue
     var rounds = 0
     while (delta > eps && rounds < maxRounds) {
-      val contrib = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
-      for ((src, dst) <- edges) contrib(dst) += pr(src) / outdeg(src)
-      val next = pr.map { case (d, _) => d -> (base + 85L * contrib(d) / 100L) }
-      delta = pr.map { case (d, v) => math.abs(next(d) - v) }.max
-      pr = next
-      rounds += 1
+      val k = DedupOps.pagerankBlockRounds(delta, eps)
+      var lastPrev = pr
+      for (_ <- 1 to k) {
+        lastPrev = pr
+        val contrib = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+        for ((src, dst) <- edges) contrib(dst) += lastPrev(src) / outdeg(src)
+        pr = lastPrev.map { case (d, _) => d -> (base + 85L * contrib(d) / 100L) }
+      }
+      rounds += k
+      delta = pr.map { case (d, v) => math.abs(v - lastPrev(d)) }.sum
     }
     (pr, rounds, delta)
   }
 
   private def run(nDocs: Long, pairs: Seq[(Long, Long)], eps: Long,
-      maxRounds: Int = 100) = {
+      maxRounds: Int = 200) = {
     val docs = (0L until nDocs).toDF("doc_id")
     val pairDf = pairs.toDF("doc_a", "doc_b")
     DedupOps.pagerankConvergedStats(docs, pairDf, eps, maxRounds)
@@ -67,10 +75,11 @@ class PagerankConvergenceSpec extends SparkSpec {
     val eps = 1000L
     val (_, rounds, delta) = run(nDocs, graph, eps)
     assert(delta <= eps)
-    // delta0 <= initial total mass 1e12; 85/100 damping contracts the max
-    // delta at least geometrically, so log(1e12/eps)/log(100/85) bounds
-    // the rounds (plus 1 for the final confirming round).
-    val bound = math.ceil(math.log(1e12 / eps) / math.log(100.0 / 85.0)).toInt + 1
+    // Initial L1 delta <= 2x total mass (every node can at most swap its
+    // full share); 85/100 damping contracts it at least geometrically,
+    // so log(2e12/eps)/log(100/85) bounds the crossing round — plus up
+    // to blockRounds-1 = 4 overshoot rounds from block granularity.
+    val bound = math.ceil(math.log(2e12 / eps) / math.log(100.0 / 85.0)).toInt + 5
     assert(rounds <= bound,
       s"$rounds rounds exceeds the damping contraction bound $bound — is the 85/100 damping still applied?")
     assert(rounds >= 3, "eps=1000 on this graph must take several rounds — a 1-round exit means the delta test is broken")
@@ -94,5 +103,13 @@ class PagerankConvergenceSpec extends SparkSpec {
     val bad = df.filter(col("pr") < base || col("pr") > 1000000000000L).count()
     assert(bad === 0L,
       "base share is a hard floor (every doc receives it each round) and total mass a hard ceiling")
+  }
+
+  test("block schedule: 1 until first measurement, capped at 5, tapering near convergence") {
+    assert(DedupOps.pagerankBlockRounds(Long.MaxValue, 1000L) === 1)
+    assert(DedupOps.pagerankBlockRounds(1000000000000L, 1000L) === 5)
+    // delta just above eps: one confirming round, not a full block.
+    assert(DedupOps.pagerankBlockRounds(1100L, 1000L) === 1)
+    assert(DedupOps.pagerankBlockRounds(2000L, 1000L) <= 5)
   }
 }
