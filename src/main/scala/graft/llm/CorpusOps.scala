@@ -300,6 +300,102 @@ object CorpusOps {
            |    AS entropy10
            |FROM with_n GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** CCNet-style quality bucketing: score every document with the cheap
+    * corpus LM ([[unigramLm]]'s token-weighted mean log-probability),
+    * then split the corpus into head / middle / tail at the 30% / 70%
+    * corpus quantiles of that score — the standard "keep the head,
+    * maybe the middle, drop the tail" curation gate.
+    *
+    * The quantile cutoffs are EXACT but never globally sorted: the
+    * per-doc score is quantized to a 1e-4 grid (`q4`, a BIGINT), so a
+    * `GROUP BY q4` histogram has bounded cardinality (the score range
+    * over a 1e-4 grid — thousands of rows from any corpus size). The
+    * cumulative count runs in one window over that small histogram, the
+    * two cutoff values reduce to a single row, and the bucket label is
+    * a broadcast-compare back on the scan. At 100 TB this is the same
+    * shape as the LM row itself plus one bounded histogram aggregate —
+    * no global ntile/rank window over the corpus (which Spark would
+    * execute in ONE task), no driver-side sort.
+    *
+    * Boundary semantics are all-or-nothing per grid cell: a bucket
+    * whose cumulative count crosses the quota stays OUT of the upper
+    * tier (`cum·10 ≤ n·k` in exact integer arithmetic), so ties on the
+    * quantized score can never straddle a cutoff and the result is
+    * hash-stable cross-engine.
+    */
+  private val qualityBuckets = QueryDef(
+    "llm_quality_buckets",
+    (s, dir) => {
+      val dw = docWords(t(s, dir, "documents"))
+      val vocab = dw.groupBy("word").agg(sum("tf").as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      val scored = vocab.crossJoin(broadcast(total))
+        .withColumn("lp6",
+          floor(log10(col("cnt") / col("total")) * lit(1e6) + lit(0.5)).cast("long"))
+        .select("word", "lp6")
+      // Shared (doc_id, s6, n_tokens) subtree: built once, referenced by
+      // the histogram branch and the final projection — identical
+      // canonical plans, so ReuseExchange evaluates the tokenize + LM
+      // join once (the same discipline PlanAuditSpec pins for TF-IDF).
+      val docScores = dw.hint("MERGE").join(scored, "word")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("lp6")).as("s6"), sum("tf").as("n_tokens"))
+        .withColumn("q4",
+          floor(col("s6") / (col("n_tokens") * lit(1e6)) * lit(1e4) + lit(0.5))
+            .cast("long"))
+      val hist = docScores.groupBy("q4").agg(count(lit(1)).as("cnt"))
+      val wDesc = Window.orderBy(col("q4").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("q4"),
+        sum("cnt").over(wDesc).as("cum"),
+        sum("cnt").over(Window.partitionBy(lit(1))).as("n"))
+      val cuts = cum.agg(
+        min(when(col("cum") * 10 <= col("n") * 3, col("q4"))).as("c_head"),
+        min(when(col("cum") * 10 <= col("n") * 7, col("q4"))).as("c_mid"))
+      docScores.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_tokens"),
+          roundTo(col("s6") / (col("n_tokens") * lit(1e6)), 4).as("avg_logp"),
+          when(col("q4") >= coalesce(col("c_head"), lit(Long.MaxValue)), "head")
+            .when(col("q4") >= coalesce(col("c_mid"), lit(Long.MaxValue)), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           |doc_words AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY doc_id, word),
+           |vocab AS (SELECT word, sum(tf) AS cnt FROM doc_words GROUP BY word),
+           |tot AS (SELECT sum(cnt) AS total FROM vocab),
+           |scored AS (
+           |  SELECT word,
+           |    CAST(floor(log10(cnt / total) * 1000000.0 + 0.5) AS BIGINT) AS lp6
+           |  FROM vocab, tot),
+           |doc_scores AS (
+           |  SELECT d.doc_id, CAST(sum(d.tf * s.lp6) AS BIGINT) AS s6,
+           |         CAST(sum(d.tf) AS BIGINT) AS n_tokens
+           |  FROM doc_words d JOIN scored s USING (word) GROUP BY d.doc_id),
+           |q AS (
+           |  SELECT doc_id, n_tokens, s6,
+           |    CAST(floor(s6 / (n_tokens * 1000000.0) * 10000.0 + 0.5) AS BIGINT) AS q4
+           |  FROM doc_scores),
+           |hist AS (SELECT q4, count(*) AS cnt FROM q GROUP BY q4),
+           |cum AS (
+           |  SELECT q4,
+           |    sum(cnt) OVER (ORDER BY q4 DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(cnt) OVER () AS n
+           |  FROM hist),
+           |cuts AS (
+           |  SELECT min(CASE WHEN cum * 10 <= n * 3 THEN q4 END) AS c_head,
+           |         min(CASE WHEN cum * 10 <= n * 7 THEN q4 END) AS c_mid
+           |  FROM cum)
+           |SELECT doc_id, n_tokens,
+           |  floor(s6 / (n_tokens * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logp,
+           |  CASE WHEN q4 >= coalesce(c_head, 9223372036854775807) THEN 'head'
+           |       WHEN q4 >= coalesce(c_mid, 9223372036854775807) THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM q, cuts ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier,
-    bigramLm, charEntropy)
+    bigramLm, charEntropy, qualityBuckets)
 }

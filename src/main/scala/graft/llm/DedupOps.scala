@@ -1012,6 +1012,62 @@ object DedupOps {
            |FROM documents d LEFT JOIN deg g ON g.src = d.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Representative selection after near-dup grouping — the step a
+    * curation pipeline actually runs on [[dedupGroups]]'s output: for
+    * every duplicate cluster keep ONE document, the highest-quality
+    * member (here: max `n_chars`, the cheap length proxy; ties break to
+    * the LOWEST doc_id so the pick is total-order deterministic).
+    *
+    * The argmax is the portable two-pass form — per-group max quality,
+    * then min doc_id among the rows attaining it — instead of a packed
+    * composite BIGINT key: doc_ids are unbounded ingest identifiers
+    * (the scaled fixtures already carry ids ≈ 3·10^10), so a
+    * `quality·K + (K−1−id)` encoding has no safe K, and DuckDB's
+    * `arg_max` takes only scalar keys so a struct-ordering `max_by`
+    * has no oracle equivalent. Scale shape: the group table is the
+    * near-dup subset (corpus fraction), both aggregates shuffle on
+    * `canonical_id`, and the tie-break join is equi on
+    * (canonical_id, n_chars) — no global sort, no driver work beyond
+    * the CC tier probe.
+    */
+  private val canonicalDocs = QueryDef(
+    "llm_canonical_docs",
+    (s, dir) => {
+      val groups = connectedComponents(lshPairs(s, dir))
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val j = groups.join(docs, "doc_id")
+        .select(col("canonical_id"), col("doc_id"), col("n_chars"))
+      val best = j.groupBy("canonical_id")
+        .agg(count(lit(1)).as("group_size"), max("n_chars").as("kept_n_chars"))
+      val kept = j.join(best.select("canonical_id", "kept_n_chars"), "canonical_id")
+        .filter(col("n_chars") === col("kept_n_chars"))
+        .groupBy("canonical_id").agg(min("doc_id").as("kept_doc"))
+      best.join(kept, "canonical_id")
+        .select("canonical_id", "group_size", "kept_doc", "kept_n_chars")
+        .orderBy("canonical_id")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |$ccOracleCtes,
+           |grp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+           |  FROM reach GROUP BY src),
+           |j AS (
+           |  SELECT g.canonical_id, d.doc_id, d.n_chars
+           |  FROM grp g JOIN documents d USING (doc_id)),
+           |best AS (
+           |  SELECT canonical_id, count(*) AS group_size,
+           |         max(n_chars) AS kept_n_chars
+           |  FROM j GROUP BY canonical_id),
+           |kept AS (
+           |  SELECT j.canonical_id, min(j.doc_id) AS kept_doc
+           |  FROM j JOIN best USING (canonical_id)
+           |  WHERE j.n_chars = best.kept_n_chars
+           |  GROUP BY j.canonical_id)
+           |SELECT canonical_id, group_size, kept_doc, kept_n_chars
+           |FROM best JOIN kept USING (canonical_id)
+           |ORDER BY canonical_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
-    dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv)
+    dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
+    canonicalDocs)
 }

@@ -273,6 +273,17 @@ object SimilarityOps {
     * reproduces them bit-identically — same portability choice as the
     * md5-based MinHash. (Threshold 0.4 suits this synthetic corpus;
     * real near-dup corpora use ~0.95 with the same plan shape.)
+    *
+    * Scaling dial: bucket count per band is `2^(planes/bands)`. With a
+    * FIXED width, expected bucket occupancy grows linearly with the
+    * corpus and the within-bucket self-join quadratically — the sf3
+    * probe measured exactly that. `spark.graft.cosineLshPlanes` /
+    * `spark.graft.cosineLshBands` (defaults 16/4 — what the oracle
+    * mirrors) widen the band hash as the corpus grows: e.g. 32/4 gives
+    * 8-bit bands (256 buckets), cutting candidates ~16× at the cost of
+    * recall at low similarity — the standard LSH precision/cost
+    * trade (exact duplicates collide at ANY width). Tighter thresholds
+    * pair with wider bands; `HyperplaneBits` codegens up to 32 planes.
     */
   private val nearDup = QueryDef(
     "llm_cosine_neardup",
@@ -288,11 +299,17 @@ object SimilarityOps {
       // broadcast build, 10-50x the shuffled join); with the bits codegen'd
       // the child is a cheap scan-side projection and AQE can pick the
       // join strategy freely.
+      val planes = s.conf.get("spark.graft.cosineLshPlanes", "16").toInt
+      val bands = s.conf.get("spark.graft.cosineLshBands", "4").toInt
+      require(planes >= bands && planes % bands == 0 && planes <= 32,
+        s"cosineLshPlanes ($planes) must be a multiple of cosineLshBands ($bands), <= 32")
+      val bpb = planes / bands
       val banded = emb
-        .select(col("vec_id"), expr("hyperplane_bits(embedding, 16)").as("mask"))
-        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("band_idx"), col("mask"))
+        .select(col("vec_id"), expr(s"hyperplane_bits(embedding, $planes)").as("mask"))
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band_idx"), col("mask"))
         .select(col("vec_id"), col("band_idx"),
-          expr("shiftright(mask, band_idx * 4) & 15").as("band_hash"))
+          expr(s"shiftright(mask, band_idx * $bpb) & ${(1L << bpb) - 1}").as("band_hash"))
       val cands = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("va"))
         .join(banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
           col("vec_id").as("vb")),

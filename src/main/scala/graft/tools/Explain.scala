@@ -8,12 +8,20 @@ import graft.SparkEntry
   * time) for one or more queries. Usage:
   *   runMain graft.tools.Explain <sfDir> <queryName> [queryName...]
   *   runMain graft.tools.Explain <sfDir> --time <queryName>
+  *   runMain graft.tools.Explain <sfDir> --conf k=v --time <queryName>
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val time = args.contains("--time")
-    val names = args.drop(1).filterNot(_ == "--time")
+    val confs = args.sliding(2).collect {
+      case Array("--conf", kv) if kv.contains('=') =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+    }.toSeq
+    val names = args.drop(1).filterNot(_ == "--time").filterNot(_ == "--conf")
+      .filterNot(a => confs.exists(_ == (a.split("=", 2) match {
+        case Array(k, v) => (k, v); case _ => ("", "")
+      })))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,6 +30,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       println(s"\n========== $n ==========")

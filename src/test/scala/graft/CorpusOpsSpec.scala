@@ -162,4 +162,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(recon.except(out).count() === 0L)
     out.unpersist()
   }
+
+  test("quality buckets respect the 30/70 quotas and score ordering") {
+    val out = SparkEntry.queries("llm_quality_buckets")(spark, sf).cache()
+    val n = out.count()
+    // Every scored document lands in exactly one bucket.
+    assert(n === SparkEntry.queries("llm_unigram_lm")(spark, sf).count())
+    val head = out.filter(col("bucket") === "head").count()
+    val mid = out.filter(col("bucket") === "middle").count()
+    assert(head + mid < n, "tail must be non-empty on the fixture corpus")
+    // All-or-nothing grid cells: quotas are upper bounds, never exceeded.
+    assert(head * 10 <= n * 3, s"head=$head of $n exceeds the 30% quota")
+    assert((head + mid) * 10 <= n * 7, s"head+middle=${head + mid} of $n exceeds 70%")
+    assert(head > 0 && mid > 0, "fixture scores must spread across the grid")
+    // Buckets are score-ordered: worst head >= best middle > ... strictly
+    // at the quantized grid, so >= on the displayed 1e-4 score is safe.
+    val minHead = out.filter(col("bucket") === "head").agg(min("avg_logp")).head.getDouble(0)
+    val maxMid = out.filter(col("bucket") === "middle").agg(max("avg_logp")).head.getDouble(0)
+    val maxTail = out.filter(col("bucket") === "tail").agg(max("avg_logp")).head.getDouble(0)
+    assert(minHead > maxMid && maxMid > maxTail)
+    out.unpersist()
+  }
 }
