@@ -285,83 +285,134 @@ object SimilarityOps {
     * trade (exact duplicates collide at ANY width). Tighter thresholds
     * pair with wider bands; `HyperplaneBits` codegens up to 32 planes.
     */
+  /** Verified embedding near-dup pairs (vec_a < vec_b, cos_sim ≥ 0.4,
+    * rounded to 1e-6): hyperplane-LSH banded candidates + exact cosine
+    * verification. Shared by [[nearDup]] (emits the pair list) and
+    * [[semanticDedup]] (closes it into clusters) so the two rows can
+    * never disagree about what a near-duplicate is.
+    */
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.load(s, dir, "embeddings")
+    // Sign bits in one fused codegen pass (bit p = sign of
+    // <embedding, h_p> where h_p[d] = lcg(p*64+d) scaled into [-1, 1]),
+    // then band b is the b-th nibble of the mask. The former
+    // interpreted transform/aggregate HOF formulation of the same bits
+    // was the expensive child that forced a MERGE join hint here (AQE
+    // broadcast-converting a side re-ran it single-threaded inside the
+    // broadcast build, 10-50x the shuffled join); with the bits codegen'd
+    // the child is a cheap scan-side projection and AQE can pick the
+    // join strategy freely.
+    val planes = s.conf.get("spark.graft.cosineLshPlanes", "16").toInt
+    val bands = s.conf.get("spark.graft.cosineLshBands", "4").toInt
+    require(planes >= bands && planes % bands == 0 && planes <= 32,
+      s"cosineLshPlanes ($planes) must be a multiple of cosineLshBands ($bands), <= 32")
+    val bpb = planes / bands
+    val banded = emb
+      .select(col("vec_id"), expr(s"hyperplane_bits(embedding, $planes)").as("mask"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"), col("mask"))
+      .select(col("vec_id"), col("band_idx"),
+        expr(s"shiftright(mask, band_idx * $bpb) & ${(1L << bpb) - 1}").as("band_hash"))
+    val cands = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("va"))
+      .join(banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+        col("vec_id").as("vb")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    cands
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .withColumn("cos_sim", roundTo(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("va"), col("vb"), col("cos_sim"))
+  }
+
+  /** Oracle CTE prefix mirroring [[cosinePairs]] at the DEFAULT 16/4
+    * band geometry — `verified(va, vb, cos_sim)` is the final CTE.
+    * Interpolated into both embedding near-dup oracles so one
+    * definition cross-checks the single Scala implementation (the same
+    * no-drift discipline as DedupOps' lshOracleCtes).
+    */
+  private val cosineOracleCtes =
+    """planes AS (
+      |  SELECT p, d,
+      |    (CAST(((p * 64 + d) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0) * 2.0 - 1.0 AS hv
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS p)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)),
+      |eterms AS (
+      |  SELECT vec_id,
+      |    CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) - 1 AS d,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, p, CASE WHEN sum(x * hv) > 0.0 THEN 1 ELSE 0 END AS bit
+      |  FROM eterms JOIN planes USING (d) GROUP BY vec_id, p),
+      |bands AS (
+      |  SELECT vec_id, p // 4 AS band_idx,
+      |    CAST(SUM(bit * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) AS band_hash
+      |  FROM bits GROUP BY vec_id, p // 4),
+      |cands AS (
+      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |   AND a.vec_id < b.vec_id),
+      |vpairs AS (
+      |  SELECT va, vb, ea.embedding AS ea, eb.embedding AS eb
+      |  FROM cands
+      |  JOIN embeddings ea ON ea.vec_id = va
+      |  JOIN embeddings eb ON eb.vec_id = vb),
+      |vterms AS (
+      |  SELECT va, vb, CAST(unnest(ea) AS DOUBLE) AS x,
+      |         CAST(unnest(eb) AS DOUBLE) AS y
+      |  FROM vpairs),
+      |vscored AS (
+      |  SELECT va, vb,
+      |    floor(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      |  FROM vterms GROUP BY va, vb),
+      |verified AS (
+      |  SELECT va, vb, cos_sim FROM vscored WHERE cos_sim >= 0.4)""".stripMargin
+
   private val nearDup = QueryDef(
     "llm_cosine_neardup",
-    (s, dir) => {
-      GraftFunctions.register(s)
-      val emb = Tables.load(s, dir, "embeddings")
-      // 16 sign bits in one fused codegen pass (bit p = sign of
-      // <embedding, h_p> where h_p[d] = lcg(p*64+d) scaled into [-1, 1]),
-      // then band b is the b-th 4-bit nibble of the mask. The former
-      // interpreted transform/aggregate HOF formulation of the same bits
-      // was the expensive child that forced a MERGE join hint here (AQE
-      // broadcast-converting a side re-ran it single-threaded inside the
-      // broadcast build, 10-50x the shuffled join); with the bits codegen'd
-      // the child is a cheap scan-side projection and AQE can pick the
-      // join strategy freely.
-      val planes = s.conf.get("spark.graft.cosineLshPlanes", "16").toInt
-      val bands = s.conf.get("spark.graft.cosineLshBands", "4").toInt
-      require(planes >= bands && planes % bands == 0 && planes <= 32,
-        s"cosineLshPlanes ($planes) must be a multiple of cosineLshBands ($bands), <= 32")
-      val bpb = planes / bands
-      val banded = emb
-        .select(col("vec_id"), expr(s"hyperplane_bits(embedding, $planes)").as("mask"))
-        .select(col("vec_id"),
-          explode(sequence(lit(0), lit(bands - 1))).as("band_idx"), col("mask"))
-        .select(col("vec_id"), col("band_idx"),
-          expr(s"shiftright(mask, band_idx * $bpb) & ${(1L << bpb) - 1}").as("band_hash"))
-      val cands = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("va"))
-        .join(banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
-          col("vec_id").as("vb")),
-          col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
-            col("va") < col("vb"))
-        .select("va", "vb").distinct()
-      cands
-        .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
-        .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
-        .withColumn("cos_sim", roundTo(cosine(col("ea"), col("eb")), 6))
-        .filter(col("cos_sim") >= 0.4)
-        .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    },
-    Some("""WITH planes AS (
-           |  SELECT p, d,
-           |    (CAST(((p * 64 + d) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0) * 2.0 - 1.0 AS hv
-           |  FROM (SELECT unnest(generate_series(0, 15)) AS p)
-           |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)),
-           |eterms AS (
-           |  SELECT vec_id,
-           |    CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) - 1 AS d,
-           |    CAST(unnest(embedding) AS DOUBLE) AS x
-           |  FROM embeddings),
-           |bits AS (
-           |  SELECT vec_id, p, CASE WHEN sum(x * hv) > 0.0 THEN 1 ELSE 0 END AS bit
-           |  FROM eterms JOIN planes USING (d) GROUP BY vec_id, p),
-           |bands AS (
-           |  SELECT vec_id, p // 4 AS band_idx,
-           |    CAST(SUM(bit * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) AS band_hash
-           |  FROM bits GROUP BY vec_id, p // 4),
-           |cands AS (
-           |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           |   AND a.vec_id < b.vec_id),
-           |pairs AS (
-           |  SELECT va, vb, ea.embedding AS ea, eb.embedding AS eb
-           |  FROM cands
-           |  JOIN embeddings ea ON ea.vec_id = va
-           |  JOIN embeddings eb ON eb.vec_id = vb),
-           |terms AS (
-           |  SELECT va, vb, CAST(unnest(ea) AS DOUBLE) AS x,
-           |         CAST(unnest(eb) AS DOUBLE) AS y
-           |  FROM pairs),
-           |scored AS (
-           |  SELECT va, vb,
-           |    floor(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
-           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-           |  FROM terms GROUP BY va, vb)
-           |SELECT va AS vec_a, vb AS vec_b, cos_sim FROM scored
-           |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin))
+    (s, dir) => cosinePairs(s, dir)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b"),
+    Some(s"""WITH $cosineOracleCtes
+           |SELECT va AS vec_a, vb AS vec_b, cos_sim FROM verified
+           |ORDER BY vec_a, vec_b""".stripMargin))
+
+  /** Semantic deduplication — the embedding-space analog of the text
+    * pipeline's `llm_dedup_groups` (SemDeDup, Abbas et al. 2023: cluster
+    * by embedding similarity, keep one per cluster): the verified cosine
+    * near-dup pairs close into connected components, every vector labels
+    * with its cluster minimum, and the canonical member is the label
+    * itself. Reuses [[cosinePairs]] for the graph and DedupOps'
+    * two-tier connected components for the closure, so the scale
+    * posture is inherited: banded LSH candidates (no all-pairs), CC via
+    * bounded driver union-find or the checkpointed large-star/
+    * small-star loop above the threshold.
+    */
+  private val semanticDedup = QueryDef(
+    "llm_semantic_dedup",
+    (s, dir) => DedupOps.connectedComponents(
+      cosinePairs(s, dir).select(col("va").as("doc_a"), col("vb").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+      .orderBy("vec_id"),
+    Some(s"""WITH $cosineOracleCtes,
+           |vedges AS (
+           |  SELECT va AS src, vb AS dst FROM verified
+           |  UNION SELECT vb, va FROM verified),
+           |vreach AS (
+           |  WITH RECURSIVE r(src, dst) AS (
+           |    SELECT src, dst FROM vedges
+           |    UNION
+           |    SELECT r.src, e.dst FROM r JOIN vedges e ON r.dst = e.src
+           |  ) SELECT * FROM r)
+           |SELECT src AS vec_id, least(src, min(dst)) AS canonical_id
+           |FROM vreach GROUP BY src
+           |ORDER BY vec_id""".stripMargin))
 
   /** Brute-force cosine top-k over the INT8-QUANTIZED codes — the
     * serving-path variant of `llm_cosine_topk`: the corpus lives as
@@ -433,5 +484,5 @@ object SimilarityOps {
            |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_q8
            |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, nearDup, topkQ8)
+  val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, nearDup, semanticDedup, topkQ8)
 }

@@ -45,4 +45,23 @@ class CanonicalDocsSpec extends SparkSpec {
 
     groups.unpersist(); out.unpersist()
   }
+
+  test("semantic dedup labels close over the verified cosine pair graph") {
+    val pairs = SparkEntry.queries("llm_cosine_neardup")(spark, sf).cache()
+    val labels = SparkEntry.queries("llm_semantic_dedup")(spark, sf).cache()
+    assert(pairs.count() > 0 && labels.count() > 0)
+    // Both endpoints of every verified pair carry the SAME cluster label.
+    val la = labels.select(col("vec_id").as("vec_a"), col("canonical_id").as("ca"))
+    val lb = labels.select(col("vec_id").as("vec_b"), col("canonical_id").as("cb"))
+    val split = pairs.join(la, "vec_a").join(lb, "vec_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(split.count() === 0L, "a verified pair must never straddle clusters")
+    // Labels are component minima: every label is <= its members and is
+    // itself a member of the cluster.
+    assert(labels.filter(col("canonical_id") > col("vec_id")).count() === 0L)
+    val labelRows = labels.select(col("canonical_id").as("vec_id")).distinct()
+    assert(labelRows.join(labels.select("vec_id"), Seq("vec_id"), "left_anti")
+      .count() === 0L)
+    pairs.unpersist(); labels.unpersist()
+  }
 }
