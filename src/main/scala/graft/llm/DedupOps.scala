@@ -358,13 +358,22 @@ object DedupOps {
   /** Candidate pairs from the MinHash-LSH pipeline (shared by
     * `llm_minhash_lsh_pairs` and the group-resolution step).
     */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band_idx, band_hash) — the LSH band index rows for every
+    * document: 8 min-hashes folded into 4 bands of 2. Shared by
+    * [[lshPairs]] (within-corpus candidate pairs) and
+    * [[incrementalDedup]] (batch-vs-lake membership probe).
+    */
+  private def bandHashes(s: SparkSession, dir: String): DataFrame = {
     val sigs = shingles(s, dir).groupBy("doc_id")
       .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
-    val bands = sigs.select(col("doc_id"), posexplode(array(
+    sigs.select(col("doc_id"), posexplode(array(
       md5(concat(col("mh0"), col("mh1"))), md5(concat(col("mh2"), col("mh3"))),
       md5(concat(col("mh4"), col("mh5"))), md5(concat(col("mh6"), col("mh7")))))
       .as(Seq("band_idx", "band_hash")))
+  }
+
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandHashes(s, dir)
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
       col("doc_id").as("doc_b"))
@@ -1067,7 +1076,53 @@ object DedupOps {
            |FROM best JOIN kept USING (canonical_id)
            |ORDER BY canonical_id""".stripMargin))
 
+  /** Incremental (cross-shard) deduplication — the production shape: a
+    * new ingest batch (here `source = 'src7'`, a deterministic 5% of the
+    * corpus) is checked against the EXISTING lake by probing the lake's
+    * LSH band index, without recomputing any lake-internal pairs. A
+    * batch document whose any band bucket already exists on the lake
+    * side is flagged `is_dup`.
+    *
+    * Scale shape (daily crawl vs 100 TB lake): the lake side reduces to
+    * its DISTINCT (band_idx, band_hash) bucket list — the band INDEX, a
+    * table the Engine's insert-overwrite materialization maintains
+    * incrementally so a daily run scans only the batch plus the index,
+    * never the lake's text. The probe is a semi-join on the band key
+    * (content-distributed, skew-free), which can never row-multiply the
+    * batch; in this self-contained oracle row the index is derived in
+    * the same query from the unpartitioned corpus.
+    */
+  private val incrementalDedup = QueryDef(
+    "llm_incremental_dedup",
+    (s, dir) => {
+      val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+      val tagged = bandHashes(s, dir).join(src, "doc_id")
+      val lakeIndex = tagged.filter(col("source") =!= "src7")
+        .select("band_idx", "band_hash").distinct()
+      val hits = tagged.filter(col("source") === "src7")
+        .join(lakeIndex, Seq("band_idx", "band_hash"), "left_semi")
+        .select("doc_id").distinct()
+      src.filter(col("source") === "src7").select("doc_id")
+        .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |tagged AS (
+           |  SELECT b.doc_id, b.band_idx, b.band_hash, d.source
+           |  FROM bands b JOIN documents d USING (doc_id)),
+           |hits AS (
+           |  SELECT DISTINCT t.doc_id FROM tagged t
+           |  WHERE t.source = 'src7' AND EXISTS (
+           |    SELECT 1 FROM tagged l
+           |    WHERE l.source <> 'src7'
+           |      AND l.band_idx = t.band_idx AND l.band_hash = t.band_hash))
+           |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_dup
+           |FROM (SELECT doc_id FROM documents WHERE source = 'src7') d
+           |LEFT JOIN hits h USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
-    canonicalDocs)
+    canonicalDocs, incrementalDedup)
 }
