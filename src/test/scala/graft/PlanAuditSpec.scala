@@ -180,6 +180,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("llm_incremental_dedup probes the lake index once (shared signature subtree, semi-join)") {
+    // The batch-vs-lake probe must (a) be a LEFT SEMI join on the band
+    // key — it can never row-multiply the batch — and (b) compute the
+    // minhash-signature aggregate ONCE, with the second branch reusing
+    // the first's exchange: at 100 TB the signature pipeline over the
+    // lake is the dominant cost and must not run twice.
+    val df = SparkEntry.queries("llm_incremental_dedup")(spark, dir)
+    df.collect() // AQE resolves reuse at runtime; inspect the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), "lake-index probe must be a semi-join")
+    assert(p.contains("ReusedExchange"),
+      "both sides must share one minhash-signature aggregate")
+  }
+
   test("s15 literal lang filter is satisfied by STATIC partition pruning") {
     val p = plan("s15_partition_prune")
     // The filter must appear as a partition-directory predicate on the
