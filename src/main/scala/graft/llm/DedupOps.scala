@@ -1122,7 +1122,63 @@ object DedupOps {
            |LEFT JOIN hits h USING (doc_id)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Corpus-level line (span) deduplication — the C4-style boilerplate
+    * filter: any LINE whose verbatim corpus frequency exceeds a
+    * threshold (cookie banners, navigation chrome, license headers) is
+    * removed from EVERY document that contains it, and documents are
+    * reassembled from their surviving lines in order. The fixture text
+    * has no newlines, so the "line" unit is the deterministic
+    * segmentation into consecutive 10-word spans — same shape, same
+    * plan.
+    *
+    * Scale shape: segmentation is a map-side explode; the frequency
+    * table is ONE content-keyed shuffle (seg_text md5-sized keys);
+    * marking is a shuffle join whose build side carries exactly one row
+    * per distinct segment, so hot boilerplate (a banner appearing 1e9
+    * times) skews only the probe side, which AQE skew-join splits —
+    * never a hot aggregation state. Reassembly groups by doc_id
+    * (bounded: a document's own segment list).
+    */
+  private val lineDedup = QueryDef(
+    "llm_line_dedup",
+    (s, dir) => {
+      val segs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n_segs", ceil(size(col("w")) / lit(10.0)))
+        .withColumn("seg_idx", explode(sequence(lit(0L), col("n_segs") - 1)))
+        .withColumn("seg_text",
+          array_join(slice(col("w"), (col("seg_idx") * 10 + 1).cast("int"), lit(10)), " "))
+        .select("doc_id", "seg_idx", "seg_text")
+      val freq = segs.groupBy("seg_text").agg(count(lit(1)).as("cnt"))
+      segs.join(freq, "seg_text")
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("cnt") <= 2,
+              struct(col("seg_idx"), col("seg_text"))))),
+            x => x.getField("seg_text")), " ").as("clean_text"),
+          sum(when(col("cnt") > 2, 1L).otherwise(0L)).as("n_dropped"),
+          count(lit(1)).as("n_segs"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH words AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |segs AS (
+           |  SELECT doc_id, i - 1 AS seg_idx,
+           |         array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ') AS seg_text
+           |  FROM words, LATERAL unnest(generate_series(1,
+           |    CAST(ceil(len(w)/10.0) AS BIGINT))) AS t(i)),
+           |freq AS (SELECT seg_text, count(*) AS cnt FROM segs GROUP BY 1)
+           |SELECT s.doc_id,
+           |  coalesce(string_agg(CASE WHEN f.cnt <= 2 THEN s.seg_text END,
+           |                      ' ' ORDER BY s.seg_idx), '') AS clean_text,
+           |  CAST(sum(CASE WHEN f.cnt > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           |  CAST(count(*) AS BIGINT) AS n_segs
+           |FROM segs s JOIN freq f USING (seg_text)
+           |GROUP BY s.doc_id
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
-    canonicalDocs, incrementalDedup)
+    canonicalDocs, incrementalDedup, lineDedup)
 }
