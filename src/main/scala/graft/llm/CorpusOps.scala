@@ -205,58 +205,140 @@ object CorpusOps {
     * and are absent from the result (both engines agree by
     * construction).
     */
+  /** Per-document bigram-LM aggregate `(doc_id, s6, n_bigrams)` — the
+    * shared pipeline behind [[bigramLm]] (score report) and
+    * [[pplBuckets]] (CCNet-style head/middle/tail partition). `s6` is
+    * the Σ tf·log10 p(w2|w1) numerator in exact 1e-6 BIGINT units.
+    */
+  private def bigramDocAgg(s: SparkSession, dir: String): DataFrame = {
+    // Docs with < 2 words have no bigrams: filter BEFORE the explode
+    // (the DuckDB side's empty generate_series drops them the same
+    // way — an empty `array()` branch would type-clash with the
+    // struct array anyway).
+    val words = splitLit(col("text"), " ")
+    val bigrams =
+      expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
+        "i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))")
+    val dwb = t(s, dir, "documents")
+      .filter(size(words) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tfb"))
+    val cb = dwb.groupBy("w1", "w2").agg(sum("tfb").as("cnt"))
+    val cf = cb.groupBy("w1").agg(sum("cnt").as("ctx"))
+    // MERGE hints: the bigram vocabulary is corpus-proportional on
+    // both sides of both joins — never let runtime stats promote one
+    // to a broadcast hash build (observed 65-196 s vs ~5 s merged).
+    val scored = cb.hint("MERGE").join(cf, "w1")
+      .withColumn("lp6",
+        floor(log10(col("cnt") / col("ctx")) * lit(1e6) + lit(0.5)).cast("long"))
+      .select("w1", "w2", "lp6")
+    dwb.hint("MERGE").join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("tfb") * col("lp6")).as("s6"), sum("tfb").as("n_bigrams"))
+  }
+
+  /** DuckDB CTE chain mirroring [[bigramDocAgg]]; `docsc` ends at
+    * `(doc_id, s6, n_bigrams)`.
+    */
+  private val bigramOracleCtes =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(w) - 1, 0)),
+      |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+      |  FROM words),
+      |dwb AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS tfb
+      |  FROM bg GROUP BY doc_id, b.w1, b.w2),
+      |cb AS (SELECT w1, w2, sum(tfb) AS cnt FROM dwb GROUP BY w1, w2),
+      |cf AS (SELECT w1, sum(cnt) AS ctx FROM cb GROUP BY w1),
+      |scored AS (
+      |  SELECT cb.w1, cb.w2,
+      |    CAST(floor(log10(cnt / ctx) * 1000000.0 + 0.5) AS BIGINT) AS lp6
+      |  FROM cb JOIN cf USING (w1)),
+      |docsc AS (
+      |  SELECT d.doc_id, CAST(sum(d.tfb * s.lp6) AS BIGINT) AS s6,
+      |         CAST(sum(d.tfb) AS BIGINT) AS n_bigrams
+      |  FROM dwb d JOIN scored s USING (w1, w2)
+      |  GROUP BY d.doc_id)""".stripMargin
+
   private val bigramLm = QueryDef(
     "llm_bigram_lm",
     (s, dir) => {
-      // Docs with < 2 words have no bigrams: filter BEFORE the explode
-      // (the DuckDB side's empty generate_series drops them the same
-      // way — an empty `array()` branch would type-clash with the
-      // struct array anyway).
-      val words = splitLit(col("text"), " ")
-      val bigrams =
-        expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))")
-      val dwb = t(s, dir, "documents")
-        .filter(size(words) >= 2)
-        .select(col("doc_id"), explode(bigrams).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tfb"))
-      val cb = dwb.groupBy("w1", "w2").agg(sum("tfb").as("cnt"))
-      val cf = cb.groupBy("w1").agg(sum("cnt").as("ctx"))
-      // MERGE hints: the bigram vocabulary is corpus-proportional on
-      // both sides of both joins — never let runtime stats promote one
-      // to a broadcast hash build (observed 65-196 s vs ~5 s merged).
-      val scored = cb.hint("MERGE").join(cf, "w1")
-        .withColumn("lp6",
-          floor(log10(col("cnt") / col("ctx")) * lit(1e6) + lit(0.5)).cast("long"))
-        .select("w1", "w2", "lp6")
-      dwb.hint("MERGE").join(scored, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(sum(col("tfb") * col("lp6")).as("s6"), sum("tfb").as("n_bigrams"))
+      bigramDocAgg(s, dir)
         .select(col("doc_id"), col("n_bigrams"),
           roundTo(col("s6") / (col("n_bigrams") * lit(1e6)), 4).as("avg_logp2"))
         .orderBy("doc_id")
     },
-    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           |bg AS (
-           |  SELECT doc_id, unnest(list_transform(
-           |    generate_series(1, greatest(len(w) - 1, 0)),
-           |    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
-           |  FROM words),
-           |dwb AS (
-           |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS tfb
-           |  FROM bg GROUP BY doc_id, b.w1, b.w2),
-           |cb AS (SELECT w1, w2, sum(tfb) AS cnt FROM dwb GROUP BY w1, w2),
-           |cf AS (SELECT w1, sum(cnt) AS ctx FROM cb GROUP BY w1),
-           |scored AS (
-           |  SELECT cb.w1, cb.w2,
-           |    CAST(floor(log10(cnt / ctx) * 1000000.0 + 0.5) AS BIGINT) AS lp6
-           |  FROM cb JOIN cf USING (w1))
-           |SELECT d.doc_id, CAST(sum(d.tfb) AS BIGINT) AS n_bigrams,
-           |  floor(sum(d.tfb * s.lp6) / (sum(d.tfb) * 1000000.0) * 10000.0 + 0.5)
+    Some(s"""WITH $bigramOracleCtes
+           |SELECT doc_id, n_bigrams,
+           |  floor(s6 / (n_bigrams * 1000000.0) * 10000.0 + 0.5)
            |    / 10000.0 AS avg_logp2
-           |FROM dwb d JOIN scored s USING (w1, w2)
-           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+           |FROM docsc ORDER BY doc_id""".stripMargin))
+
+  /** CCNet-style perplexity partition (Wenzek et al., "CCNet:
+    * extracting high-quality monolingual datasets from web crawl
+    * data", LREC 2020): split the corpus into head / middle / tail
+    * tertiles by LM score — head trains, tail is discarded or
+    * re-filtered. Scores come from the shared [[bigramDocAgg]]
+    * pipeline, quantized to 1e-4 BIGINT units.
+    *
+    * The tertile cuts are EXACT order statistics computed without a
+    * global row sort: scores aggregate to a histogram keyed by the
+    * quantized score (bounded cardinality — the 1e-4 grid over the
+    * log10-prob range is ≤ ~100k cells no matter the corpus size), the
+    * cumulative count runs over that small histogram, and the two cut
+    * values broadcast back for a map-side label. Ties at a cut share
+    * the lower bucket, so the split is deterministic cross-engine.
+    */
+  private val pplBuckets = QueryDef(
+    "llm_ppl_buckets",
+    (s, dir) => {
+      val scores = bigramDocAgg(s, dir)
+        .withColumn("score6",
+          floor(col("s6") / (col("n_bigrams") * lit(1e6)) * lit(1e4) + lit(0.5))
+            .cast("long"))
+      val hist = scores.groupBy("score6").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.orderBy("score6")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cuts = hist
+        .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
+        .agg(
+          min(when(col("cum") >= ceil(col("n") / lit(3.0)), col("score6"))).as("c1"),
+          min(when(col("cum") >= ceil(col("n") * 2 / lit(3.0)), col("score6"))).as("c2"))
+      scores.crossJoin(broadcast(cuts))
+        .select(col("doc_id"),
+          (col("score6") / lit(1e4)).as("avg_logp2"),
+          when(col("score6") <= col("c1"), "tail")
+            .when(col("score6") <= col("c2"), "middle")
+            .otherwise("head").as("ppl_bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $bigramOracleCtes,
+           |sc AS (
+           |  SELECT doc_id, CAST(floor(s6 / (n_bigrams * 1000000.0) * 10000.0
+           |    + 0.5) AS BIGINT) AS score6
+           |  FROM docsc),
+           |hist AS (SELECT score6, count(*) AS c FROM sc GROUP BY 1),
+           |cum AS (
+           |  SELECT score6, sum(c) OVER (ORDER BY score6
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM hist),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+           |cuts AS (
+           |  SELECT
+           |    min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) / 3.0)
+           |        THEN score6 END) AS c1,
+           |    min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 2 / 3.0)
+           |        THEN score6 END) AS c2
+           |  FROM cum, tot)
+           |SELECT doc_id, CAST(score6 AS DOUBLE) / 10000.0 AS avg_logp2,
+           |  CASE WHEN score6 <= c1 THEN 'tail'
+           |       WHEN score6 <= c2 THEN 'middle'
+           |       ELSE 'head' END AS ppl_bucket
+           |FROM sc, cuts ORDER BY doc_id""".stripMargin))
 
   /** Character-entropy quality signal (log10 units): near-zero entropy
     * means repeated-character noise, unusually high means binary
@@ -396,6 +478,6 @@ object CorpusOps {
            |       ELSE 'tail' END AS bucket
            |FROM q, cuts ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier,
+  val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier, pplBuckets,
     bigramLm, charEntropy, qualityBuckets)
 }

@@ -171,7 +171,8 @@ class PlanAuditSpec extends SparkSpec {
     // optimizer column-prune one branch), each branch re-tokenizes the
     // whole corpus — at 100 TB that doubles the most expensive stage.
     // The final adaptive plan must show the shared shuffle stage reused.
-    for (name <- Seq("llm_unigram_lm", "llm_tfidf_topk", "llm_quality_buckets")) {
+    for (name <- Seq("llm_unigram_lm", "llm_tfidf_topk", "llm_quality_buckets",
+        "llm_ppl_buckets")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // AQE resolves reuse at runtime; inspect the final plan
       val p = df.queryExecution.executedPlan.toString
