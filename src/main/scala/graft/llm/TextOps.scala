@@ -465,7 +465,77 @@ object TextOps {
            |QUALIFY rk <= 20
            |ORDER BY rk""".stripMargin))
 
+  /** Temperature-based source-mixture sampling — the multilingual
+    * data-mixing stage (Conneau & Lample, "Cross-lingual language model
+    * pretraining", NeurIPS 2019 §3.1; mT5 follows the same scheme): a
+    * source's sampling budget is proportional to its token share raised
+    * to 1/T, here T = 2 (∝ √share), so small sources are up-weighted
+    * relative to their raw share and no head source dominates the mix.
+    * The total budget is 40 % of corpus tokens.
+    *
+    * Everything is exact integer arithmetic: per-source weights are
+    * floor(√tok_s) (IEEE sqrt is correctly rounded, floor makes the
+    * cross-engine value exact), budgets and the per-source keep
+    * thresholds are BIGINT divisions, and the keep decision compares
+    * the first 4 hex chars of md5("mix:" + doc_id) — fixed-width
+    * lowercase hex compares lexicographically == numerically — against
+    * the threshold rendered with %04x. A saturated source (budget ≥
+    * its tokens, th = 65536) keeps everything via the explicit
+    * short-circuit branch, since '10000' is 5 chars and would compare
+    * wrongly as a string.
+    *
+    * Scale shape: ONE per-source aggregate (partial map-side sums →
+    * ~|sources| rows), a broadcast of the tiny rate table, and a
+    * map-side hash-threshold filter — the same zero-shuffle keep rule
+    * as [[stratifiedSample]], but with rates DERIVED from corpus
+    * statistics instead of fixed.
+    */
+  private val mixtureSample = QueryDef(
+    "llm_mixture_sample",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+      val perSrc = docs.groupBy("source").agg(sum("n_words").as("tok_s"))
+        .withColumn("w", floor(sqrt(col("tok_s"))).cast("long"))
+      val tot = perSrc.agg(sum("tok_s").as("total"), sum("w").as("sumw"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .withColumn("th", least(
+          expr("((total * 2 DIV 5) * w DIV sumw) * 65536 DIV tok_s"),
+          lit(65536L)))
+        .select("source", "th")
+      docs.join(broadcast(rates), "source")
+        .filter(col("th") === 65536L ||
+          substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4) <
+            format_string("%04x", col("th")))
+        .select(col("doc_id"), col("source"), col("th").as("mix_threshold"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           |  FROM documents),
+           |ps AS (
+           |  SELECT source, CAST(sum(n_words) AS BIGINT) AS tok_s,
+           |         CAST(floor(sqrt(CAST(sum(n_words) AS BIGINT))) AS BIGINT) AS w
+           |  FROM d GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(sum(tok_s) AS BIGINT) AS total,
+           |         CAST(sum(w) AS BIGINT) AS sumw
+           |  FROM ps),
+           |rates AS (
+           |  SELECT source,
+           |         least(((total * 2 // 5) * w // sumw) * 65536 // tok_s,
+           |               CAST(65536 AS BIGINT)) AS th
+           |  FROM ps, tot)
+           |SELECT d.doc_id, d.source, r.th AS mix_threshold
+           |FROM d JOIN rates r USING (source)
+           |WHERE r.th = 65536
+           |   OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+           |        < printf('%04x', r.th)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
     textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk,
-    bpePairs)
+    bpePairs, mixtureSample)
 }
