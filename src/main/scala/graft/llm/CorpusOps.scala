@@ -478,6 +478,59 @@ object CorpusOps {
            |       ELSE 'tail' END AS bucket
            |FROM q, cuts ORDER BY doc_id""".stripMargin))
 
+  /** Per-source domain-drift screen: KL(P_s ‖ P) of each source's
+    * unigram distribution against the corpus distribution, in log10
+    * units — the standard corpus-monitoring statistic for spotting a
+    * crawl source whose content shifted (a KL spike on yesterday's
+    * ingest is the alarm). Same quantization discipline as the LM
+    * rows: the per-word log-ratio is floored to 1e-6 BIGINT units and
+    * weighted by the INTEGER source-word count, so the per-source
+    * reduction is exact whatever the partial-sum order.
+    *
+    * Scale shape: one (source, word) aggregate (map-side partial), a
+    * broadcast of the per-source totals, and a word-keyed MERGE join
+    * of two corpus-vocabulary-proportional sides — never a broadcast
+    * of either (the AQE hazard the LM rows document).
+    */
+  private val domainKl = QueryDef(
+    "llm_domain_kl",
+    (s, dir) => {
+      val sw = t(s, dir, "documents")
+        .select(col("source"), explode(splitLit(col("text"), " ")).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+      val ts = sw.groupBy("source").agg(sum("c_sw").as("t_s"))
+      val cw = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+      val tot = cw.agg(sum("c_w").as("total"))
+      sw.join(broadcast(ts), "source")
+        .hint("MERGE").join(cw, "word")
+        .crossJoin(broadcast(tot))
+        .withColumn("lr6",
+          floor(log10((col("c_sw") / col("t_s")) / (col("c_w") / col("total"))) *
+            lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy("source")
+        .agg(sum(col("c_sw") * col("lr6")).as("s6"), max("t_s").as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          roundTo(col("s6") / (col("n_tokens") * lit(1e6)), 6).as("kl10"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+           |sw AS (SELECT source, word, count(*) AS c_sw FROM toks GROUP BY 1, 2),
+           |ts AS (SELECT source, sum(c_sw) AS t_s FROM sw GROUP BY 1),
+           |cw AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+           |tot AS (SELECT sum(c_w) AS total FROM cw),
+           |terms AS (
+           |  SELECT s.source, s.c_sw, t.t_s,
+           |    CAST(floor(log10((CAST(s.c_sw AS DOUBLE) / t.t_s)
+           |      / (CAST(c.c_w AS DOUBLE) / tot.total)) * 1000000.0 + 0.5)
+           |      AS BIGINT) AS lr6
+           |  FROM sw s JOIN ts t USING (source) JOIN cw c USING (word), tot)
+           |SELECT source, CAST(max(t_s) AS BIGINT) AS n_tokens,
+           |  floor(sum(c_sw * lr6) / (max(t_s) * 1000000.0) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS kl10
+           |FROM terms GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier, pplBuckets,
+    domainKl,
     bigramLm, charEntropy, qualityBuckets)
 }
