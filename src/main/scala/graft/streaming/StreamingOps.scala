@@ -92,6 +92,63 @@ object StreamingOps {
     }
   }
 
+  /** Map-side MinHash-LSH band hashes for a frame carrying (doc_id,
+    * text, ...): word 3-shingles → 8 min-hashes → 4 banded hashes, all
+    * inside ONE higher-order-function projection — no groupBy, so the
+    * same expression runs on a STREAM (where the batch formulation's
+    * signature aggregate would be a stateful op) and on a static frame.
+    * The hash family is identical to the batch LSH pipeline
+    * (`llm_minhash_lsh_pairs`): md5("<seed>:" + shingle) minima, bands
+    * = md5(mh[2b] ‖ mh[2b+1]) — the streaming-vs-batch agreement test
+    * pins that equivalence through the DuckDB-oracled incremental-dedup
+    * row. Docs with fewer than 3 words have no shingles: their band
+    * hashes are NULL (array_min of empty), which can never match a
+    * probe — drop them with `band_hash IS NOT NULL` when building an
+    * index. Extra input columns (ts, source) pass through untouched.
+    */
+  def bandHashes(docs: DataFrame): DataFrame = {
+    val passThrough = docs.columns.map(col).toSeq
+    docs
+      .withColumn("__words", split(col("text"), " "))
+      .withColumn("__shingles", expr(
+        """CASE WHEN size(__words) < 3 THEN array()
+          |     ELSE transform(sequence(1, size(__words) - 2),
+          |            i -> concat_ws(' ', __words[i-1], __words[i], __words[i+1])) END""".stripMargin))
+      .withColumn("__mhs", expr(
+        "transform(sequence(0, 7), s -> array_min(transform(__shingles, " +
+          "x -> md5(concat(cast(s AS string), ':', x)))))"))
+      .withColumn("__b", explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band_idx, " +
+          "md5(concat(__mhs[2*b], __mhs[2*b+1])) AS band_hash))")))
+      .select(passThrough :+ col("__b.band_idx") :+ col("__b.band_hash"): _*)
+  }
+
+  /** Streaming near-duplicate probe — the continuous face of
+    * `llm_incremental_dedup`: each arriving document's band hashes are
+    * checked against the STATIC lake band index (the table the batch
+    * engine maintains incrementally), and the document is flagged
+    * `is_dup` when any band bucket already exists on the lake side.
+    *
+    * Plan shape: band hashing is a narrow map; the index probe is a
+    * stream-static equi-join (no streaming state — the static side is
+    * a bounded build per micro-batch); the only STATEFUL op is the
+    * per-document any-band-hit fold, keyed by (day window, doc_id) so
+    * the watermark expires state after the duplicate-arrival horizon.
+    * Runs identically on a batch frame (the agreement test's oracle
+    * path).
+    */
+  def streamingNearDupProbe(docs: DataFrame, lakeIndex: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val probes = bandHashes(docs)
+    val marked = probes.join(
+      lakeIndex.select(col("band_idx"), col("band_hash"), lit(true).as("hit")),
+      Seq("band_idx", "band_hash"), "left_outer")
+    val wm = if (docs.isStreaming) marked.withWatermark("ts", watermark) else marked
+    wm.groupBy(window(col("ts"), "1 day"), col("doc_id"))
+      .agg(max(coalesce(col("hit"), lit(false))).as("is_dup"))
+      .select(col("window.start").as("day"), col("doc_id"), col("is_dup"))
+  }
+
   /** Streaming analog of the streams-daily DAILY rollup over the raw NPO
     * event feed (`atinternet_smarttag_streams_daily_v4.sql:139-161`
     * collapsed to the date grain): same inclusion rules as the batch

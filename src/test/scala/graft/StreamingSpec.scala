@@ -96,6 +96,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq === got.toSeq)
   }
 
+  test("streamingNearDupProbe agrees with the oracled batch incremental-dedup row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+
+    // The lake's band index, built with the map-side HOF band hasher.
+    val lake = StreamingOps.bandHashes(
+        docs.filter(col("source") =!= "src7").select("doc_id", "text"))
+      .filter(col("band_hash").isNotNull)
+      .select("band_idx", "band_hash").distinct()
+
+    val batchDocs = docs.filter(col("source") === "src7")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val t0 = ts("2024-01-01 00:00:00")
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    stream.addData(batchDocs.map { case (id, tx) => (id, t0, tx) }.toIndexedSeq: _*)
+    val q = StreamingOps.streamingNearDupProbe(
+        stream.toDF().toDF("doc_id", "ts", "text"), lake)
+      .writeStream.format("memory").queryName("sndp").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sndp").select("doc_id", "is_dup")
+      .as[(Long, Boolean)].collect().toMap
+
+    // Ground truth: the DuckDB-oracled batch row over the same split —
+    // this also pins the HOF band hashes to the batch groupBy
+    // formulation (any drift in the hash family breaks the flags).
+    val expect = SparkEntry.queries("llm_incremental_dedup")(spark, dir)
+      .select(col("doc_id").cast("long"), col("is_dup"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === expect)
+    assert(expect.values.exists(identity),
+      "fixture must contain at least one cross-shard near-dup")
+
+    // Same operator over the same rows as a static frame: same flags.
+    val batchRun = StreamingOps.streamingNearDupProbe(
+        batchDocs.map { case (id, tx) => (id, t0, tx) }.toSeq
+          .toDF("doc_id", "ts", "text"), lake)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(batchRun === expect)
+  }
+
   test("npoDailyPlayback over the fixture stream agrees with the batch DAG model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
