@@ -195,20 +195,18 @@ object CorpusOps {
            |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
            |FROM scored ORDER BY vec_id""".stripMargin))
 
-  /** Bigram conditional LM: p(w2|w1) = c(w1 w2) / c(w1 ·) over the
-    * corpus, quantized per bigram to 1e-6 log10 units, then the
-    * per-document bigram-weighted mean — one LM order deeper than
-    * [[unigramLm]], catching word-salad text whose unigram profile
-    * looks normal. The context count derives from the bigram table
-    * itself (c(w1·) = Σ_w2 c(w1 w2)), so the two statistics share one
-    * tokenize pipeline; docs with fewer than 2 words have no bigrams
-    * and are absent from the result (both engines agree by
-    * construction).
-    */
-  /** Per-document bigram-LM aggregate `(doc_id, s6, n_bigrams)` — the
-    * shared pipeline behind [[bigramLm]] (score report) and
-    * [[pplBuckets]] (CCNet-style head/middle/tail partition). `s6` is
-    * the Σ tf·log10 p(w2|w1) numerator in exact 1e-6 BIGINT units.
+  /** Per-document bigram-LM aggregate `(doc_id, s6, n_bigrams)`:
+    * p(w2|w1) = c(w1 w2) / c(w1 ·) over the corpus, quantized per
+    * bigram to 1e-6 log10 units, weighted by the doc's bigram counts —
+    * one LM order deeper than [[unigramLm]], catching word-salad text
+    * whose unigram profile looks normal. The context count derives
+    * from the bigram table itself (c(w1·) = Σ_w2 c(w1 w2)), so the two
+    * statistics share one tokenize pipeline; docs with fewer than 2
+    * words have no bigrams and are absent from the result (both
+    * engines agree by construction). Shared by [[bigramLm]] (the score
+    * report) and [[pplBuckets]] (the CCNet head/middle/tail
+    * partition); `s6` is the Σ tf·log10 p numerator in exact 1e-6
+    * BIGINT units.
     */
   private def bigramDocAgg(s: SparkSession, dir: String): DataFrame = {
     // Docs with < 2 words have no bigrams: filter BEFORE the explode
@@ -263,6 +261,9 @@ object CorpusOps {
       |  FROM dwb d JOIN scored s USING (w1, w2)
       |  GROUP BY d.doc_id)""".stripMargin
 
+  /** Per-document average bigram log-probability ([[bigramDocAgg]]
+    * rendered to 1e-4 precision).
+    */
   private val bigramLm = QueryDef(
     "llm_bigram_lm",
     (s, dir) => {
@@ -299,15 +300,18 @@ object CorpusOps {
         .withColumn("score6",
           floor(col("s6") / (col("n_bigrams") * lit(1e6)) * lit(1e4) + lit(0.5))
             .cast("long"))
+      // The corpus total rides the same window pass as the cumsum (the
+      // in-window idiom qualityBuckets uses) — a separate agg branch
+      // would re-derive the whole bigram pipeline for one scalar and
+      // lean on AQE ReuseExchange to dodge it.
       val hist = scores.groupBy("score6").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(
-          Window.orderBy("score6")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val cuts = hist
-        .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
-        .agg(
-          min(when(col("cum") >= ceil(col("n") / lit(3.0)), col("score6"))).as("c1"),
-          min(when(col("cum") >= ceil(col("n") * 2 / lit(3.0)), col("score6"))).as("c2"))
+        .select(col("score6"), col("c"),
+          sum("c").over(Window.orderBy("score6")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+          sum("c").over(Window.partitionBy(lit(1))).as("n"))
+      val cuts = hist.agg(
+        min(when(col("cum") >= ceil(col("n") / lit(3.0)), col("score6"))).as("c1"),
+        min(when(col("cum") >= ceil(col("n") * 2 / lit(3.0)), col("score6"))).as("c2"))
       scores.crossJoin(broadcast(cuts))
         .select(col("doc_id"),
           (col("score6") / lit(1e4)).as("avg_logp2"),
@@ -324,16 +328,16 @@ object CorpusOps {
            |hist AS (SELECT score6, count(*) AS c FROM sc GROUP BY 1),
            |cum AS (
            |  SELECT score6, sum(c) OVER (ORDER BY score6
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(c) OVER () AS n
            |  FROM hist),
-           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
            |cuts AS (
            |  SELECT
            |    min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) / 3.0)
            |        THEN score6 END) AS c1,
            |    min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 2 / 3.0)
            |        THEN score6 END) AS c2
-           |  FROM cum, tot)
+           |  FROM cum)
            |SELECT doc_id, CAST(score6 AS DOUBLE) / 10000.0 AS avg_logp2,
            |  CASE WHEN score6 <= c1 THEN 'tail'
            |       WHEN score6 <= c2 THEN 'middle'

@@ -355,9 +355,6 @@ object DedupOps {
            |  JOIN sizes sb ON sb.doc_id = doc_b)
            |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** Candidate pairs from the MinHash-LSH pipeline (shared by
-    * `llm_minhash_lsh_pairs` and the group-resolution step).
-    */
   /** (doc_id, band_idx, band_hash) — the LSH band index rows for every
     * document: 8 min-hashes folded into 4 bands of 2. Shared by
     * [[lshPairs]] (within-corpus candidate pairs) and
@@ -372,6 +369,9 @@ object DedupOps {
       .as(Seq("band_idx", "band_hash")))
   }
 
+  /** Candidate pairs from the MinHash-LSH pipeline (shared by
+    * `llm_minhash_lsh_pairs` and the group-resolution step).
+    */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = bandHashes(s, dir)
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
@@ -1143,7 +1143,7 @@ object DedupOps {
     "llm_line_dedup",
     (s, dir) => {
       val segs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), splitLit(col("text"), " ").as("w"))
         .withColumn("n_segs", ceil(size(col("w")) / lit(10.0)))
         .withColumn("seg_idx", explode(sequence(lit(0L), col("n_segs") - 1)))
         .withColumn("seg_text",

@@ -495,14 +495,20 @@ object TextOps {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_words"))
+          size(splitLit(col("text"), " ")).cast("long").as("n_words"))
       val perSrc = docs.groupBy("source").agg(sum("n_words").as("tok_s"))
         .withColumn("w", floor(sqrt(col("tok_s"))).cast("long"))
       val tot = perSrc.agg(sum("tok_s").as("total"), sum("w").as("sumw"))
+      // budget*w overflows BIGINT once 0.4·total^1.5 > 2^63 (~8e12
+      // corpus tokens — inside the design scale), so the per-source
+      // budget uses the exact decomposition
+      //   (b*w) DIV s  ==  (b DIV s)*w + ((b MOD s)*w) DIV s
+      // whose intermediates are bounded by b and s·w respectively.
       val rates = perSrc.crossJoin(broadcast(tot))
-        .withColumn("th", least(
-          expr("((total * 2 DIV 5) * w DIV sumw) * 65536 DIV tok_s"),
-          lit(65536L)))
+        .withColumn("budget_s", expr(
+          "((total * 2 DIV 5) DIV sumw) * w + " +
+            "(((total * 2 DIV 5) % sumw) * w) DIV sumw"))
+        .withColumn("th", least(expr("budget_s * 65536 DIV tok_s"), lit(65536L)))
         .select("source", "th")
       docs.join(broadcast(rates), "source")
         .filter(col("th") === 65536L ||
@@ -525,7 +531,9 @@ object TextOps {
            |  FROM ps),
            |rates AS (
            |  SELECT source,
-           |         least(((total * 2 // 5) * w // sumw) * 65536 // tok_s,
+           |         least((((total * 2 // 5) // sumw) * w
+           |                + (((total * 2 // 5) % sumw) * w) // sumw)
+           |               * 65536 // tok_s,
            |               CAST(65536 AS BIGINT)) AS th
            |  FROM ps, tot)
            |SELECT d.doc_id, d.source, r.th AS mix_threshold

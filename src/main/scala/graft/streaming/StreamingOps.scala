@@ -109,7 +109,7 @@ object StreamingOps {
   def bandHashes(docs: DataFrame): DataFrame = {
     val passThrough = docs.columns.map(col).toSeq
     docs
-      .withColumn("__words", split(col("text"), " "))
+      .withColumn("__words", graft.dialect.Dialect.splitLit(col("text"), " "))
       .withColumn("__shingles", expr(
         """CASE WHEN size(__words) < 3 THEN array()
           |     ELSE transform(sequence(1, size(__words) - 2),
