@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-7 pipeline operators on constructed
+  * corpora — the fixture tables never exercise these edges:
+  *
+  *  - `llm_mixture_sample`'s SATURATED branch (a source whose √share
+  *    budget exceeds its own tokens must keep everything through the
+  *    explicit th = 65536 short-circuit — the %04x hex compare would
+  *    be wrong there) and the budget adherence of the non-saturated
+  *    keep rate;
+  *  - `llm_line_dedup`'s segmentation→reassembly round trip (identity
+  *    when nothing repeats; exact boilerplate excision when a shared
+  *    prefix crosses the corpus-frequency threshold).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeops").toString
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("mixture sampling keeps ALL docs of a saturated source and ~budget share of a huge one") {
+    val tiny = (0L until 2L).map(i => (i, "tiny", "a b c d e"))
+    val huge = (100L until 300L).map(i =>
+      (i, "huge", (0 until 50).map(j => s"w${i}_$j").mkString(" ")))
+    val dir = writeDocs(tiny ++ huge)
+    val out = SparkEntry.queries("llm_mixture_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // tiny: tok=10, total=10010, budget=4004, w=(3,100), sumw=103 →
+    // budget_tiny=116 ≥ 10 tokens → saturated, everything kept.
+    val tinyKept = out.filter(_._2 == "tiny")
+    assert(tinyKept.length === 2, "saturated source must keep every doc")
+    assert(tinyKept.forall(_._3 === 65536L), "saturated threshold must be 65536")
+
+    // huge: budget_huge=3887 of 10000 tokens → th=25473/65536 ≈ 0.389.
+    val hugeKept = out.count(_._2 == "huge")
+    val thHuge = out.filter(_._2 == "huge").map(_._3).distinct
+    assert(thHuge === Array(3887L * 65536L / 10000L),
+      "non-saturated threshold must follow the exact integer rate derivation")
+    assert(hugeKept > 50 && hugeKept < 110,
+      s"keep count $hugeKept must track the ~38.9% budget share of 200 docs")
+  }
+
+  test("line dedup is the identity on a repeat-free corpus and excises shared boilerplate exactly") {
+    // 10-word boilerplate prefix shared by 5 docs (+ unique 10-word
+    // tails), plus 20 repeat-free docs.
+    val banner = (0 until 10).map(i => s"cookie$i").mkString(" ")
+    val withBanner = (0L until 5L).map { i =>
+      val tail = (0 until 10).map(j => s"tail${i}_$j").mkString(" ")
+      (i, "s", s"$banner $tail")
+    }
+    val unique = (10L until 30L).map(i =>
+      (i, "s", (0 until 25).map(j => s"u${i}_$j").mkString(" ")))
+    val dir = writeDocs(withBanner ++ unique)
+    val out = SparkEntry.queries("llm_line_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    val byId = out.map(t => t._1 -> t).toMap
+    // Repeat-free docs come back byte-identical, nothing dropped —
+    // the ordered reassembly is an exact round trip.
+    for ((id, _, text) <- unique) {
+      assert(byId(id)._2 === text, s"doc $id must reassemble to its original text")
+      assert(byId(id)._3 === 0L)
+    }
+    // Banner docs lose EXACTLY the shared first segment (freq 5 > 2)
+    // and keep their unique tail.
+    for ((id, _, text) <- withBanner) {
+      assert(byId(id)._2 === text.split(" ").drop(10).mkString(" "),
+        s"doc $id must keep only its unique tail")
+      assert(byId(id)._3 === 1L, "exactly one boilerplate segment dropped")
+    }
+  }
+}
