@@ -208,5 +208,59 @@ object PrivacyOps {
            |    FROM embeddings))
            |ORDER BY vec_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(piiRedact, urlCanon, embedQuantize)
+  /** k-anonymity generalization before a data release (Sweeney,
+    * "k-anonymity: a model for protecting privacy", IJUFKS 2002): a
+    * row's quasi-identifier tuple — here (lang, source), the kind of
+    * metadata that re-identifies a contributor when the group is small
+    * — must be shared by at least k rows. Instead of suppressing small
+    * groups, the standard generalization LADDER widens them:
+    * (lang, source) → (lang, '*') → ('*', '*'), each row stopping at
+    * the first level whose group reaches k = 8. Two fixed levels, so
+    * no fixpoint iteration; the last level is the whole corpus and
+    * always satisfies any sane k.
+    *
+    * Scale shape: the three group-size tables aggregate with map-side
+    * partials to at most |lang × source| + |lang| + 1 rows — broadcast
+    * joins back onto the corpus, so the whole screen is one scan plus
+    * tiny builds. A WINDOW over the categorical quasi-identifier
+    * (the naive formulation) would funnel entire groups through
+    * single partitions — the same categorical-blocking scale-killer
+    * the near-dup ops avoid.
+    */
+  private val kAnonymity = QueryDef(
+    "llm_k_anonymity",
+    (s, dir) => {
+      val k = 8
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "lang", "source")
+      val gs = docs.groupBy("lang", "source").agg(count(lit(1)).as("n1"))
+      val gl = docs.groupBy("lang").agg(count(lit(1)).as("n2"))
+      val tot = docs.agg(count(lit(1)).as("n3"))
+      docs.join(broadcast(gs), Seq("lang", "source"))
+        .join(broadcast(gl), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          when(col("n1") >= k, col("lang"))
+            .when(col("n2") >= k, col("lang")).otherwise(lit("*")).as("anon_lang"),
+          when(col("n1") >= k, col("source")).otherwise(lit("*")).as("anon_source"),
+          when(col("n1") >= k, col("n1"))
+            .when(col("n2") >= k, col("n2")).otherwise(col("n3")).as("k_group"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, source FROM documents),
+           |gs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n1
+           |       FROM d GROUP BY 1, 2),
+           |gl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n2 FROM d GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n3 FROM d)
+           |SELECT d.doc_id,
+           |  CASE WHEN n1 >= 8 THEN d.lang
+           |       WHEN n2 >= 8 THEN d.lang ELSE '*' END AS anon_lang,
+           |  CASE WHEN n1 >= 8 THEN d.source ELSE '*' END AS anon_source,
+           |  CASE WHEN n1 >= 8 THEN n1
+           |       WHEN n2 >= 8 THEN n2 ELSE n3 END AS k_group
+           |FROM d
+           |JOIN gs USING (lang, source)
+           |JOIN gl USING (lang), tot
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(piiRedact, urlCanon, embedQuantize, kAnonymity)
 }

@@ -47,6 +47,22 @@ class PipelineOpsSpec extends SparkSpec {
       s"keep count $hugeKept must track the ~38.9% budget share of 200 docs")
   }
 
+  test("k-anonymity ladder generalizes to the corpus level when even the lang group is < k") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeops").toString
+    val rows = (0L until 20L).map(i => (i, "en", "s1")) ++      // n1 = 20 ≥ 8: level 0
+      (20L until 25L).map(i => (i, "de", s"s${i - 19}")) ++      // n1 = 1, n2 = 5: level 2
+      Seq((25L, "fr", "s9"))                                     // n1 = n2 = 1: level 2
+    rows.toDF("doc_id", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_k_anonymity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    for ((id, al, as_, kg) <- out)
+      if (id < 20) assert((al, as_, kg) === ("en", "s1", 20L))
+      else assert((al, as_, kg) === ("*", "*", 26L),
+        s"doc $id must fall through both ladder levels to the corpus group")
+  }
+
   test("line dedup is the identity on a repeat-free corpus and excises shared boilerplate exactly") {
     // 10-word boilerplate prefix shared by 5 docs (+ unique 10-word
     // tails), plus 20 repeat-free docs.
