@@ -543,7 +543,59 @@ object TextOps {
            |        < printf('%04x', r.th)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic training-order shuffle + sharding — the last step
+    * before writing training shards (WebDataset-style): every document
+    * gets a pseudo-random but REPRODUCIBLE position — shard =
+    * hash-derived bucket, pos = rank of the hash within the shard — so
+    * a re-run (or a different engine) emits byte-identical shard
+    * manifests, and a training job can seek to (shard, pos). No
+    * `rand()` anywhere: the order is a pure function of doc_id.
+    *
+    * The first two hex chars of md5("shuf:" + doc_id) convert to an
+    * integer via position lookup in '0123456789abcdef' (`instr` exists
+    * with identical semantics in both engines — there is no portable
+    * hex→int cast), mod the shard count. Intra-shard order sorts by
+    * the FULL hash (tie-broken by doc_id), i.e. a per-shard sort —
+    * exactly the cost writing a sorted shard pays anyway. Shard count
+    * is the scale dial (`spark.graft.shuffleShards`, default 8): at
+    * 100 TB raise it so each shard's sort fits an executor, same
+    * discipline as sequence packing's shard key.
+    */
+  private val shuffleShards = QueryDef(
+    "llm_shuffle_shards",
+    (s, dir) => {
+      val nShards = s.conf.get("spark.graft.shuffleShards", "8").toInt
+      val keyed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("skey"))
+        // instr-over-a-hex-alphabet needs column needles, which the
+        // Scala `instr` signature can't express — SQL form instead.
+        .withColumn("shard", expr(
+          "pmod((instr('0123456789abcdef', substring(skey, 1, 1)) - 1) * 16" +
+            s" + instr('0123456789abcdef', substring(skey, 2, 1)) - 1, $nShards)"))
+      keyed
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("shard").orderBy("skey", "doc_id")))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+    Some("""WITH keyed AS (
+           |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey
+           |  FROM documents),
+           |sharded AS (
+           |  SELECT doc_id, skey,
+           |    ((instr('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16
+           |     + instr('0123456789abcdef', substr(skey, 2, 1)) - 1) % 8 AS shard
+           |  FROM keyed)
+           |SELECT CAST(shard AS INT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+           |    AS INT) AS pos,
+           |  doc_id
+           |FROM sharded
+           |ORDER BY shard, pos""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
     textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk,
-    bpePairs, mixtureSample)
+    bpePairs, mixtureSample, shuffleShards)
 }
