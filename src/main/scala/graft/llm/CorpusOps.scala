@@ -534,7 +534,193 @@ object CorpusOps {
            |    / 1000000.0 AS kl10
            |FROM terms GROUP BY source ORDER BY source""".stripMargin))
 
+  /** BM25 top-k sparse retrieval — the lexical sibling of the cosine
+    * top-k family (`SimilarityOps`): given a small query set (eval docs
+    * `doc_id < 10`, same convention as `llm_decontaminate`), retrieve
+    * the 5 highest-scoring train docs per query under Okapi BM25 with
+    * the Lucene idf `ln(1 + (N - df + 0.5)/(df + 0.5))`, k1=1.2,
+    * b=0.75 (Robertson & Zaragoza 2009). The practical curation use is
+    * benchmark-similarity retrieval: surface the train docs closest to
+    * an eval set beyond the exact-shingle overlap decontamination
+    * catches.
+    *
+    * Scale shape — ONE tokenize of the corpus, like
+    * `llm_ngram_jaccard`: queries and corpus docs ride one
+    * (doc_id, word) tf aggregate, and everything per-word and per-doc
+    * comes from two stacked windows over that single stream — the
+    * doc-partitioned window carries the document length, the
+    * word-partitioned window carries both the document frequency
+    * (corpus-side conditional count) and the per-word query list
+    * (bounded `collect_list` of query ids, ≤ |Q|). No join builds the
+    * idf table and no join attaches lengths, so there is no second
+    * tokenize pass (a length JOIN infers `doc_id >= 10` onto its
+    * branch and forks the scan — observed two full corpus scans).
+    * Matched postings explode the query list. The only other corpus
+    * read is the (n_docs, total_len) scalar pair — a shuffle-free
+    * split-size reduction with no explode/aggregate, broadcast back.
+    * Per-term contributions are quantized to BIGINT before the
+    * per-(query, doc) sum (exact integer reduction), and the rank
+    * filter plans as WindowGroupLimit. At 100 TB a standing deployment
+    * would maintain the postings/df as a materialized index (the
+    * sparse analogue of the IVF layout in `SimilarityOps`); this is
+    * the index-free form.
+    */
+  private val bm25Topk = QueryDef(
+    "llm_bm25_topk",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dw = docs
+        .select(col("doc_id"), explode(splitLit(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val wordW = Window.partitionBy("word")
+      val matched = dw
+        .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+        .withColumn("dfreq", sum(when(col("doc_id") >= 10, 1L)).over(wordW))
+        .withColumn("qids",
+          collect_list(when(col("doc_id") < 10, col("doc_id"))).over(wordW))
+        .filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("word"), col("tf"), col("dl"), col("dfreq"),
+          explode(col("qids")).as("query_id"))
+      val stats = docs.filter(col("doc_id") >= 10)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(splitLit(col("text"), " ")).cast("long")).as("total_len"))
+      matched
+        .crossJoin(broadcast(stats))
+        .withColumn("idf6", floor(log(lit(1.0) +
+          (col("n_docs").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
+            (col("dfreq").cast("double") + lit(0.5))) * lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("c6", floor(
+          (col("idf6").cast("double") / lit(1e6)) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl").cast("double") /
+                (col("total_len").cast("double") / col("n_docs").cast("double")))) *
+            lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy("query_id", "doc_id").agg(sum("c6").as("s6"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("s6").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          roundTo(col("s6") / lit(1e6), 4).as("bm25"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           |doc_words AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM tokens
+           |  WHERE doc_id >= 10 GROUP BY doc_id, word),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           |         FROM doc_words GROUP BY doc_id),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |                 CAST(sum(dl) AS BIGINT) AS total_len FROM dlen),
+           |qterms AS (
+           |  SELECT DISTINCT doc_id AS query_id, word FROM tokens WHERE doc_id < 10),
+           |idf AS (
+           |  SELECT word, CAST(floor(ln(1.0 +
+           |      (CAST(n_docs AS DOUBLE) - CAST(count(*) AS DOUBLE) + 0.5)
+           |      / (CAST(count(*) AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf6
+           |  FROM doc_words, stats
+           |  WHERE word IN (SELECT word FROM qterms)
+           |  GROUP BY word, n_docs),
+           |contrib AS (
+           |  SELECT q.query_id, d.doc_id,
+           |    CAST(floor(
+           |      (CAST(i.idf6 AS DOUBLE) / 1000000.0)
+           |      * (CAST(d.tf AS DOUBLE) * 2.2)
+           |      / (CAST(d.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+           |          / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS c6
+           |  FROM doc_words d
+           |  JOIN qterms q USING (word)
+           |  JOIN idf i USING (word)
+           |  JOIN dlen l ON d.doc_id = l.doc_id
+           |  CROSS JOIN stats),
+           |scores AS (
+           |  SELECT query_id, doc_id, CAST(sum(c6) AS BIGINT) AS s6
+           |  FROM contrib GROUP BY query_id, doc_id),
+           |ranked AS (
+           |  SELECT query_id, doc_id, s6,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS rank
+           |  FROM scores)
+           |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+           |  floor(s6 / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS bm25
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every doc by how much more likely its hashed-unigram features are
+    * under a target domain (here `lang = 'en'`) than under the raw
+    * corpus — `logw = Σ_tokens ln(p_target(bucket)/p_raw(bucket))`
+    * with add-1 smoothing over 256 md5-derived buckets. Docs with high
+    * `logw` are the ones importance resampling keeps; the selection
+    * machinery itself (hash-threshold keep, mixture rates) already
+    * exists in `llm_mixture_sample`/`llm_ppl_buckets`.
+    *
+    * Scale shape: bucket stats are ONE map-side-combinable aggregation
+    * (count + conditional count per bucket — raw and target in a single
+    * pass, never two corpus scans for the stats), bounded at 256 rows
+    * at any corpus size; the per-bucket log-ratio table broadcasts back
+    * over a narrow token scan, so the only corpus-sized shuffle is the
+    * final per-doc sum. All reductions are BIGINT-quantized (exact
+    * cross-engine); the bucket hash reuses the engine-portable
+    * md5-hex→int trick of `llm_shuffle_shards`.
+    */
+  private val dsirWeights = QueryDef(
+    "llm_dsir_weights",
+    (s, dir) => {
+      val bucketed = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(splitLit(col("text"), " ")).as("word"))
+        .withColumn("b", expr(
+          "(instr('0123456789abcdef', substring(md5(word), 1, 1)) - 1) * 16" +
+            " + instr('0123456789abcdef', substring(md5(word), 2, 1)) - 1"))
+        .select("doc_id", "lang", "b")
+      val bstats = bucketed.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tots = bstats.agg(sum("cr").as("tot_r"), sum("ct").as("tot_t"))
+      val lr = bstats.crossJoin(broadcast(tots))
+        .withColumn("lr6", floor(log(
+          ((col("ct") + lit(1)).cast("double") / (col("tot_t") + lit(256)).cast("double")) /
+            ((col("cr") + lit(1)).cast("double") / (col("tot_r") + lit(256)).cast("double"))) *
+          lit(1e6) + lit(0.5)).cast("long"))
+        .select("b", "lr6")
+      bucketed.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lr6").as("s6"))
+        .select(col("doc_id"), col("n_tokens"),
+          roundTo(col("s6") / lit(1e6), 4).as("logw"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+           |bucketed AS (
+           |  SELECT doc_id, lang,
+           |    (instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16
+           |    + instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1 AS b
+           |  FROM tokens),
+           |bstats AS (
+           |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+           |  FROM bucketed GROUP BY b),
+           |tots AS (SELECT CAST(sum(cr) AS BIGINT) AS tot_r,
+           |                CAST(sum(ct) AS BIGINT) AS tot_t FROM bstats),
+           |lr AS (
+           |  SELECT b,
+           |    CAST(floor(ln(
+           |      (CAST(ct + 1 AS DOUBLE) / CAST(tot_t + 256 AS DOUBLE))
+           |      / (CAST(cr + 1 AS DOUBLE) / CAST(tot_r + 256 AS DOUBLE))
+           |    ) * 1000000.0 + 0.5) AS BIGINT) AS lr6
+           |  FROM bstats, tots),
+           |scored AS (
+           |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    CAST(sum(l.lr6) AS BIGINT) AS s6
+           |  FROM bucketed d JOIN lr l USING (b) GROUP BY d.doc_id)
+           |SELECT doc_id, n_tokens,
+           |  floor(s6 / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS logw
+           |FROM scored ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier, pplBuckets,
     domainKl,
-    bigramLm, charEntropy, qualityBuckets)
+    bigramLm, charEntropy, qualityBuckets, bm25Topk, dsirWeights)
 }

@@ -195,6 +195,34 @@ class PlanAuditSpec extends SparkSpec {
       "both sides must share one minhash-signature aggregate")
   }
 
+  test("llm_bm25_topk tokenizes the corpus once (windowed df/length, no idf join)") {
+    // BM25's corpus-proportional work must be ONE tokenize-aggregate
+    // stream with stacked windows: a length JOIN would infer the
+    // doc_id >= 10 constraint onto its branch and fork a second full
+    // tokenize scan (observed before the rewrite). The only second
+    // read allowed is the shuffle-free (n_docs, total_len) scalar pair.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("llm_bm25_topk")(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      val tokenizes = exec.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec
+            if g.boundGenerator.toString.contains("split") => g
+      }
+      assert(tokenizes.size === 1,
+        s"corpus must be tokenized exactly once; found ${tokenizes.size} " +
+          "explode(split(text)) generators")
+      val scans = exec.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      assert(scans.size <= 2,
+        s"at most the token stream + the stats scalar may read documents; " +
+          s"found ${scans.size} scans")
+      assert(exec.toString.contains("WindowGroupLimit"),
+        "top-5 rank filter must plan as WindowGroupLimit")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("s15 literal lang filter is satisfied by STATIC partition pruning") {
     val p = plan("s15_partition_prune")
     // The filter must appear as a partition-directory predicate on the
