@@ -1178,7 +1178,99 @@ object DedupOps {
            |GROUP BY s.doc_id
            |ORDER BY doc_id""".stripMargin))
 
+  /** Exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): find every position
+    * whose k-word gram (k=8 here; ~50 BPE tokens in the paper — the
+    * dial is the slice width) also occurs in ANOTHER document, then
+    * merge adjacent/overlapping repeated positions into maximal spans
+    * per doc — the spans a substring-level deduper would cut, vs the
+    * whole-doc verdicts of the MinHash/SimHash family.
+    *
+    * Scale shape: the paper builds a suffix array; the relational
+    * re-expression is a gram-keyed aggregate. The position stream is
+    * deliberately computed in TWO linear map passes (scan → explode →
+    * md5) rather than one shared exchange: the aggregate branch ships
+    * only map-side partial (gh, min, max) rows — a boilerplate gram
+    * repeated millions of times collapses in the partial agg instead
+    * of flooding one reducer (this is why it is NOT a window over the
+    * gh partition, and why the branches must not share a raw
+    * repartition-by-gh exchange, which would strip the partial agg) —
+    * while the probe branch's full-position shuffle is an equi-JOIN,
+    * which AQE skew-splits. The filtered `repeated` side is usually
+    * corpus-DISPROPORTIONATE (repeats are rare), so no join hint:
+    * AQE broadcasts it when it measures small, eliminating the probe
+    * shuffle altogether. Span merging is per-doc gaps-and-islands
+    * (break where the gap exceeds k, cumulative-sum island ids,
+    * min/max per island) over repeated positions only. Grams ride as
+    * md5 hex, never the k-word text, so shuffle width is constant.
+    */
+  private val substrSpans = QueryDef(
+    "llm_substr_spans",
+    (s, dir) => {
+      val k = 8
+      val positions = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), splitLit(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= k)
+        // sequence(1, n-k+1) is safe: n >= k ensures an ascending range
+        // (Spark's sequence DESCENDS when start > stop — guarded by the
+        // filter above).
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), " +
+            s"i -> struct(CAST(i AS BIGINT) AS start, " +
+            s"md5(array_join(slice(w, i, $k), ' ')) AS gh))")).as("p"))
+        .select(col("doc_id"), col("p.start").as("start"), col("p.gh").as("gh"))
+      // min/max keep `start` consumed (always > 0, so the value is the
+      // plain min/max doc_id) — the llm_tfidf_topk canonicalization
+      // trick, keeping both consumers' subtrees identical so the gh
+      // exchange is computed once.
+      val repeated = positions.groupBy("gh").agg(
+          min(when(col("start") > 0, col("doc_id"))).as("mn"),
+          max(when(col("start") > 0, col("doc_id"))).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select("gh")
+      val docW = Window.partitionBy("doc_id").orderBy("start")
+      positions.join(repeated, "gh")
+        .withColumn("brk",
+          when(col("start") - lag("start", 1, -100).over(docW) > k, 1L).otherwise(0L))
+        .withColumn("island", sum("brk").over(
+          docW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("start").as("span_start"),
+          (max("start") + lit(k - 1)).as("span_end"),
+          count(lit(1)).as("n_positions"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_positions"))
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH pos AS (
+           |  SELECT doc_id,
+           |    unnest(generate_series(1, greatest(len(string_split(text,' ')) - 7, 0))) AS start
+           |  FROM documents),
+           |g2 AS (
+           |  SELECT d.doc_id, p.start,
+           |    md5(array_to_string(list_slice(string_split(d.text,' '), p.start, p.start+7), ' ')) AS gh
+           |  FROM documents d JOIN pos p USING (doc_id)),
+           |rep AS (
+           |  SELECT doc_id, start FROM (
+           |    SELECT doc_id, start,
+           |      min(doc_id) OVER (PARTITION BY gh) AS mn,
+           |      max(doc_id) OVER (PARTITION BY gh) AS mx
+           |    FROM g2) WHERE mn <> mx),
+           |isl AS (
+           |  SELECT doc_id, start,
+           |    CASE WHEN start - lag(start, 1, -100) OVER (PARTITION BY doc_id ORDER BY start) > 8
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM rep),
+           |grp AS (
+           |  SELECT doc_id, start,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM isl)
+           |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+           |  CAST(max(start) + 7 AS BIGINT) AS span_end,
+           |  CAST(count(*) AS BIGINT) AS n_positions
+           |FROM grp GROUP BY doc_id, island
+           |ORDER BY doc_id, span_start""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
-    canonicalDocs, incrementalDedup, lineDedup)
+    canonicalDocs, incrementalDedup, lineDedup, substrSpans)
 }

@@ -238,7 +238,7 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast query sets; a CartesianProduct node means a shuffle-side
     // cartesian slipped in.
     for (name <- Seq("llm_cosine_neardup", "llm_minhash_lsh_pairs",
-        "llm_ngram_jaccard", "llm_ann_ivf")) {
+        "llm_ngram_jaccard", "llm_ann_ivf", "llm_substr_spans")) {
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
