@@ -92,4 +92,74 @@ class PipelineOpsSpec extends SparkSpec {
       assert(byId(id)._3 === 1L, "exactly one boilerplate segment dropped")
     }
   }
+
+  test("substr spans recover the exact bounds of a cross-doc repeated run and merge one island") {
+    // A 12-word run shared by docs 0 and 1 at different offsets. With
+    // k=8, the in-run gram starts are exactly [blockStart, blockStart+4]
+    // and the merged island must be the block itself — boundary grams
+    // straddling unique context must not extend it.
+    val shared = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val docA = (0 until 5).map(i => s"a$i").mkString(" ") + " " + shared +
+      " " + (0 until 7).map(i => s"za$i").mkString(" ")
+    val docB = shared + " " + (0 until 9).map(i => s"zb$i").mkString(" ")
+    val unique = (2L until 10L).map(i =>
+      (i, "s", (0 until 30).map(j => s"u${i}_$j").mkString(" ")))
+    val dir = writeDocs(Seq((0L, "s", docA), (1L, "s", docB),
+      (10L, "s", "too short doc")) ++ unique)
+    val out = SparkEntry.queries("llm_substr_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 6L, 17L, 5L), (1L, 1L, 12L, 5L)),
+      "spans must cover exactly the shared 12-word block in both docs")
+  }
+
+  test("substr spans split repeats separated by more than k words into distinct islands") {
+    val run1 = (0 until 8).map(i => s"r$i").mkString(" ")
+    val run2 = (0 until 8).map(i => s"q$i").mkString(" ")
+    val gapA = (0 until 12).map(i => s"ga$i").mkString(" ")
+    val gapB = (0 until 15).map(i => s"gb$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, "s", s"$run1 $gapA $run2"),
+      (1L, "s", s"$run1 $gapB $run2")))
+    val out = SparkEntry.queries("llm_substr_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 1L, 8L, 1L), (0L, 21L, 28L, 1L),
+      (1L, 1L, 8L, 1L), (1L, 24L, 31L, 1L)),
+      "each repeated run must form its own island across the unshared gap")
+  }
+
+  test("bm25 retrieves the unique corpus doc holding a query's rare term, and only it") {
+    val q = (0L, "s", "zebra zebra zebra")
+    val hit = (10L, "s", "zebra " + (0 until 20).map(i => s"f$i").mkString(" "))
+    val misses = (11L until 30L).map(i =>
+      (i, "s", (0 until 21).map(j => s"m${i}_$j").mkString(" ")))
+    val dir = writeDocs(Seq(q, hit) ++ misses)
+    val out = SparkEntry.queries("llm_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 1, "only the zebra doc shares a term with the query")
+    val (qid, rank, docId, score) = out.head
+    assert((qid, rank, docId) === (0L, 1, 10L))
+    assert(score > 0.0, "a matched rare term must contribute positive BM25 mass")
+  }
+
+  test("dsir weights rank target-distribution content above off-target regardless of its label") {
+    import spark.implicits._
+    val vocabA = (0 until 30).map(i => s"en$i")
+    val vocabB = (0 until 30).map(i => s"xx$i")
+    def textOf(v: Seq[String], seed: Int): String =
+      (0 until 20).map(i => v((seed * 7 + i * 3) % v.size)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeops").toString
+    val rows = (0L until 10L).map(i => (i, "en", textOf(vocabA, i.toInt))) ++
+      (10L until 20L).map(i => (i, "zh", textOf(vocabB, i.toInt))) ++
+      Seq((20L, "zh", textOf(vocabA, 20)))   // target-like content, off-target label
+    rows.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = SparkEntry.queries("llm_dsir_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pureTarget = (0L until 10L).map(w)
+    val offTarget = (10L until 20L).map(w)
+    assert(pureTarget.min > offTarget.max,
+      "every target-vocab doc must outweigh every off-target-vocab doc")
+    assert(w(20L) > offTarget.max,
+      "importance weighting must follow CONTENT: the mislabeled doc scores like the target")
+  }
 }
