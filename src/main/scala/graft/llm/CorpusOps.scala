@@ -720,7 +720,94 @@ object CorpusOps {
            |  floor(s6 / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS logw
            |FROM scored ORDER BY doc_id""".stripMargin))
 
+  /** Persisted BM25 postings index — the "standing deployment" form
+    * `llm_bm25_topk`'s scaladoc promises (a production corpus is
+    * indexed once and queried many times; re-tokenizing 100 TB per
+    * query set is the index-free fallback). Layout mirrors `IvfIndex`:
+    * marker-guarded, source-fingerprinted root, stale siblings pruned.
+    *
+    *  - `postings/`: (word, doc_id, tf, dfreq, dl) DENORMALIZED —
+    *    Lucene keeps df in the term dictionary and lengths in norms;
+    *    relationally, carrying both on the posting row trades ~2 longs
+    *    of storage for a join-free query path. PARTITIONED by `wb`
+    *    (first 2 md5 hex chars of the word, 256 buckets) and
+    *    repartitioned to one file per bucket, so a query-term probe
+    *    dynamic-partition-prunes to ≤ |query vocab| buckets.
+    *  - `stats/`: the 1-row (n_docs, total_len) pair.
+    */
+  private object Bm25Index {
+    private val memo = scala.collection.mutable.Set.empty[String]
+    def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
+      val hconf = s.sparkContext.hadoopConfiguration
+      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
+      val fp = s"${st.getLen}_${st.getModificationTime}"
+      val base = s.conf.get("spark.graft.bm25Root", "/root/repo/fixtures/bm25")
+      val prefix = s"${srcPath.getParent.getName}_"
+      val root = s"$base/$prefix$fp"
+      val markerName = "_GRAFT_BM25_v1"
+      graft.sources.Artifacts.pruneStaleSiblings(s, base, prefix, s"$prefix$fp")
+      if (!memo(s"$root/$markerName"))
+        graft.sources.Artifacts.ensureOnce(s, root, markerName) {
+          val dw = Tables.load(s, dir, "documents")
+            .filter(col("doc_id") >= 10)
+            .select(col("doc_id"), explode(splitLit(col("text"), " ")).as("word"))
+            .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+          val dlen = dw.groupBy("doc_id").agg(sum("tf").as("dl"))
+          val dfw = dw.groupBy("word").agg(count(lit(1)).as("dfreq"))
+          dw.join(dfw, "word").join(dlen, "doc_id")
+            .withColumn("wb", expr("substring(md5(word), 1, 2)"))
+            .repartition(col("wb"))
+            .write.mode("overwrite").partitionBy("wb").parquet(s"$root/postings")
+          dlen.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+        }
+      memo += s"$root/$markerName"
+      (s"$root/postings", s"$root/stats")
+    }
+  }
+
+  /** BM25 over the persisted index: tokenize only the (tiny) query
+    * set, broadcast it against the postings, and let dynamic partition
+    * pruning restrict the scan to the query terms' `wb` buckets — the
+    * corpus is never re-tokenized and never fully read. Same scoring
+    * arithmetic and SAME oracle as `llm_bm25_topk`; equality of the
+    * two paths is additionally pinned in `PipelineOpsSpec`.
+    */
+  private val bm25Indexed = QueryDef(
+    "llm_bm25_indexed",
+    (s, dir) => {
+      val (postPath, statsPath) = Bm25Index.ensure(s, dir)
+      val qterms = t(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          explode(splitLit(col("text"), " ")).as("qword"))
+        .distinct()
+        .withColumn("qwb", expr("substring(md5(qword), 1, 2)"))
+      s.read.parquet(postPath)
+        .join(broadcast(qterms),
+          col("wb") === col("qwb") && col("word") === col("qword"))
+        .crossJoin(broadcast(s.read.parquet(statsPath)))
+        .withColumn("idf6", floor(log(lit(1.0) +
+          (col("n_docs").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
+            (col("dfreq").cast("double") + lit(0.5))) * lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("c6", floor(
+          (col("idf6").cast("double") / lit(1e6)) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl").cast("double") /
+                (col("total_len").cast("double") / col("n_docs").cast("double")))) *
+            lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy("query_id", "doc_id").agg(sum("c6").as("s6"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("s6").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          roundTo(col("s6") / lit(1e6), 4).as("bm25"))
+        .orderBy("query_id", "rank")
+    },
+    bm25Topk.oracle)
+
   val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier, pplBuckets,
     domainKl,
-    bigramLm, charEntropy, qualityBuckets, bm25Topk, dsirWeights)
+    bigramLm, charEntropy, qualityBuckets, bm25Topk, dsirWeights, bm25Indexed)
 }

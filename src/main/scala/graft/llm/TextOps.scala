@@ -595,7 +595,36 @@ object TextOps {
            |FROM sharded
            |ORDER BY shard, pos""".stripMargin))
 
+  /** Blocklist (badwords) filter — the C4/LDNOOBW curation stage:
+    * count blocklisted tokens per doc and keep only clean docs. The
+    * word list here is a 3-word PLACEHOLDER drawn from the synthetic
+    * corpus vocabulary (a real deployment drops in its own list; the
+    * mechanics are identical).
+    *
+    * Scale shape: a literal-sized list compiles into the row
+    * expression — pure map-side HOF filter over the token array, ZERO
+    * shuffle, streams through the scan. The posture changes with list
+    * size: a million-entry phrase table becomes explode + broadcast
+    * LEFT SEMI + distinct-doc anti-join, and substring (not
+    * whole-token) matching over a large lexicon wants an Aho-Corasick
+    * custom Expression — both documented here so the dial is explicit.
+    */
+  private val blocklist = QueryDef(
+    "llm_blocklist_filter",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), " +
+          "w -> w IN ('dup', 'slow', 'skew'))) AS BIGINT)").as("n_flagged"))
+      .withColumn("keep", col("n_flagged") === 0)
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(len(list_filter(string_split(text, ' '),
+           |    w -> w IN ('dup', 'slow', 'skew'))) AS BIGINT) AS n_flagged,
+           |  len(list_filter(string_split(text, ' '),
+           |    w -> w IN ('dup', 'slow', 'skew'))) = 0 AS keep
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
     textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk,
-    bpePairs, mixtureSample, shuffleShards)
+    bpePairs, mixtureSample, shuffleShards, blocklist)
 }

@@ -141,6 +141,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(score > 0.0, "a matched rare term must contribute positive BM25 mass")
   }
 
+  test("indexed bm25 returns exactly the index-free path's rankings and scores") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25root").toString
+    spark.conf.set("spark.graft.bm25Root", tmp)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val free = SparkEntry.queries("llm_bm25_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val idx = SparkEntry.queries("llm_bm25_indexed")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(free.nonEmpty, "fixture corpus must produce retrievals")
+      assert(idx.toSeq === free.toSeq,
+        "the persisted-postings path must reproduce the index-free BM25 exactly")
+    } finally spark.conf.unset("spark.graft.bm25Root")
+  }
+
   test("dsir weights rank target-distribution content above off-target regardless of its label") {
     import spark.implicits._
     val vocabA = (0 until 30).map(i => s"en$i")

@@ -233,6 +233,12 @@ class PlanAuditSpec extends SparkSpec {
       "lang must not degrade into a row-group data filter")
   }
 
+  test("llm_bm25_indexed postings scan is dynamic-partition-pruned to the query terms' buckets") {
+    val p = plan("llm_bm25_indexed")
+    assert(p.contains("dynamicpruning"),
+      "postings scan must prune wb buckets from the broadcast query-term set")
+  }
+
   test("no query plan contains a cartesian product over base tables") {
     // The only sanctioned cross joins are the ~100-row week spine and
     // broadcast query sets; a CartesianProduct node means a shuffle-side
