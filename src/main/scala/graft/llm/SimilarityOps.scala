@@ -484,5 +484,116 @@ object SimilarityOps {
            |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_q8
            |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, nearDup, semanticDedup, topkQ8)
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): fuse the sparse (BM25, `llm_bm25_topk`)
+    * and dense (cosine, `llm_cosine_topk`) rankings with
+    * `score(q, d) = Σ_rankers 1/(60 + rank)` over the shared query set
+    * (ids < 8 exist in both rankers' query filters), re-rank, top-3.
+    * Per-ranker terms are quantized to BIGINT millionths before the
+    * sum — exact cross-engine arithmetic on an integer lattice.
+    *
+    * Scale shape: RRF itself touches ONLY the rankers' bounded top-k
+    * lists (≤ k rows per query per ranker), so the fusion FULL OUTER
+    * join and the re-rank window are trivially small at any corpus
+    * size; all the heavy lifting stays inside the two already-audited
+    * retrieval pipelines this op composes.
+    */
+  private val hybridRrf = QueryDef(
+    "llm_hybrid_rrf",
+    (s, dir) => {
+      val bm = graft.SparkEntry.queries("llm_bm25_topk")(s, dir)
+        .filter(col("query_id") < 8)
+        .select(col("query_id"), col("doc_id").as("item_id"),
+          col("rank").as("r_bm"))
+      val cs = graft.SparkEntry.queries("llm_cosine_topk")(s, dir)
+        .select(col("qid").as("query_id"), col("vec_id").as("item_id"),
+          col("rank").as("r_cos"))
+      bm.join(cs, Seq("query_id", "item_id"), "full_outer")
+        .withColumn("rrf6",
+          coalesce(floor(lit(1e6) / (lit(60) + col("r_bm")) + lit(0.5))
+            .cast("long"), lit(0L)) +
+          coalesce(floor(lit(1e6) / (lit(60) + col("r_cos")) + lit(0.5))
+            .cast("long"), lit(0L)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rrf6").desc, col("item_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("item_id"),
+          roundTo(col("rrf6") / lit(1e6), 6).as("rrf"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           |doc_words AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM tokens
+           |  WHERE doc_id >= 10 GROUP BY doc_id, word),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           |         FROM doc_words GROUP BY doc_id),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |                 CAST(sum(dl) AS BIGINT) AS total_len FROM dlen),
+           |qterms AS (
+           |  SELECT DISTINCT doc_id AS query_id, word FROM tokens WHERE doc_id < 10),
+           |idf AS (
+           |  SELECT word, CAST(floor(ln(1.0 +
+           |      (CAST(n_docs AS DOUBLE) - CAST(count(*) AS DOUBLE) + 0.5)
+           |      / (CAST(count(*) AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf6
+           |  FROM doc_words, stats
+           |  WHERE word IN (SELECT word FROM qterms)
+           |  GROUP BY word, n_docs),
+           |contrib AS (
+           |  SELECT q.query_id, d.doc_id,
+           |    CAST(floor(
+           |      (CAST(i.idf6 AS DOUBLE) / 1000000.0)
+           |      * (CAST(d.tf AS DOUBLE) * 2.2)
+           |      / (CAST(d.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+           |          / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS c6
+           |  FROM doc_words d
+           |  JOIN qterms q USING (word)
+           |  JOIN idf i USING (word)
+           |  JOIN dlen l ON d.doc_id = l.doc_id
+           |  CROSS JOIN stats),
+           |bm_scores AS (
+           |  SELECT query_id, doc_id, CAST(sum(c6) AS BIGINT) AS s6
+           |  FROM contrib GROUP BY query_id, doc_id),
+           |bm AS (
+           |  SELECT query_id, doc_id AS item_id, r_bm FROM (
+           |    SELECT query_id, doc_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS r_bm
+           |    FROM bm_scores) WHERE r_bm <= 5 AND query_id < 8),
+           |q AS (
+           |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |pairs AS (
+           |  SELECT qid, vec_id, qv, embedding AS v FROM q, embeddings
+           |  WHERE vec_id <> qid),
+           |terms AS (
+           |  SELECT qid, vec_id,
+           |    CAST(unnest(qv) AS DOUBLE) AS qx, CAST(unnest(v) AS DOUBLE) AS vx
+           |  FROM pairs),
+           |cos_scored AS (
+           |  SELECT qid, vec_id,
+           |    floor(sum(qx * vx) / (sqrt(sum(qx * qx)) * sqrt(sum(vx * vx)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+           |  FROM terms GROUP BY qid, vec_id),
+           |cs AS (
+           |  SELECT qid AS query_id, vec_id AS item_id, r_cos FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS r_cos
+           |    FROM cos_scored) WHERE r_cos <= 5),
+           |fused AS (
+           |  SELECT COALESCE(bm.query_id, cs.query_id) AS query_id,
+           |         COALESCE(bm.item_id, cs.item_id) AS item_id,
+           |    COALESCE(CAST(floor(1000000.0 / (60 + r_bm) + 0.5) AS BIGINT), 0) +
+           |    COALESCE(CAST(floor(1000000.0 / (60 + r_cos) + 0.5) AS BIGINT), 0) AS rrf6
+           |  FROM bm FULL OUTER JOIN cs
+           |    ON bm.query_id = cs.query_id AND bm.item_id = cs.item_id),
+           |ranked AS (
+           |  SELECT query_id, item_id, rrf6,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY rrf6 DESC, item_id) AS rank
+           |  FROM fused)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, item_id,
+           |  floor(rrf6 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS rrf
+           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, nearDup, semanticDedup, topkQ8,
+    hybridRrf)
 }

@@ -624,7 +624,122 @@ object TextOps {
            |    w -> w IN ('dup', 'slow', 'skew'))) = 0 AS keep
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, Table A1) — the
+    * quality filters that catch degenerate/repetitive text which
+    * length/stopword scoring (`llm_quality_score`) cannot see.
+    * `llm_repetition` (DedupOps) already reports the single
+    * 3-gram-distinct-ratio score; this op adds the signals that need
+    * per-gram COUNTS — which gram dominates and how much of the doc it
+    * covers — plus the conjunctive keep rule:
+    *
+    *  - `dup_word_frac`: fraction of word occurrences that are repeats
+    *    (`1 - distinct/total`) — computed ENTIRELY map-side via
+    *    `array_distinct`, no shuffle;
+    *  - `top2` / `top2_frac`: the most frequent word 2-gram
+    *    (lexicographic tie-break) and the character fraction it covers
+    *    (`count × gram length / n_chars`);
+    *  - `dup5_frac`: fraction of 5-gram occurrences whose gram repeats
+    *    within the doc;
+    *  - `keep`: the conjunctive Gopher-shaped threshold rule over the
+    *    quantized signals.
+    *
+    * (The paper's duplicate-line/paragraph variants degenerate on the
+    * single-line fixture corpus; word n-grams exercise the same
+    * machinery.) Scale shape: n-gram construction is a map-side HOF
+    * over the split array (guarded — Spark's `sequence(1, 0)` DESCENDS,
+    * so short docs must short-circuit to an empty array); gram counts
+    * aggregate on (doc_id, gram) with map-side combine, so aggregation
+    * state is bounded by per-doc vocabulary, never corpus vocabulary;
+    * the top-gram window partitions by doc_id (bounded partitions).
+    * No corpus-wide state anywhere — safe at any corpus size.
+    */
+  private val repSignals = QueryDef(
+    "llm_rep_signals",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val perDoc = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), splitLit(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("ws")).as("wc"),
+          size(array_distinct(col("ws"))).as("uniq"),
+          expr("CASE WHEN size(ws) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(1, size(ws)-1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1))) END").as("g2"),
+          expr("CASE WHEN size(ws) < 5 THEN CAST(array() AS ARRAY<STRING>) " +
+            "ELSE transform(sequence(1, size(ws)-4), " +
+            "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), " +
+            "element_at(ws, i+2), element_at(ws, i+3), element_at(ws, i+4))) END").as("g5"))
+      val top2 = perDoc.select(col("doc_id"), explode(col("g2")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          W.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("gram").as("top2"), col("cnt").as("top2_cnt"))
+      val d5 = perDoc.select(col("doc_id"), explode(col("g5")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup5_occ"),
+          sum(col("cnt")).as("tot5"))
+      perDoc.select(col("doc_id"), col("n_chars"), col("wc"), col("uniq"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(d5, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          roundTo((col("wc") - col("uniq")).cast("double") / col("wc"), 4)
+            .as("dup_word_frac"),
+          col("top2"),
+          roundTo(coalesce(col("top2_cnt") * length(col("top2")), lit(0L))
+            .cast("double") / col("n_chars"), 4).as("top2_frac"),
+          roundTo(coalesce(col("dup5_occ"), lit(0L)).cast("double") /
+            coalesce(col("tot5"), lit(1L)), 4).as("dup5_frac"))
+        .withColumn("keep",
+          col("dup_word_frac") < 0.6 && col("top2_frac") < 0.2 &&
+            col("dup5_frac") < 0.3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents),
+           |per_doc AS (
+           |  SELECT doc_id, n_chars, len(ws) AS wc, len(list_distinct(ws)) AS uniq,
+           |    CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+           |      ELSE list_transform(generate_series(1, len(ws)-1),
+           |        i -> ws[i] || ' ' || ws[i+1]) END AS g2,
+           |    CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+           |      ELSE list_transform(generate_series(1, len(ws)-4),
+           |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+           |             ws[i+3] || ' ' || ws[i+4]) END AS g5
+           |  FROM base),
+           |c2 AS (
+           |  SELECT doc_id, gram, count(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(g2) AS gram FROM per_doc) GROUP BY 1, 2),
+           |top2 AS (
+           |  SELECT doc_id, gram AS top2, cnt AS top2_cnt FROM (
+           |    SELECT doc_id, gram, cnt,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+           |    FROM c2) WHERE rk = 1),
+           |d5 AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup5_occ,
+           |    CAST(sum(cnt) AS BIGINT) AS tot5
+           |  FROM (SELECT doc_id, gram, count(*) AS cnt
+           |        FROM (SELECT doc_id, unnest(g5) AS gram FROM per_doc)
+           |        GROUP BY 1, 2) GROUP BY 1),
+           |sig AS (
+           |  SELECT p.doc_id,
+           |    floor(CAST(p.wc - p.uniq AS DOUBLE) / p.wc * 10000.0 + 0.5)
+           |      / 10000.0 AS dup_word_frac,
+           |    t.top2,
+           |    floor(CAST(COALESCE(t.top2_cnt * len(t.top2), 0) AS DOUBLE)
+           |      / p.n_chars * 10000.0 + 0.5) / 10000.0 AS top2_frac,
+           |    floor(CAST(COALESCE(d.dup5_occ, 0) AS DOUBLE)
+           |      / COALESCE(d.tot5, 1) * 10000.0 + 0.5) / 10000.0 AS dup5_frac
+           |  FROM per_doc p
+           |  LEFT JOIN top2 t ON p.doc_id = t.doc_id
+           |  LEFT JOIN d5 d ON p.doc_id = d.doc_id)
+           |SELECT doc_id, dup_word_frac, top2, top2_frac, dup5_frac,
+           |  (dup_word_frac < 0.6 AND top2_frac < 0.2 AND dup5_frac < 0.3) AS keep
+           |FROM sig ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
     textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk,
-    bpePairs, mixtureSample, shuffleShards, blocklist)
+    bpePairs, mixtureSample, shuffleShards, blocklist, repSignals)
 }

@@ -141,6 +141,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(score > 0.0, "a matched rare term must contribute positive BM25 mass")
   }
 
+  test("rep signals flag a degenerate looped doc and pass a diverse one; top gram ties break lexicographically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeops").toString
+    val loop = (0 until 20).map(_ => "spam ham").mkString(" ")  // "spam ham" x20
+    val fresh = (0 until 40).map(i => s"u$i").mkString(" ")
+    // two words: both 2-grams ("a b", "b a") tie at 1 — lex smaller wins
+    val rows = Seq((0L, loop), (1L, fresh), (2L, "b a b"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_rep_signals")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getString(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(!out(0L)._5, "a 2-word loop must fail the keep rule")
+    assert(out(0L)._1 > 0.9, "38/40 word occurrences in the loop are repeats")
+    assert(out(0L)._4 > 0.9, "every 5-gram in the loop repeats")
+    assert(out(1L)._5, "an all-distinct doc must pass")
+    assert(out(1L)._1 === 0.0 && out(1L)._4 === 0.0)
+    assert(out(2L)._2 === "a b", "tied top grams must break to the lexicographically smallest")
+  }
+
+  test("rrf fusion: any item ranked by BOTH retrievers outranks every single-retriever item") {
+    // With k=5 lists, min dual score 2/(60+5) > max single score 1/(60+1):
+    // the fused ordering must therefore place all dual-listed items first.
+    val dir = "/root/testdata/sf0.001"
+    val bm = SparkEntry.queries("llm_bm25_topk")(spark, dir)
+      .filter(col("query_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cs = SparkEntry.queries("llm_cosine_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fused = SparkEntry.queries("llm_hybrid_rrf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fused.nonEmpty)
+    for ((q, rank, item) <- fused) {
+      assert(bm((q, item)) || cs((q, item)),
+        "fused items must come from the union of the two top-k lists")
+      if (bm((q, item)) && cs((q, item)))
+        for ((q2, r2, i2) <- fused if q2 == q && r2 < rank)
+          assert(bm((q2, i2)) && cs((q2, i2)),
+            s"dual-listed ($q,$item) at rank $rank must not trail single-listed ($q2,$i2)")
+    }
+  }
+
   test("indexed bm25 returns exactly the index-free path's rankings and scores") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bm25root").toString
     spark.conf.set("spark.graft.bm25Root", tmp)
