@@ -209,18 +209,12 @@ object CorpusOps {
     * BIGINT units.
     */
   private def bigramDocAgg(s: SparkSession, dir: String): DataFrame = {
-    // Docs with < 2 words have no bigrams: filter BEFORE the explode
-    // (the DuckDB side's empty generate_series drops them the same
-    // way — an empty `array()` branch would type-clash with the
-    // struct array anyway).
-    val words = splitLit(col("text"), " ")
-    val bigrams =
-      expr("transform(sequence(1, size(split(text, ' ')) - 1), " +
-        "i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))")
-    val dwb = t(s, dir, "documents")
-      .filter(size(words) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // Docs with < 2 words have no bigrams and emit nothing from
+    // Grams.ngramWords (the DuckDB side's empty generate_series drops
+    // them the same way).
+    val dwb = Grams.ngramWords(t(s, dir, "documents"),
+        splitLit(col("text"), " "), 2)
+      .select(col("doc_id"), col("w_1").as("w1"), col("w_2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tfb"))
     val cb = dwb.groupBy("w1", "w2").agg(sum("tfb").as("cnt"))
     val cf = cb.groupBy("w1").agg(sum("cnt").as("ctx"))

@@ -46,21 +46,16 @@ object DedupOps {
     Some("""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
            |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin))
 
-  /** Word 3-shingles per document, built map-side with a higher-order
-    * `transform` over the split array — no explode-then-window, so the
-    * shingle stage adds ZERO shuffles (the lead-window formulation costs
-    * a full sort exchange per round at 100 TB; this is a narrow map).
+  /** Word 3-shingles per document via [[Grams.ngrams]] — posexplode +
+    * O(1) carried-array lookups, still ZERO shuffles (the lead-window
+    * formulation costs a full sort exchange per round at 100 TB). The
+    * earlier `explode(transform(...))` form re-ran the interpreted HOF
+    * per emitted element — O(doc²); see the Grams scaladoc for the
+    * measurements.
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .withColumn("words", splitLit(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        // size<3 guard: Spark sequence(1, 0) DESCENDS instead of
-        // returning empty, unlike ANSI generate_series.
-        """CASE WHEN size(words) < 3 THEN array()
-          |     ELSE transform(sequence(1, size(words) - 2),
-          |            i -> concat_ws(' ', words[i-1], words[i], words[i+1])) END""".stripMargin))
-        .as("shingle"))
+    Grams.ngrams(Tables.load(s, dir, "documents"), splitLit(col("text"), " "), 3)
+      .select(col("doc_id"), col("gram").as("shingle"))
 
   private def mh(seed: Int): Column =
     min(md5(concat(lit(s"$seed:"), col("shingle")))).as(s"mh$seed")
@@ -1208,17 +1203,10 @@ object DedupOps {
     "llm_substr_spans",
     (s, dir) => {
       val k = 8
-      val positions = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), splitLit(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= k)
-        // sequence(1, n-k+1) is safe: n >= k ensures an ascending range
-        // (Spark's sequence DESCENDS when start > stop — guarded by the
-        // filter above).
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(w) - ${k - 1}), " +
-            s"i -> struct(CAST(i AS BIGINT) AS start, " +
-            s"md5(array_join(slice(w, i, $k), ' ')) AS gh))")).as("p"))
-        .select(col("doc_id"), col("p.start").as("start"), col("p.gh").as("gh"))
+      val positions = Grams.ngrams(
+          Tables.load(s, dir, "documents"), splitLit(col("text"), " "), k)
+        .select(col("doc_id"), col("pos").cast("long").as("start"),
+          md5(col("gram")).as("gh"))
       // min/max keep `start` consumed (always > 0, so the value is the
       // plain min/max doc_id) — the llm_tfidf_topk canonicalization
       // trick, keeping both consumers' subtrees identical so the gh

@@ -402,16 +402,9 @@ object TextOps {
   private val ngramTopk = QueryDef(
     "llm_ngram_topk",
     (s, dir) => {
-      // Guard: Spark's sequence(1, n) INFERS A NEGATIVE STEP when n < 1
-      // (a <3-word doc would yield [1, 0] and bogus slices), while
-      // DuckDB's generate_series returns empty — hence the explicit
-      // size filter on both sides.
-      Tables.load(s, dir, "documents")
-        .filter(size(splitLit(col("text"), " ")) >= 3)
-        .select(explode(expr(
-          """transform(sequence(1, size(split(text, ' ')) - 2),
-            |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin))
-          .as("trigram"))
+      Grams.ngrams(Tables.load(s, dir, "documents"),
+          splitLit(col("text"), " "), 3, idCols = Seq.empty)
+        .select(col("gram").as("trigram"))
         .groupBy("trigram").agg(count(lit(1)).as("n"))
         .transform(rankedTopK(_, "trigram", 20))
     },
@@ -645,9 +638,9 @@ object TextOps {
     *
     * (The paper's duplicate-line/paragraph variants degenerate on the
     * single-line fixture corpus; word n-grams exercise the same
-    * machinery.) Scale shape: n-gram construction is a map-side HOF
-    * over the split array (guarded — Spark's `sequence(1, 0)` DESCENDS,
-    * so short docs must short-circuit to an empty array); gram counts
+    * machinery.) Scale shape: n-gram rows come from [[Grams.ngrams]]
+    * (posexplode + O(1) carried-array lookups — zero shuffle, and NOT
+    * the O(doc²) explode-of-HOF-array shape; see Grams); gram counts
     * aggregate on (doc_id, gram) with map-side combine, so aggregation
     * state is bounded by per-doc vocabulary, never corpus vocabulary;
     * the top-gram window partitions by doc_id (bounded partitions).
@@ -657,30 +650,25 @@ object TextOps {
     "llm_rep_signals",
     (s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val perDoc = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), splitLit(col("text"), " ").as("ws"))
+      val docs = Tables.load(s, dir, "documents")
+      val ws = splitLit(col("text"), " ")
+      val perDoc = docs
+        .select(col("doc_id"), col("n_chars"), ws.as("ws"))
         .select(col("doc_id"), col("n_chars"),
           size(col("ws")).as("wc"),
-          size(array_distinct(col("ws"))).as("uniq"),
-          expr("CASE WHEN size(ws) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
-            "ELSE transform(sequence(1, size(ws)-1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1))) END").as("g2"),
-          expr("CASE WHEN size(ws) < 5 THEN CAST(array() AS ARRAY<STRING>) " +
-            "ELSE transform(sequence(1, size(ws)-4), " +
-            "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), " +
-            "element_at(ws, i+2), element_at(ws, i+3), element_at(ws, i+4))) END").as("g5"))
-      val top2 = perDoc.select(col("doc_id"), explode(col("g2")).as("gram"))
+          size(array_distinct(col("ws"))).as("uniq"))
+      val top2 = Grams.ngrams(docs, ws, 2)
         .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(
           W.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))))
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("gram").as("top2"), col("cnt").as("top2_cnt"))
-      val d5 = perDoc.select(col("doc_id"), explode(col("g5")).as("gram"))
+      val d5 = Grams.ngrams(docs, ws, 5)
         .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id").agg(
           sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup5_occ"),
           sum(col("cnt")).as("tot5"))
-      perDoc.select(col("doc_id"), col("n_chars"), col("wc"), col("uniq"))
+      perDoc
         .join(top2, Seq("doc_id"), "left")
         .join(d5, Seq("doc_id"), "left")
         .select(col("doc_id"),
