@@ -30,8 +30,17 @@ object Tables {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (confSet.add(spark))
+    if (confSet.add(spark)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Driver-generated parquet stores timestamps as INT64 µs WITHOUT
+      // isAdjustedToUTC; Spark 4 infers those as TIMESTAMP_NTZ by default,
+      // which breaks watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and
+      // unix_micros. Read them as TimestampType at the scan (session tz is
+      // UTC everywhere in this engine, so wall-clock values are unchanged
+      // and match DuckDB) instead of casting after the scan, which would
+      // sit between ts filters and the parquet reader and kill pushdown.
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Gate on the actual type, not the table name alone: re-materialized
     // copies (e.g. the MakeSf 10x bench data) already carry a true
