@@ -117,6 +117,20 @@ object GraftFunctions {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_bits", exprs => mkHyperplaneBits(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lexicon_hits", exprs => mkLexiconMatch(exprs), "scala_udf")
+  }
+
+  private[functions] def mkLexiconMatch(exprs: Seq[Expression]): LexiconMatch = {
+    require(exprs.length == 2, "lexicon_hits takes exactly 2 arguments")
+    val lex = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        v.toString.split('|').toSeq.filter(_.nonEmpty)
+      case e => throw new IllegalArgumentException(
+        s"lexicon_hits lexicon must be a pipe-separated string literal, got $e")
+    }
+    require(lex.nonEmpty, "lexicon_hits requires a non-empty lexicon")
+    LexiconMatch(exprs.head, lex)
   }
 
   private[functions] def mkHyperplaneBits(exprs: Seq[Expression]): HyperplaneBits = {
@@ -159,5 +173,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HyperplaneBits].getCanonicalName, "hyperplane_bits"),
       (exprs: Seq[Expression]) => GraftFunctions.mkHyperplaneBits(exprs)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("lexicon_hits"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LexiconMatch].getCanonicalName, "lexicon_hits"),
+      (exprs: Seq[Expression]) => GraftFunctions.mkLexiconMatch(exprs)))
   }
 }

@@ -350,6 +350,116 @@ object DedupOps {
            |  JOIN sizes sb ON sb.doc_id = doc_b)
            |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Triangle census over the near-dup candidate graph: per document,
+    * how many LSH-candidate triangles it participates in — the classic
+    * cluster-density signal (a doc in many triangles sits inside a
+    * tight duplicate clique; a bridge doc between clusters sits in
+    * none). Edges arrive oriented (`doc_a < doc_b` from [[lshPairs]]),
+    * so the a<b<c wedge join enumerates each triangle exactly once —
+    * the standard distributed triangle algorithm: wedge generation is
+    * one equi-join on the shared middle node, closure check a second
+    * equi-join, both shuffles keyed on bounded candidate-pair keys
+    * (never the corpus). No cartesian anything.
+    */
+  private val triangles = QueryDef(
+    "llm_dup_triangles",
+    (s, dir) => {
+      val e = lshPairs(s, dir)
+      val e1 = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e2 = e.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+      val e3 = e.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |tris AS (
+           |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+           |  FROM cand e1
+           |  JOIN cand e2 ON e2.doc_a = e1.doc_b
+           |  JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+           |SELECT doc_id, count(*) AS n_triangles
+           |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tris)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    * ESTIMATE of Jaccard similarity (fraction of the 8 signature rows
+    * agreeing) against the EXACT shingle-set Jaccard. Both sides are
+    * deterministic md5 arithmetic, so unlike the HLL/CMS tolerance
+    * rows this one hash-matches exactly — the estimator's error itself
+    * (`abs_err`) is pinned cross-engine. Scale: the signature join is
+    * 8 small columns keyed by doc_id; the exact-intersection join fans
+    * each candidate pair out by its shingle set only (LSH has already
+    * bounded the pair list), with per-doc set sizes carried through the
+    * pair aggregate as min() — no separate sizes join (same trick as
+    * `llm_ngram_jaccard`).
+    */
+  private val jaccardEst = QueryDef(
+    "llm_minhash_jaccard_est",
+    (s, dir) => {
+      val sigCols = (0 to 7).map(i => s"mh$i")
+      val sigs = shingles(s, dir).groupBy("doc_id")
+        .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+      val sa = sigs.select(col("doc_id").as("pa") +: sigCols.map(c => col(c).as(s"${c}_a")): _*)
+      val sb = sigs.select(col("doc_id").as("pb") +: sigCols.map(c => col(c).as(s"${c}_b")): _*)
+      val agree = sigCols.map(c =>
+        when(col(s"${c}_a") === col(s"${c}_b"), 1L).otherwise(0L)).reduce(_ + _)
+      val pairs = lshPairs(s, dir)
+      val est = pairs
+        .join(sa, col("doc_a") === col("pa"))
+        .join(sb, col("doc_b") === col("pb"))
+        .select(col("doc_a"), col("doc_b"), agree.as("agree_k"))
+      val shd = shingles(s, dir).distinct()
+        .withColumn("nsh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val ia = shd.select(col("doc_id").as("ja"), col("shingle").as("sha"), col("nsh").as("na"))
+      val ib = shd.select(col("doc_id").as("jb"), col("shingle").as("shb"), col("nsh").as("nb"))
+      val inter = pairs
+        .join(ia, col("doc_a") === col("ja"))
+        .join(ib, col("doc_b") === col("jb") && col("sha") === col("shb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"), min("na").as("na"), min("nb").as("nb"))
+      est.join(inter, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("agree_k"),
+          (col("agree_k") / 8.0).as("est"),
+          roundTo(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+        .withColumn("abs_err", roundTo(abs(col("est") - col("jaccard")), 4))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter,
+           |         min(za.n) AS na, min(zb.n) AS nb
+           |  FROM cand c
+           |  JOIN shd a ON a.doc_id = c.doc_a
+           |  JOIN shd b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           |  JOIN sizes za ON za.doc_id = c.doc_a
+           |  JOIN sizes zb ON zb.doc_id = c.doc_b
+           |  GROUP BY 1, 2),
+           |agree AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END +
+           |          CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END +
+           |          CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END +
+           |          CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END +
+           |          CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END +
+           |          CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END +
+           |          CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END +
+           |          CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) AS BIGINT) AS agree_k
+           |  FROM cand c
+           |  JOIN sigs sa ON sa.doc_id = c.doc_a
+           |  JOIN sigs sb ON sb.doc_id = c.doc_b)
+           |SELECT g.doc_a, g.doc_b, g.agree_k, g.agree_k / 8.0 AS est,
+           |  floor(i.inter / (i.na + i.nb - i.inter) * 10000.0 + 0.5) / 10000.0 AS jaccard,
+           |  floor(abs(g.agree_k / 8.0 -
+           |    floor(i.inter / (i.na + i.nb - i.inter) * 10000.0 + 0.5) / 10000.0)
+           |    * 10000.0 + 0.5) / 10000.0 AS abs_err
+           |FROM agree g JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+           |ORDER BY g.doc_a, g.doc_b""".stripMargin))
+
   /** (doc_id, band_idx, band_hash) — the LSH band index rows for every
     * document: 8 min-hashes folded into 4 bands of 2. Shared by
     * [[lshPairs]] (within-corpus candidate pairs) and
@@ -1260,5 +1370,5 @@ object DedupOps {
 
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
-    canonicalDocs, incrementalDedup, lineDedup, substrSpans)
+    canonicalDocs, incrementalDedup, lineDedup, substrSpans, triangles, jaccardEst)
 }

@@ -594,6 +594,86 @@ object SimilarityOps {
            |  floor(rrf6 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS rrf
            |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  /** Deterministic distributed k-means (Lloyd's, K=8, 3 fixed rounds)
+    * over the embedding corpus — the centroid-training batch job the
+    * IVF index's scaladoc defers to ("at 100 TB centroid training is a
+    * batch job"). Exactness strategy (the repo's BIGINT discipline):
+    * elements quantize once to 1e6-scaled BIGINT, distances are exact
+    * integer sums of squares, the winning cluster rides a
+    * `dist·100 + cluster` composite min (deterministic tie-break, same
+    * trick as `a19_min_max_by`), and centroid updates are
+    * `sum div count` truncating division — no floating point after
+    * ingest, so the full 3-round trajectory is bit-identical in any
+    * engine and the DuckDB oracle replays it exactly.
+    *
+    * Scale shape per round: assignment is a broadcast of the K-row
+    * centroid table against ONE corpus scan (no corpus shuffle);
+    * the update aggregates on (cluster, pos) — K·D = 512 cells of
+    * map-side-combined BIGINT partial sums, the same bounded-state
+    * shape as `llm_embed_outlier`. The distance fold is an interpreted
+    * HOF here (bounded by K·|corpus| evaluations); the fused-codegen
+    * upgrade path is `CosineSimilarity`/`HyperplaneBits`' pattern.
+    * Empty clusters simply drop their row (both engines identically).
+    */
+  private val kmeans = QueryDef(
+    "llm_kmeans_embed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("qx"))
+      val init = emb.orderBy("vec_id").limit(8)
+        .select((row_number().over(Window.orderBy("vec_id")) - 1)
+          .cast("int").as("cluster"), col("qx").as("c"))
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            expr("aggregate(zip_with(qx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
+          .withColumn("k", col("dist") * 100 + col("cluster").cast("long"))
+          .groupBy("vec_id").agg(min("k").as("k"))
+          .select(col("vec_id"), expr("CAST(k % 100 AS INT)").as("cluster"),
+            expr("k div 100").as("dist"))
+      def recompute(asg: DataFrame): DataFrame =
+        asg.join(emb, "vec_id")
+          .select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos")
+          .agg(expr("sum(v) div count(1)").as("cv"))
+          .groupBy("cluster")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
+      val a3 = assign(recompute(assign(recompute(assign(init)))))
+      a3.orderBy("vec_id")
+    },
+    Some {
+      def assign(prev: String): String =
+        s"""SELECT vec_id, CAST(k % 100 AS INTEGER) AS cluster, k // 100 AS dist
+           |  FROM (SELECT e.vec_id,
+           |          min(CAST(list_sum(list_transform(generate_series(1, len(e.qx)),
+           |                i -> (e.qx[i] - c.c[i]) * (e.qx[i] - c.c[i]))) AS BIGINT)
+           |              * 100 + c.cluster) AS k
+           |        FROM emb e, $prev c GROUP BY e.vec_id)""".stripMargin
+      def recompute(prev: String): String =
+        s"""SELECT cluster, list(cv ORDER BY pos) AS c FROM (
+           |    SELECT cluster, pos, CAST(sum(v) AS BIGINT) // count(*) AS cv FROM (
+           |      SELECT a.cluster, unnest(generate_series(1, len(e.qx))) AS pos,
+           |             unnest(e.qx) AS v
+           |      FROM $prev a JOIN emb e ON e.vec_id = a.vec_id)
+           |    GROUP BY cluster, pos)
+           |  GROUP BY cluster""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qx
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         |         qx AS c
+         |  FROM (SELECT vec_id, qx FROM emb ORDER BY vec_id LIMIT 8)),
+         |a1 AS (${assign("c0")}),
+         |c1 AS (${recompute("a1")}),
+         |a2 AS (${assign("c1")}),
+         |c2 AS (${recompute("a2")}),
+         |a3 AS (${assign("c2")})
+         |SELECT vec_id, cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, nearDup, semanticDedup, topkQ8,
-    hybridRrf)
+    hybridRrf, kmeans)
 }

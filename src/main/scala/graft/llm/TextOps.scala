@@ -617,6 +617,40 @@ object TextOps {
            |    w -> w IN ('dup', 'slow', 'skew'))) = 0 AS keep
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Substring blocklist via the native Aho–Corasick expression
+    * (`graft.functions.LexiconMatch`) — the scale path the
+    * `llm_blocklist_filter` docs promise: SUBSTRING (not whole-token)
+    * matching whose cost is O(|text| + hits) per row regardless of
+    * lexicon size, vs the naive per-pattern `contains` loop the oracle
+    * runs. The lexicon deliberately contains overlapping patterns
+    * ('low' inside 'slow', 'upli' crossing 'duplicate''s interior) to
+    * exercise the automaton's failure links; the oracle's
+    * independent per-pattern scan pins identical hit sets. Pure
+    * map-side scan, zero shuffle; the automaton ships once per
+    * executor as a plan reference object.
+    */
+  private val blocklistSubstr = QueryDef(
+    "llm_blocklist_substr",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("lexicon_hits(text, 'dup|kew|low|slow|upli')").as("hitarr"))
+        .select(col("doc_id"),
+          array_join(col("hitarr"), ",").as("hits"),
+          size(col("hitarr")).cast("long").as("n_hits"))
+        .withColumn("keep", col("n_hits") === 0)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  coalesce(array_to_string(list_filter(['dup', 'kew', 'low', 'slow', 'upli'],
+           |    p -> contains(text, p)), ','), '') AS hits,
+           |  CAST(len(list_filter(['dup', 'kew', 'low', 'slow', 'upli'],
+           |    p -> contains(text, p))) AS BIGINT) AS n_hits,
+           |  len(list_filter(['dup', 'kew', 'low', 'slow', 'upli'],
+           |    p -> contains(text, p))) = 0 AS keep
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Gopher-style repetition signals (Rae et al. 2021, Table A1) — the
     * quality filters that catch degenerate/repetitive text which
     * length/stopword scoring (`llm_quality_score`) cannot see.
@@ -729,5 +763,5 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
     textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk,
-    bpePairs, mixtureSample, shuffleShards, blocklist, repSignals)
+    bpePairs, mixtureSample, shuffleShards, blocklist, blocklistSubstr, repSignals)
 }

@@ -146,6 +146,35 @@ object ExtensionOps {
            |  count(*) AS n
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** A23: the linear-regression aggregate family — REGR_SLOPE /
+    * REGR_INTERCEPT / REGR_R2 / REGR_AVGX / REGR_AVGY / REGR_COUNT of
+    * extendedprice on quantity per return flag. Like `a17`, every
+    * member is a single-pass mergeable co-moment aggregate: one shuffle
+    * of a fixed-size state per group, no second data pass — the OLS fit
+    * of a 100 TB fact table costs exactly one aggregation. Results are
+    * portably rounded (co-moment merge order differs at ~1e-15).
+    */
+  private val regrFamily = QueryDef(
+    "a23_regr_family",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        roundTo(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        roundTo(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("intercept"),
+        roundTo(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        roundTo(expr("regr_avgx(l_extendedprice, l_quantity)"), 4).as("avg_x"),
+        roundTo(expr("regr_avgy(l_extendedprice, l_quantity)"), 2).as("avg_y"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  floor(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS slope,
+           |  floor(regr_intercept(l_extendedprice, l_quantity) * 100.0 + 0.5) / 100.0 AS intercept,
+           |  floor(regr_r2(l_extendedprice, l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+           |  floor(regr_avgx(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_x,
+           |  floor(regr_avgy(l_extendedprice, l_quantity) * 100.0 + 0.5) / 100.0 AS avg_y,
+           |  regr_count(l_extendedprice, l_quantity) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** A19: MIN_BY / MAX_BY (argmin/argmax). The ordering key is the
     * composite `round(acctbal·100)·10^8 + custkey` — an exact BIGINT
     * both engines compute identically, so acctbal ties (present at
@@ -358,6 +387,6 @@ object ExtensionOps {
            |ORDER BY n_name, c_custkey""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
-    statsFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg,
+    statsFamily, regrFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg,
     boolAggs, slidingFrame, condFuncs)
 }

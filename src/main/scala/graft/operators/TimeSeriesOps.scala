@@ -124,5 +124,43 @@ object TimeSeriesOps {
            |GROUP BY user_id, bucket
            |ORDER BY user_id, bucket""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(gapfill, ohlc)
+  /** LOCF forward-fill + backward-fill: only `purchase` events carry an
+    * observation; every event row gets the most recent purchase value
+    * (ffill) and the next upcoming one (bfill) in (ts, event_id) order.
+    * `last/first(..., ignoreNulls)` over running frames — the Spark
+    * spelling of IGNORE NULLS — against DuckDB's native
+    * `last_value(x IGNORE NULLS)`. Values are copied, never computed,
+    * so the hashes match without rounding.
+    *
+    * Scale: one shuffle on `user_id`, then both fills ride the same
+    * sorted pass (two frames over one Window sort — the plan has a
+    * single Sort + Window pair, no join and no spine).
+    */
+  private val locf = QueryDef(
+    "ts3_locf_ffill",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ahead = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .withColumn("obs",
+          when(col("event_type") === "purchase", col("value")))
+        .select(col("user_id"), col("event_id"), col("obs"),
+          last("obs", ignoreNulls = true).over(run).as("ffill"),
+          first("obs", ignoreNulls = true).over(ahead).as("bfill"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, obs,
+           |  last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+           |  first_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+           |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           |        CASE WHEN event_type = 'purchase' THEN value END AS obs
+           |      FROM events)
+           |ORDER BY user_id, event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(gapfill, ohlc, locf)
 }
