@@ -615,33 +615,40 @@ object SimilarityOps {
     * upgrade path is `CosineSimilarity`/`HyperplaneBits`' pattern.
     * Empty clusters simply drop their row (both engines identically).
     */
+  /** (vec_id, cluster, dist) after `rounds` Lloyd assignment passes
+    * (each pass after the first preceded by a centroid update). Exposed
+    * for the spec's SSE-monotonicity property; the oracle row runs
+    * rounds = 3.
+    */
+  private[graft] def kmeansRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("qx"))
+    val init = emb.orderBy("vec_id").limit(8)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int").as("cluster"), col("qx").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          expr("aggregate(zip_with(qx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("k", col("dist") * 100 + col("cluster").cast("long"))
+        .groupBy("vec_id").agg(min("k").as("k"))
+        .select(col("vec_id"), expr("CAST(k % 100 AS INT)").as("cluster"),
+          expr("k div 100").as("dist"))
+    def recompute(asg: DataFrame): DataFrame =
+      asg.join(emb, "vec_id")
+        .select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
+    (2 to rounds).foldLeft(assign(init))((a, _) => assign(recompute(a)))
+      .orderBy("vec_id")
+  }
+
   private val kmeans = QueryDef(
     "llm_kmeans_embed",
-    (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("qx"))
-      val init = emb.orderBy("vec_id").limit(8)
-        .select((row_number().over(Window.orderBy("vec_id")) - 1)
-          .cast("int").as("cluster"), col("qx").as("c"))
-      def assign(cents: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cents))
-          .withColumn("dist",
-            expr("aggregate(zip_with(qx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
-          .withColumn("k", col("dist") * 100 + col("cluster").cast("long"))
-          .groupBy("vec_id").agg(min("k").as("k"))
-          .select(col("vec_id"), expr("CAST(k % 100 AS INT)").as("cluster"),
-            expr("k div 100").as("dist"))
-      def recompute(asg: DataFrame): DataFrame =
-        asg.join(emb, "vec_id")
-          .select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
-          .groupBy("cluster", "pos")
-          .agg(expr("sum(v) div count(1)").as("cv"))
-          .groupBy("cluster")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
-      val a3 = assign(recompute(assign(recompute(assign(init)))))
-      a3.orderBy("vec_id")
-    },
+    (s, dir) => kmeansRounds(s, dir, 3),
     Some {
       def assign(prev: String): String =
         s"""SELECT vec_id, CAST(k % 100 AS INTEGER) AS cluster, k // 100 AS dist

@@ -452,8 +452,85 @@ object OlapOps {
            |count(DISTINCT user_id) AS nd_exact, true AS hll_ok
            |FROM events""".stripMargin))
 
+  /** Ordered conversion funnel (view → click → purchase): a user
+    * converts a step only by doing it strictly AFTER completing the
+    * previous one — the product-analytics semantics that a naive
+    * per-type count gets wrong (a purchase before the first view must
+    * not count). Three stacked `min(CASE …) OVER (user)` windows
+    * compute the per-user step timestamps in sequence; Catalyst plans
+    * all three over ONE user_id shuffle + sort (each window consumes
+    * the previous projection, same partitioning), then a single global
+    * aggregate folds step counts and the conversion rate. At 100 TB:
+    * one shuffle of the event log, one scalar result.
+    */
+  private val funnel = QueryDef(
+    "a24_funnel_steps",
+    (s, dir) => {
+      val wU = Window.partitionBy("user_id")
+      t(s, dir, "events")
+        .withColumn("f1",
+          min(when(col("event_type") === "view", col("ts"))).over(wU))
+        .withColumn("f2",
+          min(when(col("event_type") === "click" && col("ts") > col("f1"), col("ts"))).over(wU))
+        .withColumn("f3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("f2"), col("ts"))).over(wU))
+        .agg(
+          countDistinct(when(col("f1").isNotNull, col("user_id"))).as("n_view"),
+          countDistinct(when(col("f2").isNotNull, col("user_id"))).as("n_view_click"),
+          countDistinct(when(col("f3").isNotNull, col("user_id"))).as("n_full_funnel"))
+        .withColumn("conv_rate",
+          roundTo(col("n_full_funnel") / col("n_view"), 4))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+           |         OVER (PARTITION BY user_id) AS f1 FROM e),
+           |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > f1 THEN ts END)
+           |         OVER (PARTITION BY user_id) AS f2 FROM s1),
+           |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > f2 THEN ts END)
+           |         OVER (PARTITION BY user_id) AS f3 FROM s2)
+           |SELECT
+           |  count(DISTINCT CASE WHEN f1 IS NOT NULL THEN user_id END) AS n_view,
+           |  count(DISTINCT CASE WHEN f2 IS NOT NULL THEN user_id END) AS n_view_click,
+           |  count(DISTINCT CASE WHEN f3 IS NOT NULL THEN user_id END) AS n_full_funnel,
+           |  floor(count(DISTINCT CASE WHEN f3 IS NOT NULL THEN user_id END)
+           |    / count(DISTINCT CASE WHEN f1 IS NOT NULL THEN user_id END)
+           |    * 10000.0 + 0.5) / 10000.0 AS conv_rate
+           |FROM s3""".stripMargin))
+
+  /** Retention cohort matrix: users grouped by their first-activity
+    * date, counted on each subsequent active day offset — the
+    * (cohort, day-N) retention triangle. One user_id shuffle derives
+    * the cohort via a min() window, the DISTINCT collapses each
+    * user-day to one row map-side before the (cohort, offset) count
+    * aggregate; output is bounded by |cohorts| × |offsets|, never by
+    * events.
+    */
+  private val retention = QueryDef(
+    "a25_retention_cohorts",
+    (s, dir) => {
+      val wU = Window.partitionBy("user_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .withColumn("cohort", min("d").over(wU))
+        .select(col("user_id"), col("cohort"),
+          datediff(col("d"), col("cohort")).as("day_offset"))
+        .distinct()
+        .groupBy("cohort", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+           |c AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort FROM e),
+           |du AS (SELECT DISTINCT user_id, cohort,
+           |         CAST(d - cohort AS INTEGER) AS day_offset FROM c)
+           |SELECT cohort, day_offset, count(*) AS n_users
+           |FROM du GROUP BY cohort, day_offset
+           |ORDER BY cohort, day_offset""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize,
     movingAvg, rankFamily, existsSemiAnti, cubeGrouping, windowedDistinct,
     groupingSets, scd2History, clickAttribution, sessionWindowAgg, cmsFreq,
-    exactPercentiles, hllUnion)
+    exactPercentiles, hllUnion, funnel, retention)
 }
