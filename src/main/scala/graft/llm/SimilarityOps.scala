@@ -681,6 +681,122 @@ object SimilarityOps {
          |SELECT vec_id, cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
     })
 
+  /** Product quantization + asymmetric-distance (ADC) top-k — the
+    * second half of Jégou/Douze/Schmid's design (the IVF row carries
+    * the coarse quantizer; this is the fine one). M=8 subspaces of 8
+    * dims, K=16 centroids per subspace trained by 2 rounds of the same
+    * BIGINT-exact Lloyd machinery as `llm_kmeans_embed` (subspace `m`
+    * rides along as an extra key — one training job, not M), each
+    * vector encoded to 4 codes (64 dims → 4 bytes, the 16× memory cut
+    * that lets a 100 TB corpus fit executor RAM), and queries scored
+    * via the classic ADC table: per (query, m, centroid) exact
+    * distances (|Q|·M·K = 1024 rows, broadcast), corpus cost = one
+    * probe of that table per (vec, m) plus a (query, vec) sum — the
+    * corpus is never re-scanned per query and never shuffles on
+    * anything wider than its codes.
+    *
+    * Everything after the 1e6 quantization is exact integer
+    * arithmetic (squared L2, composite min tie-break, truncating-div
+    * centroid updates), so the DuckDB oracle replays codebook
+    * training, encoding, AND the ADC ranking bit-for-bit.
+    */
+  private[graft] def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("qx"))
+    val wm = emb
+      .select(col("vec_id"), explode(expr("array(0, 1, 2, 3, 4, 5, 6, 7)")).as("m"), col("qx"))
+      .select(col("vec_id"), col("m"), expr("slice(qx, m * 8 + 1, 8)").as("sx"))
+    val seeds = emb.orderBy("vec_id").limit(16)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cluster"))
+    val init = wm.join(seeds, "vec_id").select(col("m"), col("cluster"), col("sx").as("c"))
+    val sqDist =
+      expr("aggregate(zip_with(sx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)")
+    def assign(cents: DataFrame): DataFrame =
+      wm.join(broadcast(cents), "m")
+        .withColumn("k", sqDist * 100 + col("cluster").cast("long"))
+        .groupBy("vec_id", "m").agg(min("k").as("k"))
+        .select(col("vec_id"), col("m"), expr("CAST(k % 100 AS INT)").as("cluster"),
+          expr("k div 100").as("dist"))
+    def recompute(asg: DataFrame): DataFrame =
+      asg.join(wm, Seq("vec_id", "m"))
+        .select(col("m"), col("cluster"), posexplode(col("sx")).as(Seq("pos", "v")))
+        .groupBy("m", "cluster", "pos")
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy("m", "cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
+    val codebook = recompute(assign(recompute(assign(init))))
+    val codes = assign(codebook).select("vec_id", "m", "cluster")
+    val table = wm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("m"), col("sx"))
+      .join(broadcast(codebook), "m")
+      .select(col("query_id"), col("m"), col("cluster"), sqDist.as("d"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("item_id"))
+    codes.join(broadcast(table), Seq("m", "cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("item_id"))
+      .agg(sum("d").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "item_id", "adc_dist")
+      .orderBy("query_id", "rank")
+  }
+
+  private val pq = QueryDef(
+    "llm_pq_adc",
+    (s, dir) => pqAdc(s, dir),
+    Some {
+      def assign(prev: String): String =
+        s"""SELECT vec_id, m, CAST(k % 100 AS INTEGER) AS cluster, k // 100 AS dist
+           |  FROM (SELECT w.vec_id, w.m,
+           |          min(CAST(list_sum(list_transform(generate_series(1, len(w.sx)),
+           |                i -> (w.sx[i] - c.c[i]) * (w.sx[i] - c.c[i]))) AS BIGINT)
+           |              * 100 + c.cluster) AS k
+           |        FROM wm w JOIN $prev c ON c.m = w.m GROUP BY w.vec_id, w.m)""".stripMargin
+      def recompute(prev: String): String =
+        s"""SELECT m, cluster, list(cv ORDER BY pos) AS c FROM (
+           |    SELECT m, cluster, pos, CAST(sum(v) AS BIGINT) // count(*) AS cv FROM (
+           |      SELECT a.m, a.cluster, unnest(generate_series(1, len(w.sx))) AS pos,
+           |             unnest(w.sx) AS v
+           |      FROM $prev a JOIN wm w ON w.vec_id = a.vec_id AND w.m = a.m)
+           |    GROUP BY m, cluster, pos)
+           |  GROUP BY m, cluster""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qx
+         |  FROM embeddings),
+         |wm AS (
+         |  SELECT vec_id, m, list_slice(qx, m * 8 + 1, m * 8 + 8) AS sx
+         |  FROM emb, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS m) ms),
+         |seeds AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+         |  FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16)),
+         |c0 AS (SELECT w.m, s.cluster, w.sx AS c
+         |       FROM wm w JOIN seeds s ON s.vec_id = w.vec_id),
+         |a1 AS (${assign("c0")}),
+         |c1 AS (${recompute("a1")}),
+         |a2 AS (${assign("c1")}),
+         |c2 AS (${recompute("a2")}),
+         |a3 AS (${assign("c2")}),
+         |qt AS (
+         |  SELECT w.vec_id AS query_id, w.m, c.cluster,
+         |    CAST(list_sum(list_transform(generate_series(1, len(w.sx)),
+         |      i -> (w.sx[i] - c.c[i]) * (w.sx[i] - c.c[i]))) AS BIGINT) AS d
+         |  FROM wm w JOIN c2 c ON c.m = w.m WHERE w.vec_id < 8),
+         |adc AS (
+         |  SELECT t.query_id, a.vec_id AS item_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+         |  FROM a3 a JOIN qt t ON t.m = a.m AND t.cluster = a.cluster
+         |  WHERE a.vec_id <> t.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, item_id, adc_dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, item_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, item_id, adc_dist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, nearDup, semanticDedup, topkQ8,
-    hybridRrf, kmeans)
+    hybridRrf, kmeans, pq)
 }
