@@ -244,8 +244,62 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast query sets; a CartesianProduct node means a shuffle-side
     // cartesian slipped in.
     for (name <- Seq("llm_cosine_neardup", "llm_minhash_lsh_pairs",
-        "llm_ngram_jaccard", "llm_ann_ivf", "llm_substr_spans")) {
+        "llm_ngram_jaccard", "llm_ann_ivf", "llm_substr_spans",
+        "llm_dup_triangles", "llm_kmeans_embed", "llm_pq_adc")) {
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("a24_funnel_steps stacks all three step windows over ONE user_id shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("a24_funnel_steps")(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size === 3, s"expected 3 stacked windows, got ${windows.size}")
+      // the topmost window's subtree must contain exactly ONE exchange:
+      // the user_id hash partitioning all three stacked windows share.
+      // (The global multi-distinct aggregate above them adds its own
+      // tiny Expand/exchange pair — that's the aggregate, not the log.)
+      val belowWindows = windows.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(belowWindows.size === 1,
+        s"step windows must share one user_id shuffle; found ${belowWindows.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("llm_blocklist_substr is a pure map-side scan (no join, no aggregate shuffle)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("llm_blocklist_substr")(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      val shuffles = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the only exchange is the verify dump's final range sort
+      assert(shuffles.size <= 1,
+        s"automaton scan must stay map-side; found ${shuffles.size} exchanges")
+      assert(!exec.toString.contains("Join"), "no join may appear")
+      val scans = exec.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size === 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("llm_kmeans_embed / llm_pq_adc broadcast centroid tables, never shuffle-join the corpus") {
+    for (name <- Seq("llm_kmeans_embed", "llm_pq_adc")) {
+      val p = plan(name)
+      // assignment joins must be broadcast (nested-loop over a K-row
+      // centroid table is the sanctioned shape); a SortMergeJoin against
+      // the corpus would mean the centroids forced a corpus shuffle.
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$name must broadcast the centroid side")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must not sort-merge-join the corpus against centroids")
     }
   }
 }
