@@ -17,7 +17,7 @@ object SparkEntry {
       TimeSeriesOps.all ++ ExtensionOps.all ++
       graft.sources.SourceFormats.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all ++ PrivacyOps.all ++
-      CorpusOps.all ++ DagQueries.all
+      CorpusOps.all ++ DagQueries.all ++ graft.engine.DataTests.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.DataTests
+import graft.engine.DataTests._
+
+/** dbt generic-test semantics on adversarial tiny frames: NULL child
+  * keys are not relationship violations, accepted_values counts
+  * DISTINCT offenders, unique counts duplicated KEY VALUES (not rows),
+  * and the summary unions in deterministic order.
+  */
+class DataTestsSpec extends SparkSpec {
+
+  private def frames: Map[String, DataFrame] = {
+    import spark.implicits._
+    Map(
+      "child" -> Seq(
+        (Some(1), "a"), (Some(1), "b"), (Some(2), "c"),
+        (None, "d"), (Some(9), "e")).toDF("fk", "payload"),
+      "parent" -> Seq(1, 2, 3).toDF("id"),
+      "vals" -> Seq("x", "x", "y", "zz", "zz", "zz").toDF("v"))
+  }
+
+  test("relationships: NULL child keys skipped, orphan ROWS counted") {
+    val out = DataTests.run(frames(_), Seq(
+      Relationships("child", "fk", "parent", "id"))).collect()
+    // fk=9 twice? no - one orphan row (9); the NULL row is not a violation
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_violations") === 1L)
+  }
+
+  test("unique counts duplicated key VALUES; accepted_values counts DISTINCT offenders") {
+    val out = DataTests.run(frames(_), Seq(
+      Unique("vals", Seq("v")),
+      AcceptedValues("vals", "v", Seq("x", "y"))))
+      .collect().map(r => r.getAs[String]("test") -> r.getAs[Long]("n_violations")).toMap
+    assert(out("unique") === 2L) // x and zz each repeat -> 2 dup values
+    assert(out("accepted_values") === 1L) // only zz is outside the list
+  }
+
+  test("passing checks report zero on empty violation sets") {
+    val out = DataTests.run(frames(_), Seq(
+      NotNull("parent", "id"),
+      Unique("parent", Seq("id")))).collect()
+    assert(out.forall(_.getAs[Long]("n_violations") === 0L))
+  }
+}
