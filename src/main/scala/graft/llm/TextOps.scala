@@ -617,6 +617,94 @@ object TextOps {
            |    w -> w IN ('dup', 'slow', 'skew'))) = 0 AS keep
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** BPE tokenizer TRAINING — the iterative loop `llm_bpe_pair_counts`
+    * is one step of: 5 merge rounds, each counting adjacent symbol
+    * pairs over the word-frequency table (weighted by freq), picking
+    * the winner by (count desc, pair asc), and rewriting every word's
+    * symbol list with the merge applied. Self-pairs (a = a) are
+    * excluded so matches can never overlap and the rewrite is a pure
+    * positional map — the relational form of greedy BPE (standard BPE
+    * handles runs like "aaa" with sequential state; the restriction is
+    * documented, deterministic, and identical in both engines).
+    *
+    * Scale shape: the corpus collapses to the word-frequency table
+    * ONCE (the classic two-stage BPE shape — all 5 rounds run over
+    * vocab-sized data, never the corpus); each round is one
+    * (a, b)-keyed aggregate with map-side combine, and the winning
+    * pair is a bounded 1-row driver probe (the CMS-probe precedent)
+    * baked into the next round's rewrite expressions as literals.
+    * The DuckDB oracle replays all 5 rounds with scalar winner CTEs —
+    * training trajectory pinned end-to-end.
+    */
+  private val bpeTrain = QueryDef(
+    "llm_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+      val words0 = Tables.load(s, dir, "documents")
+        .select(explode(splitLit(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(split(col("word"), "").as("syms"), col("freq"))
+      var words = words0
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to 5) {
+        val winner = words
+          .select(col("freq"), explode(expr(
+            """IF(size(syms) < 2, array(),
+              |  transform(sequence(1, size(syms) - 1),
+              |    i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)))"""
+              .stripMargin)).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+          .filter(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        val (a, b, cnt) = (winner(0).getString(0), winner(0).getString(1), winner(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        val (ea, eb) = (esc(a), esc(b))
+        words = words.withColumn("syms", expr(
+          s"""transform(
+             |  filter(sequence(1, size(syms)),
+             |    i -> i = 1 OR NOT (element_at(syms, i - 1) = '$ea'
+             |                       AND element_at(syms, i) = '$eb')),
+             |  i -> IF(i < size(syms) AND element_at(syms, i) = '$ea'
+             |          AND element_at(syms, i + 1) = '$eb',
+             |       '$ea$eb', element_at(syms, i)))""".stripMargin))
+      }
+      merges.toSeq.toDF("round", "lhs", "rhs", "cnt").orderBy("round")
+    },
+    Some {
+      def round(r: Int): String =
+        s"""p$r AS (
+           |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT syms[i] AS a, syms[i+1] AS b, freq FROM (
+           |      SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+           |      FROM w${r - 1}))
+           |  WHERE a <> b GROUP BY a, b),
+           |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$r AS (
+           |  SELECT list_transform(
+           |           list_filter(generate_series(1, len(syms)),
+           |             i -> i = 1 OR NOT (syms[i-1] = m.a AND syms[i] = m.b)),
+           |           i -> CASE WHEN i < len(syms) AND syms[i] = m.a AND syms[i+1] = m.b
+           |                     THEN m.a || m.b ELSE syms[i] END) AS syms,
+           |         freq
+           |  FROM w${r - 1}, m$r m)""".stripMargin
+      s"""WITH w0 AS (
+         |  SELECT string_split(word, '') AS syms, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INTEGER) AS round, a AS lhs, b AS rhs, cnt FROM m1
+         |  UNION ALL SELECT 2, a, b, cnt FROM m2
+         |  UNION ALL SELECT 3, a, b, cnt FROM m3
+         |  UNION ALL SELECT 4, a, b, cnt FROM m4
+         |  UNION ALL SELECT 5, a, b, cnt FROM m5)
+         |ORDER BY round""".stripMargin
+    })
+
   /** Substring blocklist via the native Aho–Corasick expression
     * (`graft.functions.LexiconMatch`) — the scale path the
     * `llm_blocklist_filter` docs promise: SUBSTRING (not whole-token)
@@ -763,5 +851,5 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
     textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk,
-    bpePairs, mixtureSample, shuffleShards, blocklist, blocklistSubstr, repSignals)
+    bpePairs, bpeTrain, mixtureSample, shuffleShards, blocklist, blocklistSubstr, repSignals)
 }
