@@ -162,5 +162,86 @@ object TimeSeriesOps {
            |      FROM events)
            |ORDER BY user_id, event_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(gapfill, ohlc, locf)
+  /** Frame-bounded EWMA (α = 1/2, horizon 16) in EXACT integer
+    * arithmetic: weights are powers of two, values quantize to 1e6
+    * BIGINT, so `num = Σ qv[t−k]·2^(15−k)` and the available-weight
+    * denominator are exact and the truncating division is
+    * deterministic cross-engine — no floating-point accumulation
+    * order anywhere. The 16-term lag fan is 32 window expressions
+    * over ONE user_id sort (a true recursive EWMA is inherently
+    * sequential; the 2^-16 tail this truncates is below the
+    * quantization floor anyway).
+    */
+  private val ewma = QueryDef(
+    "ts4_ewma_exact",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val qv = expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+      val num = (0 until 16).map { k =>
+        coalesce(lag(col("qv"), k).over(w), lit(0L)) * lit(1L << (15 - k))
+      }.reduce(_ + _)
+      val den = (0 until 16).map { k =>
+        coalesce(lag(lit(1L), k).over(w), lit(0L)) * lit(1L << (15 - k))
+      }.reduce(_ + _)
+      Tables.load(s, dir, "events")
+        .withColumn("qv", qv)
+        .select(col("user_id"), col("event_id"), col("qv"),
+          (num.cast("long")).as("num"), (den.cast("long")).as("den"))
+        .select(col("user_id"), col("event_id"), col("qv"),
+          expr("num div den").as("ewma_q"))
+        .orderBy("user_id", "event_id")
+    },
+    Some {
+      val num = (0 until 16).map(k =>
+        s"coalesce(lag(qv, $k) OVER w, 0) * ${1L << (15 - k)}").mkString(" + ")
+      val den = (0 until 16).map(k =>
+        s"coalesce(lag(1, $k) OVER w, 0) * ${1L << (15 - k)}").mkString(" + ")
+      s"""SELECT user_id, event_id, qv,
+         |  CAST(($num) AS BIGINT) // CAST(($den) AS BIGINT) AS ewma_q
+         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |        CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    })
+
+  /** Rolling z-score outlier flags: per user, |value − rolling mean|
+    * > 2·rolling stddev over the trailing 20 events (ROWS frame in
+    * both engines so ties cannot diverge). The z value is portably
+    * rounded; rows too early for a stable estimate (fewer than 5
+    * samples or zero variance) get NULL z and false flag via the same
+    * guards in both engines. One user_id shuffle, two co-frame window
+    * aggregates.
+    */
+  private val zscore = QueryDef(
+    "ts5_zscore_outliers",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          avg("value").over(w).as("mu"),
+          stddev_samp(col("value")).over(w).as("sd"),
+          count(lit(1)).over(w).as("n"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          roundTo(when(col("n") >= 5 && col("sd") > 0,
+            (col("value") - col("mu")) / col("sd")), 4).as("z"))
+        .withColumn("is_outlier", coalesce(abs(col("z")) > 2.0, lit(false)))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, value,
+           |  floor(CASE WHEN n >= 5 AND sd > 0 THEN (value - mu) / sd END
+           |        * 10000.0 + 0.5) / 10000.0 AS z,
+           |  coalesce(abs(floor(CASE WHEN n >= 5 AND sd > 0 THEN (value - mu) / sd END
+           |        * 10000.0 + 0.5) / 10000.0) > 2.0, false) AS is_outlier
+           |FROM (
+           |  SELECT user_id, event_id, value,
+           |    avg(value) OVER w AS mu,
+           |    stddev_samp(value) OVER w AS sd,
+           |    count(*) OVER w AS n
+           |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+           |ORDER BY user_id, event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(gapfill, ohlc, locf, ewma, zscore)
 }
