@@ -260,4 +260,36 @@ object StreamingOps {
           }
       }
   }
+
+  /** Micro-batch UPSERT sink: every micro-batch lands through
+    * `DagRunner.writeMerge` — dbt's merge incremental strategy — so a
+    * stream of key-level updates maintains a queryable merged table
+    * instead of an append log. `foreachBatch` is the documented bridge
+    * from Structured Streaming to batch-only materializations, and the
+    * semantics compose: writeMerge's partition-scoped rewrite is
+    * idempotent for a replayed batch (upserting the same rows again
+    * converges to the same table), so checkpoint + replay yields
+    * effectively-once TABLE state even though foreachBatch itself is
+    * at-least-once. Default trigger is `AvailableNow` — the
+    * scheduled-drain landing-zone pattern (each run processes only new
+    * files, exactly once, per the checkpoint file log).
+    *
+    * Scale: each micro-batch pays one writeMerge — a key-pruned
+    * anti-join + dynamic overwrite of HIT partitions only; a day of
+    * updates against a 100 TB table rewrites one day.
+    */
+  def mergeSink(updates: DataFrame, path: String, checkpoint: String,
+      uniqueKey: String, partitionCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val upsert: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.engine.DagRunner.writeMerge(batch.sparkSession, batch, path,
+        uniqueKey, partitionCol)
+    updates.writeStream
+      .foreachBatch(upsert)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -90,4 +90,41 @@ class StreamingFileSpec extends SparkSpec {
     assert(sink.select("event_id").distinct().count() === events.count(),
       "exactly once: the second run must not reprocess the first drop")
   }
+
+  test("streaming micro-batch upsert via mergeSink equals a from-scratch writeMerge build") {
+    // A stream of key-level updates maintained as a MERGED table: drop 1
+    // inserts, drop 2 updates half the keys and adds new ones. The final
+    // table must equal the batch writeMerge composition of the same two
+    // frames — last writer wins per key, untouched partitions preserved.
+    val dir = Files.createTempDirectory("graft_mergesink").toFile.getAbsolutePath
+    val landing = s"$dir/landing"
+    val table = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    import spark.implicits._
+    val drop1 = (1L to 100L).map(k => (k, s"v1_$k", s"p${k % 3}"))
+      .toDF("id", "payload", "part")
+    val drop2 = (50L to 150L).map(k => (k, s"v2_$k", s"p${k % 3}"))
+      .toDF("id", "payload", "part")
+
+    def runOnce(): Unit = {
+      val q = StreamingOps.mergeSink(
+        spark.readStream.schema(drop1.schema).parquet(landing),
+        table, ckpt, uniqueKey = "id", partitionCol = "part")
+      q.awaitTermination()
+    }
+
+    drop1.write.mode("append").parquet(landing)
+    runOnce()
+    assert(spark.read.parquet(table).count() === 100)
+
+    drop2.write.mode("append").parquet(landing)
+    runOnce()
+
+    val got = spark.read.parquet(table).select("id", "payload", "part")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val expected = ((1L to 49L).map(k => (k, s"v1_$k", s"p${k % 3}")) ++
+      (50L to 150L).map(k => (k, s"v2_$k", s"p${k % 3}"))).toSet
+    assert(got === expected,
+      "streamed upsert state must equal last-writer-wins over both drops")
+  }
 }
