@@ -111,6 +111,32 @@ object DagRunner {
     built
   }
 
+  /** `dbt build`-shaped run: materialize the DAG, then execute the
+    * declared [[DataTests.Check]]s against the MATERIALIZED outputs
+    * (tests see what the warehouse sees, not the pre-write plan).
+    * Returns the frames plus the test summary; `failFast = true`
+    * throws on the first violated check — the CI posture — with the
+    * violating rows count in the message.
+    */
+  def runWithTests(spark: SparkSession, models: Seq[Model],
+      resolve: String => DataFrame, warehouse: String,
+      checks: Seq[DataTests.Check], failFast: Boolean = true)
+      : (Map[String, DataFrame], DataFrame) = {
+    val built = run(spark, models, resolve, warehouse)
+    def look(n: String): DataFrame = built.getOrElse(n, resolve(n))
+    val summary = DataTests.run(look, checks)
+    if (failFast) {
+      val bad = summary.filter(org.apache.spark.sql.functions.col("n_violations") > 0)
+        .collect()
+      if (bad.nonEmpty) {
+        val msg = bad.map(r => s"${r.getAs[String]("test")}(${r.getAs[String]("model")}." +
+          s"${r.getAs[String]("column")}): ${r.getAs[Long]("n_violations")}").mkString("; ")
+        throw new IllegalStateException(s"data tests failed: $msg")
+      }
+    }
+    (built, summary)
+  }
+
   /** Replace exactly `partitions` of the target, preserving all others.
     * The source filter is derived from the SAME list that selects the
     * overwritten partitions — the invariant the reference maintains by

@@ -45,4 +45,29 @@ class DataTestsSpec extends SparkSpec {
       Unique("parent", Seq("id")))).collect()
     assert(out.forall(_.getAs[Long]("n_violations") === 0L))
   }
+
+  test("runWithTests: dbt-build posture — DAG materializes, then tests gate") {
+    import graft.engine.{DagRunner, Model}
+    val wh = java.nio.file.Files.createTempDirectory("graft_dt").toFile.getAbsolutePath
+    def mkModels = {
+      import spark.implicits._
+      Seq(Model("dup_out", Seq.empty,
+        (s, _) => { import s.implicits._; Seq(1, 1, 2).toDF("k") },
+        graft.engine.Table))
+    }
+    // failing unique check on the materialized output throws with detail
+    val e = intercept[IllegalStateException] {
+      DagRunner.runWithTests(spark, mkModels, n => sys.error(s"no source $n"),
+        wh, Seq(Unique("dup_out", Seq("k"))))
+    }
+    assert(e.getMessage.contains("unique(dup_out.k): 1"))
+    // failFast = false returns the summary instead
+    val (built, summary) = DagRunner.runWithTests(spark, mkModels,
+      n => sys.error(s"no source $n"), wh,
+      Seq(Unique("dup_out", Seq("k")), NotNull("dup_out", "k")), failFast = false)
+    assert(built.contains("dup_out"))
+    val m = summary.collect()
+      .map(r => r.getAs[String]("test") -> r.getAs[Long]("n_violations")).toMap
+    assert(m("unique") === 1L && m("not_null") === 0L)
+  }
 }
