@@ -460,6 +460,44 @@ object DedupOps {
            |FROM agree g JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
            |ORDER BY g.doc_a, g.doc_b""".stripMargin))
 
+  /** Edit-distance verification of the LSH candidate pairs — the
+    * fuzzy-match second stage (record linkage / title matching): for
+    * each candidate pair, Levenshtein distance over a bounded 64-char
+    * prefix plus the normalized similarity `1 − d/maxlen`. The prefix
+    * bound is the scale guard: Levenshtein is O(n·m) per pair, so
+    * unbounded bodies would make one hot pair arbitrarily expensive —
+    * 64 chars caps every pair at constant work (and the LSH stage has
+    * already bounded the PAIR count). Both engines run unit-cost
+    * Levenshtein (insert/delete/substitute = 1), so the distances and
+    * the rounded similarity hash-match exactly.
+    */
+  private val editVerify = QueryDef(
+    "llm_edit_distance_verify",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb"))
+      lshPairs(s, dir)
+        .join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
+          roundTo(lit(1.0) - levenshtein(col("pa"), col("pb")) /
+            greatest(length(col("pa")), length(col("pb"))), 4).as("sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |pfx AS (SELECT doc_id, substring(text, 1, 64) AS prefix FROM documents)
+           |SELECT c.doc_a, c.doc_b,
+           |  levenshtein(a.prefix, b.prefix) AS edit_dist,
+           |  floor((1.0 - levenshtein(a.prefix, b.prefix)
+           |    / greatest(length(a.prefix), length(b.prefix))) * 10000.0 + 0.5)
+           |    / 10000.0 AS sim
+           |FROM cand c
+           |JOIN pfx a ON a.doc_id = c.doc_a
+           |JOIN pfx b ON b.doc_id = c.doc_b
+           |ORDER BY c.doc_a, c.doc_b""".stripMargin))
+
   /** (doc_id, band_idx, band_hash) — the LSH band index rows for every
     * document: 8 min-hashes folded into 4 bands of 2. Shared by
     * [[lshPairs]] (within-corpus candidate pairs) and
@@ -1370,5 +1408,5 @@ object DedupOps {
 
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
-    canonicalDocs, incrementalDedup, lineDedup, substrSpans, triangles, jaccardEst)
+    canonicalDocs, incrementalDedup, lineDedup, substrSpans, triangles, jaccardEst, editVerify)
 }

@@ -212,5 +212,48 @@ object ScaleOps {
            |FROM events JOIN customer ON user_id = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(bucketizeJoin, saltedJoinQ, compactRoundTrip, denseIdsQ)
+  /** Join-key skew report — the diagnostic that picks the dial between
+    * the plain, bucketed, and salted join paths above: per-key counts,
+    * the top-5 heavy keys with their corpus share, and the
+    * max/avg skew ratio in exact BIGINT ten-thousandths. One key
+    * aggregate (map-side combined) + a TakeOrderedAndProject top-5 +
+    * a 1-row broadcast stats scalar: diagnosing a 100 TB join key
+    * costs one pass, and the report is 5 rows.
+    */
+  private val skewReport = QueryDef(
+    "s18_skew_report",
+    (s, dir) => {
+      val counts = graft.sources.Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"),
+        max("cnt").as("max_cnt"))
+      counts.orderBy(col("cnt").desc, col("user_id")).limit(5)
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("user_id"))).cast("int"))
+        .crossJoin(broadcast(stats))
+        .select(col("rank"), col("user_id").as("key"), col("cnt"),
+          expr("cnt * 10000 div total").as("share_q"),
+          col("n_keys"),
+          expr("total div n_keys").as("avg_cnt"),
+          expr("max_cnt * 10000 div (total div n_keys)").as("skew_ratio_q"))
+        .orderBy("rank")
+    },
+    Some("""WITH counts AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id),
+           |stats AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+           |         max(cnt) AS max_cnt FROM counts),
+           |top5 AS (
+           |  SELECT user_id, cnt,
+           |    CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INTEGER) AS rank
+           |  FROM counts ORDER BY cnt DESC, user_id LIMIT 5)
+           |SELECT rank, user_id AS key, cnt,
+           |  cnt * 10000 // total AS share_q,
+           |  n_keys,
+           |  total // n_keys AS avg_cnt,
+           |  max_cnt * 10000 // (total // n_keys) AS skew_ratio_q
+           |FROM top5, stats ORDER BY rank""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(bucketizeJoin, saltedJoinQ, compactRoundTrip, denseIdsQ,
+    skewReport)
 }
