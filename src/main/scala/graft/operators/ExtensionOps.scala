@@ -386,7 +386,39 @@ object ExtensionOps {
            |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
            |ORDER BY n_name, c_custkey""".stripMargin))
 
+  /** U5: UNION by NAME over partially-overlapping schemas — the
+    * `dbt_utils.union_relations` shape (the most-used dbt package
+    * macro): conform two differently-shaped relations by column NAME,
+    * null-filling what each side lacks. `unionByName(allowMissing
+    * Columns = true)` is the native Spark spelling; DuckDB's
+    * `UNION ALL BY NAME` is the independent check. Pure map-side
+    * Expand-free union — each side projects into the conformed schema
+    * and streams.
+    */
+  private val unionByNameQ = QueryDef(
+    "u5_union_by_name",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+          col("s_nationkey").as("nation"), lit("supplier").as("kind"))
+      cust.unionByName(supp, allowMissingColumns = true)
+        .select("key", "name", "acctbal", "kind", "nation")
+        .orderBy("kind", "key")
+    },
+    Some("""SELECT key, name, acctbal, kind, nation FROM (
+           |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
+           |         'customer' AS kind
+           |  FROM customer
+           |  UNION ALL BY NAME
+           |  SELECT s_suppkey AS key, s_name AS name, s_nationkey AS nation,
+           |         'supplier' AS kind
+           |  FROM supplier)
+           |ORDER BY kind, key""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
     statsFamily, regrFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg,
-    boolAggs, slidingFrame, condFuncs)
+    boolAggs, slidingFrame, condFuncs, unionByNameQ)
 }
