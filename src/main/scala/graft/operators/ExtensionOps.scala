@@ -418,7 +418,32 @@ object ExtensionOps {
            |  FROM supplier)
            |ORDER BY kind, key""".stripMargin))
 
+  /** A26: PERCENTILE_DISC — the DISCRETE quantile (first value whose
+    * cumulative distribution reaches p, always an actual data value),
+    * complementing `a16_exact_percentiles`' interpolating
+    * PERCENTILE_CONT. Discrete selection returns exact stored values,
+    * so no rounding is needed for the cross-engine hash. Same scale
+    * shape as a16: sort-based exact aggregate per group.
+    */
+  private val percentileDisc = QueryDef(
+    "a26_percentile_disc",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag,
+              |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
+              |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS med,
+              |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3,
+              |  count(*) AS n
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag,
+           |  quantile_disc(l_quantity, 0.25) AS q1,
+           |  quantile_disc(l_quantity, 0.5) AS med,
+           |  quantile_disc(l_quantity, 0.75) AS q3,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
     statsFamily, regrFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg,
-    boolAggs, slidingFrame, condFuncs, unionByNameQ)
+    boolAggs, slidingFrame, condFuncs, unionByNameQ, percentileDisc)
 }
