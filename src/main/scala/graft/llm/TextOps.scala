@@ -636,43 +636,52 @@ object TextOps {
     * The DuckDB oracle replays all 5 rounds with scalar winner CTEs —
     * training trajectory pinned end-to-end.
     */
+  /** Runs the 5-round training loop; returns the final per-word
+    * segmentation (`word`, `syms`, `freq`) and the merge log. Shared
+    * by the trainer row (emits the merges) and the apply row (encodes
+    * the corpus with the final vocab).
+    */
+  private[graft] def bpeTrainedWords(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)]) = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    var words = Tables.load(s, dir, "documents")
+      .select(explode(splitLit(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), split(col("word"), "").as("syms"), col("freq"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to 5) {
+      val winner = words
+        .select(col("freq"), explode(expr(
+          """IF(size(syms) < 2, array(),
+            |  transform(sequence(1, size(syms) - 1),
+            |    i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)))"""
+            .stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      val (a, b, cnt) = (winner(0).getString(0), winner(0).getString(1), winner(0).getLong(2))
+      merges += ((r, a, b, cnt))
+      val (ea, eb) = (esc(a), esc(b))
+      words = words.withColumn("syms", expr(
+        s"""transform(
+           |  filter(sequence(1, size(syms)),
+           |    i -> i = 1 OR NOT (element_at(syms, i - 1) = '$ea'
+           |                       AND element_at(syms, i) = '$eb')),
+           |  i -> IF(i < size(syms) AND element_at(syms, i) = '$ea'
+           |          AND element_at(syms, i + 1) = '$eb',
+           |       '$ea$eb', element_at(syms, i)))""".stripMargin))
+    }
+    (words, merges.toSeq)
+  }
+
   private val bpeTrain = QueryDef(
     "llm_bpe_train",
     (s, dir) => {
       import s.implicits._
-      def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
-      val words0 = Tables.load(s, dir, "documents")
-        .select(explode(splitLit(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .select(split(col("word"), "").as("syms"), col("freq"))
-      var words = words0
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (r <- 1 to 5) {
-        val winner = words
-          .select(col("freq"), explode(expr(
-            """IF(size(syms) < 2, array(),
-              |  transform(sequence(1, size(syms) - 1),
-              |    i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)))"""
-              .stripMargin)).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
-          .filter(col("a") =!= col("b"))
-          .groupBy("a", "b").agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()
-        val (a, b, cnt) = (winner(0).getString(0), winner(0).getString(1), winner(0).getLong(2))
-        merges += ((r, a, b, cnt))
-        val (ea, eb) = (esc(a), esc(b))
-        words = words.withColumn("syms", expr(
-          s"""transform(
-             |  filter(sequence(1, size(syms)),
-             |    i -> i = 1 OR NOT (element_at(syms, i - 1) = '$ea'
-             |                       AND element_at(syms, i) = '$eb')),
-             |  i -> IF(i < size(syms) AND element_at(syms, i) = '$ea'
-             |          AND element_at(syms, i + 1) = '$eb',
-             |       '$ea$eb', element_at(syms, i)))""".stripMargin))
-      }
-      merges.toSeq.toDF("round", "lhs", "rhs", "cnt").orderBy("round")
+      bpeTrainedWords(s, dir)._2.toDF("round", "lhs", "rhs", "cnt").orderBy("round")
     },
     Some {
       def round(r: Int): String =
@@ -703,6 +712,65 @@ object TextOps {
          |  UNION ALL SELECT 4, a, b, cnt FROM m4
          |  UNION ALL SELECT 5, a, b, cnt FROM m5)
          |ORDER BY round""".stripMargin
+    })
+
+  /** ENCODE the corpus with the vocabulary `llm_bpe_train` learns —
+    * the apply half of the tokenizer loop: per document, whitespace
+    * word count vs BPE token count under the trained merges, plus the
+    * BIGINT compression ratio. The trained segmentation IS the word
+    * table (one row per distinct word), so encoding any corpus size is
+    * a word-keyed equi-join against a vocab-sized side — broadcastable,
+    * never a re-run of training per document. The oracle replays
+    * training WITH the word key carried through and joins back the
+    * same way.
+    */
+  private val bpeApply = QueryDef(
+    "llm_bpe_apply",
+    (s, dir) => {
+      val vocab = bpeTrainedWords(s, dir)._1
+        .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(splitLit(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+        .withColumn("compression_q", expr("n_bpe_tokens * 10000 div n_words"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def round(r: Int): String =
+        s"""p$r AS (
+           |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT syms[i] AS a, syms[i+1] AS b, freq FROM (
+           |      SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+           |      FROM w${r - 1}))
+           |  WHERE a <> b GROUP BY a, b),
+           |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$r AS (
+           |  SELECT word,
+           |         list_transform(
+           |           list_filter(generate_series(1, len(syms)),
+           |             i -> i = 1 OR NOT (syms[i-1] = m.a AND syms[i] = m.b)),
+           |           i -> CASE WHEN i < len(syms) AND syms[i] = m.a AND syms[i+1] = m.b
+           |                     THEN m.a || m.b ELSE syms[i] END) AS syms,
+           |         freq
+           |  FROM w${r - 1}, m$r m)""".stripMargin
+      s"""WITH w0 AS (
+         |  SELECT word, string_split(word, '') AS syms,
+         |         CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word),
+         |${(1 to 5).map(round).mkString(",\n")},
+         |tok AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0)
+         |SELECT t.doc_id, count(*) AS n_words,
+         |  CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(len(w.syms)) AS BIGINT) * 10000 // count(*) AS compression_q
+         |FROM tok t JOIN w5 w ON w.word = t.word
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
     })
 
   /** Substring blocklist via the native Aho–Corasick expression
@@ -851,5 +919,5 @@ object TextOps {
 
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
     textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk,
-    bpePairs, bpeTrain, mixtureSample, shuffleShards, blocklist, blocklistSubstr, repSignals)
+    bpePairs, bpeTrain, bpeApply, mixtureSample, shuffleShards, blocklist, blocklistSubstr, repSignals)
 }
