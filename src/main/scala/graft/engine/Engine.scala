@@ -282,6 +282,71 @@ object DagRunner {
     } finally if (weCache) updates.unpersist()
   }
 
+  /** dbt SNAPSHOT materialization — SCD2 change capture over a mutable
+    * source (dbt's `check` strategy: a row version closes when any
+    * tracked column changes). First run opens every row
+    * (`dbt_valid_from = asOf`, `dbt_valid_to` NULL); each later run
+    * closes open rows whose check-column hash changed and inserts the
+    * new version, inserts rows for new keys, and leaves unchanged and
+    * hard-deleted keys open (dbt's default `invalidate_hard_deletes =
+    * false`). `asOf` is injectable (never wall-clock) so runs are
+    * deterministic and replayable — the same discipline as the models'
+    * `today`.
+    *
+    * Idempotent: re-running with the same source and `asOf` is a no-op
+    * (the new version's hash equals the open row's, so nothing closes
+    * and the key set adds nothing).
+    *
+    * Scale: the change detection is ONE key-equi-join between the open
+    * slice and the current source (both hash-reduced to key + digest —
+    * never a column-wise compare shuffle); closed history is read and
+    * rewritten untouched here for simplicity, and the documented
+    * production layout partitions by an `is_open` flag so only the
+    * open slice rewrites (the staging discipline below already matches
+    * `writeMerge`).
+    */
+  def writeSnapshot(spark: SparkSession, current: DataFrame, path: String,
+                    uniqueKey: String, checkCols: Seq[String], asOf: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def checkHash(of: DataFrame): org.apache.spark.sql.Column = md5(concat_ws("\u0001",
+      checkCols.map(c => coalesce(of(c).cast("string"), lit("\u0000"))): _*))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamped = current
+      .withColumn("dbt_valid_from", lit(asOf))
+      .withColumn("dbt_valid_to", lit(null).cast("string"))
+    if (!fs.exists(root)) {
+      stamped.write.parquet(path)
+      return
+    }
+    val snap = spark.read.parquet(path)
+    val closed = snap.filter(col("dbt_valid_to").isNotNull)
+    val open = snap.filter(col("dbt_valid_to").isNull)
+    val curKeyed = current.select(col(uniqueKey).as("__k"), checkHash(current).as("__ch"))
+    val openJ = open.withColumn("__oh", checkHash(open))
+      .join(curKeyed, open(uniqueKey) === col("__k"), "left")
+    val stillOpen = openJ
+      .filter(col("__k").isNull || col("__ch") === col("__oh"))
+      .select(snap.columns.map(col): _*)
+    val nowClosed = openJ
+      .filter(col("__k").isNotNull && col("__ch") =!= col("__oh"))
+      .withColumn("dbt_valid_to", lit(asOf))
+      .select(snap.columns.map(col): _*)
+    val openKeysUnchanged = openJ
+      .filter(col("__k").isNotNull && col("__ch") === col("__oh"))
+      .select(col("__k"))
+    val newOpen = stamped
+      .join(openKeysUnchanged, stamped(uniqueKey) === col("__k"), "left_anti")
+      .select(snap.columns.map(col): _*)
+    val result = closed.unionByName(stillOpen).unionByName(nowClosed).unionByName(newOpen)
+    val staging = new Path(root.getParent, s"${root.getName}-snapshot-staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    result.write.parquet(staging.toString)
+    spark.read.schema(snap.schema).parquet(staging.toString)
+      .write.mode("overwrite").parquet(path)
+    fs.delete(staging, true) // success only — same contract as writeMerge
+  }
+
   /** Targeted erasure (the GDPR right-to-be-forgotten job every
     * long-lived table needs): delete all rows whose `keyCol` appears in
     * `keys`, rewriting ONLY partitions that contain at least one hit —
