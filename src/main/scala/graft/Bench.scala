@@ -12,11 +12,23 @@ import org.apache.spark.sql.SparkSession
   * that artifact from a genuine regression, so each query is timed once and
   * then adaptively re-timed (up to 2 extra runs) whenever its first timing
   * exceeds 3x the trailing median of recent queries; the recorded value is
-  * the MIN across runs (the run least affected by host noise). Rows whose
-  * rerun improved by >3x are listed in `starved_queries` and flip the
-  * top-level `starved` flag, and /proc/stat steal time is sampled across
-  * the run, so a poisoned record is machine-detectable instead of needing
-  * prose disclaimers in BASELINE.md.
+  * the MIN across runs (the run least affected by host noise).
+  *
+  * Starvation WAVES last minutes, so an immediate rerun often lands inside
+  * the same wave and confirms the inflated number (round 7 recorded 20-50x
+  * inflated minima this way). Two countermeasures (VERDICT r7 #2):
+  * (1) suspicious rows — immediate-rerun spread >3x, still above the
+  * trailing threshold after immediate reruns, or >3x their value in the
+  * previous round's BENCH_r*.json record — are queued and re-timed once
+  * more at the END of the whole bench, ~minutes later and so in a
+  * different host-noise regime; (2) after the full one-line JSON record, a
+  * SECOND compact summary line is printed (total, counts, starved, steal)
+  * so the driver's front-truncated tail capture always contains a complete
+  * parseable headline even when the 170+-query detail line is cut. Rows
+  * whose rerun improved by >3x are listed in `starved_queries` and flip
+  * the top-level `starved` flag, and /proc/stat steal time is sampled
+  * across the run, so a poisoned record is machine-detectable instead of
+  * needing prose disclaimers in BASELINE.md.
   */
 object Bench {
   /** Fraction of CPU time stolen by the hypervisor between two samples of
@@ -33,6 +45,34 @@ object Bench {
         }
       } finally src.close()
     } catch { case _: Throwable => None }
+
+  /** Per-query timings from the newest `BENCH_r*.json` driver record in
+    * `dir`, extracted by regex over the record's raw text. The driver's
+    * `parsed` field has historically been null (tail truncation), so the
+    * only machine-readable prior is the `"name":seconds` pairs inside the
+    * captured tail; pairs are filtered to known query names and the MIN is
+    * kept when a name appears twice (detail line + rerun arrays never
+    * collide with the scalar-pair regex). Empty map when no record exists.
+    */
+  private[graft] def priorTimings(dir: String, known: Set[String]): Map[String, Double] =
+    try {
+      val rx = """BENCH_r(\d+)\.json""".r
+      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f))
+          case _ => None
+        })
+      if (files.isEmpty) Map.empty
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(files.maxBy(_._1)._2.toPath), "UTF-8")
+        val pair = """\\?"([A-Za-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r
+        pair.findAllMatchIn(txt)
+          .map(m => (m.group(1), m.group(2).toDouble))
+          .filter { case (k, _) => known.contains(k) }
+          .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,24 +122,27 @@ object Bench {
         Some(s(s.length / 2))
       }
 
-    var timings = Vector.empty[(String, Double)]          // per-query min
-    var reruns = Vector.empty[(String, Vector[Double])]   // all runs, rerun rows only
-    var starvedQ = Vector.empty[String]
+    val prior = priorTimings(".", SparkEntry.queries.keySet)
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double] // per-query min
+    val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    var flagged = Vector.empty[String] // queued for the end-of-run pass
     var errors = Vector.empty[(String, String)]
     val maxExtraRuns = 2
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      def timeOnce(): Either[String, Double] = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      timeOnce() match {
+    }
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      timeOnce(fn) match {
         case Left(err) => errors :+= name -> err
         case Right(t1) =>
           // Suspicious = >3x the trailing median (or >5 s before a median
@@ -108,19 +151,52 @@ object Bench {
           val threshold = trailingMedian.map(m => math.max(3.0 * m, 2.0)).getOrElse(5.0)
           var runs = Vector(t1)
           while (runs.length <= maxExtraRuns && runs.min > threshold)
-            timeOnce() match {
+            timeOnce(fn) match {
               case Right(t) => runs :+= t
               case Left(_)  => runs :+= runs.min // re-run failed: keep existing evidence
             }
           val best = runs.min
-          timings :+= name -> best
-          if (runs.length > 1) reruns :+= name -> runs
-          if (runs.length > 1 && runs.max / math.max(best, 1e-9) > 3.0)
-            starvedQ :+= name
+          timings(name) = best
+          if (runs.length > 1) allRuns(name) = runs
+          // Queue for the end-of-run pass when the immediate evidence is
+          // still suspect: big spread across immediate runs (a wave was
+          // active), still above the trailing threshold after exhausting
+          // immediate reruns, or >3x the previous round's recorded value
+          // (the cross-round regression tripwire VERDICT r7 asked for).
+          val spread = runs.length > 1 && runs.max / math.max(best, 1e-9) > 3.0
+          val stillHigh = best > threshold
+          val vsPrior = prior.get(name).exists(p => best > 3.0 * p && best > 1.0)
+          if (spread || stillHigh || vsPrior) flagged :+= name
           trailing.enqueue(best)
           if (trailing.size > trailingWindow) trailing.dequeue()
       }
     }
+
+    // End-of-run rerun pass: by now we are minutes past each flagged row's
+    // first measurement, so a starvation wave that poisoned BOTH the first
+    // timing and its immediate reruns has usually passed. Two more runs per
+    // flagged row; the recorded value stays the min over ALL runs.
+    flagged.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      var extra = Vector.empty[Double]
+      var i = 0
+      while (i < 2 && (extra.isEmpty || extra.min > timings(name) / 3.0)) {
+        timeOnce(fn) match {
+          case Right(t) => extra :+= t
+          case Left(_)  => ()
+        }
+        i += 1
+      }
+      if (extra.nonEmpty) {
+        allRuns(name) = allRuns.getOrElse(name, Vector(timings(name))) ++ extra
+        timings(name) = math.min(timings(name), extra.min)
+      }
+    }
+    // Starved = the min over all runs (incl. the end-of-run pass) is >3x
+    // better than some run — direct evidence a wave inflated a timing.
+    val starvedQ = allRuns.collect {
+      case (name, runs) if runs.max / math.max(runs.min, 1e-9) > 3.0 => name
+    }.toVector
 
     val endStat = readProcStat()
     val stealPct = (startStat, endStat) match {
@@ -136,13 +212,19 @@ object Bench {
       } + "\""
     val qs = timings.map { case (k, v) => jq(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
-    val rr = reruns.map { case (k, v) =>
+    val rr = allRuns.map { case (k, v) =>
       jq(k) + ":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val sq = starvedQ.map(jq).mkString("[", ",", "]")
     val starved = starvedQ.nonEmpty || stealPct > 5.0
-    val total = timings.map(_._2).sum
+    val total = timings.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"starved":$starved,"starved_queries":$sq,"steal_pct":${f"$stealPct%.2f"},"sf":"$sfDir"}""")
+    // Compact headline REPEATED as the final line: the driver keeps a
+    // bounded TAIL of stdout, and with 170+ queries the detail line above
+    // can lose its leading `"metric":"total"` to front-truncation (rounds
+    // 6-7 recorded parsed:null this way). The last line is small enough to
+    // always survive whole and parses standalone.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_errors":${errors.length},"starved":$starved,"steal_pct":${f"$stealPct%.2f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

