@@ -27,7 +27,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     headers are stripped (materialization is declared engine-side),
   *     `{{ var('x') }}` substitutes from a caller map at parse time —
   *     the `today` injection keeping runs reproducible where the
-  *     reference calls CURRENT_DATE().
+  *     reference calls CURRENT_DATE(). The ONE Jinja control construct
+  *     the reference actually uses IS supported: `{% set name = [...] %}`
+  *     string lists with `{{ name | join(sep) }}` interpolation — the
+  *     partition-list templating of the incremental model
+  *     (`atinternet_smarttag_streams_daily_v4.sql:1-12,75,101`).
   *   - Catalyst still optimizes ACROSS model boundaries: a View
   *     materialization registers the parsed plan as a temp view, so a
   *     downstream model's filter pushes through the upstream SQL text
@@ -46,10 +50,23 @@ object SqlModel {
     Pattern.compile("""\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""")
   private val sourcePat =
     Pattern.compile("""\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""")
+  // var('x') or var("x") — double quotes let a var call nest inside a
+  // single-quoted Jinja string item of a {% set %} list.
   private val varPat =
-    Pattern.compile("""\{\{\s*var\(\s*'([^']+)'\s*\)\s*\}\}""")
+    Pattern.compile("""\{\{\s*var\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""")
   private val configPat =
     Pattern.compile("""\{\{\s*config\([^}]*\)\s*\}\}""")
+  // {% set name = [ 'item', ... ] %} — the Jinja shape the reference's
+  // incremental model uses for its partition list
+  // (atinternet_smarttag_streams_daily_v4.sql:1-12); items are
+  // single-quoted strings (no embedded single quotes — var() calls inside
+  // items use double quotes, see varPat).
+  private val setListPat =
+    Pattern.compile("""\{%-?\s*set\s+(\w+)\s*=\s*\[(.*?)\]\s*-?%\}""", Pattern.DOTALL)
+  private val setItemPat = Pattern.compile("""'([^']*)'""")
+  // {{ name | join(',') }} — list interpolation (same file lines 75, 101).
+  private val joinPat =
+    Pattern.compile("""\{\{\s*(\w+)\s*\|\s*join\(\s*'([^']*)'\s*\)\s*\}\}""")
 
   private[engine] def viewName(ref: String): String =
     "graft_ref_" + ref.replaceAll("[^A-Za-z0-9_]", "_")
@@ -69,14 +86,47 @@ object SqlModel {
     hits.sortBy(_._1).map(_._2).distinct.toSeq
   }
 
-  /** Render the template: strip config headers, substitute vars, and
-    * rewrite every ref/source call site to its registered view name.
-    * Throws on an unbound `var` — silently leaving `{{ var('x') }}` in
-    * SQL text produces an unhelpful parser error downstream.
+  /** Parse and strip `{% set name = [...] %}` blocks; returns the list
+    * bindings and the text with the blocks removed. Items keep their raw
+    * content (which may itself contain `{{ var("x") }}` calls — those
+    * substitute AFTER join interpolation, so a var value containing
+    * single quotes, e.g. `DATE '2021-01-20'`, can never confuse the
+    * item parser).
+    */
+  private[graft] def extractSetLists(sqlText: String): (Map[String, Seq[String]], String) = {
+    val lists = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val m = setListPat.matcher(sqlText)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val items = scala.collection.mutable.ArrayBuffer.empty[String]
+      val im = setItemPat.matcher(m.group(2))
+      while (im.find()) items += im.group(1)
+      lists(m.group(1)) = items.toSeq
+      m.appendReplacement(sb, "")
+    }
+    m.appendTail(sb)
+    (lists.toMap, sb.toString)
+  }
+
+  /** Render the template: strip `{% set %}` blocks and config headers,
+    * interpolate `{{ list | join(sep) }}` call sites, substitute vars,
+    * and rewrite every ref/source call site to its registered view name.
+    * Throws on an unbound `var` or an unknown list in a `join` — silently
+    * leaving template calls in SQL text produces an unhelpful parser
+    * error downstream.
     */
   private[engine] def render(sqlText: String, vars: Map[String, String]): String = {
-    val noConfig = configPat.matcher(sqlText).replaceAll("")
-    val vm = varPat.matcher(noConfig)
+    val (setLists, noSets) = extractSetLists(sqlText)
+    val noConfig = configPat.matcher(noSets).replaceAll("")
+    val jm = joinPat.matcher(noConfig)
+    val jb = new java.lang.StringBuilder
+    while (jm.find()) {
+      val items = setLists.getOrElse(jm.group(1), throw new IllegalArgumentException(
+        s"unknown list '${jm.group(1)}' in join filter (defined: ${setLists.keys.toSeq.sorted.mkString(", ")})"))
+      jm.appendReplacement(jb, Matcher.quoteReplacement(items.mkString(jm.group(2))))
+    }
+    jm.appendTail(jb)
+    val vm = varPat.matcher(jb.toString)
     val sb = new java.lang.StringBuilder
     while (vm.find()) {
       val v = vars.getOrElse(vm.group(1), throw new IllegalArgumentException(

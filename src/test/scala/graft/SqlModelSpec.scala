@@ -51,6 +51,37 @@ class SqlModelSpec extends SparkSpec {
     assert(e.getMessage.contains("missing") && e.getMessage.contains("today"))
   }
 
+  test("{% set %} list + | join interpolation renders like the reference's incremental model") {
+    import spark.implicits._
+    val m = SqlModel.fromSqlText("windowed",
+      """{% set days = [
+        |    'CAST({{ var("today") }} AS STRING)',
+        |    'CAST(date_sub({{ var("today") }}, 1) AS STRING)'
+        |] %}
+        |{{ config(materialized='incremental') }}
+        |SELECT d FROM {{ ref('base') }}
+        |WHERE d IN ({{ days | join(',') }})""".stripMargin,
+      vars = Map("today" -> "DATE '2021-01-20'"))
+    val base = Seq("2021-01-18", "2021-01-19", "2021-01-20").toDF("d")
+    val out = m.build(spark, Map("base" -> base))
+    assert(out.as[String].collect().sorted === Array("2021-01-19", "2021-01-20"))
+  }
+
+  test("a join over an undefined list fails at parse time with the defined names listed") {
+    val e = intercept[IllegalArgumentException] {
+      SqlModel.fromSqlText("m",
+        "{% set known = ['a'] %}\nSELECT {{ missing | join(',') }}")
+    }
+    assert(e.getMessage.contains("missing") && e.getMessage.contains("known"))
+  }
+
+  test("extractSetLists strips the block and keeps raw items (var calls intact)") {
+    val (lists, rest) = SqlModel.extractSetLists(
+      "{% set xs = [ 'a', '{{ var(\"t\") }}' ] %}\nSELECT 1")
+    assert(lists === Map("xs" -> Seq("a", "{{ var(\"t\") }}")))
+    assert(rest.trim === "SELECT 1")
+  }
+
   test("SQL-text models participate in DagRunner cycle detection") {
     val a = SqlModel.fromSqlText("a", "SELECT * FROM {{ ref('b') }}")
     val b = SqlModel.fromSqlText("b", "SELECT * FROM {{ ref('a') }}")
@@ -89,14 +120,9 @@ class SqlModelSpec extends SparkSpec {
     }
   }
 
-  test("all six reporting models from SQL text are frame-identical to the compiled builders") {
-    SqlReporting.names.foreach { n =>
+  test("all ten SQL-text models are frame-identical to the compiled builders (full SQL DAG)") {
+    SqlReporting.allNames.foreach { n =>
       assertFrameEqual(n, sqlBuilt(n), scalaBuilt(n))
     }
-  }
-
-  test("the dashboard built on SQL-text inputs equals the dashboard built on compiled inputs") {
-    val n = "integral_reporting_dashboard_channel_weekly"
-    assertFrameEqual(n, sqlBuilt(n), scalaBuilt(n))
   }
 }
