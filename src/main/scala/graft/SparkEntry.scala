@@ -17,7 +17,8 @@ object SparkEntry {
       TimeSeriesOps.all ++ ExtensionOps.all ++
       graft.sources.SourceFormats.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all ++ PrivacyOps.all ++
-      CorpusOps.all ++ DagQueries.all ++ graft.engine.DataTests.all
+      CorpusOps.all ++ DagQueries.all ++ graft.engine.DataTests.all ++
+      graft.engine.SnapshotQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

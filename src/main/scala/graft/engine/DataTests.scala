@@ -40,16 +40,29 @@ object DataTests {
   /** One summary row per check: (test, model, column, n_violations).
     * `resolve` maps a model name to its DataFrame (a `Tables.load`
     * closure in the oracle row; `DagRunner` output readers in a real
-    * project).
+    * project). An empty check list yields an empty summary (zero rows,
+    * same schema) — not a crash — so a build gate can be wired up
+    * before any tests are declared.
     */
   def run(resolve: String => DataFrame, checks: Seq[Check]): DataFrame = {
     def row(test: String, model: String, column: String, n: Column, df: DataFrame): DataFrame =
       df.agg(coalesce(n, lit(0L)).as("n_violations"))
         .select(lit(test).as("test"), lit(model).as("model"),
           lit(column).as("column"), col("n_violations"))
+    if (checks.isEmpty) {
+      val s = SparkSession.active
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "test STRING, model STRING, column STRING, n_violations BIGINT"))
+    }
     val frames = checks.map {
       case Unique(m, cols) =>
-        val dupKeys = resolve(m).groupBy(cols.map(col): _*)
+        // dbt's generated unique-test SQL filters `where col is not null`
+        // before grouping: NULL key values are never uniqueness
+        // violations (they get their own not_null test if required).
+        val dupKeys = resolve(m)
+          .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(cols.map(col): _*)
           .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
         row("unique", m, cols.mkString(","), count(lit(1)), dupKeys)
       case NotNull(m, c) =>
@@ -85,10 +98,12 @@ object DataTests {
     Some("""SELECT * FROM (
            |  SELECT 'unique' AS test, 'orders' AS model, 'o_orderkey' AS "column",
            |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+           |      WHERE o_orderkey IS NOT NULL
            |      GROUP BY 1 HAVING count(*) > 1)) AS n_violations
            |  UNION ALL
            |  SELECT 'unique', 'events', 'user_id',
            |    (SELECT count(*) FROM (SELECT user_id FROM events
+           |      WHERE user_id IS NOT NULL
            |      GROUP BY 1 HAVING count(*) > 1))
            |  UNION ALL
            |  SELECT 'not_null', 'lineitem', 'l_orderkey',

@@ -302,8 +302,8 @@ object DagRunner {
     * never a column-wise compare shuffle); closed history is read and
     * rewritten untouched here for simplicity, and the documented
     * production layout partitions by an `is_open` flag so only the
-    * open slice rewrites (the staging discipline below already matches
-    * `writeMerge`).
+    * open slice rewrites. Publishing is staging + rename-swap
+    * ([[publishSwap]]): a crash can no longer lose the live table.
     */
   def writeSnapshot(spark: SparkSession, current: DataFrame, path: String,
                     uniqueKey: String, checkCols: Seq[String], asOf: String): Unit = {
@@ -316,10 +316,12 @@ object DagRunner {
       .withColumn("dbt_valid_from", lit(asOf))
       .withColumn("dbt_valid_to", lit(null).cast("string"))
     if (!fs.exists(root)) {
+      assertSnapshotKeyUnique(current, uniqueKey)
       stamped.write.parquet(path)
       return
     }
     val snap = spark.read.parquet(path)
+    assertSnapshotInputs(current, snap, uniqueKey)
     val closed = snap.filter(col("dbt_valid_to").isNotNull)
     val open = snap.filter(col("dbt_valid_to").isNull)
     val curKeyed = current.select(col(uniqueKey).as("__k"), checkHash(current).as("__ch"))
@@ -339,12 +341,115 @@ object DagRunner {
       .join(openKeysUnchanged, stamped(uniqueKey) === col("__k"), "left_anti")
       .select(snap.columns.map(col): _*)
     val result = closed.unionByName(stillOpen).unionByName(nowClosed).unionByName(newOpen)
-    val staging = new Path(root.getParent, s"${root.getName}-snapshot-staging")
+    publishSwap(spark, result, root, fs)
+  }
+
+  /** dbt SNAPSHOT with the `timestamp` strategy: a key's row version
+    * closes when the source's `updatedAt` is STRICTLY newer than the
+    * open version's — content is never compared (dbt's semantics: the
+    * updated_at column is the change signal). `dbt_valid_from` is the
+    * row's own `updatedAt` (not the run time, unlike the check
+    * strategy's `asOf`), and a closed version's `dbt_valid_to` is the
+    * superseding row's `updatedAt` — so the validity intervals tile the
+    * source's OWN timeline and a replay is idempotent. Out-of-order
+    * arrivals (source `updatedAt` equal or older than the open
+    * version's, or NULL) are no-ops, as in dbt. Shares the first-run
+    * stamping shape, the precondition checks and the staging +
+    * rename-swap publish with [[writeSnapshot]].
+    */
+  def writeSnapshotTimestamp(spark: SparkSession, current: DataFrame, path: String,
+                             uniqueKey: String, updatedAt: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamped = current
+      .withColumn("dbt_valid_from", col(updatedAt).cast("string"))
+      .withColumn("dbt_valid_to", lit(null).cast("string"))
+    if (!fs.exists(root)) {
+      assertSnapshotKeyUnique(current, uniqueKey)
+      stamped.write.parquet(path)
+      return
+    }
+    val snap = spark.read.parquet(path)
+    assertSnapshotInputs(current, snap, uniqueKey)
+    val closed = snap.filter(col("dbt_valid_to").isNotNull)
+    val open = snap.filter(col("dbt_valid_to").isNull)
+    val curKeyed = current.select(col(uniqueKey).as("__k"), col(updatedAt).as("__cu"))
+    val openJ = open.join(curKeyed, open(uniqueKey) === col("__k"), "left")
+    // NULL-safe: a NULL source updated_at compares to nothing → not newer.
+    val isNewer = coalesce(col("__cu") > open(updatedAt), lit(false))
+    val stillOpen = openJ
+      .filter(col("__k").isNull || !isNewer)
+      .select(snap.columns.map(col): _*)
+    val nowClosed = openJ
+      .filter(col("__k").isNotNull && isNewer)
+      .withColumn("dbt_valid_to", col("__cu").cast("string"))
+      .select(snap.columns.map(col): _*)
+    val openKeysNotSuperseded = openJ
+      .filter(col("__k").isNotNull && !isNewer)
+      .select(col("__k"))
+    val newOpen = stamped
+      .join(openKeysNotSuperseded, stamped(uniqueKey) === col("__k"), "left_anti")
+      .select(snap.columns.map(col): _*)
+    val result = closed.unionByName(stillOpen).unionByName(nowClosed).unionByName(newOpen)
+    publishSwap(spark, result, root, fs)
+  }
+
+  /** Snapshot preconditions (both strategies): the source must carry at
+    * most one row per `uniqueKey` (duplicate keys would fan out the
+    * open-row join and silently multiply snapshot rows — dbt surfaces
+    * this as an error), and the source schema must equal the snapshot's
+    * minus the dbt columns (a silently dropped or new column is schema
+    * drift the user must migrate deliberately).
+    */
+  private def assertSnapshotKeyUnique(current: DataFrame, uniqueKey: String): Unit = {
+    // Bounded probe: at most one row comes back to the driver.
+    val dup = current.groupBy(col(uniqueKey)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"snapshot unique_key '$uniqueKey' is not unique in the source " +
+        s"(e.g. value ${dup.headOption.map(_.get(0)).orNull} occurs ${dup.headOption.map(_.get(1)).orNull} times)")
+  }
+
+  private def assertSnapshotInputs(current: DataFrame, snap: DataFrame,
+                                   uniqueKey: String): Unit = {
+    val dbtCols = Set("dbt_valid_from", "dbt_valid_to")
+    val snapData = snap.columns.toSet -- dbtCols
+    val extra = current.columns.toSet -- snapData
+    val missing = snapData -- current.columns.toSet
+    require(extra.isEmpty && missing.isEmpty,
+      s"snapshot schema drift: source adds ${extra.toSeq.sorted.mkString(",")} " +
+        s"/ drops ${missing.toSeq.sorted.mkString(",")} vs the existing snapshot " +
+        "— migrate the snapshot table explicitly instead of silently dropping columns")
+    assertSnapshotKeyUnique(current, uniqueKey)
+  }
+
+  /** Atomic-ish publish for whole-table rewrites: write the new content
+    * to a staging dir, then COMMIT BY RENAME — live → `-prev`, staging →
+    * live, delete `-prev` — instead of the old read-staging-then-
+    * overwrite, whose delete+rewrite window could lose the live table
+    * to a crash mid-overwrite. A crash anywhere before the first rename
+    * leaves the live table untouched; between the renames the complete
+    * new table sits in staging and the complete old table in `-prev`
+    * (nothing is ever deleted before its replacement is fully written),
+    * and the next run's stale-staging cleanup recovers. On HDFS a
+    * rename is atomic in the namenode; on object stores substitute a
+    * pointer-file/manifest commit (Iceberg/Delta's approach).
+    */
+  private def publishSwap(spark: SparkSession, result: DataFrame,
+                          root: org.apache.hadoop.fs.Path,
+                          fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(root.getParent, s"${root.getName}-snapshot-staging")
+    val prev = new org.apache.hadoop.fs.Path(root.getParent, s"${root.getName}-prev")
     if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(prev)) fs.delete(prev, true)
     result.write.parquet(staging.toString)
-    spark.read.schema(snap.schema).parquet(staging.toString)
-      .write.mode("overwrite").parquet(path)
-    fs.delete(staging, true) // success only — same contract as writeMerge
+    require(fs.rename(root, prev), s"publish: rename $root -> $prev failed")
+    if (!fs.rename(staging, root)) {
+      fs.rename(prev, root) // roll back to the old table
+      throw new IllegalStateException(s"publish: rename $staging -> $root failed; rolled back")
+    }
+    fs.delete(prev, true)
   }
 
   /** Targeted erasure (the GDPR right-to-be-forgotten job every

@@ -70,4 +70,20 @@ class DataTestsSpec extends SparkSpec {
       .map(r => r.getAs[String]("test") -> r.getAs[Long]("n_violations")).toMap
     assert(m("unique") === 1L && m("not_null") === 0L)
   }
+
+  test("unique excludes NULL keys, mirroring dbt's generated test SQL") {
+    import spark.implicits._
+    // two NULLs + a real duplicate: dbt's unique test filters
+    // `where col is not null` before grouping, so only the real
+    // duplicate counts (NULLs belong to a not_null test).
+    val df = Seq(Option(1), None, None, Option(2), Option(2)).toDF("k")
+    val out = DataTests.run(_ => df, Seq(Unique("m", Seq("k")))).collect()
+    assert(out.head.getAs[Long]("n_violations") === 1L)
+  }
+
+  test("an empty check list yields an empty summary, not a crash") {
+    val out = DataTests.run(n => sys.error(s"no $n"), Seq.empty)
+    assert(out.columns.toSeq === Seq("test", "model", "column", "n_violations"))
+    assert(out.count() === 0L)
+  }
 }

@@ -4,10 +4,14 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.DagRunner
 
-/** dbt snapshot (SCD2 capture, check strategy) semantics:
-  * first-run open rows, change detection closing + versioning, new-key
-  * insert, unchanged and hard-deleted keys left open, idempotent
-  * re-runs, and NULL-vs-empty check-column disambiguation.
+/** dbt snapshot (SCD2 capture) semantics for BOTH standard strategies:
+  * check (first-run open rows, change detection closing + versioning,
+  * new-key insert, unchanged and hard-deleted keys left open, idempotent
+  * re-runs, NULL-vs-empty disambiguation) and timestamp (strictly-newer
+  * updated_at closes, out-of-order/equal arrivals are no-ops, validity
+  * stamps come from the source's own timeline). Plus the shared
+  * preconditions (duplicate-key and schema-drift rejection) and the
+  * rename-swap publish crash contract.
   */
 class SnapshotSpec extends SparkSpec {
 
@@ -59,5 +63,99 @@ class SnapshotSpec extends SparkSpec {
     val s = spark.read.parquet(path)
     assert(s.count() === 2, "NULL -> '' must register as a change")
     assert(s.filter(col("dbt_valid_to").isNull).count() === 1)
+  }
+
+  test("timestamp strategy: strictly-newer closes; equal and out-of-order are no-ops") {
+    import spark.implicits._
+    val path = tmp()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val day1 = Seq((1L, "alice", ts("2024-01-01 10:00:00")),
+      (2L, "bob", ts("2024-01-01 11:00:00"))).toDF("id", "name", "updated_at")
+    DagRunner.writeSnapshotTimestamp(spark, day1, path, "id", "updated_at")
+    val s1 = spark.read.parquet(path)
+    assert(s1.count() === 2 && s1.filter(col("dbt_valid_to").isNull).count() === 2)
+    assert(s1.filter(col("id") === 1).head().getAs[String]("dbt_valid_from")
+      === "2024-01-01 10:00:00", "valid_from is the row's own updated_at, not run time")
+
+    // day 2: alice newer (closes v1), bob EQUAL updated_at but different
+    // content (timestamp strategy ignores content -> no-op), carol new.
+    val day2 = Seq((1L, "alice2", ts("2024-01-02 09:00:00")),
+      (2L, "bob-renamed", ts("2024-01-01 11:00:00")),
+      (3L, "carol", ts("2024-01-02 08:00:00"))).toDF("id", "name", "updated_at")
+    DagRunner.writeSnapshotTimestamp(spark, day2, path, "id", "updated_at")
+    val s2 = spark.read.parquet(path)
+    assert(s2.count() === 4) // alice v1+v2, bob v1, carol
+    val alice = s2.filter(col("id") === 1).orderBy("dbt_valid_from").collect()
+    assert(alice(0).getAs[String]("dbt_valid_to") === "2024-01-02 09:00:00",
+      "closed version's valid_to is the superseding row's updated_at")
+    assert(alice(1).getAs[String]("dbt_valid_to") == null)
+    assert(s2.filter(col("id") === 2).count() === 1, "equal updated_at is a no-op")
+    assert(s2.filter(col("id") === 2).head().getAs[String]("name") === "bob",
+      "the open version keeps its original content on a no-op")
+
+    // day 3: alice arrives OUT OF ORDER (older than her open version).
+    val day3 = Seq((1L, "alice-stale", ts("2024-01-01 23:00:00"))).toDF("id", "name", "updated_at")
+    DagRunner.writeSnapshotTimestamp(spark, day3, path, "id", "updated_at")
+    val s3 = spark.read.parquet(path)
+    assert(s3.filter(col("id") === 1).count() === 2, "out-of-order updated_at is a no-op")
+
+    // replay idempotency: same batch twice -> identical state
+    val before = s3.collect().map(_.toString).sorted.toSeq
+    DagRunner.writeSnapshotTimestamp(spark, day2, path, "id", "updated_at")
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+  }
+
+  test("duplicate unique_key in the source is rejected, not silently fanned out") {
+    import spark.implicits._
+    val path = tmp()
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      DagRunner.writeSnapshot(spark, dup, path, "id", Seq("name"), "2024-01-01")
+    }
+    assert(e.getMessage.contains("unique_key"))
+    // second run path checks too
+    DagRunner.writeSnapshot(spark, Seq((1L, "a")).toDF("id", "name"),
+      path, "id", Seq("name"), "2024-01-01")
+    intercept[IllegalArgumentException] {
+      DagRunner.writeSnapshot(spark, dup, path, "id", Seq("name"), "2024-01-02")
+    }
+  }
+
+  test("schema drift between source and snapshot fails loudly") {
+    import spark.implicits._
+    val path = tmp()
+    DagRunner.writeSnapshot(spark, Seq((1L, "a")).toDF("id", "name"),
+      path, "id", Seq("name"), "2024-01-01")
+    val drifted = Seq((1L, "a", "x")).toDF("id", "name", "extra")
+    val e = intercept[IllegalArgumentException] {
+      DagRunner.writeSnapshot(spark, drifted, path, "id", Seq("name"), "2024-01-02")
+    }
+    assert(e.getMessage.contains("schema drift") && e.getMessage.contains("extra"))
+  }
+
+  test("a crash before the publish renames leaves the old table readable (rename-swap)") {
+    import spark.implicits._
+    val path = tmp()
+    DagRunner.writeSnapshot(spark, Seq((1L, "a")).toDF("id", "name"),
+      path, "id", Seq("name"), "2024-01-01")
+    val before = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    // Simulate the crash window: the new content is fully staged but the
+    // process dies before any rename touches the live dir. The live
+    // table must still read exactly as before, and a later successful
+    // run must clear the stale staging.
+    val staging = new java.io.File(path + "-snapshot-staging")
+    Seq((1L, "b")).toDF("id", "name")
+      .withColumn("dbt_valid_from", org.apache.spark.sql.functions.lit("2024-01-02"))
+      .withColumn("dbt_valid_to", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .write.parquet(staging.getAbsolutePath)
+    assert(spark.read.parquet(path).collect().map(_.toString).sorted.toSeq === before,
+      "staging a new version must not touch the live table")
+    DagRunner.writeSnapshot(spark, Seq((1L, "b")).toDF("id", "name"),
+      path, "id", Seq("name"), "2024-01-02")
+    val s = spark.read.parquet(path)
+    assert(s.count() === 2, "the interrupted change lands on the NEXT successful run")
+    assert(!staging.exists() && !new java.io.File(path + "-prev").exists(),
+      "publish cleans both the staging and the prev backup dir")
   }
 }
