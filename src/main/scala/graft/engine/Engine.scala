@@ -247,8 +247,17 @@ object DagRunner {
     * partition-filtered).
     */
   def writeMerge(spark: SparkSession, updates: DataFrame, path: String,
-                 uniqueKey: String, partitionCol: String): Unit = {
+                 uniqueKey: String, partitionCol: String): Unit =
+    writeMerge(spark, updates, path, Seq(uniqueKey), partitionCol)
+
+  /** Composite-key form of [[writeMerge]]: a row matches when ALL
+    * `uniqueKeys` columns are equal (e.g. a postings table keyed by
+    * (word, doc_id)). Same staging, NULL-partition and failure contract.
+    */
+  def writeMerge(spark: SparkSession, updates: DataFrame, path: String,
+                 uniqueKeys: Seq[String], partitionCol: String): Unit = {
     import org.apache.hadoop.fs.Path
+    require(uniqueKeys.nonEmpty, "writeMerge needs at least one key column")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) {
@@ -268,7 +277,7 @@ object DagRunner {
       // broadcast it), but a backfill-sized update must stay a shuffled
       // anti join rather than OOM the driver.
       val survivors = old.join(
-        updates.select(col(uniqueKey)).distinct(), Seq(uniqueKey), "left_anti")
+        updates.select(uniqueKeys.map(col): _*).distinct(), uniqueKeys, "left_anti")
       // NOT dot/underscore-prefixed: Spark's file index treats those as
       // hidden and would read the staging dir back as empty.
       val staging = new Path(root.getParent, s"${root.getName}-merge-staging")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dialect.Dialect._
+import graft.engine.DagRunner
 import graft.functions.GraftFunctions
 import graft.operators.QueryDef
 import graft.sources.Tables
@@ -717,91 +718,206 @@ object CorpusOps {
   /** Persisted BM25 postings index — the "standing deployment" form
     * `llm_bm25_topk`'s scaladoc promises (a production corpus is
     * indexed once and queried many times; re-tokenizing 100 TB per
-    * query set is the index-free fallback). Layout mirrors `IvfIndex`:
-    * marker-guarded, source-fingerprinted root, stale siblings pruned.
+    * query set is the index-free fallback). Layout is marker-guarded,
+    * source-fingerprinted, stale siblings pruned (mirrors `IvfIndex`),
+    * and — unlike the v1 layout — MAINTAINABLE by delta batch
+    * (VERDICT r7 #5), which forces `dfreq` OUT of the posting rows:
+    * adding one document changes the document frequency of every word
+    * it contains, so a denormalized dfreq would dirty postings of
+    * UNRELATED documents across arbitrary partitions. Normalized:
     *
-    *  - `postings/`: (word, doc_id, tf, dfreq, dl) DENORMALIZED —
-    *    Lucene keeps df in the term dictionary and lengths in norms;
-    *    relationally, carrying both on the posting row trades ~2 longs
-    *    of storage for a join-free query path. PARTITIONED by `wb`
-    *    (first 2 md5 hex chars of the word, 256 buckets) and
-    *    repartitioned to one file per bucket, so a query-term probe
-    *    dynamic-partition-prunes to ≤ |query vocab| buckets.
+    *  - `postings/`: (doc_id, word, tf, dl) PARTITIONED by `wb` (first
+    *    2 md5 hex chars of the word, 256 buckets), one file per bucket
+    *    — a query-term probe dynamic-partition-prunes to ≤ |query
+    *    vocab| buckets; `dl` stays on the row (a document's own length
+    *    never changes once indexed).
+    *  - `df/`: (word, dfreq) partitioned by the same `wb`.
+    *  - `doclens/`: (doc_id, dl) partitioned by `db` (md5 bucket of the
+    *    doc id) — the already-indexed set, making [[addDocuments]]
+    *    replay-idempotent (re-sent docs are filtered out before any
+    *    write, exactly the lake-probe shape of `llm_incremental_dedup`).
     *  - `stats/`: the 1-row (n_docs, total_len) pair.
     */
-  private object Bm25Index {
+  private[graft] object Bm25Index {
     private val memo = scala.collection.mutable.Set.empty[String]
-    def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
+
+    private def tokenize(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), explode(splitLit(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    private def wbOf = expr("substring(md5(word), 1, 2)")
+    private def dbOf = expr("substring(md5(cast(doc_id as string)), 1, 2)")
+
+    /** Full build of the v2 layout from a document set. */
+    def buildInto(s: SparkSession, docs: DataFrame, root: String): Unit = {
+      val dw = tokenize(docs)
+      val dlen = dw.groupBy("doc_id").agg(sum("tf").as("dl"))
+      dw.join(dlen, "doc_id")
+        .select(col("doc_id"), col("word"), col("tf"), col("dl"))
+        .withColumn("wb", wbOf)
+        .repartition(col("wb"))
+        .write.mode("overwrite").partitionBy("wb").parquet(s"$root/postings")
+      dw.groupBy("word").agg(count(lit(1)).as("dfreq"))
+        .withColumn("wb", wbOf)
+        .repartition(col("wb"))
+        .write.mode("overwrite").partitionBy("wb").parquet(s"$root/df")
+      dlen.withColumn("db", dbOf)
+        .repartition(col("db"))
+        .write.mode("overwrite").partitionBy("db").parquet(s"$root/doclens")
+      writeStats(s, root)
+    }
+
+    /** Incremental maintenance: index a new-docs batch WITHOUT touching
+      * the rest of the index. Only the batch is tokenized; postings and
+      * doclens upsert via the engine's composite-key `writeMerge` (so
+      * only the batch's `wb`/`db` partitions rewrite); `df` is then
+      * RE-DERIVED for the touched buckets from the merged postings —
+      * not incremented — so every step is idempotent and a crashed run
+      * replays safely in any prefix. Already-indexed doc_ids (per
+      * `doclens`) are filtered out first, which also makes a full-batch
+      * replay a no-op.
+      */
+    def addDocuments(s: SparkSession, newDocs: DataFrame, root: String): Unit = {
+      val known = s.read.parquet(s"$root/doclens").select("doc_id")
+      val fresh = newDocs.join(known, Seq("doc_id"), "left_anti")
+      val dw = tokenize(fresh).persist()
+      try {
+        val dlen = dw.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val newPostings = dw.join(dlen, "doc_id")
+          .select(col("doc_id"), col("word"), col("tf"), col("dl"))
+          .withColumn("wb", wbOf)
+        if (newPostings.isEmpty) return
+        DagRunner.writeMerge(s, newPostings, s"$root/postings",
+          Seq("doc_id", "word"), "wb")
+        // Touched buckets only: recompute dfreq from the POST-MERGE
+        // postings state (idempotent, unlike += which double-counts on
+        // replay); the scan below partition-prunes to those buckets.
+        val touched = dw.select(wbOf.as("wb")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val dfUpdates = s.read.parquet(s"$root/postings")
+          .filter(col("wb").isin(touched: _*))
+          .groupBy("word").agg(count(lit(1)).as("dfreq"))
+          .withColumn("wb", wbOf)
+        DagRunner.writeMerge(s, dfUpdates, s"$root/df", Seq("word"), "wb")
+        DagRunner.writeMerge(s, dlen.withColumn("db", dbOf), s"$root/doclens",
+          Seq("doc_id"), "db")
+        writeStats(s, root)
+      } finally dw.unpersist()
+    }
+
+    /** stats re-derived from doclens (docs-sized, 2 columns) — cheap and
+      * idempotent; written last so a crash mid-add leaves stats
+      * consistent with the previous complete state until the replay.
+      */
+    private def writeStats(s: SparkSession, root: String): Unit = {
+      val st = s.read.parquet(s"$root/doclens")
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+      val staged = s"$root/stats-staging"
+      st.coalesce(1).write.mode("overwrite").parquet(staged)
+      s.read.parquet(staged).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/stats")
+    }
+
+    /** The corpus index (docs with doc_id >= 10), built once per source
+      * fingerprint.
+      */
+    def ensure(s: SparkSession, dir: String): String =
+      ensureRoot(s, dir, "spark.graft.bm25Root", "/root/repo/fixtures/bm25") { root =>
+        buildInto(s, Tables.load(s, dir, "documents").filter(col("doc_id") >= 10), root)
+      }
+
+    /** The same index built INCREMENTALLY: the oldest 90% of doc ids as
+      * the base build, the newest 10% applied as a delta batch — the
+      * daily-lake-growth shape. `llm_bm25_incremental`'s oracle proves
+      * the result indistinguishable from the full build (and from
+      * index-free BM25, which shares the oracle).
+      */
+    def ensureIncremental(s: SparkSession, dir: String): String =
+      ensureRoot(s, dir, "spark.graft.bm25IncRoot", "/root/repo/fixtures/bm25inc") { root =>
+        val docs = Tables.load(s, dir, "documents").filter(col("doc_id") >= 10)
+        val cut = docs.agg(expr("10 + ((max(doc_id) - 10) * 9) div 10").as("c"))
+          .head().getLong(0)
+        buildInto(s, docs.filter(col("doc_id") < cut), root)
+        addDocuments(s, docs.filter(col("doc_id") >= cut), root)
+      }
+
+    private def ensureRoot(s: SparkSession, dir: String, conf: String,
+                           defaultBase: String)(build: String => Unit): String = synchronized {
       val hconf = s.sparkContext.hadoopConfiguration
       val srcPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
       val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
       val fp = s"${st.getLen}_${st.getModificationTime}"
-      val base = s.conf.get("spark.graft.bm25Root", "/root/repo/fixtures/bm25")
+      val base = s.conf.get(conf, defaultBase)
       val prefix = s"${srcPath.getParent.getName}_"
       val root = s"$base/$prefix$fp"
-      val markerName = "_GRAFT_BM25_v1"
+      val markerName = "_GRAFT_BM25_v2"
       graft.sources.Artifacts.pruneStaleSiblings(s, base, prefix, s"$prefix$fp")
       if (!memo(s"$root/$markerName"))
-        graft.sources.Artifacts.ensureOnce(s, root, markerName) {
-          val dw = Tables.load(s, dir, "documents")
-            .filter(col("doc_id") >= 10)
-            .select(col("doc_id"), explode(splitLit(col("text"), " ")).as("word"))
-            .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-          val dlen = dw.groupBy("doc_id").agg(sum("tf").as("dl"))
-          val dfw = dw.groupBy("word").agg(count(lit(1)).as("dfreq"))
-          dw.join(dfw, "word").join(dlen, "doc_id")
-            .withColumn("wb", expr("substring(md5(word), 1, 2)"))
-            .repartition(col("wb"))
-            .write.mode("overwrite").partitionBy("wb").parquet(s"$root/postings")
-          dlen.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
-        }
+        graft.sources.Artifacts.ensureOnce(s, root, markerName)(build(root))
       memo += s"$root/$markerName"
-      (s"$root/postings", s"$root/stats")
+      root
     }
   }
 
-  /** BM25 over the persisted index: tokenize only the (tiny) query
-    * set, broadcast it against the postings, and let dynamic partition
-    * pruning restrict the scan to the query terms' `wb` buckets — the
-    * corpus is never re-tokenized and never fully read. Same scoring
-    * arithmetic and SAME oracle as `llm_bm25_topk`; equality of the
-    * two paths is additionally pinned in `PipelineOpsSpec`.
+  /** BM25 over a persisted v2 index root: tokenize only the (tiny)
+    * query set, broadcast it against the postings AND the df table so
+    * dynamic partition pruning restricts both scans to the query terms'
+    * `wb` buckets — the corpus is never re-tokenized and never fully
+    * read. Same scoring arithmetic and SAME oracle as `llm_bm25_topk`.
     */
+  private def scoreIndexed(s: SparkSession, dir: String, root: String): DataFrame = {
+    val qterms = t(s, dir, "documents").filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(splitLit(col("text"), " ")).as("qword"))
+      .distinct()
+      .withColumn("qwb", expr("substring(md5(qword), 1, 2)"))
+    val dfq = s.read.parquet(s"$root/df")
+      .join(broadcast(qterms.select(col("qwb").as("fwb"), col("qword").as("fword")).distinct()),
+        col("wb") === col("fwb") && col("word") === col("fword"))
+      .select(col("word").as("dword"), col("dfreq"))
+    s.read.parquet(s"$root/postings")
+      .join(broadcast(qterms),
+        col("wb") === col("qwb") && col("word") === col("qword"))
+      .join(broadcast(dfq), col("word") === col("dword"))
+      .crossJoin(broadcast(s.read.parquet(s"$root/stats")))
+      .withColumn("idf6", floor(log(lit(1.0) +
+        (col("n_docs").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
+          (col("dfreq").cast("double") + lit(0.5))) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("c6", floor(
+        (col("idf6").cast("double") / lit(1e6)) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl").cast("double") /
+              (col("total_len").cast("double") / col("n_docs").cast("double")))) *
+          lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum("c6").as("s6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("s6").desc, col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        roundTo(col("s6") / lit(1e6), 4).as("bm25"))
+      .orderBy("query_id", "rank")
+  }
+
   private val bm25Indexed = QueryDef(
     "llm_bm25_indexed",
-    (s, dir) => {
-      val (postPath, statsPath) = Bm25Index.ensure(s, dir)
-      val qterms = t(s, dir, "documents").filter(col("doc_id") < 10)
-        .select(col("doc_id").as("query_id"),
-          explode(splitLit(col("text"), " ")).as("qword"))
-        .distinct()
-        .withColumn("qwb", expr("substring(md5(qword), 1, 2)"))
-      s.read.parquet(postPath)
-        .join(broadcast(qterms),
-          col("wb") === col("qwb") && col("word") === col("qword"))
-        .crossJoin(broadcast(s.read.parquet(statsPath)))
-        .withColumn("idf6", floor(log(lit(1.0) +
-          (col("n_docs").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
-            (col("dfreq").cast("double") + lit(0.5))) * lit(1e6) + lit(0.5)).cast("long"))
-        .withColumn("c6", floor(
-          (col("idf6").cast("double") / lit(1e6)) *
-            (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-              lit(0.75) * col("dl").cast("double") /
-                (col("total_len").cast("double") / col("n_docs").cast("double")))) *
-            lit(1e6) + lit(0.5)).cast("long"))
-        .groupBy("query_id", "doc_id").agg(sum("c6").as("s6"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("s6").desc, col("doc_id"))))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("doc_id"),
-          roundTo(col("s6") / lit(1e6), 4).as("bm25"))
-        .orderBy("query_id", "rank")
-    },
+    (s, dir) => scoreIndexed(s, dir, Bm25Index.ensure(s, dir)),
+    bm25Topk.oracle)
+
+  /** The incremental-maintenance proof (VERDICT r7 #5): the index is
+    * built on the oldest 90% of the corpus and the newest 10% is applied
+    * as a delta batch through [[Bm25Index.addDocuments]] — postings /
+    * df / doclens upserted partition-locally via `writeMerge`, stats
+    * re-derived — then queried identically. Sharing `llm_bm25_topk`'s
+    * oracle makes DuckDB the judge that indexed-incremental ==
+    * full-rebuild == index-free on the grown corpus.
+    */
+  private val bm25Incremental = QueryDef(
+    "llm_bm25_incremental",
+    (s, dir) => scoreIndexed(s, dir, Bm25Index.ensureIncremental(s, dir)),
     bm25Topk.oracle)
 
   val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier, pplBuckets,
     domainKl,
-    bigramLm, charEntropy, qualityBuckets, bm25Topk, dsirWeights, bm25Indexed)
+    bigramLm, charEntropy, qualityBuckets, bm25Topk, dsirWeights, bm25Indexed,
+    bm25Incremental)
 }

@@ -199,6 +199,49 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.bm25Root")
   }
 
+  test("bm25 incremental add rewrites only touched wb partitions; replay is a no-op") {
+    import spark.implicits._
+    import graft.llm.CorpusOps.Bm25Index
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25delta").toString + "/idx"
+    val base = Seq((10L, "alpha beta gamma"), (11L, "beta delta")).toDF("doc_id", "text")
+    Bm25Index.buildInto(spark, base, root)
+
+    def partFiles(sub: String): Map[String, Seq[(String, Long)]] = {
+      val d = new java.io.File(s"$root/$sub")
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("wb="))
+        .map(p => p.getName -> p.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSeq.sortBy(_._1)).toMap
+    }
+    val before = partFiles("postings")
+    Thread.sleep(1100) // mtime granularity
+
+    // 'epsilon' shares no wb bucket with... well, it may; assert on the
+    // UNION of the batch's buckets instead of a hand-picked word.
+    val batch = Seq((12L, "beta epsilon")).toDF("doc_id", "text")
+    Bm25Index.addDocuments(spark, batch, root)
+    val after = partFiles("postings")
+    val touched = Seq("beta", "epsilon")
+      .map(w => "wb=" + java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString).toSet
+    after.foreach { case (p, files) =>
+      if (!touched(p))
+        assert(files === before(p), s"untouched partition $p must keep its files byte-identical")
+    }
+    // the merged index answers from both generations
+    val df = spark.read.parquet(s"$root/df").collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("dfreq")).toMap
+    assert(df("beta") === 3L, "df of a word in old AND new docs counts both")
+    assert(df("epsilon") === 1L && df("alpha") === 1L)
+    val stats = spark.read.parquet(s"$root/stats").head()
+    assert(stats.getAs[Long]("n_docs") === 3L)
+
+    // replay: already-indexed docs are filtered out -> byte-stable index
+    val snap = partFiles("postings")
+    Bm25Index.addDocuments(spark, batch, root)
+    assert(partFiles("postings") === snap, "replaying the same batch must not rewrite anything")
+    assert(spark.read.parquet(s"$root/stats").head().getAs[Long]("n_docs") === 3L)
+  }
+
   test("dsir weights rank target-distribution content above off-target regardless of its label") {
     import spark.implicits._
     val vocabA = (0 until 30).map(i => s"en$i")
