@@ -55,4 +55,61 @@ class MakeSfSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
     }
   }
+
+  test("--perturb: one light near-dup twin per doc, heavy copies decorrelated, deterministic") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-makesfp").toString
+    val dst2 = java.nio.file.Files.createTempDirectory("graft-makesfp2").toString
+    try {
+      MakeSf.run(spark, src, dst, copies = 4, perturb = true)
+
+      val docs = Tables.load(spark, dst, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(MakeSf.stride)).as("base_id"),
+          (col("doc_id") / lit(MakeSf.stride)).cast("int").as("k"), col("text"))
+      // token-level Jaccard of each copy vs its copy-0 original
+      val base = docs.filter(col("k") === 0)
+        .select(col("base_id"), col("text").as("t0"))
+      val sims = docs.filter(col("k") > 0).join(base, "base_id")
+        .withColumn("j", expr(
+          """size(array_intersect(split(text, ' '), split(t0, ' '))) /
+            |size(array_union(split(text, ' '), split(t0, ' ')))""".stripMargin))
+        .groupBy("base_id")
+        .agg(max("j").as("best"), sum(when(col("j") >= 0.7, 1).otherwise(0)).as("n_near"))
+        .collect()
+      assert(sims.nonEmpty)
+      sims.foreach { r =>
+        assert(r.getAs[Long]("n_near") === 1L,
+          s"doc ${r.get(0)}: exactly one copy must stay a near-duplicate, got ${r.getAs[Long]("n_near")}")
+        assert(r.getAs[Double]("best") >= 0.7,
+          s"doc ${r.get(0)}: the light twin must be token-near its original")
+      }
+
+      // embeddings: one high-cosine twin, the rest near-orthogonal
+      graft.functions.GraftFunctions.register(spark)
+      val emb = Tables.load(spark, dst, "embeddings")
+        .select(col("vec_id"), pmod(col("vec_id"), lit(MakeSf.stride)).as("base_id"),
+          (col("vec_id") / lit(MakeSf.stride)).cast("int").as("k"), col("embedding"))
+      val e0 = emb.filter(col("k") === 0).select(col("base_id"), col("embedding").as("v0"))
+      val cos = emb.filter(col("k") > 0).join(e0, "base_id")
+        .withColumn("c", expr("cosine_sim(embedding, v0)"))
+        .groupBy("base_id")
+        .agg(sum(when(col("c") >= 0.9, 1).otherwise(0)).as("n_hi"),
+          sum(when(abs(col("c")) < 0.5, 1).otherwise(0)).as("n_lo"))
+        .collect()
+      cos.foreach { r =>
+        assert(r.getAs[Long]("n_hi") === 1L, s"vec ${r.get(0)}: one high-cosine twin")
+        assert(r.getAs[Long]("n_lo") === 2L, s"vec ${r.get(0)}: heavy copies decorrelate")
+      }
+
+      // determinism: a second run produces byte-identical content
+      MakeSf.run(spark, src, dst2, copies = 4, perturb = true)
+      val a = spark.read.parquet(s"$dst/documents.parquet")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val b = spark.read.parquet(s"$dst2/documents.parquet")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(a === b, "perturbation must be deterministic across runs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst2))
+    }
+  }
 }
