@@ -76,6 +76,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Isolation-triple mode (dev loop / BASELINE.md probes): with a
+    // name-prefix argument, time ONLY matching queries, three runs each,
+    // and print per-run seconds — the per-query methodology the scale
+    // records use. The driver always invokes with no args → full bench.
+    val prefix = args.headOption.getOrElse("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -121,6 +126,20 @@ object Bench {
         val s = trailing.toVector.sorted
         Some(s(s.length / 2))
       }
+
+    if (prefix.nonEmpty) {
+      SparkEntry.queries.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1)
+        .foreach { case (name, fn) =>
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"""{"query":"$name","runs":[${runs.map(t => f"$t%.3f").mkString(",")}],"min":${runs.min}%.3f}""")
+        }
+      spark.stop()
+      return
+    }
 
     val prior = priorTimings(".", SparkEntry.queries.keySet)
 

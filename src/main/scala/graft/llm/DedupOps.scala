@@ -1064,11 +1064,19 @@ object DedupOps {
     * which makes log(delta/eps)/log(100/85) a sound LOWER bound on the
     * rounds still needed once `delta` is observed. (The per-node MAX
     * delta has no such bound: an in-degree hub can transiently amplify
-    * it.) Capped so the un-materialized join lineage stays shallow.
+    * it.) Capped at 16 so the un-materialized join lineage stays
+    * bounded: the round-7 cap of 5 put ~13 checkpoint+action cycles on
+    * the critical path for a default-eps run whose rank table is tiny
+    * compared to its fixed per-block cost — measured at sf0.1, raising
+    * the cap to 16 (≈5 cycles for ~57 rounds) roughly halves the row's
+    * wall time while each block still plans and codegens in one piece.
+    * The schedule stays a pure function of (delta, eps) so
+    * `PagerankConvergenceSpec`'s driver-side replay reproduces it
+    * exactly.
     */
   private[graft] def pagerankBlockRounds(delta: Long, eps: Long): Int =
     if (delta == Long.MaxValue) 1
-    else math.min(5, math.max(1,
+    else math.min(16, math.max(1,
       math.ceil(math.log(delta.toDouble / eps) / math.log(100.0 / 85.0)).toInt))
 
   /** The iteration loop of [[dupPagerankConv]], factored out so
@@ -1102,18 +1110,24 @@ object DedupOps {
     val edgesDeg = edges.join(deg, "src")
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val base = expr("150000000000L div n_docs")
-    var pr = docs.crossJoin(broadcast(n))
+    val docsN = docs.crossJoin(broadcast(n))
+    var pr = docsN
       .select(col("doc_id"), col("n_docs"),
         expr("1000000000000L div n_docs").as("pr"))
-    def step(cur: DataFrame): DataFrame = {
-      val contrib = edgesDeg
-        .join(cur.select(col("doc_id").as("src"), col("pr").as("src_pr")), "src")
-        .select(col("dst"), expr("src_pr div outdeg").as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-      cur.join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_docs"), col("pr").as("pr_prev"),
+    // Per-round contributions keyed by dst. The next rank table joins
+    // them against the STATIC docsN frame, not against `cur` — `cur`
+    // appears exactly once per round (inside contrib), so a k-round
+    // lazy block's plan grows LINEARLY in k. The previous formulation
+    // joined `cur` with contrib(cur), doubling the plan tree every
+    // round (2^k leaves), which is what forced the old 5-round cap.
+    def contribOf(cur: DataFrame): DataFrame = edgesDeg
+      .join(cur.select(col("doc_id").as("src"), col("pr").as("src_pr")), "src")
+      .select(col("dst"), expr("src_pr div outdeg").as("c"))
+      .groupBy("dst").agg(sum("c").as("s"))
+    def step(cur: DataFrame): DataFrame =
+      docsN.join(contribOf(cur).withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_docs"),
           (base + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
-    }
     var prDirs = Set.empty[String]
     var delta = Long.MaxValue
     var rounds = 0
@@ -1122,11 +1136,22 @@ object DedupOps {
         ensureCheckpointDir(s)
         while (delta > eps && rounds < maxRounds) {
           val k = pagerankBlockRounds(delta, eps)
+          // k-1 linear rounds, then a final round that carries the
+          // previous ranks so the block lands with the consecutive-round
+          // L1 delta the stop test needs. `prev` feeds BOTH the final
+          // step and the pr_prev join, so it is persisted for the
+          // block's one action — without the cache the k-1-round chain
+          // would execute twice per block.
           var cur = pr
-          for (_ <- 1 to k) cur = step(cur.select("doc_id", "n_docs", "pr"))
-          val (cp, dirs) = reliableCheckpoint(cur)
+          for (_ <- 1 until k) cur = step(cur)
+          val prev = cur.persist(StorageLevel.MEMORY_AND_DISK)
+          val cur2 = step(prev)
+            .join(prev.select(col("doc_id"), col("pr").as("pr_prev")), Seq("doc_id"))
+            .select(col("doc_id"), col("n_docs"), col("pr_prev"), col("pr"))
+          val (cp, dirs) = reliableCheckpoint(cur2)
           rounds += k
           delta = cp.agg(sum(abs(col("pr") - col("pr_prev")))).head().getLong(0)
+          prev.unpersist(blocking = false)
           deleteCkptDirs(s, prDirs)
           pr = cp.drop("pr_prev")
           prDirs = dirs

@@ -662,6 +662,11 @@ object TextOps {
         .groupBy("a", "b").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      // A corpus whose words expose no mergeable adjacent pair (all
+      // single-symbol words, or every pair a==b) exhausts the merge
+      // space early — stop with the merges found instead of indexing
+      // into an empty winner row (ADVICE r7).
+      if (winner.isEmpty) return (words, merges.toSeq)
       val (a, b, cnt) = (winner(0).getString(0), winner(0).getString(1), winner(0).getLong(2))
       merges += ((r, a, b, cnt))
       val (ea, eb) = (esc(a), esc(b))

@@ -96,4 +96,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(df.except(expected).count() === 0L)
     assert(expected.except(df).count() === 0L)
   }
+
+  test("percentile_disc matches DuckDB quantile_disc on adversarial small distinct groups") {
+    // ADVICE r7 questioned whether a26's oracle match only holds because
+    // l_quantity repeats thousands of times per group. It holds in
+    // general: BOTH engines implement "smallest value whose cume_dist
+    // >= p". Expectations below are DuckDB 1.x quantile_disc outputs
+    // probed over groups of DISTINCT values 10,20,...,10n with n
+    // deliberately not divisible by 4 (plus the n=1/2 degenerates and
+    // the exact-hit sizes 10, where p*n lands on an integer).
+    import spark.implicits._
+    val expected = Map( // n -> (q1, med, q3)
+      1 -> (10, 10, 10), 2 -> (10, 10, 20), 3 -> (10, 20, 30),
+      5 -> (20, 30, 40), 6 -> (20, 30, 50), 7 -> (20, 40, 60),
+      9 -> (30, 50, 70), 10 -> (30, 50, 80), 11 -> (30, 60, 90),
+      13 -> (40, 70, 100))
+    val rows = expected.keys.toSeq.flatMap(n => (1 to n).map(i => (n, i * 10)))
+    rows.toDF("n", "x").createOrReplaceTempView("pd_groups")
+    val got = spark.sql(
+      """SELECT n,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS q1,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY x) AS med,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY x) AS q3
+        |FROM pd_groups GROUP BY n""".stripMargin)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1).toInt, r.getDouble(2).toInt, r.getDouble(3).toInt)))
+      .toMap
+    assert(got === expected,
+      "Spark percentile_disc must pick the same discrete positions as DuckDB quantile_disc")
+  }
 }

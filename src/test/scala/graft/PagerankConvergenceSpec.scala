@@ -78,8 +78,8 @@ class PagerankConvergenceSpec extends SparkSpec {
     // Initial L1 delta <= 2x total mass (every node can at most swap its
     // full share); 85/100 damping contracts it at least geometrically,
     // so log(2e12/eps)/log(100/85) bounds the crossing round — plus up
-    // to blockRounds-1 = 4 overshoot rounds from block granularity.
-    val bound = math.ceil(math.log(2e12 / eps) / math.log(100.0 / 85.0)).toInt + 5
+    // to blockRounds-1 = 15 overshoot rounds from block granularity.
+    val bound = math.ceil(math.log(2e12 / eps) / math.log(100.0 / 85.0)).toInt + 16
     assert(rounds <= bound,
       s"$rounds rounds exceeds the damping contraction bound $bound — is the 85/100 damping still applied?")
     assert(rounds >= 3, "eps=1000 on this graph must take several rounds — a 1-round exit means the delta test is broken")
@@ -105,9 +105,9 @@ class PagerankConvergenceSpec extends SparkSpec {
       "base share is a hard floor (every doc receives it each round) and total mass a hard ceiling")
   }
 
-  test("block schedule: 1 until first measurement, capped at 5, tapering near convergence") {
+  test("block schedule: 1 until first measurement, capped at 16, tapering near convergence") {
     assert(DedupOps.pagerankBlockRounds(Long.MaxValue, 1000L) === 1)
-    assert(DedupOps.pagerankBlockRounds(1000000000000L, 1000L) === 5)
+    assert(DedupOps.pagerankBlockRounds(1000000000000L, 1000L) === 16)
     // delta just above eps: one confirming round, not a full block.
     assert(DedupOps.pagerankBlockRounds(1100L, 1000L) === 1)
     assert(DedupOps.pagerankBlockRounds(2000L, 1000L) <= 5)
