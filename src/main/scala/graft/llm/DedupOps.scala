@@ -202,50 +202,119 @@ object DedupOps {
            |SELECT doc_id, simhash FROM sh_sigs ORDER BY doc_id""".stripMargin))
 
   /** SimHash near-dup PAIRS — the pairing step that completes the
-    * SimHash pipeline: banded blocking (4 bands of 16 bits → 65536
-    * bucket values, so bucket sizes stay bounded as the corpus grows)
-    * makes candidates collide only inside a (band_idx, band) bucket,
+    * SimHash pipeline: candidates collide only inside a blocking bucket,
     * then the exact Hamming distance filters to ≤ [[simhashMaxHamming]].
-    * By pigeonhole, ≤ 3 differing bits cannot touch all 4 bands, so at
-    * least one band matches exactly and banding has RECALL 1 for the
-    * threshold — the same no-all-pairs shape as the MinHash/hyperplane
-    * LSH pipelines, with provably zero missed pairs.
+    * Two blocking schemes share the exact same output (so one oracle
+    * pins both), selected by `spark.graft.simhashScheme`
+    * (`banded` | `blocked` | `auto`, default auto):
+    *
+    *  - **banded**: 4 bands of 16 bits → 65,536 bucket values per band.
+    *    By pigeonhole, ≤ 3 differing bits cannot touch all 4 bands, so
+    *    at least one band matches exactly — RECALL 1 for the threshold.
+    *    Cheap (4 keys/doc) but the bucket COUNT is fixed: expected
+    *    occupancy grows linearly with the corpus and the within-bucket
+    *    self-join quadratically once N ≫ 65,536 — the same fixed-bucket
+    *    hazard VERDICT r7 measured for the 16-plane cosine LSH default.
+    *  - **blocked** (Manku–Jain–Sarma, WWW'07 §3): split the 64-bit
+    *    signature into 6 blocks (11,11,11,11,10,10 bits); ≤ 3 differing
+    *    bits touch ≤ 3 blocks, leaving ≥ 3 intact, so the pair agrees
+    *    on at least one of the C(6,3)=20 three-block combinations —
+    *    also RECALL 1. Each combo key carries 32–33 bits (~8.6 B bucket
+    *    values), so occupancy stays ~1 until tens of billions of docs:
+    *    5× the key emission of banding, in exchange for a bucket space
+    *    131,072× larger. This is the 100 TB path.
+    *  - **auto**: blocked when the corpus row count exceeds
+    *    `spark.graft.simhashBlockedThreshold` (default 2^20 ≈ 1M — the
+    *    point where 65,536-value bands average 16 docs/bucket/band),
+    *    banded below. The count probe is parquet-metadata-cheap.
+    *
+    * Both schemes emit the identical verified pair set — asserted
+    * cross-scheme in `PlanAuditSpec` and pinned by the shared oracle.
     */
   val simhashMaxHamming = 3
 
+  /** MSB-first bit spans of the 6 signature blocks (total 64). */
+  private val simhashBlockSpans: Seq[(Int, Int)] = {
+    val sizes = Seq(11, 11, 11, 11, 10, 10)
+    sizes.scanLeft(0)(_ + _).zip(sizes).map { case (start, len) => (start, len) }
+  }
+
+  /** (doc_id, band0..band3) with bands as 16-bit INTEGERS built straight
+    * from the votes: the hamming distance then costs 4 bit_count(xor)
+    * per candidate pair — a string-positional compare (64 substring
+    * CASEs per pair) was measured 3x the whole query's runtime at sf0.1.
+    */
+  private def simhashBandSigs(s: SparkSession, dir: String): DataFrame = {
+    val bandInt = (b: Int) => (0 until 16).map { idx =>
+      val (i, v) = simhashBitOrder(b * 16 + idx)
+      when(col(s"b${i}_$v") >= 0, lit(1 << (15 - idx))).otherwise(0)
+    }.reduce(_ + _).cast("int")
+    simhashVotes(s, dir).select(col("doc_id") +:
+      (0 until 4).map(b => bandInt(b).as(s"band$b")): _*)
+  }
+
+  /** Hamming ≤ [[simhashMaxHamming]] pairs from a (key_idx, key) blocking
+    * expansion of the signatures — the shared tail of both schemes.
+    */
+  private def simhashPairsFromKeys(keyed: DataFrame): DataFrame = {
+    val a = keyed.select(col("key_idx"), col("key"), col("doc_id").as("doc_a"),
+      col("band0").as("a0"), col("band1").as("a1"), col("band2").as("a2"),
+      col("band3").as("a3"))
+    val b = keyed.select(col("key_idx").as("ki"), col("key").as("kk"),
+      col("doc_id").as("doc_b"),
+      col("band0").as("c0"), col("band1").as("c1"), col("band2").as("c2"),
+      col("band3").as("c3"))
+    val ham = (0 until 4).map(i =>
+      expr(s"bit_count(a$i ^ c$i)")).reduce(_ + _)
+    a.join(b, col("key_idx") === col("ki") && col("key") === col("kk") &&
+        col("doc_a") < col("doc_b"))
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= simhashMaxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashBandSigs(s, dir)
+    val blocked = s.conf.get("spark.graft.simhashScheme", "auto") match {
+      case "blocked" => true
+      case "banded"  => false
+      case _ =>
+        val threshold =
+          s.conf.get("spark.graft.simhashBlockedThreshold", (1L << 20).toString).toLong
+        Tables.load(s, dir, "documents").count() > threshold
+    }
+    if (!blocked) {
+      simhashPairsFromKeys(sigs.select(col("doc_id"), col("band0"), col("band1"),
+        col("band2"), col("band3"),
+        posexplode(array((0 until 4).map(b => col(s"band$b").cast("long")): _*))
+          .as(Seq("key_idx", "key"))))
+    } else {
+      // 64-bit signature as one long, blocks by shift+mask, combo key =
+      // three block values packed at 11-bit stride (each block ≤ 11 bits).
+      val sig = (0 until 4).map(b =>
+        shiftleft(col(s"band$b").cast("long"), (3 - b) * 16)).reduce(_.bitwiseOR(_))
+      val withSig = sigs.withColumn("sig", sig)
+      val blockVal = (j: Int) => {
+        val (start, len) = simhashBlockSpans(j)
+        shiftrightunsigned(col("sig"), 64 - start - len)
+          .bitwiseAND(lit((1L << len) - 1L))
+      }
+      val combos = (0 until 6).combinations(3).toSeq
+      val keys = combos.map { c =>
+        shiftleft(blockVal(c(0)), 22)
+          .bitwiseOR(shiftleft(blockVal(c(1)), 11))
+          .bitwiseOR(blockVal(c(2)))
+      }
+      simhashPairsFromKeys(withSig.select(col("doc_id"), col("band0"),
+        col("band1"), col("band2"), col("band3"),
+        posexplode(array(keys: _*)).as(Seq("key_idx", "key"))))
+    }
+  }
+
   private val simhashNearDup = QueryDef(
     "llm_simhash_neardup",
-    (s, dir) => {
-      // Bands as 16-bit INTEGERS built straight from the votes: the
-      // hamming distance then costs 4 bit_count(xor) per candidate pair
-      // — a string-positional compare (64 substring CASEs per pair) was
-      // measured 3x the whole query's runtime at sf0.1.
-      val bandInt = (b: Int) => (0 until 16).map { idx =>
-        val (i, v) = simhashBitOrder(b * 16 + idx)
-        when(col(s"b${i}_$v") >= 0, lit(1 << (15 - idx))).otherwise(0)
-      }.reduce(_ + _).cast("int")
-      val sigs = simhashVotes(s, dir).select(col("doc_id") +:
-        (0 until 4).map(b => bandInt(b).as(s"band$b")): _*)
-      val bands = sigs.select(col("doc_id"), col("band0"), col("band1"),
-        col("band2"), col("band3"),
-        posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
-          .as(Seq("band_idx", "band")))
-      val a = bands.select(col("band_idx"), col("band"), col("doc_id").as("doc_a"),
-        col("band0").as("a0"), col("band1").as("a1"), col("band2").as("a2"),
-        col("band3").as("a3"))
-      val b = bands.select(col("band_idx").as("bi"), col("band").as("bb"),
-        col("doc_id").as("doc_b"),
-        col("band0").as("c0"), col("band1").as("c1"), col("band2").as("c2"),
-        col("band3").as("c3"))
-      val ham = (0 until 4).map(i =>
-        expr(s"bit_count(a$i ^ c$i)")).reduce(_ + _)
-      a.join(b, col("band_idx") === col("bi") && col("band") === col("bb") &&
-          col("doc_a") < col("doc_b"))
-        .withColumn("hamming", ham.cast("int"))
-        .filter(col("hamming") <= simhashMaxHamming)
-        .select("doc_a", "doc_b", "hamming").distinct()
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) => simhashPairs(s, dir),
     Some {
       // DuckDB mirror: same integer bands (xor() is the function there —
       // its ^ operator is exponentiation).

@@ -54,6 +54,31 @@ class AnnQualitySpec extends SparkSpec {
     assert(rAll === 1.0, "probing every cell must reproduce the exact top-k")
   }
 
+  test("incremental IVF maintenance is idempotent: replaying the delta batch is a no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfinc-test").toString
+    spark.conf.set("spark.graft.ivfIncRoot", tmp)
+    try {
+      val (corpusPath, centPath) = SimilarityOps.IvfIndex.ensureIncremental(spark, dir)
+      val emb = Tables.load(spark, dir, "embeddings")
+      val n0 = spark.read.parquet(corpusPath).count()
+      assert(n0 === emb.count(), "incremental build must index the whole corpus")
+      val cent0 = spark.read.parquet(centPath).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // Replay the newest-10% delta: already-known vec_ids filter out,
+      // so neither the corpus nor the centroids may move.
+      val cut = emb.agg(expr("(max(vec_id) * 9) div 10").as("c")).head().getLong(0)
+      val root = new java.io.File(corpusPath).getParent
+      SimilarityOps.IvfIndex.addVectors(spark, emb.filter(col("vec_id") >= cut), root)
+      assert(spark.read.parquet(corpusPath).count() === n0)
+      val cent1 = spark.read.parquet(centPath).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      assert(cent1 === cent0, "replaying an already-applied batch must not move centroids")
+    } finally {
+      spark.conf.unset("spark.graft.ivfIncRoot")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("index root is conf-driven: a temp-dir spark.graft.ivfRoot builds a fresh index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-test").toString
     spark.conf.set("spark.graft.ivfRoot", tmp)

@@ -302,4 +302,37 @@ class PlanAuditSpec extends SparkSpec {
         s"$name must not sort-merge-join the corpus against centroids")
     }
   }
+
+  test("simhash blocked-permutation scheme emits exactly the banded scheme's pairs") {
+    // Both blocking schemes have recall 1 for hamming <= 3 (4-band
+    // pigeonhole vs the Manku-Jain-Sarma C(6,3) block combinations), so
+    // the verified pair set must be IDENTICAL — this is what lets the
+    // auto-selected 100 TB path share the small-corpus oracle.
+    def pairsUnder(scheme: String): Set[(Long, Long, Int)] = {
+      spark.conf.set("spark.graft.simhashScheme", scheme)
+      try graft.llm.DedupOps.simhashPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      finally spark.conf.unset("spark.graft.simhashScheme")
+    }
+    val banded = pairsUnder("banded")
+    val blocked = pairsUnder("blocked")
+    assert(banded.nonEmpty, "test corpus must produce at least one near-dup pair")
+    assert(blocked === banded)
+  }
+
+  test("simhash auto scheme picks banded below the threshold, blocked above") {
+    // The threshold dial makes the auto decision testable at toy scale.
+    def planUnder(threshold: String): String = {
+      spark.conf.set("spark.graft.simhashBlockedThreshold", threshold)
+      try graft.llm.DedupOps.simhashPairs(spark, dir)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.simhashBlockedThreshold")
+    }
+    // Banded: 4 keys/doc — the posexplode array has 4 entries; blocked:
+    // C(6,3)=20 combo keys built by shift/mask off the packed signature.
+    assert(!planUnder((1L << 20).toString).contains("shiftrightunsigned"),
+      "small corpus must take the banded path")
+    assert(planUnder("1").contains("shiftrightunsigned"),
+      "corpus above the threshold must take the blocked-permutation path")
+  }
 }
