@@ -123,5 +123,68 @@ object DataTests {
            |      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
            |ORDER BY test, model, "column"""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(schemaTests)
+  /** dbt `source freshness` — per-source max(loaded_at_field) age vs
+    * warn_after/error_after thresholds (dbt-core's collect_freshness
+    * semantics). `asOf` is injectable (never wall-clock) so runs are
+    * deterministic and replayable, matching the engine-wide discipline.
+    * An empty source (NULL max) reports `error`, as dbt does when the
+    * freshness query returns no loaded_at.
+    *
+    * Scale shape: one max() aggregate per source — a column-pruned scan
+    * reduced map-side to a single row (on a partitioned-by-date lake the
+    * max over the partition column is pure metadata); the summary is
+    * |specs| rows.
+    */
+  final case class Freshness(source: String, loadedAt: String,
+      warnAfterSec: Long, errorAfterSec: Long)
+
+  def freshness(resolve: String => DataFrame, specs: Seq[Freshness],
+                asOf: String): DataFrame = {
+    require(specs.nonEmpty, "freshness needs at least one source spec")
+    val frames = specs.map { f =>
+      resolve(f.source)
+        .agg(max(col(f.loadedAt).cast("timestamp")).as("max_loaded_at"))
+        .select(lit(f.source).as("source"), col("max_loaded_at"),
+          (unix_timestamp(lit(asOf).cast("timestamp")) -
+            unix_timestamp(col("max_loaded_at"))).as("age_sec"))
+        .withColumn("status",
+          when(col("max_loaded_at").isNull, "error")
+            .when(col("age_sec") > f.errorAfterSec, "error")
+            .when(col("age_sec") > f.warnAfterSec, "warn")
+            .otherwise(lit("pass")))
+    }
+    frames.reduce(_.unionAll(_)).orderBy("source")
+  }
+
+  /** Oracle row: three sources pinned at a fixed asOf so all three
+    * statuses are exercised — events lands in the warn window, orders
+    * is decades stale (error), lineitem passes under a deliberately
+    * huge threshold.
+    */
+  private val freshnessQuery = QueryDef(
+    "s19_source_freshness",
+    (s, dir) => freshness(Tables.load(s, dir, _), Seq(
+      Freshness("events", "ts", 3L * 86400, 90L * 86400),
+      Freshness("orders", "o_orderdate", 3L * 86400, 90L * 86400),
+      Freshness("lineitem", "l_shipdate", 4000000000L, 8000000000L)),
+      asOf = "2024-02-05 00:00:00"),
+    Some("""SELECT source, max_loaded_at,
+           |  CAST(date_diff('second', max_loaded_at, TIMESTAMP '2024-02-05 00:00:00') AS BIGINT) AS age_sec,
+           |  CASE
+           |    WHEN max_loaded_at IS NULL THEN 'error'
+           |    WHEN date_diff('second', max_loaded_at, TIMESTAMP '2024-02-05 00:00:00') > err_s THEN 'error'
+           |    WHEN date_diff('second', max_loaded_at, TIMESTAMP '2024-02-05 00:00:00') > warn_s THEN 'warn'
+           |    ELSE 'pass' END AS status
+           |FROM (
+           |  SELECT 'events' AS source, (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) AS max_loaded_at,
+           |    259200 AS warn_s, 7776000 AS err_s
+           |  UNION ALL
+           |  SELECT 'orders', (SELECT max(CAST(o_orderdate AS TIMESTAMP)) FROM orders),
+           |    259200, 7776000
+           |  UNION ALL
+           |  SELECT 'lineitem', (SELECT max(CAST(l_shipdate AS TIMESTAMP)) FROM lineitem),
+           |    4000000000, 8000000000)
+           |ORDER BY source""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(schemaTests, freshnessQuery)
 }

@@ -72,6 +72,44 @@ object DagRunner {
     done.toSeq.flatMap(byName.get)
   }
 
+  /** dbt-style node selection over the model graph (`dbt run --select`):
+    * each whitespace/comma-separated token names a model, optionally
+    * with `+` closure markers — `+model` selects the model and its
+    * ancestors, `model+` the model and its descendants, `+model+` both
+    * (graph operators per dbt's node-selection syntax). Tokens union.
+    * Unknown names throw (a typo'd selector silently selecting nothing
+    * is how partial deploys ship). The result keeps `models` order and
+    * feeds [[run]] unchanged: refs OUTSIDE the selection fall through
+    * to `resolve`, exactly dbt's contract that upstream tables already
+    * exist in the warehouse from a previous run.
+    */
+  def select(models: Seq[Model], spec: String): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val children = models.flatMap(m => m.refs.filter(byName.contains).map(_ -> m.name))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    def closure(start: String, step: String => Seq[String]): Set[String] = {
+      val seen = scala.collection.mutable.Set(start)
+      var frontier = List(start)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(step).distinct.filterNot(seen)
+        next.foreach(seen += _)
+        frontier = next
+      }
+      seen.toSet
+    }
+    val picked = spec.split("[,\\s]+").filter(_.nonEmpty).flatMap { token =>
+      val up = token.startsWith("+")
+      val down = token.endsWith("+")
+      val name = token.stripPrefix("+").stripSuffix("+")
+      require(byName.contains(name), s"selector '$token': no model named '$name'")
+      Set(name) ++
+        (if (up) closure(name, n => byName.get(n).map(_.refs.filter(byName.contains))
+          .getOrElse(Nil)) else Set.empty) ++
+        (if (down) closure(name, n => children.getOrElse(n, Nil)) else Set.empty)
+    }.toSet
+    models.filter(m => picked(m.name))
+  }
+
   /** Materialize every model in dependency order. `resolve` supplies
     * external sources (the `source()` analog); `ref()` lookups hit the
     * materialized map. Returns the materialized frames by name.

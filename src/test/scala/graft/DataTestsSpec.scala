@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.engine.DataTests
 import graft.engine.DataTests._
@@ -85,5 +86,21 @@ class DataTestsSpec extends SparkSpec {
     val out = DataTests.run(n => sys.error(s"no $n"), Seq.empty)
     assert(out.columns.toSeq === Seq("test", "model", "column", "n_violations"))
     assert(out.count() === 0L)
+  }
+
+  test("freshness: strict thresholds, boundary ages, and the empty-source error") {
+    import spark.implicits._
+    val loaded = Seq("2024-01-01 00:00:00").toDF("at")
+      .select(col("at").cast("timestamp"))
+    val empty = loaded.filter(lit(false))
+    def statusAt(asOf: String, warn: Long, err: Long, src: org.apache.spark.sql.DataFrame) =
+      DataTests.freshness(_ => src, Seq(DataTests.Freshness("s", "at", warn, err)), asOf)
+        .collect().head.getAs[String]("status")
+    // age exactly == warn_after is a PASS (dbt compares >, not >=)
+    assert(statusAt("2024-01-01 01:00:00", 3600, 7200, loaded) === "pass")
+    assert(statusAt("2024-01-01 01:00:01", 3600, 7200, loaded) === "warn")
+    assert(statusAt("2024-01-01 02:00:01", 3600, 7200, loaded) === "error")
+    // no rows -> NULL max_loaded_at -> error, as dbt reports it
+    assert(statusAt("2024-01-01 01:00:00", 3600, 7200, empty) === "error")
   }
 }

@@ -28,6 +28,42 @@ class EngineSpec extends SparkSpec {
     assert(order === DagRunner.topoSort(models.reverse).map(_.name))
   }
 
+  test("select resolves dbt node-selection closures (+model, model+, unions, typos)") {
+    val models = Seq(m("dashboard", "vod", "tv"), m("tv", "poms"), m("vod", "poms", "streams"),
+      m("poms"), m("streams", "poms"))
+    def names(spec: String) = DagRunner.select(models, spec).map(_.name).toSet
+    assert(names("vod") === Set("vod"))
+    assert(names("+vod") === Set("vod", "poms", "streams"))
+    assert(names("streams+") === Set("streams", "vod", "dashboard"))
+    assert(names("+tv+") === Set("tv", "poms", "dashboard"))
+    assert(names("tv streams") === Set("tv", "streams"))
+    assert(names("tv,+streams") === Set("tv", "streams", "poms"))
+    val e = intercept[IllegalArgumentException](names("+nope+"))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("selected subgraph runs against warehouse state for unselected upstreams") {
+    // Build the full DAG once (tables), then re-run only `vod+` with a
+    // resolve that reads the warehouse: the upstreams must come from
+    // disk, not be rebuilt — dbt's contract for `run --select`.
+    val wh = Files.createTempDirectory("graft-select").toString
+    var builds = Vector.empty[String]
+    def counted(name: String, refs: String*): Model =
+      Model(name, refs, (s, r) => {
+        builds :+= name
+        refs.foldLeft(s.range(3).toDF("x"))((d, rf) => d.unionAll(r(rf)))
+      }, materialization = Table)
+    val models = Seq(counted("base"), counted("mid", "base"), counted("top", "mid"))
+    DagRunner.run(spark, models, n => sys.error(s"no source $n"), wh)
+    assert(builds === Vector("base", "mid", "top"))
+    builds = Vector.empty
+    val out = DagRunner.run(spark, DagRunner.select(models, "mid+"),
+      n => spark.read.parquet(s"$wh/main/main/$n"), wh)
+    assert(builds === Vector("mid", "top"), "only the selected closure may rebuild")
+    assert(out.keySet === Set("mid", "top"))
+    assert(out("top").count() === 9L) // 3 base (from disk) + 3 mid + 3 top
+  }
+
   test("topoSort rejects ref cycles") {
     val ex = intercept[IllegalArgumentException] {
       DagRunner.topoSort(Seq(m("a", "b"), m("b", "a")))
