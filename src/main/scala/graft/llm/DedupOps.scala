@@ -1167,6 +1167,19 @@ object DedupOps {
   private[graft] def pagerankConvergedStats(docs: DataFrame, pairs: DataFrame,
       eps: Long, maxRounds: Int = 200): (DataFrame, Int, Long) = {
     val s = docs.sparkSession
+    // Two-tier, same discipline as connected components: the rank table
+    // is docs-sized and the edge list candidate-graph-sized — both far
+    // smaller than the corpus — so below a threshold the whole
+    // iteration runs as ONE driver-side integer loop (zero Spark jobs
+    // per round) instead of ~60 shuffle+checkpoint rounds whose cost at
+    // bench scale is pure fixed overhead. The recurrence, block
+    // schedule, and stop test are IDENTICAL BIGINT arithmetic, so the
+    // tiers agree bit-for-bit (`PagerankConvergenceSpec` pins local ==
+    // distributed == spec replay). Above the threshold the checkpointed
+    // distributed loop below is the 100 TB path.
+    val localMax = s.conf.get("spark.graft.pagerankLocalMaxEdges", "100000").toLong
+    if (2L * pairs.count() <= localMax)
+      return pagerankConvergedLocal(docs, pairs, eps, maxRounds)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -1233,6 +1246,64 @@ object DedupOps {
     val out = pr.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_docs"), col("pr"),
         coalesce(col("outdeg"), lit(0L)).as("degree"))
+    (out, rounds, delta)
+  }
+
+  /** Local tier of [[pagerankConvergedStats]]: the identical integer
+    * recurrence and block-granular stop test over driver arrays. Bounded
+    * by `spark.graft.pagerankLocalMaxEdges` (default 100k directed
+    * edges, ≈ MBs of Longs) — the same sanctioned driver-probe shape as
+    * the CC union-find tier.
+    */
+  private def pagerankConvergedLocal(docs: DataFrame, pairs: DataFrame,
+      eps: Long, maxRounds: Int): (DataFrame, Int, Long) = {
+    val s = docs.sparkSession
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length
+    val idx = new java.util.HashMap[Long, Int](n * 2)
+    ids.zipWithIndex.foreach { case (d, i) => idx.put(d, i) }
+    val ps = pairs.select("doc_a", "doc_b").collect()
+    val m = ps.length * 2
+    val srcs = new Array[Int](m)
+    val dsts = new Array[Int](m)
+    var w = 0
+    ps.foreach { r =>
+      val a = idx.get(r.getLong(0))
+      val b = idx.get(r.getLong(1))
+      srcs(w) = a; dsts(w) = b; w += 1
+      srcs(w) = b; dsts(w) = a; w += 1
+    }
+    val outdeg = new Array[Long](n)
+    srcs.foreach(si => outdeg(si) += 1)
+    val base = 150000000000L / n
+    var pr = Array.fill(n)(1000000000000L / n)
+    var prev = pr
+    var delta = Long.MaxValue
+    var rounds = 0
+    while (delta > eps && rounds < maxRounds) {
+      val k = pagerankBlockRounds(delta, eps)
+      for (_ <- 1 to k) {
+        prev = pr
+        val contrib = new Array[Long](n)
+        var e = 0
+        while (e < m) {
+          contrib(dsts(e)) += prev(srcs(e)) / outdeg(srcs(e))
+          e += 1
+        }
+        pr = Array.tabulate(n)(d => base + 85L * contrib(d) / 100L)
+      }
+      rounds += k
+      var acc = 0L
+      var d = 0
+      while (d < n) { acc += math.abs(pr(d) - prev(d)); d += 1 }
+      delta = acc
+    }
+    if (delta > eps) throw new IllegalStateException(
+      s"pagerank did not converge to eps=$eps in $maxRounds rounds " +
+        "(damping 85/100 contracts the L1 delta ≥0.85x per round — this should be impossible)")
+    import s.implicits._
+    val out = ids.indices.map(d => (ids(d), n.toLong, pr(d), outdeg(d)))
+      .toDF("doc_id", "n_docs", "pr", "degree")
     (out, rounds, delta)
   }
 

@@ -262,8 +262,8 @@ object SimilarityOps {
                 k: Int, nprobe: Int): DataFrame =
     ivfSearchAt(s, IvfIndex.ensure(s, dir), queries, k, nprobe)
 
-  private def ivfSearchAt(s: SparkSession, paths: (String, String), queries: DataFrame,
-                          k: Int, nprobe: Int): DataFrame = {
+  private[graft] def ivfSearchAt(s: SparkSession, paths: (String, String), queries: DataFrame,
+                                 k: Int, nprobe: Int): DataFrame = {
     GraftFunctions.register(s)
     val (corpusPath, centPath) = paths
     val cent = s.read.parquet(centPath)

@@ -292,4 +292,29 @@ object StreamingOps {
       .trigger(trigger)
       .start()
   }
+
+  /** Streaming ANN index maintenance: each micro-batch of new vectors
+    * (vec_id, embedding, label) lands in a persisted IVF index root
+    * through `IvfIndex.addVectors` — cell partitions upsert via
+    * writeMerge, touched-cell centroids re-derive, the centroid table
+    * republishes via staging. `addVectors` filters already-indexed
+    * vec_ids, so a replayed micro-batch is a no-op and checkpoint +
+    * replay yields effectively-once INDEX state (same argument as
+    * [[mergeSink]]). This is the landing-zone shape for a vector lake:
+    * embeddings stream in, the serving index stays queryable and stays
+    * equal to a from-scratch build (`StreamingFileSpec` pins it against
+    * the batch path, which `llm_ann_ivf_inc`'s oracle pins in turn).
+    */
+  def ivfIngestSink(updates: DataFrame, indexRoot: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ingest: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.llm.SimilarityOps.IvfIndex.addVectors(batch.sparkSession, batch, indexRoot)
+    updates.writeStream
+      .foreachBatch(ingest)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

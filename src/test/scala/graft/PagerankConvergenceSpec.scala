@@ -50,10 +50,14 @@ class PagerankConvergenceSpec extends SparkSpec {
   }
 
   private def run(nDocs: Long, pairs: Seq[(Long, Long)], eps: Long,
-      maxRounds: Int = 200) = {
+      maxRounds: Int = 200, forceDistributed: Boolean = false) = {
     val docs = (0L until nDocs).toDF("doc_id")
     val pairDf = pairs.toDF("doc_a", "doc_b")
-    DedupOps.pagerankConvergedStats(docs, pairDf, eps, maxRounds)
+    if (forceDistributed) {
+      spark.conf.set("spark.graft.pagerankLocalMaxEdges", "0")
+      try DedupOps.pagerankConvergedStats(docs, pairDf, eps, maxRounds)
+      finally spark.conf.unset("spark.graft.pagerankLocalMaxEdges")
+    } else DedupOps.pagerankConvergedStats(docs, pairDf, eps, maxRounds)
   }
 
   // A path, a triangle, and an isolated doc: mixed degrees, a dangling
@@ -63,12 +67,30 @@ class PagerankConvergenceSpec extends SparkSpec {
 
   test("distributed ranks exactly equal the driver-side integer replay") {
     val eps = 1000L // tight epsilon => a meaningful number of rounds
-    val (df, rounds, delta) = run(nDocs, graph, eps)
+    val (df, rounds, delta) = run(nDocs, graph, eps, forceDistributed = true)
     val (expected, expRounds, expDelta) = replay(nDocs, graph, eps)
     assert(rounds === expRounds)
     assert(delta === expDelta)
     val got = df.select("doc_id", "pr").as[(Long, Long)].collect().toMap
     assert(got === expected, "BIGINT arithmetic must be bit-identical across implementations")
+  }
+
+  test("local tier agrees bit-for-bit with the distributed tier") {
+    // The graph is under the default pagerankLocalMaxEdges threshold, so
+    // the plain run takes the driver-side array loop; forcing the
+    // threshold to 0 runs the checkpointed distributed loop on the same
+    // input. Ranks, round counts, and final deltas must be identical —
+    // the same tier-agreement contract as ConnectedComponentsSpec.
+    val eps = 1000L
+    val (ldf, lRounds, lDelta) = run(nDocs, graph, eps)
+    val (ddf, dRounds, dDelta) = run(nDocs, graph, eps, forceDistributed = true)
+    assert(lRounds === dRounds)
+    assert(lDelta === dDelta)
+    val l = ldf.select("doc_id", "n_docs", "pr", "degree")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val d = ddf.select("doc_id", "n_docs", "pr", "degree")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(l === d)
   }
 
   test("round count respects the geometric contraction bound") {

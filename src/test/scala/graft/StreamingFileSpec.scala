@@ -127,4 +127,34 @@ class StreamingFileSpec extends SparkSpec {
     assert(got === expected,
       "streamed upsert state must equal last-writer-wins over both drops")
   }
+
+  test("streaming IVF ingest equals the from-scratch index (search-result equality)") {
+    // Landing-zone vector lake: the index is full-built on the oldest
+    // 90% of vec_ids, then the newest 10% arrives as streamed files.
+    // Search over the streamed index must equal search over a
+    // from-scratch build of the whole corpus.
+    val dir = Files.createTempDirectory("graft_ivfstream").toFile.getAbsolutePath
+    val sf = "/root/testdata/sf0.01"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cut = emb.agg(expr("(max(vec_id) * 9) div 10").as("c")).head().getLong(0)
+    val root = s"$dir/index"
+    graft.llm.SimilarityOps.IvfIndex.buildInto(spark, emb.filter(col("vec_id") < cut), root)
+
+    val landing = s"$dir/landing"
+    emb.filter(col("vec_id") >= cut).write.mode("append").parquet(landing)
+    val q = StreamingOps.ivfIngestSink(
+      spark.readStream.schema(emb.schema).parquet(landing), root, s"$dir/ckpt")
+    q.awaitTermination()
+
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def res(paths: (String, String)) =
+      graft.llm.SimilarityOps.ivfSearchAt(spark, paths, queries, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    val streamed = res((s"$root/corpus", s"$root/centroids"))
+    val scratch = res(graft.llm.SimilarityOps.IvfIndex.ensure(spark, sf))
+    assert(streamed === scratch,
+      "streamed index must answer exactly like a from-scratch build")
+  }
 }
