@@ -50,7 +50,13 @@ final case class Model(
     build: (SparkSession, Map[String, DataFrame]) => DataFrame,
     materialization: Materialization = View,
     schema: Option[String] = None,
-    database: Option[String] = None)
+    database: Option[String] = None,
+    /** Content identity for `state:modified` selection (dbt slim CI):
+      * SQL-text models hash their rendered text automatically; compiled
+      * Scala models opt in with an explicit version string the author
+      * bumps. None = identity unknown → always treated as modified.
+      */
+    fingerprint: Option[String] = None)
 
 object DagRunner {
 
@@ -107,6 +113,60 @@ object DagRunner {
           .getOrElse(Nil)) else Set.empty) ++
         (if (down) closure(name, n => children.getOrElse(n, Nil)) else Set.empty)
     }.toSet
+    models.filter(m => picked(m.name))
+  }
+
+  /** Persist the models' content fingerprints as the run manifest —
+    * the engine's analog of dbt's `manifest.json` for `state:modified`
+    * selection. One small JSON object `{name: fingerprint}`; models
+    * without a fingerprint are omitted (they can never be proven
+    * unmodified). Written through the Hadoop FileSystem like every
+    * other engine artifact.
+    */
+  def writeManifest(spark: SparkSession, models: Seq[Model], path: String): Unit = {
+    val body = models.collect { case m if m.fingerprint.isDefined =>
+      s""""${m.name}":"${m.fingerprint.get}""""
+    }.mkString("{", ",", "}")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The previous run's manifest, or empty when none exists (first run:
+    * everything is modified).
+    */
+  def readManifest(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** dbt `state:modified+` selection: models whose fingerprint differs
+    * from the manifest (or is unknown on either side) plus every
+    * transitive descendant — the slim-CI subgraph. Feed the result to
+    * [[run]] with a warehouse resolver exactly like [[select]]; an
+    * empty result means the project is unchanged.
+    */
+  def selectModified(models: Seq[Model], manifest: Map[String, String]): Seq[Model] = {
+    val modified = models.collect {
+      case m if m.fingerprint.isEmpty || !manifest.get(m.name).contains(m.fingerprint.get) =>
+        m.name
+    }.toSet
+    val children = models.flatMap(m => m.refs.map(_ -> m.name))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val picked = scala.collection.mutable.Set.empty[String] ++ modified
+    var frontier = modified.toList
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(n => children.getOrElse(n, Nil)).distinct
+        .filterNot(picked)
+      next.foreach(picked += _)
+      frontier = next
+    }
     models.filter(m => picked(m.name))
   }
 

@@ -151,12 +151,17 @@ object SqlModel {
                   vars: Map[String, String] = Map.empty): Model = {
     val refs = extractRefs(sqlText)
     val rendered = render(sqlText, vars)
+    // Fingerprint the RENDERED text: a var change (e.g. a new partition
+    // window) modifies the model exactly as an edit does — dbt's
+    // state:modified hashes compiled SQL for the same reason.
+    val fp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
     Model(name, refs,
       (spark: SparkSession, resolved: Map[String, DataFrame]) => {
         refs.foreach(r => resolved(r).createOrReplaceTempView(viewName(r)))
         spark.sql(rendered)
       },
-      materialization, schema, database)
+      materialization, schema, database, fingerprint = Some(fp))
   }
 
   /** Load the SQL text from a classpath resource (the engine's analog of

@@ -42,6 +42,35 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("state:modified selection picks changed models plus descendants from the manifest") {
+    def fm(name: String, fp: String, refs: String*): Model =
+      m(name, refs: _*).copy(fingerprint = Some(fp))
+    val v1 = Seq(fm("base", "b1"), fm("mid", "m1", "base"), fm("top", "t1", "mid"),
+      fm("side", "s1", "base"))
+    val manifestPath = Files.createTempDirectory("graft-manifest")
+      .resolve("manifest.json").toString
+    DagRunner.writeManifest(spark, v1, manifestPath)
+    val manifest = DagRunner.readManifest(spark, manifestPath)
+    // unchanged project -> empty slim-CI selection
+    assert(DagRunner.selectModified(v1, manifest).isEmpty)
+    // editing mid reselects mid and its descendant top, not base/side
+    val v2 = v1.map(mm => if (mm.name == "mid") mm.copy(fingerprint = Some("m2")) else mm)
+    assert(DagRunner.selectModified(v2, manifest).map(_.name) === Seq("mid", "top"))
+    // a fingerprint-less model can never be proven unmodified
+    val v3 = v1.map(mm => if (mm.name == "side") mm.copy(fingerprint = None) else mm)
+    assert(DagRunner.selectModified(v3, manifest).map(_.name) === Seq("side"))
+    // first run (no manifest on disk) -> everything is modified
+    assert(DagRunner.selectModified(v1,
+      DagRunner.readManifest(spark, manifestPath + ".missing")).size === 4)
+    // SQL-text models fingerprint their RENDERED text: a var change is a modification
+    def sqlM(vars: Map[String, String]) = SqlModel.fromSqlText("sm",
+      "SELECT '{{ var('day') }}' AS d", vars = vars)
+    assert(sqlM(Map("day" -> "2021-01-01")).fingerprint ===
+      sqlM(Map("day" -> "2021-01-01")).fingerprint)
+    assert(sqlM(Map("day" -> "2021-01-01")).fingerprint !==
+      sqlM(Map("day" -> "2021-01-02")).fingerprint)
+  }
+
   test("selected subgraph runs against warehouse state for unselected upstreams") {
     // Build the full DAG once (tables), then re-run only `vod+` with a
     // resolve that reads the warehouse: the upstreams must come from
