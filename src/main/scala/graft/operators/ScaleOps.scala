@@ -254,6 +254,72 @@ object ScaleOps {
            |  max_cnt * 10000 // (total // n_keys) AS skew_ratio_q
            |FROM top5, stats ORDER BY rank""".stripMargin))
 
+  /** Morton (Z-order) bit-spread: the 16 low bits of `c` move to the
+    * even bit positions of a 32-bit value. Pure bitwise column
+    * arithmetic — stays inside whole-stage codegen.
+    */
+  private def spread16(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** 32-bit Z-value interleaving two 16-bit normalized coordinates. */
+  private[graft] def zvalue16(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Z-order clustered write: rows sort by the Morton interleave of the
+    * two columns' min-max-normalized 16-bit coordinates and land in
+    * `nFiles` contiguous-z files. Because the Z-curve alternates bits of
+    * BOTH dimensions, every file's parquet min/max footer covers a
+    * compact rectangle in (colA, colB) space, so a selective predicate
+    * on EITHER column row-group-prunes most files — where a layout
+    * sorted only by colA prunes nothing for colB predicates
+    * (`ScaleOpsSpec` measures both layouts' file-overlap fractions).
+    * This is the multi-dimensional generalization of `compact`'s
+    * single-column `sortCols` clustering — the Delta/Iceberg OPTIMIZE
+    * ZORDER shape, done relationally.
+    *
+    * Determinism caveat: `repartitionByRange` samples range boundaries,
+    * so FILE assignment may vary run to run; the row SET is exact and
+    * the clustering property holds regardless, which is what the
+    * roundtrip oracle and the pruning spec check respectively.
+    */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+                  nFiles: Int): Unit = {
+    val stats = df.agg(
+      min(col(colA).cast("long")).as("__mina"), max(col(colA).cast("long")).as("__maxa"),
+      min(col(colB).cast("long")).as("__minb"), max(col(colB).cast("long")).as("__maxb"))
+    def norm(c: String, mn: Column, mx: Column): Column =
+      when(mx > mn,
+        floor((col(c).cast("long") - mn) * lit(65535.0) / (mx - mn)).cast("long"))
+        .otherwise(lit(0L))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zvalue16(
+        norm(colA, col("__mina"), col("__maxa")),
+        norm(colB, col("__minb"), col("__maxb"))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__mina", "__maxa", "__minb", "__maxb")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private val zorderRoundTrip = QueryDef(
+    "s20_zorder_roundtrip",
+    (s, dir) => {
+      val li = graft.sources.Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      val base = s"${sys.props("java.io.tmpdir")}/graft-zorder-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      zorderWrite(li, base, "l_partkey", "l_suppkey", nFiles = 16)
+      s.read.parquet(base)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(bucketizeJoin, saltedJoinQ, compactRoundTrip, denseIdsQ,
-    skewReport)
+    skewReport, zorderRoundTrip)
 }

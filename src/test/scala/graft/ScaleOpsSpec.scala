@@ -110,4 +110,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.count() === 3L)
     assert(out.filter(col("w").isNull).select("v").head().getString(0) === "no-match")
   }
+
+  test("z-order layout bounds file overlap on BOTH columns; single-sort only on one") {
+    // Uncorrelated keys: a narrow window on either column should touch
+    // a bounded fraction of the z-ordered files (each file's min/max
+    // footer covers a compact rectangle), while a layout sorted only by
+    // partkey leaves suppkey stats useless (every file spans the whole
+    // suppkey domain -> no pruning).
+    val dir = "/root/testdata/sf0.01"
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    ScaleOps.zorderWrite(li, s"$tmp/z", "l_partkey", "l_suppkey", nFiles = 16)
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/sorted")
+
+    def overlapFraction(path: String, c: String, lo: Long, hi: Long): Double = {
+      val files = spark.read.parquet(path).inputFiles
+      val touching = files.count { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        r.getLong(0) <= hi && r.getLong(1) >= lo
+      }
+      touching.toDouble / files.length
+    }
+    // ~14%-of-domain windows INSIDE one top-2-bit quadrant strip
+    // ([0.25, 0.5) after min-max normalization): a window crossing the
+    // 0.5 boundary would touch two strips by construction — the known
+    // Z-curve discontinuity — and measure the curve's worst case rather
+    // than its typical pruning.
+    val Array(pLo, pHi) = li.stat.approxQuantile("l_partkey", Array(0.28, 0.42), 0.001)
+    val Array(sLo, sHi) = li.stat.approxQuantile("l_suppkey", Array(0.28, 0.42), 0.001)
+    val zP = overlapFraction(s"$tmp/z", "l_partkey", pLo.toLong, pHi.toLong)
+    val zS = overlapFraction(s"$tmp/z", "l_suppkey", sLo.toLong, sHi.toLong)
+    val sortedP = overlapFraction(s"$tmp/sorted", "l_partkey", pLo.toLong, pHi.toLong)
+    val sortedS = overlapFraction(s"$tmp/sorted", "l_suppkey", sLo.toLong, sHi.toLong)
+    info(f"overlap z: partkey $zP%.2f suppkey $zS%.2f; sorted: partkey $sortedP%.2f suppkey $sortedS%.2f")
+    assert(zP <= 0.6, "z-order must bound partkey-window overlap")
+    assert(zS <= 0.6, "z-order must bound suppkey-window overlap")
+    assert(sortedP <= 0.25, "single-column sort prunes its own column best")
+    assert(sortedS >= 0.9, "single-column sort cannot prune the other column")
+    // the z layout holds the full row multiset
+    val back = spark.read.parquet(s"$tmp/z")
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).count() === 0L)
+  }
 }
