@@ -55,4 +55,28 @@ class PqSpec extends SparkSpec {
     info(s"recall@5 sf0.01 = $r (random baseline $base)")
     assert(r >= 10 * base, s"recall $r under 10x random baseline $base")
   }
+
+  test("incremental PQ maintenance is idempotent: replaying the delta batch is a no-op") {
+    val dir = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqinc-test").toString
+    spark.conf.set("spark.graft.pqIncRoot", tmp)
+    try {
+      val root = SimilarityOps.PqIndex.ensureIncremental(spark, dir)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val codes0 = spark.read.parquet(s"$root/codes")
+        .select("vec_id", "m", "cluster").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(codes0.map(_._1).size === emb.count(),
+        "every vector must be encoded after the incremental build")
+      val cut = emb.agg(expr("(max(vec_id) * 9) div 10").as("c")).head().getLong(0)
+      SimilarityOps.PqIndex.addVectors(spark, emb.filter(col("vec_id") >= cut), root)
+      val codes1 = spark.read.parquet(s"$root/codes")
+        .select("vec_id", "m", "cluster").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(codes1 === codes0, "replaying an already-encoded batch must not move codes")
+    } finally {
+      spark.conf.unset("spark.graft.pqIncRoot")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
