@@ -178,35 +178,91 @@ object DagRunner {
           warehouse: String = ""): Map[String, DataFrame] = {
     var built = Map.empty[String, DataFrame]
     def lookup(n: String): DataFrame = built.getOrElse(n, resolve(n))
-    def target(m: Model): String = {
+    topoSort(models).foreach { m =>
+      val refs = m.refs.map(r => r -> lookup(r)).toMap
+      built += m.name -> materializeOne(spark, m, warehouse, refs)
+    }
+    built
+  }
+
+  /** Build + materialize one model given its resolved upstream frames —
+    * the shared body of [[run]] and [[runParallel]].
+    */
+  private def materializeOne(spark: SparkSession, m: Model, warehouse: String,
+                             refs: Map[String, DataFrame]): DataFrame = {
+    def target: String = {
       require(warehouse.nonEmpty, s"model ${m.name} needs a warehouse dir")
       s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}"
     }
-    topoSort(models).foreach { m =>
-      val refs = m.refs.map(r => r -> lookup(r)).toMap
-      val df = m.build(spark, refs)
-      val out = m.materialization match {
-        case View =>
-          df.createOrReplaceTempView(m.name)
-          df
-        case Table =>
-          val path = target(m)
-          df.write.mode("overwrite").parquet(path)
-          // Explicit schema: an empty frame writes no parquet footers, and
-          // schema inference over zero files would fail the read-back.
-          spark.read.schema(df.schema).parquet(path)
-        case IncrementalInsertOverwrite(partCol, parts) =>
-          val path = target(m)
-          writeIncremental(spark, df, path, partCol, parts)
-          spark.read.schema(df.schema).parquet(path)
-        case MergeUpsert(key, partCol) =>
-          val path = target(m)
-          writeMerge(spark, df, path, key, partCol)
-          spark.read.schema(df.schema).parquet(path)
-      }
-      built += m.name -> out
+    val df = m.build(spark, refs)
+    m.materialization match {
+      case View =>
+        df.createOrReplaceTempView(m.name)
+        df
+      case Table =>
+        val path = target
+        df.write.mode("overwrite").parquet(path)
+        // Explicit schema: an empty frame writes no parquet footers, and
+        // schema inference over zero files would fail the read-back.
+        spark.read.schema(df.schema).parquet(path)
+      case IncrementalInsertOverwrite(partCol, parts) =>
+        val path = target
+        writeIncremental(spark, df, path, partCol, parts)
+        spark.read.schema(df.schema).parquet(path)
+      case MergeUpsert(key, partCol) =>
+        val path = target
+        writeMerge(spark, df, path, key, partCol)
+        spark.read.schema(df.schema).parquet(path)
     }
-    built
+  }
+
+  /** dbt `threads`-style materialization: models whose upstreams are
+    * complete run CONCURRENTLY on a bounded pool while dependency order
+    * is preserved exactly (a model is submitted only when its last
+    * in-set ref lands). Spark's scheduler interleaves the concurrent
+    * jobs across executors, so a wide DAG level — e.g. the reference's
+    * six independent reporting models — overlaps its scans and writes
+    * instead of serializing them; at 100 TB the win is wall-clock, not
+    * work. Results are identical to [[run]]: each model's output
+    * depends only on its refs, never on schedule. First failure wins:
+    * queued models are cancelled and the cause rethrown.
+    */
+  def runParallel(spark: SparkSession, models: Seq[Model], resolve: String => DataFrame,
+                  warehouse: String = "", threads: Int = 4): Map[String, DataFrame] = {
+    import java.util.concurrent.{ConcurrentHashMap, Executors}
+    import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+    val ordered = topoSort(models) // validates acyclicity up front
+    val byName = ordered.map(m => m.name -> m).toMap
+    val built = new ConcurrentHashMap[String, DataFrame]()
+    val remaining = new ConcurrentHashMap[String, AtomicInteger]()
+    ordered.foreach(m =>
+      remaining.put(m.name, new AtomicInteger(m.refs.distinct.count(byName.contains))))
+    val dependents = ordered.flatMap(m =>
+      m.refs.distinct.filter(byName.contains).map(_ -> m.name))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val pool = Executors.newFixedThreadPool(math.max(1, threads))
+    val failure = new AtomicReference[Throwable]()
+    def submit(name: String): Unit = pool.submit(new Runnable {
+      def run(): Unit =
+        try {
+          if (failure.get() == null) {
+            val m = byName(name)
+            val refs = m.refs.map(r =>
+              r -> Option(built.get(r)).getOrElse(resolve(r))).toMap
+            built.put(name, materializeOne(spark, m, warehouse, refs))
+            dependents.getOrElse(name, Nil).foreach { d =>
+              if (remaining.get(d).decrementAndGet() == 0) submit(d)
+            }
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    })
+    ordered.filter(m => remaining.get(m.name).get() == 0).foreach(m => submit(m.name))
+    try {
+      while (built.size() < ordered.size && failure.get() == null) Thread.sleep(10)
+    } finally pool.shutdownNow()
+    if (failure.get() != null) throw failure.get()
+    import scala.jdk.CollectionConverters._
+    built.asScala.toMap
   }
 
   /** `dbt build`-shaped run: materialize the DAG, then execute the

@@ -293,6 +293,60 @@ object TextOps {
            |  CASE WHEN lang = 'en' THEN '99' WHEN lang = 'de' THEN '4d' ELSE '1a' END
            |ORDER BY doc_id""".stripMargin))
 
+  /** EXACT-k deterministic sample per stratum — the fixed-size eval-set
+    * shape ([[stratifiedSample]] keeps a deterministic RATE; this keeps
+    * a deterministic COUNT). Scale-safe two-phase plan: a broadcast
+    * per-stratum count derives a 4-hex-digit overshoot threshold
+    * (~4k expected survivors per stratum, map-side narrow filter over
+    * the whole corpus — no `rand()`, no shuffle), then the survivor set
+    * alone pays the per-stratum rank window. Ranking by (md5, doc_id)
+    * makes the k winners a pure function of the corpus: reruns, delta
+    * reprocessing, and other engines (the DuckDB oracle mirrors the
+    * formula) pick identical rows. A stratum at or under 4k rows keeps
+    * everything through the filter ('zzzz' sorts above any hex), so the
+    * result is exactly min(k, |stratum|) rows; the 4× overshoot makes a
+    * larger stratum underfilling k a ~e^-40 tail event (Chernoff on the
+    * uniform hash), documented rather than guaranteed — raise the
+    * overshoot factor if that tail ever matters.
+    */
+  private val exactKSample = QueryDef(
+    "llm_exact_k_sample",
+    (s, dir) => {
+      val k = 20
+      val docs = Tables.load(s, dir, "documents")
+      val h = md5(concat(lit("ksample:"), col("doc_id").cast("string")))
+      val th = Tables.load(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(col("lang"),
+          when(col("n") <= 4 * k, lit("zzzz"))
+            .otherwise(format_string("%04x",
+              expr(s"CAST(ceil(65536.0 * ${4 * k}.0 / n) AS BIGINT)"))).as("th"))
+      docs.join(broadcast(th), "lang")
+        .filter(substring(h, 1, 4) < col("th"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy(h, col("doc_id"))))
+        .filter(col("rk") <= k)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    },
+    Some("""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+           |th AS (SELECT lang,
+           |  CASE WHEN n <= 80 THEN 'zzzz'
+           |       ELSE printf('%04x', CAST(ceil(65536.0 * 80.0 / n) AS BIGINT)) END AS th
+           |  FROM counts),
+           |surv AS (
+           |  SELECT d.lang, d.doc_id,
+           |    md5('ksample:' || CAST(d.doc_id AS VARCHAR)) AS h
+           |  FROM documents d JOIN th USING (lang)
+           |  WHERE substr(md5('ksample:' || CAST(d.doc_id AS VARCHAR)), 1, 4) < th.th),
+           |ranked AS (
+           |  SELECT lang, doc_id,
+           |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+           |  FROM surv)
+           |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+           |FROM ranked WHERE rk <= 20 ORDER BY lang, rk""".stripMargin))
+
   /** Sequence packing — assign documents to fixed-budget context chunks
     * (the concat-then-chunk packing used in pretraining dataprep): docs
     * are ordered deterministically within each (lang, shard), token
@@ -923,6 +977,6 @@ object TextOps {
            |FROM sig ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
-    textClean, stratifiedSample, packSequences, chunkDocs, trainSplit, ngramTopk,
+    textClean, stratifiedSample, exactKSample, packSequences, chunkDocs, trainSplit, ngramTopk,
     bpePairs, bpeTrain, bpeApply, mixtureSample, shuffleShards, blocklist, blocklistSubstr, repSignals)
 }

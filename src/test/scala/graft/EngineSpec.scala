@@ -42,6 +42,39 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("runParallel overlaps independent models, preserves order, equals run()") {
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    def slow(name: String, refs: String*): Model =
+      Model(name, refs, (s, r) => {
+        val now = active.incrementAndGet()
+        peak.updateAndGet(p => math.max(p, now))
+        Thread.sleep(300)
+        active.decrementAndGet()
+        refs.foldLeft(s.range(2).toDF("x"))((d, rf) => d.unionAll(r(rf)))
+      })
+    // diamond: base -> (left, right) -> top; left/right must overlap
+    val models = Seq(slow("base"), slow("left", "base"), slow("right", "base"),
+      slow("top", "left", "right"))
+    val par = DagRunner.runParallel(spark, models, n => sys.error(s"no source $n"),
+      threads = 4)
+    assert(peak.get() >= 2, "independent models must have run concurrently")
+    assert(par("top").count() === 10L) // 2 + left(2+2) + right(2+2) via the unions
+    val seq = DagRunner.run(spark, models, n => sys.error(s"no source $n"))
+    assert(par("top").exceptAll(seq("top")).count() === 0L)
+    assert(seq("top").exceptAll(par("top")).count() === 0L)
+  }
+
+  test("runParallel propagates the first failure") {
+    val models = Seq(m("ok"),
+      Model("boom", Seq("ok"), (s, r) => sys.error("deliberate")),
+      m("after", "boom"))
+    val e = intercept[RuntimeException] {
+      DagRunner.runParallel(spark, models, n => sys.error(s"no source $n"))
+    }
+    assert(e.getMessage.contains("deliberate"))
+  }
+
   test("state:modified selection picks changed models plus descendants from the manifest") {
     def fm(name: String, fp: String, refs: String*): Model =
       m(name, refs: _*).copy(fingerprint = Some(fp))
