@@ -17,9 +17,19 @@ import graft.models.testkit.NpoFixtures
   *   runMain graft.tools.RunDag <sourcesDir> <warehouse> [todayYYYY-MM-DD]
   *     reads each source as <sourcesDir>/<name>.parquet (names per
   *     `NpoDag.sources`) and materializes into <warehouse>.
+  *   Add --threads N to materialize ready models concurrently
+  *     (dbt's `threads:` — `DagRunner.runParallel`).
   */
 object RunDag {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    val threads = args0.sliding(2).collectFirst {
+      case Array("--threads", n) => n.toInt
+    }.getOrElse(1)
+    val args = {
+      val a = args0.toSeq
+      val i = a.indexOf("--threads")
+      (if (i >= 0) a.patch(i, Nil, 2) else a).toArray
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,7 +52,9 @@ object RunDag {
       }
 
     val built: Map[String, DataFrame] =
-      DagRunner.run(spark, NpoDag.models(today), resolve, warehouse)
+      if (threads > 1)
+        DagRunner.runParallel(spark, NpoDag.models(today), resolve, warehouse, threads)
+      else DagRunner.run(spark, NpoDag.models(today), resolve, warehouse)
     built.toSeq.sortBy(_._1).foreach { case (name, df) =>
       println(f"[rundag] $name%-45s ${df.count()}%8d rows")
     }

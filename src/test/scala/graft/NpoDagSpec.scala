@@ -29,6 +29,21 @@ class NpoDagSpec extends SparkSpec {
       "integral_reporting_dashboard_channel_weekly"))
   }
 
+  test("runParallel materializes the full reference DAG identically to run()") {
+    // The real 13-model graph (views + an incremental table + reporting
+    // fan-out) through the dbt-threads runner: every model's frame must
+    // equal the sequential build's.
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_par").toFile.getAbsolutePath
+    val fixtures = NpoFixtures.all(spark)
+    val par = DagRunner.runParallel(spark, NpoDag.models(NpoFixtures.today),
+      fixtures.apply, wh, threads = 4)
+    assert(par.keySet === built.keySet)
+    par.keySet.foreach { name =>
+      assert(par(name).exceptAll(built(name)).count() === 0L, s"$name: extra rows in parallel build")
+      assert(built(name).exceptAll(par(name)).count() === 0L, s"$name: missing rows in parallel build")
+    }
+  }
+
   test("latest-partition source keeps only the max partitionDate and drops the column") {
     val yt = built("quintly_youtube_allchannels_weekly")
     assert(!yt.columns.contains("partitionDate"))
