@@ -19,16 +19,21 @@ import graft.models.testkit.NpoFixtures
   *     `NpoDag.sources`) and materializes into <warehouse>.
   *   Add --threads N to materialize ready models concurrently
   *     (dbt's `threads:` — `DagRunner.runParallel`).
+  *   Add --select 'spec' to materialize a node-selection subgraph
+  *     (dbt's `run --select`; unselected upstreams resolve from the
+  *     warehouse of a previous full run).
   */
 object RunDag {
   def main(args0: Array[String]): Unit = {
-    val threads = args0.sliding(2).collectFirst {
-      case Array("--threads", n) => n.toInt
-    }.getOrElse(1)
+    def flagValue(flag: String): Option[String] =
+      args0.sliding(2).collectFirst { case Array(`flag`, v) => v }
+    val threads = flagValue("--threads").map(_.toInt).getOrElse(1)
+    val selectSpec = flagValue("--select")
     val args = {
-      val a = args0.toSeq
-      val i = a.indexOf("--threads")
-      (if (i >= 0) a.patch(i, Nil, 2) else a).toArray
+      var a = args0.toSeq
+      for (f <- Seq("--threads", "--select"); i = a.indexOf(f); if i >= 0)
+        a = a.patch(i, Nil, 2)
+      a.toArray
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -51,17 +56,43 @@ object RunDag {
         ((n: String) => spark.read.parquet(s"$src/$n.parquet"), wh, today)
       }
 
+    val allModels = NpoDag.models(today)
+    // Under --select, unselected TABLE-family upstreams resolve from the
+    // warehouse of a previous full run (dbt's contract — they persist);
+    // VIEW upstreams have no on-disk form, so their subtree joins the
+    // selection (they are lazy plans — free until scanned, exactly as a
+    // database view would be). True external sources still come from
+    // the source resolver.
+    val models = selectSpec.map { spec =>
+      val base = DagRunner.select(allModels, spec)
+      var names = base.map(_.name).toSet
+      var grew = true
+      while (grew) {
+        val viewDeps = allModels.filter(m => !names(m.name) &&
+          m.materialization == graft.engine.View &&
+          allModels.exists(d => names(d.name) && d.refs.contains(m.name)))
+        grew = viewDeps.nonEmpty
+        names ++= viewDeps.map(_.name)
+      }
+      allModels.filter(m => names(m.name))
+    }.getOrElse(allModels)
+    val modelTargets = allModels.map(m => m.name ->
+      s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}").toMap
+    val resolveWithWarehouse: String => DataFrame = n =>
+      if (selectSpec.isDefined && modelTargets.contains(n) &&
+          !models.exists(_.name == n)) spark.read.parquet(modelTargets(n))
+      else resolve(n)
     val built: Map[String, DataFrame] =
       if (threads > 1)
-        DagRunner.runParallel(spark, NpoDag.models(today), resolve, warehouse, threads)
-      else DagRunner.run(spark, NpoDag.models(today), resolve, warehouse)
+        DagRunner.runParallel(spark, models, resolveWithWarehouse, warehouse, threads)
+      else DagRunner.run(spark, models, resolveWithWarehouse, warehouse)
     built.toSeq.sortBy(_._1).foreach { case (name, df) =>
       println(f"[rundag] $name%-45s ${df.count()}%8d rows")
     }
     println(s"[rundag] warehouse: $warehouse")
-    built("integral_reporting_dashboard_channel_weekly")
-      .orderBy("Naam", "weekdate", "reporting_channel")
-      .show(10, truncate = false)
+    built.get("integral_reporting_dashboard_channel_weekly").foreach(
+      _.orderBy("Naam", "weekdate", "reporting_channel")
+        .show(10, truncate = false))
     spark.stop()
   }
 }
