@@ -308,13 +308,50 @@ object StreamingOps {
   def ivfIngestSink(updates: DataFrame, indexRoot: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val ingest: (DataFrame, Long) => Unit = (batch, _) =>
-      graft.llm.SimilarityOps.IvfIndex.addVectors(batch.sparkSession, batch, indexRoot)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    indexIngestSink(updates, checkpoint, trigger,
+      (batch, _) => graft.llm.SimilarityOps.IvfIndex.addVectors(
+        batch.sparkSession, batch, indexRoot))
+
+  /** Streaming BM25 index maintenance: micro-batches of new documents
+    * (doc_id, text) land through `Bm25Index.addDocuments` — postings /
+    * df / doclens upserted partition-locally, stats re-derived.
+    * Same effectively-once argument: known doc_ids filter out, so a
+    * replayed batch is a no-op.
+    */
+  def bm25IngestSink(updates: DataFrame, indexRoot: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    indexIngestSink(updates, checkpoint, trigger,
+      (batch, _) => graft.llm.CorpusOps.Bm25Index.addDocuments(
+        batch.sparkSession, batch, indexRoot))
+
+  /** Streaming PQ code maintenance: micro-batches of new vectors encode
+    * against the index's FROZEN codebook via `PqIndex.addVectors` and
+    * upsert their codes — the streaming face of the rebuild-vs-encode
+    * contract (`llm_pq_incremental`).
+    */
+  def pqIngestSink(updates: DataFrame, indexRoot: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    indexIngestSink(updates, checkpoint, trigger,
+      (batch, _) => graft.llm.SimilarityOps.PqIndex.addVectors(
+        batch.sparkSession, batch, indexRoot))
+
+  /** Shared foreachBatch plumbing of the three index-maintenance sinks:
+    * each micro-batch applies one idempotent delta-builder, so
+    * checkpoint + replay yields effectively-once INDEX state even
+    * though foreachBatch itself is at-least-once.
+    */
+  private def indexIngestSink(updates: DataFrame, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      apply: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
-      .foreachBatch(ingest)
+      .foreachBatch(apply)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
-  }
 }

@@ -157,4 +157,52 @@ class StreamingFileSpec extends SparkSpec {
     assert(streamed === scratch,
       "streamed index must answer exactly like a from-scratch build")
   }
+
+  test("streaming BM25 ingest equals the from-scratch index, table by table") {
+    val dir = Files.createTempDirectory("graft_bm25stream").toFile.getAbsolutePath
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") >= 10)
+      .select("doc_id", "text")
+    val cut = docs.agg(expr("10 + ((max(doc_id) - 10) * 9) div 10").as("c"))
+      .head().getLong(0)
+    val root = s"$dir/index"
+    graft.llm.CorpusOps.Bm25Index.buildInto(spark, docs.filter(col("doc_id") < cut), root)
+    val landing = s"$dir/landing"
+    docs.filter(col("doc_id") >= cut).write.mode("append").parquet(landing)
+    StreamingOps.bm25IngestSink(
+      spark.readStream.schema(docs.schema).parquet(landing), root, s"$dir/ckpt")
+      .awaitTermination()
+    // Full-build twin on the whole corpus; every index table must agree
+    // row for row (the ensure root indexes the same doc set).
+    val full = graft.llm.CorpusOps.Bm25Index.ensure(spark, sf)
+    def rows(path: String, cols: String*): Set[String] =
+      spark.read.parquet(path).select(cols.map(col): _*)
+        .collect().map(_.mkString("|")).toSet
+    assert(rows(s"$root/postings", "doc_id", "word", "tf", "dl") ===
+      rows(s"$full/postings", "doc_id", "word", "tf", "dl"))
+    assert(rows(s"$root/df", "word", "dfreq") === rows(s"$full/df", "word", "dfreq"))
+    assert(rows(s"$root/doclens", "doc_id", "dl") === rows(s"$full/doclens", "doc_id", "dl"))
+    assert(rows(s"$root/stats", "n_docs", "total_len") ===
+      rows(s"$full/stats", "n_docs", "total_len"))
+  }
+
+  test("streaming PQ ingest encodes deltas identically to the batch incremental build") {
+    val dir = Files.createTempDirectory("graft_pqstream").toFile.getAbsolutePath
+    val sf = "/root/testdata/sf0.01"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cut = emb.agg(expr("(max(vec_id) * 9) div 10").as("c")).head().getLong(0)
+    val root = s"$dir/index"
+    graft.llm.SimilarityOps.PqIndex.buildInto(spark, emb.filter(col("vec_id") < cut), root)
+    val landing = s"$dir/landing"
+    emb.filter(col("vec_id") >= cut).write.mode("append").parquet(landing)
+    StreamingOps.pqIngestSink(
+      spark.readStream.schema(emb.schema).parquet(landing), root, s"$dir/ckpt")
+      .awaitTermination()
+    val batchRoot = graft.llm.SimilarityOps.PqIndex.ensureIncremental(spark, sf)
+    def codes(path: String): Set[(Long, Int, Int)] =
+      spark.read.parquet(s"$path/codes").select("vec_id", "m", "cluster")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(codes(root) === codes(batchRoot),
+      "streamed delta encoding must equal the batch incremental build's codes")
+  }
 }
