@@ -303,6 +303,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("llm_ann_ivf_inc probes the incrementally-built index with dynamic partition pruning") {
+    val p = plan("llm_ann_ivf_inc")
+    assert(p.contains("dynamicpruning"),
+      "the incrementally-maintained corpus scan must keep the same pruning as the full build")
+  }
+
+  test("llm_exact_k_sample pays its rank window only on the overshoot survivors") {
+    // The per-stratum threshold join must be broadcast (counts table is
+    // |strata| rows) and the hash filter must sit BELOW the window, so
+    // the sort state is survivor-sized, never corpus-sized.
+    val p = plan("llm_exact_k_sample")
+    assert(p.contains("BroadcastHashJoin"), "threshold table must broadcast")
+    val winIdx = p.indexOf("Window")
+    val filterIdx = p.lastIndexOf("Filter")
+    assert(winIdx >= 0 && filterIdx > winIdx,
+      "the overshoot filter must execute below the rank window in the plan tree")
+  }
+
+  test("llm_pq_incremental scores via a broadcast ADC table over the codes scan") {
+    val p = plan("llm_pq_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |Q|*M*K ADC table must broadcast against the codes")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus codes must never shuffle for the ADC probe")
+  }
+
   test("simhash blocked-permutation scheme emits exactly the banded scheme's pairs") {
     // Both blocking schemes have recall 1 for hamming <= 3 (4-band
     // pigeonhole vs the Manku-Jain-Sarma C(6,3) block combinations), so
