@@ -133,6 +133,41 @@ object DagRunner {
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
+  /** dbt `docs generate`-shaped project artifact: one JSON object with
+    * a node per model — name, upstream refs (the lineage graph),
+    * materialization, database/schema routing, and the content
+    * fingerprint. Machine-readable lineage for catalog tooling; column
+    * schemas intentionally live with the materialized outputs (they are
+    * a property of a RUN, not of the project text).
+    */
+  def writeDocs(spark: SparkSession, models: Seq[Model], path: String): Unit = {
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def matName(m: Materialization): String = m match {
+      case View => "view"
+      case Table => "table"
+      case IncrementalInsertOverwrite(p, _) => s"incremental:insert_overwrite:$p"
+      case MergeUpsert(k, p) => s"incremental:merge:$k:$p"
+    }
+    val nodes = topoSort(models).map { m =>
+      jstr(m.name) + ":{" +
+        s""""refs":[${m.refs.map(jstr).mkString(",")}],""" +
+        s""""materialization":${jstr(matName(m.materialization))},""" +
+        s""""database":${jstr(m.database.getOrElse("main"))},""" +
+        s""""schema":${jstr(m.schema.getOrElse("main"))},""" +
+        s""""fingerprint":${m.fingerprint.map(jstr).getOrElse("null")}}"""
+    }.mkString("{", ",", "}")
+    val body = s"""{"nodes":$nodes}"""
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
   /** The previous run's manifest, or empty when none exists (first run:
     * everything is modified).
     */

@@ -42,6 +42,25 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("writeDocs emits valid JSON lineage for the real 13-model DAG") {
+    val docsPath = Files.createTempDirectory("graft-docs")
+      .resolve("docs.json").toString
+    val models = graft.models.NpoDag.models(graft.models.testkit.NpoFixtures.today)
+    DagRunner.writeDocs(spark, models, docsPath)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(docsPath)), "UTF-8")
+    // must be parseable JSON with every model present and lineage intact
+    val parsed = org.json4s.jackson.JsonMethods.parse(body)
+    val nodes = (parsed \ "nodes").asInstanceOf[org.json4s.JObject].obj.toMap
+    assert(nodes.keySet === models.map(_.name).toSet)
+    val dash = nodes("integral_reporting_dashboard_channel_weekly")
+    val refs = (dash \ "refs").asInstanceOf[org.json4s.JArray]
+      .arr.map(_.asInstanceOf[org.json4s.JString].s).toSet
+    assert(refs.contains("integral_reporting_tvbroadcasts"))
+    assert((nodes("atinternet_smarttag_streams_daily_v4") \ "materialization")
+      .asInstanceOf[org.json4s.JString].s.startsWith("incremental:insert_overwrite"))
+  }
+
   test("runParallel overlaps independent models, preserves order, equals run()") {
     val active = new java.util.concurrent.atomic.AtomicInteger(0)
     val peak = new java.util.concurrent.atomic.AtomicInteger(0)
