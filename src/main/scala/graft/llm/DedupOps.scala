@@ -1430,6 +1430,64 @@ object DedupOps {
            |LEFT JOIN hits h USING (doc_id)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Incremental dedup-GROUP maintenance — the closure counterpart of
+    * [[incrementalDedup]] (which only flags membership): when a new
+    * ingest batch (`source = 'src7'`) arrives, the lake's standing
+    * component assignment is updated WITHOUT recomputing any
+    * lake-internal pairs. Three inputs feed one small re-closure:
+    *
+    *  1. the lake's existing assignment as STAR edges
+    *     (canonical_id → doc_id) — the state table a deployment
+    *     persists; |docs-in-components| edges, ≪ the lake pair list;
+    *  2. batch-batch candidate pairs (banded self-join of the batch
+    *     alone);
+    *  3. batch-lake pairs from probing the lake's (band_idx, band_hash
+    *     → doc_id) index — the same index `llm_incremental_dedup`
+    *     maintains, joined instead of semi-joined.
+    *
+    * Star edges preserve exactly the old components' connectivity, and
+    * component labels are minima (associative under merges), so the
+    * re-closure provably equals a full recompute over the grown corpus
+    * — which is why this row SHARES `llm_dedup_groups`' oracle: DuckDB's
+    * recursive closure over ALL pairs judges the incremental path. At
+    * 100 TB the expensive banded self-join of the lake never re-runs;
+    * per batch the cost is the batch's own signatures, one index probe,
+    * and a CC over stars + batch-touching pairs.
+    */
+  private val incrementalGroups = QueryDef(
+    "llm_incremental_groups",
+    (s, dir) => {
+      val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+      val bands = bandHashes(s, dir).join(src, "doc_id")
+      val lakeBands = bands.filter(col("source") =!= "src7")
+        .select("doc_id", "band_idx", "band_hash")
+      val batchBands = bands.filter(col("source") === "src7")
+        .select("doc_id", "band_idx", "band_hash")
+      def selfPairs(b: DataFrame): DataFrame = {
+        val a2 = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+        val b2 = b.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+          col("doc_id").as("doc_b"))
+        a2.join(b2, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+            col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+      }
+      // 1. standing lake state: close lake-only pairs, keep min-rooted stars
+      val stars = connectedComponents(selfPairs(lakeBands))
+        .filter(col("canonical_id") =!= col("doc_id"))
+        .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b"))
+      // 2. + 3. the batch's new edges
+      val bb = selfPairs(batchBands)
+      val bl = batchBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("bd"))
+        .join(lakeBands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+          col("doc_id").as("ld")),
+          col("band_idx") === col("bi") && col("band_hash") === col("bh"))
+        .select(least(col("bd"), col("ld")).as("doc_a"),
+          greatest(col("bd"), col("ld")).as("doc_b"))
+        .distinct()
+      connectedComponents(stars.unionAll(bb).unionAll(bl)).orderBy("doc_id")
+    },
+    dedupGroups.oracle)
+
   /** Corpus-level line (span) deduplication — the C4-style boilerplate
     * filter: any LINE whose verbatim corpus frequency exceeds a
     * threshold (cookie banners, navigation chrome, license headers) is
@@ -1573,5 +1631,6 @@ object DedupOps {
 
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
-    canonicalDocs, incrementalDedup, lineDedup, substrSpans, triangles, jaccardEst, editVerify)
+    canonicalDocs, incrementalDedup, incrementalGroups, lineDedup, substrSpans,
+    triangles, jaccardEst, editVerify)
 }
