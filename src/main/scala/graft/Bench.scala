@@ -244,6 +244,16 @@ object Bench {
     // 6-7 recorded parsed:null this way). The last line is small enough to
     // always survive whole and parses standalone.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_errors":${errors.length},"starved":$starved,"steal_pct":${f"$stealPct%.2f"},"sf":"$sfDir"}""")
+    // Machine-parseable artifact: sbt prefixes every stdout line with
+    // "[info] ", which has defeated the driver's stdout parser for two
+    // rounds running (BENCH_r07/r08 record parsed:null despite the
+    // compact tail line surviving). A FILE has no log prefix and no
+    // truncation window, so the total is always recoverable.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_errors":${errors.length},"starved":$starved,"steal_pct":${f"$stealPct%.2f"},"sf":"$sfDir","queries":$qs,"errors":$errs,"reruns":$rr,"starved_queries":$sq}"""
+    val summaryPath = java.nio.file.Paths.get("target", "bench-summary.json")
+    java.nio.file.Files.createDirectories(summaryPath.getParent)
+    java.nio.file.Files.write(summaryPath, summary.getBytes("UTF-8"))
     spark.stop()
   }
 }

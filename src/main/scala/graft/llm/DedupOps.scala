@@ -1178,10 +1178,21 @@ object DedupOps {
     // distributed == spec replay). Above the threshold the checkpointed
     // distributed loop below is the 100 TB path.
     val localMax = s.conf.get("spark.graft.pagerankLocalMaxEdges", "100000").toLong
-    if (2L * pairs.count() <= localMax)
-      return pagerankConvergedLocal(docs, pairs, eps, maxRounds)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // A pair with an endpoint outside `docs` is dropped up-front, for
+    // BOTH tiers: previously the distributed tier kept such an edge in
+    // the out-degree divisor while dropping its contribution (silently
+    // leaking rank mass to a nonexistent doc), and the local tier's
+    // HashMap lookup aliased the missing id to index 0. One semi-join
+    // of the (candidate-graph-sized, ≪ corpus) pair list per call —
+    // noise against the ~60 docs-sized rank-table rounds that follow.
+    val docIdsAll = docs.select(col("doc_id"))
+    val cleanPairs = pairs.select("doc_a", "doc_b")
+      .join(docIdsAll.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi")
+      .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
+    if (2L * cleanPairs.count() <= localMax)
+      return pagerankConvergedLocal(docs, cleanPairs, eps, maxRounds)
+    val edges = cleanPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(cleanPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // Deliberately NOT persisted: every round inside a lazy block
     // references the same edgesDeg subtree, and AQE's ReusedExchange
@@ -1250,19 +1261,47 @@ object DedupOps {
   }
 
   /** Local tier of [[pagerankConvergedStats]]: the identical integer
-    * recurrence and block-granular stop test over driver arrays. Bounded
-    * by `spark.graft.pagerankLocalMaxEdges` (default 100k directed
-    * edges, ≈ MBs of Longs) — the same sanctioned driver-probe shape as
-    * the CC union-find tier.
+    * recurrence and block-granular stop test over driver arrays.
+    *
+    * The ONLY data collected to the driver is the (semi-join-filtered)
+    * pair list itself — ≤ `spark.graft.pagerankLocalMaxEdges`/2 rows,
+    * the exact quantity the tier guard bounded — never the doc-id
+    * column: on a 100 TB corpus whose near-dup graph is sparse (the
+    * realistic post-cleaning shape) docs ≫ edges, and a full-docs
+    * collect under an edges-only guard is a driver OOM. Docs that
+    * participate in no edge never receive contributions, so after the
+    * first step they all sit at the closed-form base share
+    * `150000000000 div n`; their ranks are emitted as a distributed
+    * select (broadcast left join of the tiny participating-rank table
+    * against `docs`), and their one nonzero L1-delta contribution — the
+    * first block only, round 0 → 1, |init − base| each — is added
+    * analytically so the stop test, round count, and final delta stay
+    * bit-identical to the distributed tier.
     */
   private def pagerankConvergedLocal(docs: DataFrame, pairs: DataFrame,
       eps: Long, maxRounds: Int): (DataFrame, Int, Long) = {
     val s = docs.sparkSession
-    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    // Total corpus size is an aggregate, not a collect.
+    val nTotal = docs.agg(count(lit(1))).head().getLong(0)
+    require(nTotal > 0, "pagerank over an empty docs frame")
+    val docIds = docs.select(col("doc_id"))
+    // `pairs` arrives pre-filtered to docs endpoints by the caller, so
+    // every collected id resolves in the index map by construction.
+    val ps = pairs.select("doc_a", "doc_b").collect()
+    // Participating ids only: ≤ 2×pairs of them, by construction.
+    val ids = {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      ps.foreach { r => seen.add(r.getLong(0)); seen.add(r.getLong(1)) }
+      val a = new Array[Long](seen.size)
+      var i = 0
+      val it = seen.iterator()
+      while (it.hasNext) { a(i) = it.next(); i += 1 }
+      a
+    }
     val n = ids.length
+    val nIso = nTotal - n
     val idx = new java.util.HashMap[Long, Int](n * 2)
     ids.zipWithIndex.foreach { case (d, i) => idx.put(d, i) }
-    val ps = pairs.select("doc_a", "doc_b").collect()
     val m = ps.length * 2
     val srcs = new Array[Int](m)
     val dsts = new Array[Int](m)
@@ -1275,13 +1314,15 @@ object DedupOps {
     }
     val outdeg = new Array[Long](n)
     srcs.foreach(si => outdeg(si) += 1)
-    val base = 150000000000L / n
-    var pr = Array.fill(n)(1000000000000L / n)
+    val base = 150000000000L / nTotal
+    val init = 1000000000000L / nTotal
+    var pr = Array.fill(n)(init)
     var prev = pr
     var delta = Long.MaxValue
     var rounds = 0
     while (delta > eps && rounds < maxRounds) {
       val k = pagerankBlockRounds(delta, eps)
+      val blockStart = rounds
       for (_ <- 1 to k) {
         prev = pr
         val contrib = new Array[Long](n)
@@ -1296,14 +1337,23 @@ object DedupOps {
       var acc = 0L
       var d = 0
       while (d < n) { acc += math.abs(pr(d) - prev(d)); d += 1 }
+      // Isolated docs move exactly once, init → base on round 0 → 1; the
+      // block whose measured step is round 0 → 1 (the first block, which
+      // always has k = 1) carries their whole delta, every later block 0.
+      if (blockStart + k == 1) acc += nIso * math.abs(init - base)
       delta = acc
     }
     if (delta > eps) throw new IllegalStateException(
       s"pagerank did not converge to eps=$eps in $maxRounds rounds " +
         "(damping 85/100 contracts the L1 delta ≥0.85x per round — this should be impossible)")
     import s.implicits._
-    val out = ids.indices.map(d => (ids(d), n.toLong, pr(d), outdeg(d)))
-      .toDF("doc_id", "n_docs", "pr", "degree")
+    val isoFinal = if (rounds == 0) init else base
+    val partDf = ids.indices.map(d => (ids(d), pr(d), outdeg(d)))
+      .toDF("doc_id", "pr_part", "deg_part")
+    val out = docIds.join(broadcast(partDf), Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(nTotal).as("n_docs"),
+        coalesce(col("pr_part"), lit(isoFinal)).as("pr"),
+        coalesce(col("deg_part"), lit(0L)).as("degree"))
     (out, rounds, delta)
   }
 

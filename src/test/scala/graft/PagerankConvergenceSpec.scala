@@ -127,6 +127,53 @@ class PagerankConvergenceSpec extends SparkSpec {
       "base share is a hard floor (every doc receives it each round) and total mass a hard ceiling")
   }
 
+  test("many isolated docs: local tier engages on the edge guard and stays exact") {
+    // docs ≫ edges — the realistic post-cleaning 100 TB shape. The edge
+    // guard (6 pairs ≪ 100k default) keeps the local tier engaged; the
+    // fix means only edge-participating ids (10 here) reach the driver,
+    // isolated docs get the closed-form base rank distributedly, and the
+    // first block's measured delta carries their init→base move — so
+    // rounds, delta, and every rank must STILL match the full replay
+    // bit-for-bit.
+    val bigN = 50000L
+    val eps = 1000L
+    val (df, rounds, delta) = run(bigN, graph, eps)
+    val (expected, expRounds, expDelta) = replay(bigN, graph, eps)
+    assert(rounds === expRounds)
+    assert(delta === expDelta)
+    val base = 150000000000L / bigN
+    val participating = graph.flatMap(p => Seq(p._1, p._2)).toSet
+    val got = df.filter(col("doc_id") < 10 || col("pr") =!= base || col("degree") =!= 0L)
+      .select("doc_id", "pr").as[(Long, Long)].collect().toMap
+    // Every doc outside the filter is an isolated doc at exactly base/0,
+    // and the surviving rows must match the replay entry-for-entry.
+    got.foreach { case (d, pr) =>
+      assert(pr === expected(d), s"doc $d")
+      if (!participating.contains(d)) assert(pr === base)
+    }
+    assert(df.count() === bigN)
+  }
+
+  test("pairs with an endpoint outside docs are dropped by both tiers alike") {
+    val noisy = graph :+ ((3L, 999L)) :+ ((998L, 997L))
+    val eps = 1000L
+    val (ldf, lRounds, lDelta) = run(nDocs, noisy, eps)
+    val (ddf, dRounds, dDelta) = run(nDocs, noisy, eps, forceDistributed = true)
+    assert(lRounds === dRounds)
+    assert(lDelta === dDelta)
+    val l = ldf.select("doc_id", "pr", "degree").as[(Long, Long, Long)].collect().toSet
+    val d = ddf.select("doc_id", "pr", "degree").as[(Long, Long, Long)].collect().toSet
+    assert(l === d)
+    // The dangling edge must not resurrect doc 999 or corrupt doc 0's
+    // rank (the old HashMap null-unboxing aliased missing ids to index 0).
+    assert(ldf.filter(col("doc_id") > 7).count() === 0)
+  }
+
+  test("empty docs frame fails fast instead of dividing by zero") {
+    val e = intercept[IllegalArgumentException] { run(0L, Seq((0L, 1L)), 1000L) }
+    assert(e.getMessage.contains("empty docs"))
+  }
+
   test("block schedule: 1 until first measurement, capped at 16, tapering near convergence") {
     assert(DedupOps.pagerankBlockRounds(Long.MaxValue, 1000L) === 1)
     assert(DedupOps.pagerankBlockRounds(1000000000000L, 1000L) === 16)
