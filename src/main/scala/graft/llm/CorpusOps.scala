@@ -771,51 +771,65 @@ object CorpusOps {
       * doclens upsert via the engine's composite-key `writeMerge` (so
       * only the batch's `wb`/`db` partitions rewrite); `df` is then
       * RE-DERIVED for the touched buckets from the merged postings —
-      * not incremented — so every step is idempotent and a crashed run
-      * replays safely in any prefix. Already-indexed doc_ids (per
-      * `doclens`) are filtered out first, which also makes a full-batch
-      * replay a no-op.
+      * not incremented — so every step is idempotent.
+      *
+      * Crash-replay contract: the touched-bucket set comes from the
+      * whole BATCH, not just its unseen docs, and the df recompute +
+      * stats republish run even when every batch doc is already in
+      * `doclens` — so a crash between the postings merge and the
+      * df/stats refresh (when a replay's unseen set is empty) is
+      * repaired by replaying the batch, while a replay of a
+      * fully-applied batch leaves postings/doclens byte-identical and
+      * re-derives equal df/stats.
       */
     def addDocuments(s: SparkSession, newDocs: DataFrame, root: String): Unit = {
       val known = s.read.parquet(s"$root/doclens").select("doc_id")
-      val fresh = newDocs.join(known, Seq("doc_id"), "left_anti")
-      val dw = tokenize(fresh).persist()
+      val dwAll = tokenize(newDocs).persist()
+      // Persisted + materialized by the emptiness probe below, so the
+      // doclens merge consumes the CACHE instead of re-running the
+      // anti-join whose lineage reads the doclens path mid-overwrite
+      // (the recache-on-overwrite hazard class).
+      val dw = dwAll.join(known, Seq("doc_id"), "left_anti").persist()
       try {
+        val touched = dwAll.select(wbOf.as("wb")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (touched.isEmpty) return
         val dlen = dw.groupBy("doc_id").agg(sum("tf").as("dl"))
         val newPostings = dw.join(dlen, "doc_id")
           .select(col("doc_id"), col("word"), col("tf"), col("dl"))
           .withColumn("wb", wbOf)
-        if (newPostings.isEmpty) return
-        DagRunner.writeMerge(s, newPostings, s"$root/postings",
-          Seq("doc_id", "word"), "wb")
+        if (!newPostings.isEmpty) {
+          DagRunner.writeMerge(s, newPostings, s"$root/postings",
+            Seq("doc_id", "word"), "wb")
+          DagRunner.writeMerge(s, dlen.withColumn("db", dbOf), s"$root/doclens",
+            Seq("doc_id"), "db")
+        }
         // Touched buckets only: recompute dfreq from the POST-MERGE
         // postings state (idempotent, unlike += which double-counts on
         // replay); the scan below partition-prunes to those buckets.
-        val touched = dw.select(wbOf.as("wb")).distinct()
-          .collect().map(_.getString(0)).toSeq
         val dfUpdates = s.read.parquet(s"$root/postings")
           .filter(col("wb").isin(touched: _*))
           .groupBy("word").agg(count(lit(1)).as("dfreq"))
           .withColumn("wb", wbOf)
         DagRunner.writeMerge(s, dfUpdates, s"$root/df", Seq("word"), "wb")
-        DagRunner.writeMerge(s, dlen.withColumn("db", dbOf), s"$root/doclens",
-          Seq("doc_id"), "db")
         writeStats(s, root)
-      } finally dw.unpersist()
+      } finally { dw.unpersist(); dwAll.unpersist() }
     }
 
+    /** Live stats generation (pointer-file resolved per read). */
+    def statsPath(s: SparkSession, root: String): String =
+      graft.sources.Artifacts.generationPath(s, root, "stats")
+
     /** stats re-derived from doclens (docs-sized, 2 columns) — cheap and
-      * idempotent; written last so a crash mid-add leaves stats
-      * consistent with the previous complete state until the replay.
+      * idempotent; published as a pointer-flipped generation so a crash
+      * mid-republish leaves the previous complete stats table live.
       */
-    private def writeStats(s: SparkSession, root: String): Unit = {
-      val st = s.read.parquet(s"$root/doclens")
-        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-      val staged = s"$root/stats-staging"
-      st.coalesce(1).write.mode("overwrite").parquet(staged)
-      s.read.parquet(staged).coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/stats")
-    }
+    private def writeStats(s: SparkSession, root: String): Unit =
+      graft.sources.Artifacts.publishGeneration(s, root, "stats") { dir =>
+        s.read.parquet(s"$root/doclens")
+          .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+      }
 
     /** The corpus index (docs with doc_id >= 10), built once per source
       * fingerprint.
@@ -849,7 +863,7 @@ object CorpusOps {
       val base = s.conf.get(conf, defaultBase)
       val prefix = s"${srcPath.getParent.getName}_"
       val root = s"$base/$prefix$fp"
-      val markerName = "_GRAFT_BM25_v2"
+      val markerName = "_GRAFT_BM25_v3"
       graft.sources.Artifacts.pruneStaleSiblings(s, base, prefix, s"$prefix$fp")
       if (!memo(s"$root/$markerName"))
         graft.sources.Artifacts.ensureOnce(s, root, markerName)(build(root))
@@ -878,7 +892,7 @@ object CorpusOps {
       .join(broadcast(qterms),
         col("wb") === col("qwb") && col("word") === col("qword"))
       .join(broadcast(dfq), col("word") === col("dword"))
-      .crossJoin(broadcast(s.read.parquet(s"$root/stats")))
+      .crossJoin(broadcast(s.read.parquet(Bm25Index.statsPath(s, root))))
       .withColumn("idf6", floor(log(lit(1.0) +
         (col("n_docs").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
           (col("dfreq").cast("double") + lit(0.5))) * lit(1e6) + lit(0.5)).cast("long"))

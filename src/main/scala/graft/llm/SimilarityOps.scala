@@ -149,25 +149,40 @@ object SimilarityOps {
           expr("transform(pc, p -> p.c)").as("centroid"))
     }
 
+    /** Live centroid generation (pointer-file resolved per read). */
+    def centroidsPath(s: SparkSession, root: String): String =
+      graft.sources.Artifacts.generationPath(s, root, "centroids")
+
     /** Full build of the index layout from an embedding set. */
     def buildInto(s: SparkSession, emb: DataFrame, root: String): Unit = {
       emb.write.mode("overwrite").partitionBy("label").parquet(s"$root/corpus")
-      centroidsOf(s.read.parquet(s"$root/corpus"), None)
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      graft.sources.Artifacts.publishGeneration(s, root, "centroids") { dir =>
+        centroidsOf(s.read.parquet(s"$root/corpus"), None)
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+      }
     }
 
     /** Incremental maintenance (the IVF analogue of
       * `Bm25Index.addDocuments`, VERDICT r7 "missing" #4): ingest a
       * new-vectors batch WITHOUT rebuilding the index. Already-indexed
       * vec_ids are filtered out (a column-pruned scan of the corpus's
-      * vec_id column — replaying a batch is a no-op), the survivors
-      * upsert into the cell-partitioned corpus via the engine's
-      * `writeMerge` (only the touched `label` partitions rewrite), and
-      * centroids are RE-DERIVED for the touched cells from the
-      * post-merge corpus (partition-pruned scan) — not incremented — so
-      * a crashed run replays safely in any prefix. The cells-sized
-      * centroid table is then republished whole via staging (same
-      * staged-overwrite discipline as `Bm25Index.writeStats`).
+      * vec_id column — replaying a batch is a no-op for the corpus),
+      * the survivors upsert into the cell-partitioned corpus via the
+      * engine's `writeMerge` (only the touched `label` partitions
+      * rewrite), and centroids are RE-DERIVED for the touched cells
+      * from the post-merge corpus (partition-pruned scan) — not
+      * incremented — then published as a NEW pointer-flipped generation.
+      *
+      * Crash-replay contract: the touched-cell set comes from the whole
+      * BATCH, not the post-anti-join survivors, and the centroid
+      * republish runs even when every batch vec_id is already known —
+      * so a crash after the corpus merge but before the centroid flip
+      * (when a replay's survivor set is empty) is repaired by replaying
+      * the batch, and a replay of a fully-applied batch republishes
+      * byte-identical centroids. The generation publish means a crash
+      * mid-republish leaves the pointer on the previous complete
+      * centroid table, and no live plan's input path is ever
+      * overwritten (the recache-on-overwrite hazard class).
       *
       * Cell assignment comes with the batch (`label` is a data column),
       * so drift between incremental and full-build state can only come
@@ -175,30 +190,26 @@ object SimilarityOps {
       * merged corpus rows.
       */
     def addVectors(s: SparkSession, newEmb: DataFrame, root: String): Unit = {
+      val touched = newEmb.select(col("label").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touched.isEmpty) return
       val known = s.read.parquet(s"$root/corpus").select("vec_id")
-      val fresh = newEmb.join(known, Seq("vec_id"), "left_anti")
-        .persist()
+      val fresh = newEmb.join(known, Seq("vec_id"), "left_anti").persist()
+      // `fresh`'s lineage reads the corpus path the merge overwrites, so
+      // it is fully consumed (the emptiness probe + the merge's own
+      // write) before writeMerge returns and never read again.
       try {
-        if (fresh.isEmpty) return
-        // Collected BEFORE the merge: `fresh`'s lineage reads the corpus
-        // path, and overwriting that path makes Spark RECACHE the plan
-        // from the new files — the anti-join then sees its own output and
-        // evaluates empty. (Measured: a post-merge read of `fresh`
-        // returned zero rows despite the persist.) Nothing may read
-        // `fresh` after writeMerge returns.
-        val touched = fresh.select(col("label").cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq
-        graft.engine.DagRunner.writeMerge(s, fresh, s"$root/corpus",
-          Seq("vec_id"), "label")
-        val updated = centroidsOf(s.read.parquet(s"$root/corpus"), Some(touched))
-        val kept = s.read.parquet(s"$root/centroids")
-          .filter(!col("c_label").cast("string").isin(touched: _*))
-        val staged = s"$root/centroids-staging"
-        kept.unionByName(updated).coalesce(1)
-          .write.mode("overwrite").parquet(staged)
-        s.read.parquet(staged).coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/centroids")
+        if (!fresh.isEmpty)
+          graft.engine.DagRunner.writeMerge(s, fresh, s"$root/corpus",
+            Seq("vec_id"), "label")
       } finally fresh.unpersist()
+      val updated = centroidsOf(s.read.parquet(s"$root/corpus"), Some(touched))
+      val kept = s.read.parquet(centroidsPath(s, root))
+        .filter(!col("c_label").cast("string").isin(touched: _*))
+      graft.sources.Artifacts.publishGeneration(s, root, "centroids") { dir =>
+        kept.unionByName(updated).coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+      }
     }
 
     private def ensureRoot(s: SparkSession, dir: String, conf: String,
@@ -219,12 +230,12 @@ object SimilarityOps {
       val base = s.conf.get(conf, defaultBase)
       val prefix = s"${srcPath.getParent.getName}_"
       val root = s"$base/$prefix$fp"
-      val markerName = "_GRAFT_IVF_v1"
+      val markerName = "_GRAFT_IVF_v2"
       graft.sources.Artifacts.pruneStaleSiblings(s, base, prefix, s"$prefix$fp")
       if (!memo(s"$root/$markerName"))
         graft.sources.Artifacts.ensureOnce(s, root, markerName)(build(root))
       memo += s"$root/$markerName"
-      (s"$root/corpus", s"$root/centroids")
+      (s"$root/corpus", centroidsPath(s, root))
     }
 
     def ensure(s: SparkSession, dir: String): (String, String) =
@@ -966,11 +977,21 @@ object SimilarityOps {
     private val memo = scala.collection.mutable.Set.empty[String]
     private def vbOf = expr("substring(md5(cast(vec_id as string)), 1, 2)")
 
+    /** Live codebook generation (pointer-file resolved per read) —
+      * published via pointer flip so the future retrain path can swap
+      * codebooks without a crash window or an overwrite of a path a
+      * live ADC plan is reading.
+      */
+    def codebookPath(s: SparkSession, root: String): String =
+      graft.sources.Artifacts.generationPath(s, root, "codebook")
+
     /** Train on `train`, encode `train` — the base build. */
     def buildInto(s: SparkSession, train: DataFrame, root: String): Unit = {
       val wm = pqSubvectors(train)
-      pqTrain(wm).coalesce(1).write.mode("overwrite").parquet(s"$root/codebook")
-      pqAssign(wm, s.read.parquet(s"$root/codebook"))
+      graft.sources.Artifacts.publishGeneration(s, root, "codebook") { dir =>
+        pqTrain(wm).coalesce(1).write.mode("overwrite").parquet(dir)
+      }
+      pqAssign(wm, s.read.parquet(codebookPath(s, root)))
         .select(col("vec_id"), col("m"), col("cluster"))
         .withColumn("vb", vbOf)
         .repartition(col("vb"))
@@ -989,7 +1010,7 @@ object SimilarityOps {
       val fresh = newEmb.join(known, Seq("vec_id"), "left_anti").persist()
       try {
         if (fresh.isEmpty) return
-        val codes = pqAssign(pqSubvectors(fresh), s.read.parquet(s"$root/codebook"))
+        val codes = pqAssign(pqSubvectors(fresh), s.read.parquet(codebookPath(s, root)))
           .select(col("vec_id"), col("m"), col("cluster"))
           .withColumn("vb", vbOf)
         graft.engine.DagRunner.writeMerge(s, codes, s"$root/codes",
@@ -1008,7 +1029,7 @@ object SimilarityOps {
       val base = s.conf.get("spark.graft.pqIncRoot", "/root/repo/fixtures/pqinc")
       val prefix = s"${srcPath.getParent.getName}_"
       val root = s"$base/$prefix$fp"
-      val markerName = "_GRAFT_PQ_v1"
+      val markerName = "_GRAFT_PQ_v2"
       graft.sources.Artifacts.pruneStaleSiblings(s, base, prefix, s"$prefix$fp")
       if (!memo(s"$root/$markerName"))
         graft.sources.Artifacts.ensureOnce(s, root, markerName) {
@@ -1034,7 +1055,7 @@ object SimilarityOps {
       val root = PqIndex.ensureIncremental(s, dir)
       pqAdcRank(
         s.read.parquet(s"$root/codes").select("vec_id", "m", "cluster"),
-        s.read.parquet(s"$root/codebook"),
+        s.read.parquet(PqIndex.codebookPath(s, root)),
         pqSubvectors(Tables.load(s, dir, "embeddings")).filter(col("vec_id") < 8))
     },
     Some {

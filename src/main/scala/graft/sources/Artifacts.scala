@@ -46,6 +46,77 @@ object Artifacts {
         }
     } catch { case _: Throwable => () }
 
+  /** Resolve the live generation dir of a pointer-published artifact:
+    * `root/<name>.ptr` holds the generation dir's NAME; absent pointer
+    * falls back to the legacy fixed dir `root/<name>` (pre-generation
+    * layouts). Resolution is per-read, so long-lived sessions always
+    * see the latest flip.
+    */
+  def generationPath(s: SparkSession, root: String, name: String): String = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/$name.ptr")
+    val fs = ptr.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(ptr)) s"$root/${readSmall(fs, ptr)}" else s"$root/$name"
+  }
+
+  /** Generation-dir + pointer-file publish for whole-table index
+    * artifacts (IVF centroids, PQ codebook, BM25 stats): `write` fills
+    * a NEW generation dir `root/<name>-gNNNNNN`, then the pointer file
+    * `root/<name>.ptr` flips to it via an atomic overwrite-rename
+    * (`FileContext` `Rename.OVERWRITE` — atomic in the HDFS namenode;
+    * the object-store analogue is a manifest commit, Iceberg/Delta
+    * style). A crash anywhere before the flip leaves the pointer on
+    * the previous COMPLETE generation, so readers never observe a
+    * half-written table — and because a publish never overwrites a
+    * path a live plan is reading, the documented Spark
+    * recache-on-overwrite trap cannot reach pointer-published
+    * artifacts. The immediately-previous generation is retained for
+    * in-flight readers; older generations (and any stale partial from
+    * a crashed publish) are pruned best-effort.
+    */
+  def publishGeneration(s: SparkSession, root: String, name: String)(write: String => Unit): Unit = {
+    val key = s"$root/$name.ptr"
+    locks.computeIfAbsent(key, _ => new Object).synchronized {
+      val conf = s.sparkContext.hadoopConfiguration
+      val ptr = new org.apache.hadoop.fs.Path(key)
+      val fs = ptr.getFileSystem(conf)
+      val cur = if (fs.exists(ptr)) Some(readSmall(fs, ptr)) else None
+      val genRe = (java.util.regex.Pattern.quote(name) + "-g(\\d+)").r
+      val curIdx = cur.collect { case genRe(i) => i.toLong }.getOrElse(0L)
+      val next = f"$name-g${curIdx + 1}%06d"
+      // mode=overwrite inside `write` clobbers a stale partial from a
+      // crashed publish that reached the same index.
+      write(s"$root/$next")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/$name.ptr.tmp")
+      val out = fs.create(tmp, true)
+      out.write(next.getBytes("UTF-8"))
+      out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // Prune generations older than the one just superseded.
+      try fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+        st.getPath.getName match {
+          case genRe(i) if st.isDirectory && i.toLong < curIdx =>
+            fs.delete(st.getPath, true)
+          case n if n == name && st.isDirectory && cur.isEmpty && curIdx == 0L =>
+            // First pointer publish over a legacy fixed-dir layout: the
+            // old dir is now unreachable dead data.
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](256)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(n, 0), "UTF-8").trim
+    } finally in.close()
+  }
+
   def ensureOnce(s: SparkSession, root: String, markerName: String)(build: => Unit): Unit = {
     val key = s"$root/$markerName"
     locks.computeIfAbsent(key, _ => new Object).synchronized {

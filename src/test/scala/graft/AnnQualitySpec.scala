@@ -70,9 +70,18 @@ class AnnQualitySpec extends SparkSpec {
       val root = new java.io.File(corpusPath).getParent
       SimilarityOps.IvfIndex.addVectors(spark, emb.filter(col("vec_id") >= cut), root)
       assert(spark.read.parquet(corpusPath).count() === n0)
-      val cent1 = spark.read.parquet(centPath).collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      assert(cent1 === cent0, "replaying an already-applied batch must not move centroids")
+      // The replay republishes a NEW pointer-flipped centroid generation
+      // (that's what repairs a crashed half-applied batch), so resolve
+      // the live generation — its CONTENT must be unchanged.
+      val cent1 = spark.read.parquet(SimilarityOps.IvfIndex.centroidsPath(spark, root))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      assert(cent1.keySet === cent0.keySet)
+      cent1.foreach { case (label, c) =>
+        c.zip(cent0(label)).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-12,
+            s"replaying an already-applied batch must not move centroid values (cell $label)")
+        }
+      }
     } finally {
       spark.conf.unset("spark.graft.ivfIncRoot")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

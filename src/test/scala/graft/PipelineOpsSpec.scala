@@ -232,14 +232,14 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getAs[String]("word") -> r.getAs[Long]("dfreq")).toMap
     assert(df("beta") === 3L, "df of a word in old AND new docs counts both")
     assert(df("epsilon") === 1L && df("alpha") === 1L)
-    val stats = spark.read.parquet(s"$root/stats").head()
+    val stats = spark.read.parquet(Bm25Index.statsPath(spark, root)).head()
     assert(stats.getAs[Long]("n_docs") === 3L)
 
     // replay: already-indexed docs are filtered out -> byte-stable index
     val snap = partFiles("postings")
     Bm25Index.addDocuments(spark, batch, root)
     assert(partFiles("postings") === snap, "replaying the same batch must not rewrite anything")
-    assert(spark.read.parquet(s"$root/stats").head().getAs[Long]("n_docs") === 3L)
+    assert(spark.read.parquet(Bm25Index.statsPath(spark, root)).head().getAs[Long]("n_docs") === 3L)
   }
 
   test("dsir weights rank target-distribution content above off-target regardless of its label") {

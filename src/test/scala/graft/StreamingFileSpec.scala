@@ -152,7 +152,8 @@ class StreamingFileSpec extends SparkSpec {
       graft.llm.SimilarityOps.ivfSearchAt(spark, paths, queries, k = 5, nprobe = 2)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
           r.getDouble(4))).toSeq
-    val streamed = res((s"$root/corpus", s"$root/centroids"))
+    val streamed = res((s"$root/corpus",
+      graft.llm.SimilarityOps.IvfIndex.centroidsPath(spark, root)))
     val scratch = res(graft.llm.SimilarityOps.IvfIndex.ensure(spark, sf))
     assert(streamed === scratch,
       "streamed index must answer exactly like a from-scratch build")
@@ -182,8 +183,8 @@ class StreamingFileSpec extends SparkSpec {
       rows(s"$full/postings", "doc_id", "word", "tf", "dl"))
     assert(rows(s"$root/df", "word", "dfreq") === rows(s"$full/df", "word", "dfreq"))
     assert(rows(s"$root/doclens", "doc_id", "dl") === rows(s"$full/doclens", "doc_id", "dl"))
-    assert(rows(s"$root/stats", "n_docs", "total_len") ===
-      rows(s"$full/stats", "n_docs", "total_len"))
+    assert(rows(graft.llm.CorpusOps.Bm25Index.statsPath(spark, root), "n_docs", "total_len") ===
+      rows(graft.llm.CorpusOps.Bm25Index.statsPath(spark, full), "n_docs", "total_len"))
   }
 
   test("streaming PQ ingest encodes deltas identically to the batch incremental build") {
