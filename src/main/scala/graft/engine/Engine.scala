@@ -125,12 +125,40 @@ object DagRunner {
     */
   def writeManifest(spark: SparkSession, models: Seq[Model], path: String): Unit = {
     val body = models.collect { case m if m.fingerprint.isDefined =>
-      s""""${m.name}":"${m.fingerprint.get}""""
+      s"${jstr(m.name)}:${jstr(m.fingerprint.get)}"
     }.mkString("{", ",", "}")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** JSON string escaping shared by every engine artifact writer — a
+    * model name containing `"` or `\` must round-trip through the
+    * manifest, not corrupt it (and then silently mis-select in
+    * `selectModified`).
+    */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Inverse of [[jstr]] for the escapes it emits. */
+  private def junstr(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case e => b += e; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
   }
 
   /** dbt `docs generate`-shaped project artifact: one JSON object with
@@ -141,12 +169,6 @@ object DagRunner {
     * a property of a RUN, not of the project text).
     */
   def writeDocs(spark: SparkSession, models: Seq[Model], path: String): Unit = {
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     def matName(m: Materialization): String = m match {
       case View => "view"
       case Table => "table"
@@ -177,8 +199,9 @@ object DagRunner {
     if (!fs.exists(p)) return Map.empty
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2)).toMap
+    // Escape-aware: symmetric with writeManifest's jstr.
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
+      .map(m => junstr(m.group(1)) -> junstr(m.group(2))).toMap
   }
 
   /** dbt `state:modified+` selection: models whose fingerprint differs

@@ -312,7 +312,11 @@ object ScaleOps {
     (s, dir) => {
       val li = graft.sources.Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
-      val base = s"${sys.props("java.io.tmpdir")}/graft-zorder-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // applicationId keys the path per Spark application: two
+      // concurrent sessions benchmarking the same sources dir would
+      // otherwise race one shared tmp path (one overwrites mid-read).
+      val base = s"${sys.props("java.io.tmpdir")}/graft-zorder-" +
+        s"${s.sparkContext.applicationId}-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       zorderWrite(li, base, "l_partkey", "l_suppkey", nFiles = 16)
       s.read.parquet(base)
         .orderBy("l_orderkey", "l_linenumber")

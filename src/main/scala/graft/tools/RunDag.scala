@@ -25,14 +25,28 @@ import graft.models.testkit.NpoFixtures
   */
 object RunDag {
   def main(args0: Array[String]): Unit = {
-    def flagValue(flag: String): Option[String] =
-      args0.sliding(2).collectFirst { case Array(`flag`, v) => v }
+    def flagValue(flag: String): Option[String] = {
+      val i = args0.indexOf(flag)
+      if (i < 0) None
+      else {
+        require(i < args0.length - 1, s"$flag requires a value")
+        Some(args0(i + 1))
+      }
+    }
     val threads = flagValue("--threads").map(_.toInt).getOrElse(1)
     val selectSpec = flagValue("--select")
     val args = {
+      // Strip EVERY occurrence (a repeated flag must not shift the
+      // positional sourcesDir/warehouse args).
       var a = args0.toSeq
-      for (f <- Seq("--threads", "--select"); i = a.indexOf(f); if i >= 0)
-        a = a.patch(i, Nil, 2)
+      for (f <- Seq("--threads", "--select")) {
+        var i = a.indexOf(f)
+        while (i >= 0) {
+          require(i < a.length - 1, s"$f requires a value")
+          a = a.patch(i, Nil, 2)
+          i = a.indexOf(f)
+        }
+      }
       a.toArray
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -94,6 +94,20 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("deliberate"))
   }
 
+  test("manifest round-trips model names containing quotes and backslashes") {
+    def fm(name: String, fp: String): Model = m(name).copy(fingerprint = Some(fp))
+    val hostile = Seq(fm("""plain""", "f1"), fm("""has"quote""", "f2"),
+      fm("""back\slash""", "f3"), fm("tab\tname", "f4"))
+    val path = Files.createTempDirectory("graft-manifest-esc")
+      .resolve("manifest.json").toString
+    DagRunner.writeManifest(spark, hostile, path)
+    val back = DagRunner.readManifest(spark, path)
+    assert(back === hostile.map(mm => mm.name -> mm.fingerprint.get).toMap,
+      "escaped names must parse back verbatim, not corrupt the manifest")
+    assert(DagRunner.selectModified(hostile, back).isEmpty,
+      "an unchanged hostile-named project must select nothing")
+  }
+
   test("state:modified selection picks changed models plus descendants from the manifest") {
     def fm(name: String, fp: String, refs: String*): Model =
       m(name, refs: _*).copy(fingerprint = Some(fp))
