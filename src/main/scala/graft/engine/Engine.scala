@@ -243,35 +243,91 @@ object DagRunner {
     built
   }
 
+  /** Build-time target info exposed to SQL-text models for dbt's
+    * `is_incremental()` / `{{ this }}`: the model's own warehouse path
+    * (when a warehouse is configured), whether its materialization is
+    * incremental, and whether the target already exists on disk. Set
+    * around each `m.build` call (thread-local — [[runParallel]] builds
+    * on pool threads) and cleared after.
+    */
+  final case class BuildTarget(path: Option[String], incremental: Boolean, exists: Boolean)
+  private val buildContext = new ThreadLocal[Option[BuildTarget]] {
+    override def initialValue(): Option[BuildTarget] = None
+  }
+  private[engine] def currentBuildTarget: Option[BuildTarget] = buildContext.get()
+
   /** Build + materialize one model given its resolved upstream frames —
     * the shared body of [[run]] and [[runParallel]].
     */
   private def materializeOne(spark: SparkSession, m: Model, warehouse: String,
                              refs: Map[String, DataFrame]): DataFrame = {
-    def target: String = {
-      require(warehouse.nonEmpty, s"model ${m.name} needs a warehouse dir")
-      s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}"
+    val pathOpt =
+      if (warehouse.isEmpty) None
+      else Some(s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}")
+    def target: String = pathOpt.getOrElse(
+      throw new IllegalArgumentException(s"model ${m.name} needs a warehouse dir"))
+    val incMat = m.materialization match {
+      case _: IncrementalInsertOverwrite | _: MergeUpsert => true
+      case _ => false
     }
-    val df = m.build(spark, refs)
+    // dbt --full-refresh analog: the conf forces is_incremental() false
+    // for the run, so conditional blocks rebuild from scratch.
+    val fullRefresh = spark.conf.get("spark.graft.fullRefresh", "false").toBoolean
+    val exists = !fullRefresh && incMat && pathOpt.exists { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    buildContext.set(Some(BuildTarget(pathOpt, incMat, exists)))
+    val df = try m.build(spark, refs) finally buildContext.remove()
     m.materialization match {
       case View =>
         df.createOrReplaceTempView(m.name)
         df
       case Table =>
         val path = target
-        df.write.mode("overwrite").parquet(path)
+        val out = breakSelfRead(spark, df, path)
+        out.write.mode("overwrite").parquet(path)
         // Explicit schema: an empty frame writes no parquet footers, and
         // schema inference over zero files would fail the read-back.
         spark.read.schema(df.schema).parquet(path)
       case IncrementalInsertOverwrite(partCol, parts) =>
         val path = target
-        writeIncremental(spark, df, path, partCol, parts)
+        writeIncremental(spark, breakSelfRead(spark, df, path), path, partCol, parts)
         spark.read.schema(df.schema).parquet(path)
       case MergeUpsert(key, partCol) =>
         val path = target
-        writeMerge(spark, df, path, key, partCol)
+        writeMerge(spark, breakSelfRead(spark, df, path), path, key, partCol)
         spark.read.schema(df.schema).parquet(path)
     }
+  }
+
+  /** A self-referencing model (dbt's `{{ this }}` idiom, e.g.
+    * `WHERE ts > (SELECT max(ts) FROM {{ this }})`) reads its own
+    * target path; Spark refuses to overwrite a path that is also being
+    * read, and a dynamic-partition overwrite mid-scan would be a
+    * correctness hazard anyway. When (and only when) the plan really
+    * scans the target, break the lineage with an eager local
+    * checkpoint — one batch-sized materialization, the same price
+    * dbt-spark pays by staging the new rows before its insert.
+    */
+  private def breakSelfRead(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return df
+    val qualified = fs.makeQualified(hp).toString
+    // collectWithSubqueries: the usual self-read sits inside a scalar
+    // subquery (max-watermark probe), which a plain collect would miss.
+    val reads = df.queryExecution.analyzed.collectWithSubqueries {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    if (reads.exists(r => r == qualified || r.startsWith(qualified + "/")))
+      df.localCheckpoint(true)
+    else df
   }
 
   /** dbt `threads`-style materialization: models whose upstreams are

@@ -67,6 +67,18 @@ object SqlModel {
   // {{ name | join(',') }} — list interpolation (same file lines 75, 101).
   private val joinPat =
     Pattern.compile("""\{\{\s*(\w+)\s*\|\s*join\(\s*'([^']*)'\s*\)\s*\}\}""")
+  // {% if is_incremental() %} ... [{% else %} ...] {% endif %} — the
+  // near-universal real-dbt incremental idiom (delta-filter the source
+  // against the model's own high-water mark). Resolved at BUILD time
+  // from the runner's target context, not at parse time: the same text
+  // renders the full-build branch on first run / --full-refresh and the
+  // delta branch once the target exists.
+  private val ifIncPat = Pattern.compile(
+    """\{%-?\s*if\s+is_incremental\(\)\s*-?%\}(.*?)(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}""",
+    Pattern.DOTALL)
+  // {{ this }} — the model's own target relation, rendered as a direct
+  // parquet path scan of the warehouse location.
+  private val thisPat = Pattern.compile("""\{\{\s*this\s*\}\}""")
 
   private[engine] def viewName(ref: String): String =
     "graft_ref_" + ref.replaceAll("[^A-Za-z0-9_]", "_")
@@ -140,6 +152,29 @@ object SqlModel {
       .replaceAll(m => Matcher.quoteReplacement(viewName(m.group(2))))
   }
 
+  /** Resolve `{% if is_incremental() %}` blocks and `{{ this }}` call
+    * sites against the runner's build-time target context. Exposed for
+    * the spec; called from the model's build closure, where
+    * `DagRunner.currentBuildTarget` is set.
+    */
+  private[graft] def renderConditionals(text: String, incremental: Boolean,
+                                        thisPath: Option[String]): String = {
+    val m = ifIncPat.matcher(text)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val keep = if (incremental) m.group(1) else Option(m.group(2)).getOrElse("")
+      m.appendReplacement(sb, Matcher.quoteReplacement(keep))
+    }
+    m.appendTail(sb)
+    val out = sb.toString
+    if (!thisPat.matcher(out).find()) out
+    else {
+      val p = thisPath.getOrElse(throw new IllegalArgumentException(
+        "{{ this }} requires a warehouse-backed run (no target path in context)"))
+      thisPat.matcher(out).replaceAll(Matcher.quoteReplacement(s"parquet.`$p`"))
+    }
+  }
+
   /** Build a [[Model]] from SQL text. `refs` are extracted from the
     * template — the DAG edge list and the SQL body can never drift
     * apart (dbt's own property).
@@ -154,12 +189,19 @@ object SqlModel {
     // Fingerprint the RENDERED text: a var change (e.g. a new partition
     // window) modifies the model exactly as an edit does — dbt's
     // state:modified hashes compiled SQL for the same reason.
+    // is_incremental() blocks are fingerprinted UNRESOLVED (both
+    // branches), so the identity is stable across first-run vs
+    // incremental-run renders of the same text.
     val fp = java.security.MessageDigest.getInstance("SHA-256")
       .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
     Model(name, refs,
       (spark: SparkSession, resolved: Map[String, DataFrame]) => {
         refs.foreach(r => resolved(r).createOrReplaceTempView(viewName(r)))
-        spark.sql(rendered)
+        val ctx = DagRunner.currentBuildTarget
+        val finalSql = renderConditionals(rendered,
+          incremental = ctx.exists(c => c.incremental && c.exists),
+          thisPath = ctx.flatMap(_.path))
+        spark.sql(finalSql)
       },
       materialization, schema, database, fingerprint = Some(fp))
   }

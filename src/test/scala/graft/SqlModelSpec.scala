@@ -125,4 +125,89 @@ class SqlModelSpec extends SparkSpec {
       assertFrameEqual(n, sqlBuilt(n), scalaBuilt(n))
     }
   }
+
+  // ---- is_incremental() / {{ this }} ------------------------------------
+
+  test("renderConditionals: branch choice, optional else, and {{ this }} substitution") {
+    val t = "SELECT * FROM x {% if is_incremental() %}WHERE d > " +
+      "(SELECT max(d) FROM {{ this }}){% else %}/* full */{% endif %}"
+    assert(SqlModel.renderConditionals(t, incremental = false, None).contains("/* full */"))
+    val inc = SqlModel.renderConditionals(t, incremental = true, Some("/wh/m"))
+    assert(inc.contains("FROM parquet.`/wh/m`"))
+    assert(!inc.contains("full"))
+    // no else branch -> empty on a full build
+    assert(SqlModel.renderConditionals(
+      "SELECT 1{% if is_incremental() %} WHERE b{% endif %}", incremental = false, None)
+      === "SELECT 1")
+    // {{ this }} without a target path fails loudly, not with a parser error
+    intercept[IllegalArgumentException] {
+      SqlModel.renderConditionals(t, incremental = true, None)
+    }
+  }
+
+  test("is_incremental() end-to-end: first run full, later runs delta-only vs the {{ this }} watermark") {
+    import spark.implicits._
+    val wh = tmpWh()
+    val text = """SELECT d, v FROM {{ ref('ev') }}
+                 |{% if is_incremental() %}WHERE d > (SELECT max(d) FROM {{ this }}){% endif %}""".stripMargin
+    val model = SqlModel.fromSqlText("inc_ev", text,
+      materialization = graft.engine.MergeUpsert("d", "d"))
+    def readBack(): Map[String, Int] =
+      spark.read.parquet(s"$wh/main/main/inc_ev")
+        .select("d", "v").as[(String, Int)].collect().toMap
+    val run1 = Seq(("a", 1), ("b", 2)).toDF("d", "v")
+    DagRunner.run(spark, Seq(model), Map("ev" -> run1).apply, wh)
+    assert(readBack() === Map("a" -> 1, "b" -> 2), "first run (no target) builds the full branch")
+    // Second run: 'a' CHANGED upstream and 'c' is new. The delta branch
+    // (d > watermark 'b') must pick ONLY c — 'a' keeping its old value
+    // is the proof the conditional really rendered the incremental arm.
+    val run2 = Seq(("a", 99), ("b", 2), ("c", 3)).toDF("d", "v")
+    DagRunner.run(spark, Seq(model), Map("ev" -> run2).apply, wh)
+    assert(readBack() === Map("a" -> 1, "b" -> 2, "c" -> 3),
+      "incremental run must apply only rows past the {{ this }} watermark")
+    // --full-refresh analog: the conf forces the full branch, so the
+    // changed 'a' is finally picked up.
+    spark.conf.set("spark.graft.fullRefresh", "true")
+    try DagRunner.run(spark, Seq(model), Map("ev" -> run2).apply, wh)
+    finally spark.conf.unset("spark.graft.fullRefresh")
+    assert(readBack() === Map("a" -> 99, "b" -> 2, "c" -> 3))
+  }
+
+  test("streams_daily re-authored in the is_incremental() style builds identically once the target exists") {
+    val resPath = "graft/models/sql/atinternet_smarttag_streams_daily_v4.sql"
+    val in = getClass.getClassLoader.getResourceAsStream(resPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val guard =
+      "AND CAST(CAST(r.d_date_hour_event AS DATE) AS STRING) IN ({{ partitions_to_replace | join(',') }})"
+    assert(text.contains(guard), "the static partition filter must be present to re-author")
+    // The real-dbt authoring of the same model: the partition window
+    // filter applies only on incremental runs; a first run (or
+    // --full-refresh) builds every partition.
+    val reauthored = text.replace(guard, s"{% if is_incremental() %}$guard{% endif %}")
+    assert(reauthored != text)
+    val today = NpoFixtures.today
+    val vars = Map("today" -> s"DATE '$today'")
+    def mk(t: String) = SqlModel.fromSqlText("atinternet_smarttag_streams_daily_v4", t,
+      graft.engine.IncrementalInsertOverwrite("evt_date",
+        graft.models.StreamsDaily.partitionsFor(today)),
+      schema = Some("atinternet_smarttag_streams_daily"),
+      database = Some(NpoDag.database), vars = vars)
+    val wh = tmpWh()
+    val upstream = SqlReporting.dagModels(today)
+      .filterNot(_.name == "atinternet_smarttag_streams_daily_v4")
+    // Run 1: the ORIGINAL text seeds the warehouse target. Snapshot the
+    // rows eagerly — run 2's insert_overwrite replaces the files this
+    // lazy frame reads.
+    val first = DagRunner.run(spark, upstream :+ mk(text), fixtures.apply, wh)
+    val firstDf = first("atinternet_smarttag_streams_daily_v4")
+    val snapshot = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(firstDf.collect(): _*)),
+      firstDf.schema)
+    // Run 2: the re-authored text against the now-existing target — the
+    // incremental branch renders the identical partition filter, so the
+    // insert_overwrite replay must leave a frame-identical table.
+    val second = DagRunner.run(spark, upstream :+ mk(reauthored), fixtures.apply, wh)
+    assertFrameEqual("streams_daily is_incremental re-authoring",
+      second("atinternet_smarttag_streams_daily_v4"), snapshot)
+  }
 }
