@@ -1,0 +1,50 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** dbt SEEDS: CSV files under the project's `data/` directory that
+  * materialize as warehouse TABLES and participate in `ref()` exactly
+  * like models (`/root/reference/data/` is the reference's — empty —
+  * seed dir; `dbt seed` loads every CSV there). A seed [[Model]] has no
+  * refs, builds by reading the CSV (header + schema inference, dbt's
+  * own loading behavior), and fingerprints the FILE BYTES — so editing
+  * a seed reselects it and its descendants under `state:modified` slim
+  * CI, dbt's `state:modified` seed semantics.
+  *
+  * Seeds are small by design (dbt warns at ~1 MB): reading one through
+  * the driver-side CSV reader and materializing it as a table is the
+  * intended shape; large reference data belongs in sources.
+  */
+object Seeds {
+
+  /** One seed from a CSV file; model name defaults to the file
+    * basename, exactly like dbt.
+    */
+  def fromCsv(path: String, name: Option[String] = None,
+              schema: Option[String] = None,
+              database: Option[String] = None): Model = {
+    val p = Paths.get(path)
+    require(Files.exists(p), s"seed CSV not found: $path")
+    val nm = name.getOrElse(p.getFileName.toString.stripSuffix(".csv"))
+    val fp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+    Model(nm, Nil,
+      (s, _) => s.read.option("header", "true").option("inferSchema", "true").csv(path),
+      Table, schema, database, fingerprint = Some(fp))
+  }
+
+  /** Every `*.csv` under `dataDir` (dbt's `data/` / `seeds/` dir), in
+    * deterministic name order.
+    */
+  def fromDir(dataDir: String, schema: Option[String] = None,
+              database: Option[String] = None): Seq[Model] = {
+    val d = Paths.get(dataDir)
+    if (!Files.isDirectory(d)) return Nil
+    Files.list(d).iterator().asScala
+      .filter(f => f.getFileName.toString.endsWith(".csv"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map((f: Path) => fromCsv(f.toString, schema = schema, database = database))
+  }
+}

@@ -810,8 +810,49 @@ object DagQueries {
         srcDf(s, "audiovisual_metadata_poms_metadata_v1")))),
     streamsDaily.oracle)
 
+  // ---------------------------------------------------------------- seeds
+
+  /** Deterministic seed CSV fixture (the dbt `data/` dir analogue);
+    * written once, content-stable so the seed model's file-bytes
+    * fingerprint is reproducible across runs.
+    */
+  private[models] def seedCsvPath: String = {
+    val p = java.nio.file.Paths.get("/root/repo/fixtures/seeds/channel_map.csv")
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val body = "channel,region,priority\n" +
+        "npo1,north,1\nnpo2,north,2\nnpo3,south,3\nzapp,south,4\nzappelin,south,5\n"
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    }
+    p.toString
+  }
+
+  /** dbt SEED node kind end-to-end (VERDICT r8 ask #5): a CSV seed
+    * materializes as a warehouse table and a downstream SQL-text view
+    * `ref()`s it; DuckDB judges the rollup against `read_csv_auto` over
+    * the SAME file.
+    */
+  private val seedRollup = QueryDef(
+    "dag_seed_rollup",
+    (s, _) => {
+      val csv = seedCsvPath
+      val seed = graft.engine.Seeds.fromCsv(csv)
+      val view = graft.engine.SqlModel.fromSqlText("seed_rollup",
+        """SELECT region, count(*) AS n_channels,
+          |  CAST(min(priority) AS BIGINT) AS top_priority
+          |FROM {{ ref('channel_map') }} GROUP BY region""".stripMargin)
+      val wh = s"${sys.props("java.io.tmpdir")}/graft-seedwh-${s.sparkContext.applicationId}"
+      val built = graft.engine.DagRunner.run(s, Seq(seed, view),
+        n => sys.error(s"unexpected source $n"), wh)
+      ordered(built("seed_rollup"))
+    },
+    Some(s"""SELECT region, CAST(count(*) AS BIGINT) AS n_channels,
+            |  CAST(min(priority) AS BIGINT) AS top_priority
+            |FROM read_csv_auto('/root/repo/fixtures/seeds/channel_map.csv')
+            |GROUP BY region ORDER BY ALL NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
-    sqlPomsFlattened, sqlStreamsDaily)
+    sqlPomsFlattened, sqlStreamsDaily, seedRollup)
 }

@@ -94,6 +94,37 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("deliberate"))
   }
 
+  test("a CSV seed materializes as a table, participates in ref(), and fingerprints its bytes") {
+    val dir = Files.createTempDirectory("graft-seed")
+    val csv = dir.resolve("cities.csv")
+    java.nio.file.Files.write(csv, "city,pop\nam,10\nrd,25\n".getBytes("UTF-8"))
+    val seed = graft.engine.Seeds.fromCsv(csv.toString)
+    assert(seed.name === "cities")
+    val view = SqlModel.fromSqlText("top_pop",
+      "SELECT max(pop) AS p FROM {{ ref('cities') }}")
+    val wh = Files.createTempDirectory("graft-seedwh").toString
+    val built = DagRunner.run(spark, Seq(seed, view),
+      n => sys.error(s"unexpected source $n"), wh)
+    assert(built("top_pop").head().getInt(0) === 25)
+    // The seed is a real warehouse table, not just a temp view.
+    assert(spark.read.parquet(s"$wh/main/main/cities").count() === 2L)
+    // Editing the file changes the fingerprint -> slim CI reselects the
+    // seed and its descendant.
+    val manifest = {
+      val p = dir.resolve("manifest.json").toString
+      DagRunner.writeManifest(spark, Seq(seed, view), p)
+      DagRunner.readManifest(spark, p)
+    }
+    assert(DagRunner.selectModified(Seq(seed, view), manifest).isEmpty)
+    java.nio.file.Files.write(csv, "city,pop\nam,10\nrd,25\nut,40\n".getBytes("UTF-8"))
+    val edited = graft.engine.Seeds.fromCsv(csv.toString)
+    assert(edited.fingerprint !== seed.fingerprint)
+    assert(DagRunner.selectModified(Seq(edited, view), manifest).map(_.name)
+      === Seq("cities", "top_pop"))
+    // fromDir discovers seeds in deterministic order
+    assert(graft.engine.Seeds.fromDir(dir.toString).map(_.name) === Seq("cities"))
+  }
+
   test("manifest round-trips model names containing quotes and backslashes") {
     def fm(name: String, fp: String): Model = m(name).copy(fingerprint = Some(fp))
     val hostile = Seq(fm("""plain""", "f1"), fm("""has"quote""", "f2"),
