@@ -88,6 +88,113 @@ class AnnQualitySpec extends SparkSpec {
     }
   }
 
+  // ---- drift: cell-split policy keeps recall from decaying --------------
+
+  /** Deterministic pseudo-noise in [-0.05, 0.05) from (id, dim). */
+  private def noise(id: Long, d: Int): Float =
+    ((((id * 2654435761L + d * 40503L) % 1000L + 1000L) % 1000L) / 1000.0f - 0.5f) * 0.1f
+
+  private def vecNear(center: Array[Float], id: Long): Seq[Float] =
+    center.indices.map(i => center(i) + noise(id, i)).toSeq
+
+  private def unit(ix: Int, dim: Int = 8): Array[Float] =
+    Array.tabulate(dim)(i => if (i == ix) 1f else 0f)
+  private def mix(a: Array[Float], wa: Double, b: Array[Float], wb: Double): Array[Float] = {
+    val raw = a.indices.map(i => (a(i) * wa + b(i) * wb).toFloat).toArray
+    val n = math.sqrt(raw.map(x => x * x).sum.toDouble).toFloat
+    raw.map(_ / n)
+  }
+
+  /** Base corpus: cell 0 tight at e0, cell 1 tight at (e0+e1)/√2.
+    * Drift batches sit at normalize(0.2·e0 + e2): every drifted vector
+    * is (slightly) closer to cell 0 than to cell 1, so without splits
+    * 1000 of them pile into cell 0, the cell centroid smears toward e2
+    * (e0-fraction ≈ 0.33/0.88 ≈ 0.37), and a query in the ORIGINAL e0
+    * region now routes to cell 1 (cos ≈ 0.707 beats 0.37) — whose
+    * points are not its neighbors. With the split policy the drift
+    * mass peels off into its own cells, the base region keeps a tight
+    * ≈e0 centroid, and routing recovers.
+    */
+  private def driftExperiment(splitMaxRows: Long): Double = {
+    import spark.implicits._
+    val a = unit(0)
+    val b = mix(unit(0), 1.0, unit(1), 1.0)
+    val base =
+      ((0L until 200L).map(i => (i, 0, vecNear(a, i))) ++
+        (200L until 400L).map(i => (i, 1, vecNear(b, i))))
+        .toDF("vec_id", "label", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfdrift").toString + "/idx"
+    SimilarityOps.IvfIndex.buildInto(spark, base, root)
+    if (splitMaxRows > 0)
+      spark.conf.set("spark.graft.ivfCellMaxRows", splitMaxRows.toString)
+    try {
+      var all = base.select("vec_id", "embedding")
+      val c = mix(unit(0), 0.2, unit(2), 1.0)
+      (1 to 10).foreach { bi =>
+        val ids = (1000L + bi * 100L) until (1000L + bi * 100L + 100L)
+        val batch = ids.map(i => (i, vecNear(c, i))).toDF("vec_id", "embedding")
+        SimilarityOps.IvfIndex.addVectorsAssigned(spark, batch, root)
+        all = all.unionAll(batch)
+      }
+      // 20 queries in the ORIGINAL cell-0 region — the points a smeared
+      // centroid orphans.
+      val qs = (5000L until 5020L).map(i => (i, vecNear(a, i)))
+        .toDF("qid", "qv")
+      GraftFunctions.register(spark)
+      val truth = pairs(all.join(broadcast(qs))
+        .withColumn("cos_sim",
+          roundTo(call_function("cosine_sim", col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("vec_id")))
+      val got = pairs(SimilarityOps.ivfSearchAt(spark,
+        (s"$root/corpus", SimilarityOps.IvfIndex.centroidsPath(spark, root)),
+        qs, k, nprobe = 1))
+      got.intersect(truth).size.toDouble / truth.size
+    } finally spark.conf.unset("spark.graft.ivfCellMaxRows")
+  }
+
+  test("cell splits keep recall@5 from decaying over 10 drifting delta batches") {
+    val without = driftExperiment(0L)
+    val withSplits = driftExperiment(250L)
+    info(f"recall@5 after 10 drift batches: no-split $without%.3f, split-policy $withSplits%.3f")
+    assert(withSplits > without,
+      "the split policy must beat frozen cells under drift")
+    assert(without < 0.9, "the no-split index must measurably decay (else the drift probe is too weak)")
+    assert(withSplits >= 0.9, "split cells must keep routing the original region correctly")
+  }
+
+  test("PQ drift probe rises under drift and maybeRetrain restores the error baseline") {
+    import spark.implicits._
+    // PQ's layout is fixed at 8 subvectors x 8 dims = 64-dim vectors.
+    val a = unit(0, 64)
+    val base = (0L until 256L).map(i => (i, vecNear(a, i))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-pqdrift").toString + "/idx"
+    SimilarityOps.PqIndex.buildInto(spark, base, root)
+    assert(SimilarityOps.PqIndex.driftRatio(spark, root) === 1.0,
+      "no delta batches yet -> ratio 1.0 by definition")
+    // In-distribution batch: ratio stays near 1.
+    val inDist = (300L until 400L).map(i => (i, vecNear(a, i))).toDF("vec_id", "embedding")
+    SimilarityOps.PqIndex.addVectors(spark, inDist, root)
+    val inRatio = SimilarityOps.PqIndex.driftRatio(spark, root)
+    info(f"in-distribution drift ratio: $inRatio%.2f")
+    assert(inRatio < 2.0, "an in-distribution batch must not trigger the retrain threshold")
+    assert(!SimilarityOps.PqIndex.maybeRetrain(spark, base.unionAll(inDist), root))
+    // Off-distribution drift: quantization error explodes vs baseline.
+    val off = mix(unit(2, 64), 1.0, unit(3, 64), 1.0)
+    val drifted = (500L until 700L).map(i => (i, vecNear(off, i))).toDF("vec_id", "embedding")
+    SimilarityOps.PqIndex.addVectors(spark, drifted, root)
+    val offRatio = SimilarityOps.PqIndex.driftRatio(spark, root)
+    info(f"off-distribution drift ratio: $offRatio%.2f")
+    assert(offRatio >= 2.0, "off-distribution mass must push the probe past the threshold")
+    val corpus = base.unionAll(inDist).unionAll(drifted)
+    assert(SimilarityOps.PqIndex.maybeRetrain(spark, corpus, root),
+      "the probe must trigger a retrain")
+    assert(SimilarityOps.PqIndex.driftRatio(spark, root) === 1.0,
+      "retrain resets the drift log to the new baseline")
+  }
+
   test("index root is conf-driven: a temp-dir spark.graft.ivfRoot builds a fresh index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-test").toString
     spark.conf.set("spark.graft.ivfRoot", tmp)
