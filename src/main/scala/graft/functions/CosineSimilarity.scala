@@ -134,13 +134,16 @@ object GraftFunctions {
   }
 
   private[functions] def mkHyperplaneBits(exprs: Seq[Expression]): HyperplaneBits = {
-    require(exprs.length == 2, "hyperplane_bits takes exactly 2 arguments")
-    val planes = exprs(1) match {
+    require(exprs.length == 2 || exprs.length == 3,
+      "hyperplane_bits takes 2 or 3 arguments: (embedding, numPlanes[, planeOffset])")
+    def intLit(e: Expression, what: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case e => throw new IllegalArgumentException(
-        s"hyperplane_bits plane count must be an integer literal, got $e")
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_bits $what must be an integer literal, got $other")
     }
-    HyperplaneBits(exprs.head, planes)
+    val planes = intLit(exprs(1), "plane count")
+    val offset = if (exprs.length == 3) intLit(exprs(2), "plane offset") else 0
+    HyperplaneBits(exprs.head, planes, offset)
   }
 }
 

@@ -494,11 +494,17 @@ object SimilarityOps {
     * self-join shuffle keys are skew-free — the same shape as the
     * MinHash-LSH text pipeline above.
     *
-    * Hyperplanes are derived from a fixed integer formula (Knuth
-    * multiplicative hash scaled to [-1, 1]) so an external oracle
+    * Hyperplanes are derived from a fixed integer formula (MurmurHash3
+    * fmix32 avalanche, scaled to [-1, 1]) so an external oracle
     * reproduces them bit-identically — same portability choice as the
-    * md5-based MinHash. (Threshold 0.4 suits this synthetic corpus;
-    * real near-dup corpora use ~0.95 with the same plan shape.)
+    * md5-based MinHash. The avalanche is load-bearing at scale: the
+    * previous Weyl-sequence formula made all planes constant-slope
+    * sawtooths of one sequence, i.e. strongly CORRELATED projections —
+    * a 600k-vector corpus collapsed into hot sign-pattern buckets of
+    * ~10k vectors (2.3B candidate pairs) where independent planes give
+    * max occupancy ~40 (~20M candidates), a ~100× verify-volume cut at
+    * identical recall structure. (Threshold 0.4 suits this synthetic
+    * corpus; real near-dup corpora use ~0.95 with the same plan shape.)
     *
     * Band geometry AUTO-SCALES with the corpus (VERDICT r7 #1): bucket
     * count per band is `2^(planes/bands)`, and with a FIXED width the
@@ -507,17 +513,21 @@ object SimilarityOps {
     * exactly that (>900 s at a fixed 16/4 vs 49 s at 32/4). So unless
     * `spark.graft.cosineLshPlanes` overrides, the band width is derived
     * from the corpus count at plan time by [[autoLshBpb]]:
-    * `bpb = clamp(4, 16, ceilLog2(ceil(N / 16)))` — i.e. the bucket
+    * `bpb = clamp(4, 24, ceilLog2(ceil(N / 16)))` — i.e. the bucket
     * count tracks N/16 so expected occupancy stays ~16 rows and the
-    * within-bucket self-join stays corpus-LINEAR until N outgrows
-    * 2^16·16 ≈ 1M rows per band, after which occupancy grows again
-    * (64-bit mask ceiling; beyond that, raise the band count or shard
-    * the corpus). The count probe is one metadata-cheap job; the DuckDB
-    * oracle recomputes the SAME integer formula from `count(*)` so the
-    * derived geometry is hash-pinned at every SF, not just the default.
-    * Wider bands trade recall at low similarity for candidate volume —
-    * the standard LSH precision/cost trade (exact duplicates collide at
-    * ANY width); `HyperplaneBits` codegens up to 64 planes.
+    * within-bucket self-join stays corpus-LINEAR up to N ≈ 2^24·16 ≈
+    * 268M rows per band (beyond: shard the corpus, e.g. by IVF cell).
+    * Each band's hash is computed INDEPENDENTLY via the plane-offset
+    * form `hyperplane_bits(e, bpb, band·bpb)` — one ≤64-bit mask per
+    * band rather than one mask for all bands — so total planes
+    * (bands × bpb, up to 96 at the default 4 bands) are no longer
+    * capped by the 64-bit mask width that clamped round 8's geometry
+    * at 16 bits/band. The count probe is one metadata-cheap job; the
+    * DuckDB oracle recomputes the SAME integer formula from `count(*)`
+    * so the derived geometry is hash-pinned at every SF, not just the
+    * default. Wider bands trade recall at low similarity for candidate
+    * volume — the standard LSH precision/cost trade (exact duplicates
+    * collide at ANY width).
     */
   /** Verified embedding near-dup pairs (vec_a < vec_b, cos_sim ≥ 0.4,
     * rounded to 1e-6): hyperplane-LSH banded candidates + exact cosine
@@ -526,43 +536,47 @@ object SimilarityOps {
     * never disagree about what a near-duplicate is.
     */
   /** Corpus-count-derived LSH band width (bits per band):
-    * `clamp(4, 16, ceilLog2(ceil(n / 16)))`, exact integer arithmetic so
+    * `clamp(4, 24, ceilLog2(ceil(n / 16)))`, exact integer arithmetic so
     * the DuckDB oracle reproduces it from `count(*)` with a power-of-two
     * comparison count (no float `log2` whose rounding could differ at
-    * exact powers of two). Target expected occupancy ≈ 16 rows/bucket.
+    * exact powers of two). Target expected occupancy ≈ 16 rows/bucket;
+    * the 24-bit cap (16.7M buckets/band) covers ~268M rows/band before
+    * occupancy grows again — above that, shard the corpus (e.g. by IVF
+    * cell) rather than widen further.
     */
   private[graft] def autoLshBpb(n: Long): Int = {
     val m = (n + 15L) / 16L
     val cl = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
-    math.min(16, math.max(4, cl))
+    math.min(24, math.max(4, cl))
   }
 
   private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.load(s, dir, "embeddings")
-    // Sign bits in one fused codegen pass (bit p = sign of
-    // <embedding, h_p> where h_p[d] = lcg(p*64+d) scaled into [-1, 1]),
-    // then band b is the b-th nibble of the mask. The former
-    // interpreted transform/aggregate HOF formulation of the same bits
-    // was the expensive child that forced a MERGE join hint here (AQE
-    // broadcast-converting a side re-ran it single-threaded inside the
-    // broadcast build, 10-50x the shuffled join); with the bits codegen'd
-    // the child is a cheap scan-side projection and AQE can pick the
-    // join strategy freely.
+    // Sign bits in fused codegen passes (bit j of band b = sign of
+    // <embedding, h_{b·bpb+j}> where h_p[d] = fmix32(p*64+d) scaled into
+    // [-1, 1]); each band is its own ≤64-bit hyperplane_bits call with a
+    // plane OFFSET, so total planes are not capped by one long mask.
+    // The former interpreted transform/aggregate HOF formulation of the
+    // same bits was the expensive child that forced a MERGE join hint
+    // here (AQE broadcast-converting a side re-ran it single-threaded
+    // inside the broadcast build, 10-50x the shuffled join); with the
+    // bits codegen'd the child is a cheap scan-side projection and AQE
+    // can pick the join strategy freely.
     val bands = s.conf.get("spark.graft.cosineLshBands", "4").toInt
     val planes = s.conf.getOption("spark.graft.cosineLshPlanes") match {
       case Some(p) => p.toInt
       case None => bands * autoLshBpb(emb.count())
     }
-    require(planes >= bands && planes % bands == 0 && planes <= 64,
-      s"cosineLshPlanes ($planes) must be a multiple of cosineLshBands ($bands), <= 64")
+    require(planes >= bands && planes % bands == 0 && planes / bands <= 62,
+      s"cosineLshPlanes ($planes) must be a multiple of cosineLshBands ($bands), <= 62 bits/band")
     val bpb = planes / bands
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band_idx"),
+      expr(s"hyperplane_bits(embedding, $bpb, ${b * bpb})").as("band_hash")))
     val banded = emb
-      .select(col("vec_id"), expr(s"hyperplane_bits(embedding, $planes)").as("mask"))
-      .select(col("vec_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band_idx"), col("mask"))
-      .select(col("vec_id"), col("band_idx"),
-        expr(s"shiftright(mask, band_idx * $bpb) & ${(1L << bpb) - 1}").as("band_hash"))
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band_idx").as("band_idx"),
+        col("bb.band_hash").as("band_hash"))
     val cands = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("va"))
       .join(banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
         col("vec_id").as("vb")),
@@ -589,15 +603,26 @@ object SimilarityOps {
   private val cosineOracleCtes =
     """geo AS (
       |  SELECT bpb, bpb * 4 AS nplanes FROM (
-      |    SELECT LEAST(16, GREATEST(4, (
+      |    SELECT LEAST(24, GREATEST(4, (
       |      SELECT count(*) FROM (SELECT unnest(generate_series(0, 62)) AS k)
       |      WHERE (1::BIGINT << k) < (SELECT (count(*) + 15) // 16 FROM embeddings)
       |    ))) AS bpb)),
       |planes AS (
-      |  SELECT p, d,
-      |    (CAST(((p * 64 + d) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0) * 2.0 - 1.0 AS hv
-      |  FROM (SELECT unnest(generate_series(0, (SELECT nplanes FROM geo) - 1)) AS p)
-      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)),
+      |  -- hv(p, d) = fmix32(p*64 + d) / 2^32 * 2 - 1 (MurmurHash3 32-bit
+      |  -- finalizer). Multiplications are done mod 2^32 via a 16/16-bit
+      |  -- split so no intermediate exceeds 2^48 — bit-identical to the
+      |  -- Spark expression's wrap-and-mask long arithmetic.
+      |  SELECT p, d, CAST(h5 AS DOUBLE) / 4294967296.0 * 2.0 - 1.0 AS hv FROM (
+      |    SELECT p, d, xor(h4, h4 >> 16) AS h5 FROM (
+      |      SELECT p, d, ((h3 % 65536) * 3266489909
+      |                    + (((h3 // 65536) * 3266489909) % 65536) * 65536) % 4294967296 AS h4 FROM (
+      |        SELECT p, d, xor(h2, h2 >> 13) AS h3 FROM (
+      |          SELECT p, d, ((h1 % 65536) * 2246822507
+      |                        + (((h1 // 65536) * 2246822507) % 65536) * 65536) % 4294967296 AS h2 FROM (
+      |            SELECT p, d, xor(h0, h0 >> 16) AS h1 FROM (
+      |              SELECT p, d, CAST(p * 64 + d AS BIGINT) AS h0
+      |              FROM (SELECT unnest(generate_series(0, (SELECT nplanes FROM geo) - 1)) AS p)
+      |              CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d))))))) ),
       |eterms AS (
       |  SELECT vec_id,
       |    CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) - 1 AS d,
