@@ -56,7 +56,11 @@ final case class Model(
       * Scala models opt in with an explicit version string the author
       * bumps. None = identity unknown → always treated as modified.
       */
-    fingerprint: Option[String] = None)
+    fingerprint: Option[String] = None,
+    /** dbt model tags (`config(tags=[...])`) — selectable via the
+      * `tag:` method in [[DagRunner.select]] specs.
+      */
+    tags: Set[String] = Set.empty)
 
 object DagRunner {
 
@@ -78,24 +82,33 @@ object DagRunner {
     done.toSeq.flatMap(byName.get)
   }
 
-  /** dbt-style node selection over the model graph (`dbt run --select`):
-    * each whitespace/comma-separated token names a model, optionally
-    * with `+` closure markers — `+model` selects the model and its
-    * ancestors, `model+` the model and its descendants, `+model+` both
-    * (graph operators per dbt's node-selection syntax). Tokens union.
-    * Unknown names throw (a typo'd selector silently selecting nothing
-    * is how partial deploys ship). The result keeps `models` order and
-    * feeds [[run]] unchanged: refs OUTSIDE the selection fall through
-    * to `resolve`, exactly dbt's contract that upstream tables already
-    * exist in the warehouse from a previous run.
+  /** dbt-style node selection over the model graph (`dbt run --select`),
+    * with dbt's actual composition semantics: WHITESPACE-separated
+    * tokens UNION; within a token, comma-separated atoms INTERSECT
+    * (`tag:nightly,my_model+` = descendants of my_model that are also
+    * tagged nightly — dbt "Set operators"). Each atom is either a model
+    * name or a `tag:NAME` method selector, optionally wrapped in graph
+    * operators: `+atom` adds ancestors, `atom+` adds descendants,
+    * `@atom` adds descendants plus ALL their ancestors (dbt's at-op,
+    * the "rebuild everything my change can touch, with the inputs those
+    * rebuilds need" selector). Unknown model names throw (a typo'd
+    * selector silently selecting nothing is how partial deploys ship);
+    * `tag:` atoms may legitimately match nothing. The result keeps
+    * `models` order and feeds [[run]] unchanged: refs OUTSIDE the
+    * selection fall through to `resolve`, exactly dbt's contract that
+    * upstream tables already exist in the warehouse from a previous
+    * run. `exclude` (dbt `--exclude`) subtracts its own selection —
+    * same grammar — AFTER `spec` unions.
     */
-  def select(models: Seq[Model], spec: String): Seq[Model] = {
+  def select(models: Seq[Model], spec: String, exclude: String = ""): Seq[Model] = {
     val byName = models.map(m => m.name -> m).toMap
     val children = models.flatMap(m => m.refs.filter(byName.contains).map(_ -> m.name))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
-    def closure(start: String, step: String => Seq[String]): Set[String] = {
-      val seen = scala.collection.mutable.Set(start)
-      var frontier = List(start)
+    def parents(n: String): Seq[String] =
+      byName.get(n).map(_.refs.filter(byName.contains)).getOrElse(Nil)
+    def closure(start: Set[String], step: String => Seq[String]): Set[String] = {
+      val seen = scala.collection.mutable.Set.empty[String] ++ start
+      var frontier = start.toList
       while (frontier.nonEmpty) {
         val next = frontier.flatMap(step).distinct.filterNot(seen)
         next.foreach(seen += _)
@@ -103,16 +116,35 @@ object DagRunner {
       }
       seen.toSet
     }
-    val picked = spec.split("[,\\s]+").filter(_.nonEmpty).flatMap { token =>
-      val up = token.startsWith("+")
-      val down = token.endsWith("+")
-      val name = token.stripPrefix("+").stripSuffix("+")
-      require(byName.contains(name), s"selector '$token': no model named '$name'")
-      Set(name) ++
-        (if (up) closure(name, n => byName.get(n).map(_.refs.filter(byName.contains))
-          .getOrElse(Nil)) else Set.empty) ++
-        (if (down) closure(name, n => children.getOrElse(n, Nil)) else Set.empty)
-    }.toSet
+    def atomSet(atom: String): Set[String] = {
+      val at = atom.startsWith("@")
+      val a0 = atom.stripPrefix("@")
+      val up = a0.startsWith("+")
+      val down = a0.endsWith("+")
+      val name = a0.stripPrefix("+").stripSuffix("+")
+      require(!(at && (up || down)), s"selector '$atom': @ already implies closures")
+      val base: Set[String] =
+        if (name.startsWith("tag:")) {
+          val t = name.stripPrefix("tag:")
+          models.filter(_.tags.contains(t)).map(_.name).toSet
+        } else {
+          require(byName.contains(name), s"selector '$atom': no model named '$name'")
+          Set(name)
+        }
+      if (at) {
+        val desc = closure(base, children.getOrElse(_, Nil))
+        desc ++ closure(desc, parents)
+      } else base ++
+        (if (up) closure(base, parents) else Set.empty) ++
+        (if (down) closure(base, children.getOrElse(_, Nil)) else Set.empty)
+    }
+    def evalSpec(s: String): Set[String] =
+      s.split("\\s+").filter(_.nonEmpty).map { token =>
+        token.split(",").filter(_.nonEmpty).map(atomSet)
+          .reduceLeft(_ intersect _)
+      }.foldLeft(Set.empty[String])(_ union _)
+    val picked = evalSpec(spec) -- (if (exclude.trim.isEmpty) Set.empty[String]
+                                    else evalSpec(exclude))
     models.filter(m => picked(m.name))
   }
 
@@ -241,6 +273,67 @@ object DagRunner {
       built += m.name -> materializeOne(spark, m, warehouse, refs)
     }
     built
+  }
+
+  /** Outcome of [[build]] (the `dbt build` analog): materialized frames
+    * for models that built AND passed their tests, per-model failing
+    * check summaries (check description → violation count), and the
+    * models skipped because an upstream failed.
+    */
+  final case class BuildReport(
+      built: Map[String, DataFrame],
+      failures: Map[String, Seq[(String, Long)]],
+      skipped: Seq[String]) {
+    def ok: Boolean = failures.isEmpty && skipped.isEmpty
+  }
+
+  /** The `dbt build` equivalent: materialize models in dependency order
+    * and run each model's declared data tests IMMEDIATELY after it
+    * materializes — not as a separate pass — so a model that fails its
+    * tests stops its descendants from building on bad data (dbt build's
+    * whole point vs `run; test`). Checks attach to a model by their
+    * `model` field (`Relationships` attaches to the CHILD — it can only
+    * run once the child exists, and dbt likewise tests the child).
+    * Failure semantics match dbt: the failing model's descendants are
+    * SKIPPED, siblings on other branches keep building, and the whole
+    * report is returned (callers decide whether to throw; `ok` is the
+    * exit-code analog). Each check's violation count is a one-row
+    * aggregate — driver-bounded regardless of model size.
+    */
+  def build(spark: SparkSession, models: Seq[Model], resolve: String => DataFrame,
+            warehouse: String = "",
+            checks: Seq[DataTests.Check] = Nil): BuildReport = {
+    def checkModel(c: DataTests.Check): String = c match {
+      case DataTests.Unique(m, _) => m
+      case DataTests.NotNull(m, _) => m
+      case DataTests.AcceptedValues(m, _, _) => m
+      case DataTests.Relationships(cm, _, _, _) => cm
+    }
+    val byModel = checks.groupBy(checkModel)
+    var built = Map.empty[String, DataFrame]
+    var failures = Map.empty[String, Seq[(String, Long)]]
+    var dead = Set.empty[String] // failed or skipped — poisons descendants
+    var skipped = List.empty[String]
+    def lookup(n: String): DataFrame = built.getOrElse(n, resolve(n))
+    topoSort(models).foreach { m =>
+      if (m.refs.exists(dead)) {
+        dead += m.name; skipped ::= m.name
+      } else {
+        val refs = m.refs.map(r => r -> lookup(r)).toMap
+        val df = materializeOne(spark, m, warehouse, refs)
+        val mine = byModel.getOrElse(m.name, Nil)
+        val bad =
+          if (mine.isEmpty) Nil
+          else DataTests.run(n => if (n == m.name) df else lookup(n), mine)
+            .filter(col("n_violations") > 0)
+            .collect()
+            .map(r => (s"${r.getString(0)}(${r.getString(2)})", r.getLong(3)))
+            .toSeq
+        if (bad.isEmpty) built += m.name -> df
+        else { failures += m.name -> bad; dead += m.name }
+      }
+    }
+    BuildReport(built, failures, skipped.reverse)
   }
 
   /** Build-time target info exposed to SQL-text models for dbt's

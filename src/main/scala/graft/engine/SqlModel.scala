@@ -56,6 +56,10 @@ object SqlModel {
     Pattern.compile("""\{\{\s*var\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""")
   private val configPat =
     Pattern.compile("""\{\{\s*config\([^}]*\)\s*\}\}""")
+  // tags=['a', 'b'] or tags='a' inside a config(...) header — dbt model
+  // tags, surfaced as Model.tags for `tag:` selection.
+  private val configTagsPat = Pattern.compile(
+    """\{\{\s*config\([^}]*?tags\s*=\s*(\[[^\]]*\]|'[^']*')[^}]*\)\s*\}\}""")
   // {% set name = [ 'item', ... ] %} — the Jinja shape the reference's
   // incremental model uses for its partition list
   // (atinternet_smarttag_streams_daily_v4.sql:1-12); items are
@@ -96,6 +100,19 @@ object SqlModel {
     val sm = sourcePat.matcher(sqlText)
     while (sm.find()) hits += sm.start -> sm.group(2)
     hits.sortBy(_._1).map(_._2).distinct.toSeq
+  }
+
+  /** Model tags declared in the `{{ config(...) }}` header —
+    * `tags=['nightly', 'pii']` (list) or `tags='nightly'` (single).
+    */
+  private[graft] def extractTags(sqlText: String): Set[String] = {
+    val out = Set.newBuilder[String]
+    val m = configTagsPat.matcher(sqlText)
+    while (m.find()) {
+      val im = setItemPat.matcher(m.group(1))
+      while (im.find()) out += im.group(1)
+    }
+    out.result()
   }
 
   /** Parse and strip `{% set name = [...] %}` blocks; returns the list
@@ -203,7 +220,8 @@ object SqlModel {
           thisPath = ctx.flatMap(_.path))
         spark.sql(finalSql)
       },
-      materialization, schema, database, fingerprint = Some(fp))
+      materialization, schema, database, fingerprint = Some(fp),
+      tags = extractTags(sqlText))
   }
 
   /** Load the SQL text from a classpath resource (the engine's analog of

@@ -21,7 +21,10 @@ import graft.models.testkit.NpoFixtures
   *     (dbt's `threads:` — `DagRunner.runParallel`).
   *   Add --select 'spec' to materialize a node-selection subgraph
   *     (dbt's `run --select`; unselected upstreams resolve from the
-  *     warehouse of a previous full run).
+  *     warehouse of a previous full run). Spec grammar per
+  *     `DagRunner.select`: whitespace unions, comma intersects,
+  *     `tag:` method atoms, `+`/`@` graph operators.
+  *   Add --exclude 'spec' to subtract a selection (dbt `--exclude`).
   */
 object RunDag {
   def main(args0: Array[String]): Unit = {
@@ -35,11 +38,12 @@ object RunDag {
     }
     val threads = flagValue("--threads").map(_.toInt).getOrElse(1)
     val selectSpec = flagValue("--select")
+    val excludeSpec = flagValue("--exclude")
     val args = {
       // Strip EVERY occurrence (a repeated flag must not shift the
       // positional sourcesDir/warehouse args).
       var a = args0.toSeq
-      for (f <- Seq("--threads", "--select")) {
+      for (f <- Seq("--threads", "--select", "--exclude")) {
         var i = a.indexOf(f)
         while (i >= 0) {
           require(i < a.length - 1, s"$f requires a value")
@@ -78,7 +82,7 @@ object RunDag {
     // database view would be). True external sources still come from
     // the source resolver.
     val models = selectSpec.map { spec =>
-      val base = DagRunner.select(allModels, spec)
+      val base = DagRunner.select(allModels, spec, excludeSpec.getOrElse(""))
       var names = base.map(_.name).toSet
       var grew = true
       while (grew) {

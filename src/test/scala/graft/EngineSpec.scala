@@ -37,9 +37,74 @@ class EngineSpec extends SparkSpec {
     assert(names("streams+") === Set("streams", "vod", "dashboard"))
     assert(names("+tv+") === Set("tv", "poms", "dashboard"))
     assert(names("tv streams") === Set("tv", "streams"))
-    assert(names("tv,+streams") === Set("tv", "streams", "poms"))
     val e = intercept[IllegalArgumentException](names("+nope+"))
     assert(e.getMessage.contains("nope"))
+  }
+
+  test("select: dbt set operators — comma intersects, whitespace unions, @ closes both ways") {
+    def tagged(name: String, ts: Set[String], refs: String*) =
+      m(name, refs: _*).copy(tags = ts)
+    val models = Seq(
+      tagged("dashboard", Set("reporting"), "vod", "tv"),
+      tagged("tv", Set("nightly"), "poms"),
+      tagged("vod", Set("nightly", "reporting"), "poms", "streams"),
+      tagged("poms", Set.empty),
+      tagged("streams", Set("nightly"), "poms"))
+    def names(spec: String, exclude: String = "") =
+      DagRunner.select(models, spec, exclude).map(_.name).toSet
+    // tag: method selector, with and without closures
+    assert(names("tag:nightly") === Set("tv", "vod", "streams"))
+    assert(names("tag:reporting+") === Set("dashboard", "vod"))
+    assert(names("+tag:reporting") === Set("dashboard", "vod", "tv", "poms", "streams"))
+    // comma = INTERSECTION within a token (dbt), whitespace = union
+    assert(names("tag:nightly,streams+") === Set("streams", "vod"))
+    assert(names("tag:nightly,tag:reporting") === Set("vod"))
+    assert(names("poms tag:reporting") === Set("poms", "dashboard", "vod"))
+    // tag matching nothing is legal (not a typo'd model name)
+    assert(names("tag:nope") === Set.empty)
+    // @model: descendants plus ALL their ancestors
+    assert(names("@streams") === Set("streams", "vod", "dashboard", "poms", "tv"))
+    assert(names("@tv") === Set("tv", "dashboard", "poms", "vod", "streams"))
+    // --exclude subtracts its own selection after the union
+    assert(names("tag:nightly", "streams") === Set("tv", "vod"))
+    assert(names("+dashboard", "tag:nightly+") === Set("poms"),
+      "excluding nightly models and their descendants (dashboard included) leaves only poms")
+    intercept[IllegalArgumentException](names("@+tv"))
+  }
+
+  test("build interleaves data tests with materialization and skips descendants of a failure") {
+    import org.apache.spark.sql.SparkSession
+    // base -> mid (fails not_null) -> leaf; side builds from base on a
+    // clean branch and must NOT be skipped.
+    var builtOrder = Vector.empty[String]
+    def rec(name: String)(f: (SparkSession, Map[String, org.apache.spark.sql.DataFrame]) => org.apache.spark.sql.DataFrame) =
+      Model(name, if (name == "base") Nil else Seq("base"),
+        (s, r) => { builtOrder :+= name; f(s, r) })
+    val base = rec("base")((s, _) => s.range(3).toDF("k"))
+    val mid = Model("mid", Seq("base"),
+      (s, r) => { builtOrder :+= "mid"; r("base").select(when(col("k") > 0, col("k")).as("k")) })
+    val leaf = Model("leaf", Seq("mid"),
+      (s, r) => { builtOrder :+= "leaf"; r("mid") })
+    val side = rec("side")((s, r) => r("base"))
+    val report = DagRunner.build(spark, Seq(leaf, mid, side, base),
+      n => fail(s"no external source expected: $n"),
+      checks = Seq(
+        DataTests.NotNull("mid", "k"),
+        DataTests.NotNull("base", "k"),
+        DataTests.Unique("side", Seq("k"))))
+    assert(!report.ok)
+    assert(report.failures.keySet === Set("mid"))
+    assert(report.failures("mid").head._1 === "not_null(k)")
+    assert(report.failures("mid").head._2 === 1L, "k=0 maps to NULL — exactly one violation")
+    assert(report.skipped === Seq("leaf"), "only the failing model's descendants skip")
+    assert(report.built.keySet === Set("base", "side"),
+      "clean branches keep building; the failing model is not in built")
+    assert(!builtOrder.contains("leaf"), "a skipped model's builder must never run")
+    // all-green DAG: ok, nothing skipped, everything built
+    val green = DagRunner.build(spark, Seq(side, base),
+      n => fail(s"unexpected $n"),
+      checks = Seq(DataTests.NotNull("base", "k")))
+    assert(green.ok && green.built.keySet === Set("base", "side"))
   }
 
   test("writeDocs emits valid JSON lineage for the real 13-model DAG") {

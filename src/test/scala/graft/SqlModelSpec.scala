@@ -128,6 +128,21 @@ class SqlModelSpec extends SparkSpec {
 
   // ---- is_incremental() / {{ this }} ------------------------------------
 
+  test("config(tags=...) surfaces as Model.tags in both list and single-string form") {
+    val listForm = SqlModel.fromSqlText("t1",
+      "{{ config(materialized='view', tags=['nightly', 'pii']) }}\nSELECT 1 AS x")
+    assert(listForm.tags === Set("nightly", "pii"))
+    val single = SqlModel.fromSqlText("t2",
+      "{{ config(tags='hourly') }}\nSELECT 1 AS x")
+    assert(single.tags === Set("hourly"))
+    val none = SqlModel.fromSqlText("t3",
+      "{{ config(materialized='table') }}\nSELECT 1 AS x")
+    assert(none.tags === Set.empty)
+    // selectable through the DAG selector's tag: method
+    val picked = DagRunner.select(Seq(listForm, single, none), "tag:pii")
+    assert(picked.map(_.name) === Seq("t1"))
+  }
+
   test("renderConditionals: branch choice, optional else, and {{ this }} substitution") {
     val t = "SELECT * FROM x {% if is_incremental() %}WHERE d > " +
       "(SELECT max(d) FROM {{ this }}){% else %}/* full */{% endif %}"
