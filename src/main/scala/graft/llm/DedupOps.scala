@@ -572,8 +572,18 @@ object DedupOps {
     * [[lshPairs]] (within-corpus candidate pairs) and
     * [[incrementalDedup]] (batch-vs-lake membership probe).
     */
-  private def bandHashes(s: SparkSession, dir: String): DataFrame = {
-    val sigs = shingles(s, dir).groupBy("doc_id")
+  private def bandHashes(s: SparkSession, dir: String): DataFrame =
+    bandsOfDocs(Tables.load(s, dir, "documents"))
+
+  /** Frame-based band derivation — the same shingle → minhash → band
+    * pipeline over an arbitrary (doc_id, text) frame, so a streaming
+    * micro-batch can index itself identically to the batch path
+    * ([[graft.streaming.StreamingOps.dedupIngestSink]]).
+    */
+  private[graft] def bandsOfDocs(docs: DataFrame): DataFrame = {
+    val sh = Grams.ngrams(docs, splitLit(col("text"), " "), 3)
+      .select(col("doc_id"), col("gram").as("shingle"))
+    val sigs = sh.groupBy("doc_id")
       .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
     sigs.select(col("doc_id"), posexplode(array(
       md5(concat(col("mh0"), col("mh1"))), md5(concat(col("mh2"), col("mh3"))),

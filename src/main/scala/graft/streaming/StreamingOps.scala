@@ -340,6 +340,27 @@ object StreamingOps {
       (batch, _) => graft.llm.SimilarityOps.PqIndex.addVectors(
         batch.sparkSession, batch, indexRoot))
 
+  /** Streaming dedup-group maintenance: micro-batches of new documents
+    * (doc_id, text) band-hash themselves (the batch path's own
+    * `bandsOfDocs`) and fold into a persisted `DedupState` root —
+    * batch-self pairs + band-index probe + standing-star re-closure,
+    * never a lake self-join (`llm_incremental_groups`' algebra, now
+    * fed by a stream). `applyBatch` is replay-idempotent (star
+    * re-closure of a closed graph is the identity; the band append is
+    * anti-join-guarded), so checkpoint + replay yields effectively-once
+    * GROUP state: after any prefix of micro-batches the star table
+    * equals a full recompute over the documents ingested so far
+    * (`StreamingFileSpec` pins it against `connectedComponents` of the
+    * batch pipeline).
+    */
+  def dedupIngestSink(updates: DataFrame, stateRoot: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    indexIngestSink(updates, checkpoint, trigger,
+      (batch, _) => graft.llm.DedupOps.DedupState.applyBatch(
+        batch.sparkSession, graft.llm.DedupOps.bandsOfDocs(batch), stateRoot))
+
   /** Shared foreachBatch plumbing of the three index-maintenance sinks:
     * each micro-batch applies one idempotent delta-builder, so
     * checkpoint + replay yields effectively-once INDEX state even

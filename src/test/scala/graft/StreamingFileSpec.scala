@@ -187,6 +187,35 @@ class StreamingFileSpec extends SparkSpec {
       rows(graft.llm.CorpusOps.Bm25Index.statsPath(spark, full), "n_docs", "total_len"))
   }
 
+  test("streaming dedup-group ingest equals a full recompute over everything ingested") {
+    val dir = Files.createTempDirectory("graft_dedupstream").toFile.getAbsolutePath
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val cut = docs.agg(expr("(max(doc_id) * 8) div 10").as("c")).head().getLong(0)
+    val root = s"$dir/state"
+    // Backfill the lake on the oldest 80%, then stream the rest in as
+    // TWO files so the sink folds more than one micro-batch shape.
+    graft.llm.DedupOps.DedupState.buildInto(spark,
+      graft.llm.DedupOps.bandsOfDocs(docs.filter(col("doc_id") < cut)), root)
+    val landing = s"$dir/landing"
+    val cut2 = docs.agg(expr("(max(doc_id) * 9) div 10").as("c")).head().getLong(0)
+    docs.filter(col("doc_id") >= cut && col("doc_id") < cut2)
+      .write.mode("append").parquet(landing)
+    docs.filter(col("doc_id") >= cut2).write.mode("append").parquet(landing)
+    StreamingOps.dedupIngestSink(
+      spark.readStream.schema(docs.schema).parquet(landing), root, s"$dir/ckpt")
+      .awaitTermination()
+    def assigns(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = assigns(graft.llm.DedupOps.DedupState
+      .assignment(spark, root).select("doc_id", "canonical_id"))
+    val scratch = assigns(graft.llm.DedupOps.connectedComponents(
+      graft.llm.DedupOps.bandSelfPairs(graft.llm.DedupOps.bandsOfDocs(docs)))
+      .select("doc_id", "canonical_id"))
+    assert(streamed === scratch,
+      "streamed star state must equal connected components over the full corpus")
+  }
+
   test("streaming PQ ingest encodes deltas identically to the batch incremental build") {
     val dir = Files.createTempDirectory("graft_pqstream").toFile.getAbsolutePath
     val sf = "/root/testdata/sf0.01"
