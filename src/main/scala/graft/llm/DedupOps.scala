@@ -1175,7 +1175,7 @@ object DedupOps {
     * write+read of the rank table.
     */
   private[graft] def pagerankConvergedStats(docs: DataFrame, pairs: DataFrame,
-      eps: Long, maxRounds: Int = 200): (DataFrame, Int, Long) = {
+      eps: Long, maxRounds: Int = 200, nOverride: Option[Long] = None): (DataFrame, Int, Long) = {
     val s = docs.sparkSession
     // Two-tier, same discipline as connected components: the rank table
     // is docs-sized and the edge list candidate-graph-sized — both far
@@ -1200,7 +1200,7 @@ object DedupOps {
       .join(docIdsAll.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi")
       .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
     if (2L * cleanPairs.count() <= localMax)
-      return pagerankConvergedLocal(docs, cleanPairs, eps, maxRounds)
+      return pagerankConvergedLocal(docs, cleanPairs, eps, maxRounds, nOverride)
     val edges = cleanPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(cleanPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -1211,7 +1211,13 @@ object DedupOps {
     // the exchange, so every round re-shuffles the cached rows instead
     // of reusing the exchange output.
     val edgesDeg = edges.join(deg, "src")
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // `nOverride` embeds this solve in a larger graph (the oversized
+    // components of [[pagerankComponents]]): base/init shares must use
+    // the WHOLE corpus count, not the subgraph's.
+    val n = nOverride match {
+      case Some(v) => s.range(1).select(lit(v).as("n_docs"))
+      case None => docs.agg(count(lit(1)).as("n_docs"))
+    }
     val base = expr("150000000000L div n_docs")
     val docsN = docs.crossJoin(broadcast(n))
     var pr = docsN
@@ -1288,11 +1294,59 @@ object DedupOps {
     * analytically so the stop test, round count, and final delta stay
     * bit-identical to the distributed tier.
     */
+  /** The integer PageRank recurrence over index arrays — the shared
+    * core of the driver tier ([[pagerankConvergedLocal]]) and the
+    * per-component executor-local solver ([[pagerankComponents]]).
+    * `nIso` isolated docs contribute `|init − base|` each to the first
+    * block's measured delta (they move exactly once, round 0 → 1) so a
+    * caller embedding this solve in a larger graph keeps the stop test
+    * bit-identical to the round-synchronized global loop. Returns
+    * (ranks, rounds, final L1 delta); throws if `maxRounds` is
+    * exhausted — damping 85/100 contracts the L1 delta ≥ 0.85× per
+    * round, so non-convergence indicates a bug, not a hard graph.
+    */
+  private def solveRankArrays(n: Int, srcs: Array[Int], dsts: Array[Int],
+      outdeg: Array[Long], base: Long, init: Long, eps: Long, maxRounds: Int,
+      nIso: Long): (Array[Long], Int, Long) = {
+    val m = srcs.length
+    var pr = Array.fill(n)(init)
+    var prev = pr
+    var delta = Long.MaxValue
+    var rounds = 0
+    while (delta > eps && rounds < maxRounds) {
+      val k = pagerankBlockRounds(delta, eps)
+      val blockStart = rounds
+      for (_ <- 1 to k) {
+        prev = pr
+        val contrib = new Array[Long](n)
+        var e = 0
+        while (e < m) {
+          contrib(dsts(e)) += prev(srcs(e)) / outdeg(srcs(e))
+          e += 1
+        }
+        pr = Array.tabulate(n)(d => base + 85L * contrib(d) / 100L)
+      }
+      rounds += k
+      var acc = 0L
+      var d = 0
+      while (d < n) { acc += math.abs(pr(d) - prev(d)); d += 1 }
+      // Isolated docs move exactly once, init → base on round 0 → 1; the
+      // block whose measured step is round 0 → 1 (the first block, which
+      // always has k = 1) carries their whole delta, every later block 0.
+      if (blockStart + k == 1) acc += nIso * math.abs(init - base)
+      delta = acc
+    }
+    if (delta > eps) throw new IllegalStateException(
+      s"pagerank did not converge to eps=$eps in $maxRounds rounds " +
+        "(damping 85/100 contracts the L1 delta ≥0.85x per round — this should be impossible)")
+    (pr, rounds, delta)
+  }
+
   private def pagerankConvergedLocal(docs: DataFrame, pairs: DataFrame,
-      eps: Long, maxRounds: Int): (DataFrame, Int, Long) = {
+      eps: Long, maxRounds: Int, nOverride: Option[Long] = None): (DataFrame, Int, Long) = {
     val s = docs.sparkSession
     // Total corpus size is an aggregate, not a collect.
-    val nTotal = docs.agg(count(lit(1))).head().getLong(0)
+    val nTotal = nOverride.getOrElse(docs.agg(count(lit(1))).head().getLong(0))
     require(nTotal > 0, "pagerank over an empty docs frame")
     val docIds = docs.select(col("doc_id"))
     // `pairs` arrives pre-filtered to docs endpoints by the caller, so
@@ -1326,36 +1380,8 @@ object DedupOps {
     srcs.foreach(si => outdeg(si) += 1)
     val base = 150000000000L / nTotal
     val init = 1000000000000L / nTotal
-    var pr = Array.fill(n)(init)
-    var prev = pr
-    var delta = Long.MaxValue
-    var rounds = 0
-    while (delta > eps && rounds < maxRounds) {
-      val k = pagerankBlockRounds(delta, eps)
-      val blockStart = rounds
-      for (_ <- 1 to k) {
-        prev = pr
-        val contrib = new Array[Long](n)
-        var e = 0
-        while (e < m) {
-          contrib(dsts(e)) += prev(srcs(e)) / outdeg(srcs(e))
-          e += 1
-        }
-        pr = Array.tabulate(n)(d => base + 85L * contrib(d) / 100L)
-      }
-      rounds += k
-      var acc = 0L
-      var d = 0
-      while (d < n) { acc += math.abs(pr(d) - prev(d)); d += 1 }
-      // Isolated docs move exactly once, init → base on round 0 → 1; the
-      // block whose measured step is round 0 → 1 (the first block, which
-      // always has k = 1) carries their whole delta, every later block 0.
-      if (blockStart + k == 1) acc += nIso * math.abs(init - base)
-      delta = acc
-    }
-    if (delta > eps) throw new IllegalStateException(
-      s"pagerank did not converge to eps=$eps in $maxRounds rounds " +
-        "(damping 85/100 contracts the L1 delta ≥0.85x per round — this should be impossible)")
+    val (pr, rounds, delta) =
+      solveRankArrays(n, srcs, dsts, outdeg, base, init, eps, maxRounds, nIso)
     import s.implicits._
     val isoFinal = if (rounds == 0) init else base
     val partDf = ids.indices.map(d => (ids(d), pr(d), outdeg(d)))
@@ -1365,6 +1391,116 @@ object DedupOps {
         coalesce(col("pr_part"), lit(isoFinal)).as("pr"),
         coalesce(col("deg_part"), lit(0L)).as("degree"))
     (out, rounds, delta)
+  }
+
+  /** Component-partitioned converging PageRank — the 100 TB deployment
+    * form of [[pagerankConvergedStats]]. With uniform teleport the
+    * recurrence is block-diagonal over connected components (an edge
+    * never crosses components, and the base share is per-node), so each
+    * component's fixed point is independent: instead of ~60 GLOBAL
+    * round-synchronized shuffles over the whole rank table, close the
+    * candidate graph into components once (the CC machinery this file
+    * already has) and solve every component WHERE IT LIVES — a
+    * `flatMapGroups` over component-grouped edges runs the identical
+    * integer recurrence ([[solveRankArrays]]) entirely inside one task,
+    * zero shuffles per round. On a near-dup graph (small cliques by
+    * construction after curation) this turns the heaviest iterative
+    * operator in the engine into one CC pass + one embarrassingly
+    * parallel map.
+    *
+    * Tiering: components whose edge list exceeds
+    * `spark.graft.pagerankLocalMaxEdges` (a giant hub cluster — rare
+    * post-dedup, but 100 TB guarantees SOME pathology) are NOT solved
+    * in-task: their union subgraph routes to the checkpointed
+    * distributed loop with the corpus-global `nOverride`, so memory per
+    * task stays bounded by the conf. Isolated docs take the closed-form
+    * base share directly.
+    *
+    * Semantics vs the global loop: each component stops when ITS L1
+    * delta ≤ eps (the global loop stops on the SUMMED delta). On a
+    * connected graph with no isolated docs the schedules coincide and
+    * the ranks are bit-identical (spec-pinned); on multi-component
+    * graphs every component is AT LEAST as converged as the global run
+    * and ranks agree within the eps tolerance (spec-pinned bound).
+    * Degrees are exact either way, which is what the DuckDB oracle
+    * pins row-for-row.
+    */
+  private[graft] def pagerankComponents(docs: DataFrame, pairs: DataFrame,
+      eps: Long, maxRounds: Int = 200): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val nTotal = docs.agg(count(lit(1))).head().getLong(0)
+    require(nTotal > 0, "pagerank over an empty docs frame")
+    val docIdsAll = docs.select(col("doc_id"))
+    val cleanPairs = pairs.select("doc_a", "doc_b")
+      .join(docIdsAll.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi")
+      .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val base = 150000000000L / nTotal
+      val init = 1000000000000L / nTotal
+      val assign = connectedComponents(cleanPairs).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val comped = cleanPairs.join(
+          assign.select(col("doc_id").as("doc_a"), col("canonical_id").as("comp")), "doc_a")
+          .select("comp", "doc_a", "doc_b")
+        val maxEdges = s.conf.get("spark.graft.pagerankLocalMaxEdges", "100000").toLong
+        val counts = comped.groupBy("comp").agg(count(lit(1)).as("np"))
+        val bigComps = counts.filter(col("np") * 2 > maxEdges).select("comp")
+          .as[Long].collect().toSet // component COUNT is tiny (distinct canonical ids over threshold)
+        val small = comped.filter(!col("comp").isin(bigComps.toSeq: _*))
+        val solvedSmall = small.as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long)]) =>
+            val ps = it.toArray
+            val seen = new java.util.LinkedHashSet[java.lang.Long]()
+            ps.foreach { p => seen.add(p._2); seen.add(p._3) }
+            val ids = new Array[Long](seen.size)
+            var i = 0
+            val iter = seen.iterator()
+            while (iter.hasNext) { ids(i) = iter.next(); i += 1 }
+            val n = ids.length
+            val idx = new java.util.HashMap[Long, Int](n * 2)
+            ids.zipWithIndex.foreach { case (d, j) => idx.put(d, j) }
+            val m = ps.length * 2
+            val srcs = new Array[Int](m)
+            val dsts = new Array[Int](m)
+            var w = 0
+            ps.foreach { p =>
+              val a = idx.get(p._2); val b = idx.get(p._3)
+              srcs(w) = a; dsts(w) = b; w += 1
+              srcs(w) = b; dsts(w) = a; w += 1
+            }
+            val outdeg = new Array[Long](n)
+            srcs.foreach(si => outdeg(si) += 1)
+            val (pr, _, _) =
+              solveRankArrays(n, srcs, dsts, outdeg, base, init, eps, maxRounds, 0L)
+            ids.indices.iterator.map(d => (ids(d), pr(d), outdeg(d)))
+          }
+          .toDF("doc_id", "pr", "degree")
+        val solvedBig =
+          if (bigComps.isEmpty)
+            s.emptyDataset[(Long, Long, Long)].toDF("doc_id", "pr", "degree")
+          else {
+            val bigPairs = comped.filter(col("comp").isin(bigComps.toSeq: _*))
+              .select("doc_a", "doc_b")
+            val bigDocs = assign
+              .filter(col("canonical_id").isin(bigComps.toSeq: _*))
+              .select("doc_id")
+            pagerankConvergedStats(bigDocs, bigPairs, eps, maxRounds, Some(nTotal))
+              ._1.select("doc_id", "pr", "degree")
+          }
+        val iso = docIdsAll
+          .join(assign.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(base).as("pr"), lit(0L).as("degree"))
+        // Unpersisting the inputs in the finally blocks only drops the
+        // caches — the returned frame's lineage recomputes them if a
+        // consumer runs after this call, so the result stays correct
+        // (just uncached) in lazy use.
+        solvedSmall.unionAll(solvedBig).unionAll(iso)
+          .withColumn("n_docs", lit(nTotal))
+      } finally assign.unpersist(blocking = false)
+    } finally cleanPairs.unpersist(blocking = false)
   }
 
   private val dupPagerankConv = QueryDef(
@@ -1378,6 +1514,38 @@ object DedupOps {
           (col("pr") >= expr("150000000000L div n_docs") &&
             col("pr") <= lit(1000000000000L)).as("rank_ok"),
           lit(delta <= eps).as("converged"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+           |          UNION ALL SELECT doc_b, doc_a FROM cand),
+           |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+           |SELECT d.doc_id, CAST(coalesce(g.outdeg, 0) AS BIGINT) AS degree,
+           |  true AS rank_ok, true AS converged
+           |FROM documents d LEFT JOIN deg g ON g.src = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
+  /** The component-partitioned form as an oracle row: same output shape
+    * and the same exact-degree + invariant oracle as
+    * `llm_dup_pagerank_conv`, but ranked through
+    * [[pagerankComponents]] — one CC closure + per-component in-task
+    * solves instead of the global shuffle-per-block loop. The value
+    * agreement between the two forms (bit-identical on connected
+    * graphs, within-eps elsewhere) is pinned in
+    * `PagerankComponentsSpec`; this row pins the deployment path
+    * end-to-end against DuckDB's exact degree table.
+    */
+  private val dupPagerankComp = QueryDef(
+    "llm_dup_pagerank_comp",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      val eps = s.conf.get("spark.graft.pagerankEpsilon", "1000000").toLong
+      val pairs = checkpointSlot("llm_dup_pagerank_comp", lshPairs(s, dir))
+      pagerankComponents(docs, pairs, eps)
+        .select(col("doc_id"), col("degree"),
+          (col("pr") >= expr("150000000000L div n_docs") &&
+            col("pr") <= lit(1000000000000L)).as("rank_ok"),
+          lit(true).as("converged")) // per-component solves throw on non-convergence
         .orderBy("doc_id")
     },
     Some(s"""WITH $lshOracleCtes,
@@ -1780,6 +1948,7 @@ object DedupOps {
 
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
+    dupPagerankComp,
     canonicalDocs, incrementalDedup, incrementalGroups, lineDedup, substrSpans,
     triangles, jaccardEst, editVerify)
 }
