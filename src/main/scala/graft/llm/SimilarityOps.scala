@@ -697,6 +697,210 @@ object SimilarityOps {
            |FROM vreach GROUP BY src
            |ORDER BY vec_id""".stripMargin))
 
+  /** Persisted incremental state for EMBEDDING near-dup groups — the
+    * vector analog of DedupOps.DedupState, completing the delta
+    * maintenance family (BM25 postings, IVF cells, PQ codes, text dedup
+    * stars, and now vector dedup stars). State under `root`:
+    *
+    *  - `meta` — the PINNED band geometry (`bpb`). Unlike every other
+    *    derived quantity, geometry CANNOT track the corpus count across
+    *    batches: a width change re-keys the whole band hash space, so
+    *    an index built at bpb=k can only ever be probed at bpb=k.
+    *    `buildInto` pins it (auto-derived from the build corpus, or an
+    *    explicit override sized for the ANTICIPATED corpus) and
+    *    [[needsReband]] reports when the corpus has outgrown it — the
+    *    LSH analog of the IVF cell-split / PQ drift-retrain lifecycle
+    *    probes: re-banding is a full rebuild by construction, so it is
+    *    a monitored operation, never an implicit one.
+    *  - `corpus` — the embeddings ingested so far (verification needs
+    *    vectors, not just hashes; same reason IvfIndex persists its
+    *    corpus).
+    *  - `bandindex` — (vec_id, band_idx, band_hash) at the pinned
+    *    geometry, append-maintained with an anti-join against ITSELF
+    *    (not the corpus), so a crash between the corpus and bandindex
+    *    appends repairs on replay instead of leaving unindexed vectors.
+    *  - `stars/` — the standing verified-near-dup component assignment,
+    *    published as pointer-flipped generations.
+    *
+    * [[applyBatch]] candidates = batch-self banded pairs + batch-vs-
+    * bandindex probe; VERIFIES with exact cosine at the same rounded
+    * threshold as [[cosinePairs]]; re-closes stars. Lake-internal pairs
+    * are never recomputed. All derived work keys off the WHOLE batch
+    * (not the not-yet-known subset), so any crash prefix replays to the
+    * same state — the discipline ADVICE r8 #1 established for IvfIndex.
+    */
+  private[graft] object VecDedupState {
+    private def writeMeta(s: SparkSession, root: String, bpb: Int): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/meta")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(s"bpb=$bpb".getBytes("UTF-8")) finally out.close()
+    }
+
+    private[graft] def readBpb(s: SparkSession, root: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/meta")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val body = try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+      } finally in.close()
+      body.stripPrefix("bpb=").toInt
+    }
+
+    /** Band rows at a FIXED geometry — cosinePairs' banding without the
+      * per-call count probe (state probes must use the pinned width).
+      */
+    private def bandsAt(emb: DataFrame, bpb: Int): DataFrame = {
+      GraftFunctions.register(emb.sparkSession)
+      val bandCols = (0 until 4).map(b => struct(lit(b).as("band_idx"),
+        expr(s"hyperplane_bits(embedding, $bpb, ${b * bpb})").as("band_hash")))
+      emb.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band_idx").as("band_idx"),
+          col("bb.band_hash").as("band_hash"))
+    }
+
+    /** Exact-cosine verification at the shared rounded threshold; `emb`
+      * must cover every candidate endpoint.
+      */
+    private def verify(cands: DataFrame, emb: DataFrame): DataFrame = cands
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .withColumn("cos_sim", roundTo(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+
+    private def selfCands(bands: DataFrame): DataFrame = bands
+      .select(col("band_idx"), col("band_hash"), col("vec_id").as("va"))
+      .join(bands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+        col("vec_id").as("vb")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("va") < col("vb"))
+      .select("va", "vb").distinct()
+
+    def starsPath(s: SparkSession, root: String): String =
+      graft.sources.Artifacts.generationPath(s, root, "stars")
+
+    private def publishStars(s: SparkSession, assign: DataFrame, root: String): Unit =
+      graft.sources.Artifacts.publishGeneration(s, root, "stars") { dir =>
+        assign.filter(col("canonical_id") =!= col("doc_id"))
+          .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b"))
+          .write.mode("overwrite").parquet(dir)
+      }
+
+    def buildInto(s: SparkSession, emb: DataFrame, root: String,
+                  bpbOverride: Option[Int] = None): Unit = {
+      val bpb = bpbOverride.getOrElse(autoLshBpb(emb.count()))
+      writeMeta(s, root, bpb)
+      emb.select("vec_id", "embedding").write.mode("overwrite").parquet(s"$root/corpus")
+      val corpus = s.read.parquet(s"$root/corpus")
+      val bands = bandsAt(corpus, bpb)
+      bands.write.mode("overwrite").parquet(s"$root/bandindex")
+      publishStars(s, DedupOps.connectedComponents(verify(selfCands(bands), corpus)), root)
+    }
+
+    def applyBatch(s: SparkSession, batchEmb0: DataFrame, root: String): Unit = {
+      val bpb = readBpb(s, root)
+      val batchEmb = batchEmb0.select("vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val corpus = s.read.parquet(s"$root/corpus")
+        val lakeBands = s.read.parquet(s"$root/bandindex")
+        val stars = s.read.parquet(starsPath(s, root))
+        val batchBands = bandsAt(batchEmb, bpb)
+        val bb = selfCands(batchBands)
+        val bl = batchBands.select(col("band_idx"), col("band_hash"), col("vec_id").as("bd"))
+          .join(lakeBands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+            col("vec_id").as("ld")),
+            col("band_idx") === col("bi") && col("band_hash") === col("bh"))
+          .filter(col("bd") =!= col("ld"))
+          .select(least(col("bd"), col("ld")).as("va"),
+            greatest(col("bd"), col("ld")).as("vb"))
+          .distinct()
+        // Verification embeddings: batch rows win on id overlap (a
+        // replayed vector is byte-identical, so either copy verifies
+        // the same); the union covers every candidate endpoint.
+        val emb = batchEmb.unionByName(
+          corpus.join(batchEmb.select("vec_id"), Seq("vec_id"), "left_anti"))
+        publishStars(s,
+          DedupOps.connectedComponents(stars.unionAll(verify(bb.unionAll(bl), emb))), root)
+        // Appends AFTER the star publish, each anti-joined against the
+        // target table ITSELF so any crash prefix repairs on replay.
+        val knownC = s.read.parquet(s"$root/corpus").select("vec_id").distinct()
+        batchEmb.join(knownC, Seq("vec_id"), "left_anti")
+          .write.mode("append").parquet(s"$root/corpus")
+        val knownB = s.read.parquet(s"$root/bandindex").select("vec_id").distinct()
+        bandsAt(batchEmb, bpb).join(knownB, Seq("vec_id"), "left_anti")
+          .write.mode("append").parquet(s"$root/bandindex")
+      } finally batchEmb.unpersist(blocking = false)
+    }
+
+    /** The standing assignment, reconstructed from the star table. */
+    def assignment(s: SparkSession, root: String): DataFrame = {
+      val stars = s.read.parquet(starsPath(s, root))
+      stars.select(col("doc_b").as("vec_id"), col("doc_a").as("canonical_id"))
+        .unionAll(stars.select(col("doc_a").as("vec_id"),
+          col("doc_a").as("canonical_id")).distinct())
+    }
+
+    /** Lifecycle probe: has the corpus outgrown the pinned geometry?
+      * True once the auto-derived width for the CURRENT corpus exceeds
+      * the stored one — expected bucket occupancy is then ≥ 2× the
+      * design target and candidate volume grows linearly from here, so
+      * schedule a rebuild (the re-band analog of an IVF cell split).
+      */
+    def needsReband(s: SparkSession, root: String): Boolean = {
+      val n = s.read.parquet(s"$root/corpus").count()
+      autoLshBpb(n) > readBpb(s, root)
+    }
+
+    private val memo = scala.collection.mutable.Set.empty[String]
+
+    /** Fixture state for `llm_semantic_dedup_inc`: lake = oldest 90% of
+      * vec_ids (backfill), newest 10% applied as the ingest batch —
+      * geometry pinned at the FULL corpus width (a deployment sizes for
+      * the corpus it anticipates), so the full-recompute oracle derives
+      * the identical bands.
+      */
+    def ensure(s: SparkSession, dir: String): String = synchronized {
+      val hconf = s.sparkContext.hadoopConfiguration
+      val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val st = srcPath.getFileSystem(hconf).getFileStatus(srcPath)
+      val fp = s"${st.getLen}_${st.getModificationTime}"
+      val base = s.conf.get("spark.graft.vecDedupStateRoot", "/root/repo/fixtures/vecdedupstate")
+      val prefix = s"${srcPath.getParent.getName}_"
+      val root = s"$base/$prefix$fp"
+      val markerName = "_GRAFT_VECDEDUPSTATE_v1"
+      graft.sources.Artifacts.pruneStaleSiblings(s, base, prefix, s"$prefix$fp")
+      if (!memo(s"$root/$markerName"))
+        graft.sources.Artifacts.ensureOnce(s, root, markerName) {
+          val emb = Tables.load(s, dir, "embeddings")
+          val bpb = autoLshBpb(emb.count())
+          val cut = emb.agg(expr("(max(vec_id) * 9) div 10").as("c")).head().getLong(0)
+          buildInto(s, emb.filter(col("vec_id") < cut), root, Some(bpb))
+          applyBatch(s, emb.filter(col("vec_id") >= cut), root)
+        }
+      memo += s"$root/$markerName"
+      root
+    }
+  }
+
+  /** Incremental semantic-dedup groups over the persisted vector state —
+    * the embedding-side twin of `llm_incremental_groups`, sharing
+    * `llm_semantic_dedup`'s full-recompute DuckDB oracle: star
+    * re-closure over on-disk state (lake banded + verified once in the
+    * backfill, batch folded through [[VecDedupState.applyBatch]]) must
+    * equal DuckDB's recursive closure over ALL verified pairs.
+    */
+  private val semanticDedupInc = QueryDef(
+    "llm_semantic_dedup_inc",
+    (s, dir) => {
+      val root = VecDedupState.ensure(s, dir)
+      VecDedupState.assignment(s, root).orderBy("vec_id")
+    },
+    semanticDedup.oracle)
+
   /** Brute-force cosine top-k over the INT8-QUANTIZED codes — the
     * serving-path variant of `llm_cosine_topk`: the corpus lives as
     * 64-byte codes (16× smaller than float32, so 16× more vectors per
@@ -1302,5 +1506,6 @@ object SimilarityOps {
     })
 
   val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, ivfInc, nearDup, semanticDedup,
+    semanticDedupInc,
     topkQ8, hybridRrf, kmeans, pq, pqIncremental)
 }

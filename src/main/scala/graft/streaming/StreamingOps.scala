@@ -361,6 +361,23 @@ object StreamingOps {
       (batch, _) => graft.llm.DedupOps.DedupState.applyBatch(
         batch.sparkSession, graft.llm.DedupOps.bandsOfDocs(batch), stateRoot))
 
+  /** Streaming VECTOR dedup-group maintenance — the embedding twin of
+    * [[dedupIngestSink]]: micro-batches of (vec_id, embedding) fold
+    * into a persisted `VecDedupState` root at its PINNED band geometry
+    * (batch-self banded candidates + band-index probe + exact-cosine
+    * verification + star re-closure). `applyBatch` keys all appends off
+    * the whole batch with self-targeted anti-joins, so any crash prefix
+    * replays to the same state — effectively-once group state over
+    * at-least-once delivery.
+    */
+  def vecDedupIngestSink(updates: DataFrame, stateRoot: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    indexIngestSink(updates, checkpoint, trigger,
+      (batch, _) => graft.llm.SimilarityOps.VecDedupState.applyBatch(
+        batch.sparkSession, batch, stateRoot))
+
   /** Shared foreachBatch plumbing of the three index-maintenance sinks:
     * each micro-batch applies one idempotent delta-builder, so
     * checkpoint + replay yields effectively-once INDEX state even

@@ -216,6 +216,29 @@ class StreamingFileSpec extends SparkSpec {
       "streamed star state must equal connected components over the full corpus")
   }
 
+  test("streaming vector dedup ingest equals a full-build over everything ingested") {
+    val dir = Files.createTempDirectory("graft_vecdedupstream").toFile.getAbsolutePath
+    val sf = "/root/testdata/sf0.01"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val bpb = graft.llm.SimilarityOps.autoLshBpb(emb.count())
+    val cut = emb.agg(expr("(max(vec_id) * 8) div 10").as("c")).head().getLong(0)
+    val root = s"$dir/state"
+    graft.llm.SimilarityOps.VecDedupState.buildInto(spark,
+      emb.filter(col("vec_id") < cut), root, Some(bpb))
+    val landing = s"$dir/landing"
+    emb.filter(col("vec_id") >= cut).write.mode("append").parquet(landing)
+    StreamingOps.vecDedupIngestSink(
+      spark.readStream.schema(emb.schema).parquet(landing), root, s"$dir/ckpt")
+      .awaitTermination()
+    def assigns(root: String): Set[(Long, Long)] =
+      graft.llm.SimilarityOps.VecDedupState.assignment(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = s"$dir/full"
+    graft.llm.SimilarityOps.VecDedupState.buildInto(spark, emb, full, Some(bpb))
+    assert(assigns(root) === assigns(full),
+      "streamed star state must equal a from-scratch build of the whole corpus")
+  }
+
   test("streaming PQ ingest encodes deltas identically to the batch incremental build") {
     val dir = Files.createTempDirectory("graft_pqstream").toFile.getAbsolutePath
     val sf = "/root/testdata/sf0.01"
