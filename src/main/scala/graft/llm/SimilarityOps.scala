@@ -573,22 +573,32 @@ object SimilarityOps {
     val bpb = planes / bands
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band_idx"),
       expr(s"hyperplane_bits(embedding, $bpb, ${b * bpb})").as("band_hash")))
+    // The vector RIDES THE BAND SHUFFLE: banding keeps the embedding
+    // column, so the within-bucket self-join verifies inline — cosine +
+    // threshold evaluate on the join output iterator and only survivors
+    // materialize. The former pairs-then-lookup formulation shuffled
+    // the (candidates × 2 embeddings) intermediate TWICE (cands join
+    // ea by va, that output re-shuffled by vb — ~30 GB at sf30p's 106M
+    // candidates) plus a pre-verify distinct of the full candidate set;
+    // this shape shuffles bands·corpus·vectorBytes once per side (~2 GB
+    // there) and nothing candidate-sized. Deduping (a pair can collide
+    // in k>1 bands — overwhelmingly true near-dups) happens AFTER the
+    // threshold filter, on the true-pair-sized survivor set. Output set
+    // identical. Measured sf30p: 127.6 → 38.8 s.
     val banded = emb
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band_idx").as("band_idx"),
+      .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band_idx").as("band_idx"),
         col("bb.band_hash").as("band_hash"))
-    val cands = banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("va"))
+    banded.select(col("band_idx"), col("band_hash"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
       .join(banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
-        col("vec_id").as("vb")),
+        col("vec_id").as("vb"), col("embedding").as("eb")),
         col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
           col("va") < col("vb"))
-      .select("va", "vb").distinct()
-    cands
-      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
-      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
       .withColumn("cos_sim", roundTo(cosine(col("ea"), col("eb")), 6))
       .filter(col("cos_sim") >= 0.4)
       .select(col("va"), col("vb"), col("cos_sim"))
+      .distinct()
   }
 
   /** Oracle CTE prefix mirroring [[cosinePairs]] — `verified(va, vb,
