@@ -30,6 +30,31 @@ class PlanAuditSpec extends SparkSpec {
       "no interpreted lambda may remain on the banding path")
   }
 
+  test("llm_cosine_neardup verifies inline: ONE band self-join, no candidate-sized lookup joins") {
+    val p = plan("llm_cosine_neardup")
+    // The vector rides the band shuffle: exactly one join in the whole
+    // plan (the band-bucket self-join whose output feeds cosine +
+    // threshold directly). The former pairs-then-lookup shape carried
+    // two more joins that re-shuffled the 100M-row candidate
+    // intermediate against the embeddings table by va then vb — ~30 GB
+    // of shuffle at sf30p that this plan must never reintroduce.
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).length
+    assert(joins === 1, s"expected exactly 1 join (the band self-join), found $joins")
+  }
+
+  test("llm_semantic_dedup_inc reads persisted star state, never re-bands the lake") {
+    val p = plan("llm_semantic_dedup_inc")
+    // The row is assignment() over the on-disk star generation: a pure
+    // scan + projection/union. Any hyperplane_bits or band join in the
+    // plan means the lake's banding leaked back into the query path.
+    assert(!p.contains("hyperplane_bits"),
+      "the query path must not re-derive band hashes")
+    assert(!p.contains("cos_sim"), "the query path must not re-verify pairs")
+    assert(p.contains("vecdedupstate") || p.contains("stars"),
+      "must scan the persisted star generation")
+  }
+
   test("llm_ann_ivf cell scan is dynamic-partition-pruned") {
     val p = plan("llm_ann_ivf")
     assert(p.contains("dynamicpruning"),
