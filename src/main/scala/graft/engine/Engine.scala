@@ -213,6 +213,7 @@ object DagRunner {
         s""""materialization":${jstr(matName(m.materialization))},""" +
         s""""database":${jstr(m.database.getOrElse("main"))},""" +
         s""""schema":${jstr(m.schema.getOrElse("main"))},""" +
+        s""""tags":[${m.tags.toSeq.sorted.map(jstr).mkString(",")}],""" +
         s""""fingerprint":${m.fingerprint.map(jstr).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val body = s"""{"nodes":$nodes}"""

@@ -124,6 +124,16 @@ class EngineSpec extends SparkSpec {
     assert(refs.contains("integral_reporting_tvbroadcasts"))
     assert((nodes("atinternet_smarttag_streams_daily_v4") \ "materialization")
       .asInstanceOf[org.json4s.JString].s.startsWith("incremental:insert_overwrite"))
+    // tags serialize (sorted) and parse back — a tagged synthetic model
+    val tagged = Model("t", Nil, (s, _) => s.range(1).toDF("x"),
+      tags = Set("pii", "nightly"))
+    val p2 = Files.createTempDirectory("graft-docs2").resolve("d.json").toString
+    DagRunner.writeDocs(spark, Seq(tagged), p2)
+    val n2 = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p2)), "UTF-8"))
+    val ts = ((n2 \ "nodes" \ "t") \ "tags").asInstanceOf[org.json4s.JArray]
+      .arr.map(_.asInstanceOf[org.json4s.JString].s)
+    assert(ts === List("nightly", "pii"))
   }
 
   test("runParallel overlaps independent models, preserves order, equals run()") {
