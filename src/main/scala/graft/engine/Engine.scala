@@ -60,7 +60,18 @@ final case class Model(
     /** dbt model tags (`config(tags=[...])`) — selectable via the
       * `tag:` method in [[DagRunner.select]] specs.
       */
-    tags: Set[String] = Set.empty)
+    tags: Set[String] = Set.empty,
+    /** dbt `pre-hook` / `post-hook` — SQL statements run immediately
+      * before / after THIS model materializes (audit inserts, GRANTs,
+      * ANALYZE). `{{ this }}` resolves to the model's warehouse path
+      * and `{% if is_incremental() %}` blocks resolve against the same
+      * build-time target context SQL-text models see. Hooks run on the
+      * materializing thread, so under [[DagRunner.runParallel]] a
+      * model's hooks serialize with its own build (dbt's contract),
+      * not with other models'.
+      */
+    preHooks: Seq[String] = Nil,
+    postHooks: Seq[String] = Nil)
 
 object DagRunner {
 
@@ -264,15 +275,22 @@ object DagRunner {
   /** Materialize every model in dependency order. `resolve` supplies
     * external sources (the `source()` analog); `ref()` lookups hit the
     * materialized map. Returns the materialized frames by name.
+    * `onRunStart` / `onRunEnd` are dbt's project-level hooks: SQL run
+    * once before the first model and once after the last (audit-run
+    * bookkeeping, session settings); `onRunEnd` runs only on SUCCESS,
+    * matching dbt.
     */
   def run(spark: SparkSession, models: Seq[Model], resolve: String => DataFrame,
-          warehouse: String = ""): Map[String, DataFrame] = {
+          warehouse: String = "", onRunStart: Seq[String] = Nil,
+          onRunEnd: Seq[String] = Nil): Map[String, DataFrame] = {
+    onRunStart.foreach(spark.sql(_))
     var built = Map.empty[String, DataFrame]
     def lookup(n: String): DataFrame = built.getOrElse(n, resolve(n))
     topoSort(models).foreach { m =>
       val refs = m.refs.map(r => r -> lookup(r)).toMap
       built += m.name -> materializeOne(spark, m, warehouse, refs)
     }
+    onRunEnd.foreach(spark.sql(_))
     built
   }
 
@@ -371,16 +389,27 @@ object DagRunner {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
     }
+    // Hooks share the SQL-text models' build-time rendering
+    // ({{ this }} → warehouse path, is_incremental() blocks), run on
+    // this thread in declaration order. A post-hook runs AFTER the
+    // materialized write, so `{{ this }}` is readable from it.
+    def runHooks(hooks: Seq[String]): Unit = hooks.foreach { h =>
+      spark.sql(SqlModel.renderConditionals(h,
+        incremental = incMat && exists, thisPath = pathOpt))
+    }
     buildContext.set(Some(BuildTarget(pathOpt, incMat, exists)))
-    val df = try m.build(spark, refs) finally buildContext.remove()
-    m.materialization match {
+    val df = try {
+      runHooks(m.preHooks)
+      m.build(spark, refs)
+    } finally buildContext.remove()
+    val out = m.materialization match {
       case View =>
         df.createOrReplaceTempView(m.name)
         df
       case Table =>
         val path = target
-        val out = breakSelfRead(spark, df, path)
-        out.write.mode("overwrite").parquet(path)
+        val o = breakSelfRead(spark, df, path)
+        o.write.mode("overwrite").parquet(path)
         // Explicit schema: an empty frame writes no parquet footers, and
         // schema inference over zero files would fail the read-back.
         spark.read.schema(df.schema).parquet(path)
@@ -393,6 +422,8 @@ object DagRunner {
         writeMerge(spark, breakSelfRead(spark, df, path), path, key, partCol)
         spark.read.schema(df.schema).parquet(path)
     }
+    runHooks(m.postHooks)
+    out
   }
 
   /** A self-referencing model (dbt's `{{ this }}` idiom, e.g.

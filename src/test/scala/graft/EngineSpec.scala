@@ -107,6 +107,28 @@ class EngineSpec extends SparkSpec {
     assert(green.ok && green.built.keySet === Set("base", "side"))
   }
 
+  test("pre/post hooks and on-run-start/end run in dbt order with {{ this }} resolved") {
+    val dir = Files.createTempDirectory("graft-hooks").toFile.getAbsolutePath
+    // Audit pattern: every hook creates a temp view REFERENCING the
+    // previous hook's view — CREATE TEMP VIEW analyzes its body, so a
+    // hook firing out of order fails loudly at creation. The post-hook
+    // additionally reads {{ this }}, proving it runs after the write
+    // with the path substituted.
+    Seq("h_start", "h_pre", "h_post", "h_end")
+      .foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
+    val m1 = Model("hooked", Nil, (s, _) => s.range(3).toDF("x"),
+      materialization = Table,
+      preHooks = Seq("CREATE TEMP VIEW h_pre AS SELECT a FROM h_start"),
+      postHooks = Seq(
+        "CREATE TEMP VIEW h_post AS SELECT (SELECT count(*) FROM {{ this }}) AS n, a FROM h_pre"))
+    val out = DagRunner.run(spark, Seq(m1), n => fail(s"unexpected $n"), dir,
+      onRunStart = Seq("CREATE TEMP VIEW h_start AS SELECT 1 AS a"),
+      onRunEnd = Seq("CREATE TEMP VIEW h_end AS SELECT n FROM h_post"))
+    assert(out("hooked").count() === 3)
+    assert(spark.table("h_end").head().getLong(0) === 3L,
+      "the hook chain must complete in order with {{ this }} reading the materialized table")
+  }
+
   test("writeDocs emits valid JSON lineage for the real 13-model DAG") {
     val docsPath = Files.createTempDirectory("graft-docs")
       .resolve("docs.json").toString
