@@ -115,6 +115,23 @@ object SqlModel {
     out.result()
   }
 
+  /** `pre_hook` / `post_hook` declared in the config header — list or
+    * single-string form, same single-quoted-item grammar as tags (hook
+    * SQL with embedded single quotes belongs in the Scala Model API,
+    * not the regex-scoped Jinja subset). Declaration order preserved.
+    */
+  private[graft] def extractHooks(sqlText: String, key: String): Seq[String] = {
+    val pat = Pattern.compile(
+      """\{\{\s*config\([^}]*?""" + key + """\s*=\s*(\[[^\]]*\]|'[^']*')[^}]*\)\s*\}\}""")
+    val out = Seq.newBuilder[String]
+    val m = pat.matcher(sqlText)
+    while (m.find()) {
+      val im = setItemPat.matcher(m.group(1))
+      while (im.find()) out += im.group(1)
+    }
+    out.result()
+  }
+
   /** Parse and strip `{% set name = [...] %}` blocks; returns the list
     * bindings and the text with the blocks removed. Items keep their raw
     * content (which may itself contain `{{ var("x") }}` calls — those
@@ -221,7 +238,9 @@ object SqlModel {
         spark.sql(finalSql)
       },
       materialization, schema, database, fingerprint = Some(fp),
-      tags = extractTags(sqlText))
+      tags = extractTags(sqlText),
+      preHooks = extractHooks(sqlText, "pre_hook"),
+      postHooks = extractHooks(sqlText, "post_hook"))
   }
 
   /** Load the SQL text from a classpath resource (the engine's analog of

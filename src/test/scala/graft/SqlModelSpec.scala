@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.engine.{DagRunner, SqlModel}
+import graft.engine.{DagRunner, SqlModel, Table}
 import graft.models.{NpoDag, SqlReporting}
 import graft.models.testkit.NpoFixtures
 
@@ -141,6 +141,21 @@ class SqlModelSpec extends SparkSpec {
     // selectable through the DAG selector's tag: method
     val picked = DagRunner.select(Seq(listForm, single, none), "tag:pii")
     assert(picked.map(_.name) === Seq("t1"))
+  }
+
+  test("config pre_hook/post_hook parse into Model hooks and fire around the build") {
+    Seq("sm_pre", "sm_post").foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
+    val m = SqlModel.fromSqlText("sm_hooked",
+      """{{ config(materialized='table',
+        |   pre_hook='CREATE TEMP VIEW sm_pre AS SELECT 7 AS a',
+        |   post_hook=['CREATE TEMP VIEW sm_post AS SELECT a FROM sm_pre']) }}
+        |SELECT 1 AS x""".stripMargin,
+      materialization = Table)
+    assert(m.preHooks === Seq("CREATE TEMP VIEW sm_pre AS SELECT 7 AS a"))
+    assert(m.postHooks.size === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-smhooks").toFile.getAbsolutePath
+    DagRunner.run(spark, Seq(m), n => fail(s"unexpected $n"), dir)
+    assert(spark.table("sm_post").head().getInt(0) === 7)
   }
 
   test("renderConditionals: branch choice, optional else, and {{ this }} substitution") {
