@@ -504,12 +504,15 @@ object DagRunner {
     built.asScala.toMap
   }
 
-  /** `dbt build`-shaped run: materialize the DAG, then execute the
-    * declared [[DataTests.Check]]s against the MATERIALIZED outputs
+  /** `dbt run` + `dbt test`: materialize the WHOLE DAG, then execute
+    * the declared [[DataTests.Check]]s against the MATERIALIZED outputs
     * (tests see what the warehouse sees, not the pre-write plan).
     * Returns the frames plus the test summary; `failFast = true`
     * throws on the first violated check — the CI posture — with the
-    * violating rows count in the message.
+    * violating rows count in the message. For dbt build's INTERLEAVED
+    * semantics (each model tested immediately after it materializes, a
+    * failure skipping its descendants so they never build on bad
+    * data), use [[build]].
     */
   def runWithTests(spark: SparkSession, models: Seq[Model],
       resolve: String => DataFrame, warehouse: String,
