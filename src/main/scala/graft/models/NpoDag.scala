@@ -54,6 +54,14 @@ object NpoDag {
   def models(today: Date): Seq[Model] =
     modelDefs(today).map(m => m.copy(database = m.database.orElse(Some(database))))
 
+  /** Default data tests for the reference DAG (`RunDag --build` runs
+    * them interleaved, dbt build style): key integrity on the flattened
+    * metadata spine every reporting model joins against.
+    */
+  def defaultChecks: Seq[graft.engine.DataTests.Check] = Seq(
+    graft.engine.DataTests.Unique("poms_flattened", Seq("mid")),
+    graft.engine.DataTests.NotNull("poms_flattened", "mid"))
+
   private def modelDefs(today: Date): Seq[Model] = Seq(
 
     // Latest-partition source elimination (`/root/reference/models/source/

@@ -25,6 +25,10 @@ import graft.models.testkit.NpoFixtures
   *     `DagRunner.select`: whitespace unions, comma intersects,
   *     `tag:` method atoms, `+`/`@` graph operators.
   *   Add --exclude 'spec' to subtract a selection (dbt `--exclude`).
+  *   Add --build to interleave the DAG's default data tests with
+  *     materialization (dbt `build`): a failing model's descendants are
+  *     skipped, the report prints, and the exit code is nonzero on any
+  *     failure or skip.
   */
 object RunDag {
   def main(args0: Array[String]): Unit = {
@@ -39,10 +43,12 @@ object RunDag {
     val threads = flagValue("--threads").map(_.toInt).getOrElse(1)
     val selectSpec = flagValue("--select")
     val excludeSpec = flagValue("--exclude")
+    val doBuild = args0.contains("--build")
     val args = {
       // Strip EVERY occurrence (a repeated flag must not shift the
       // positional sourcesDir/warehouse args).
       var a = args0.toSeq
+      while (a.contains("--build")) a = a.patch(a.indexOf("--build"), Nil, 1)
       for (f <- Seq("--threads", "--select", "--exclude")) {
         var i = a.indexOf(f)
         while (i >= 0) {
@@ -101,7 +107,16 @@ object RunDag {
           !models.exists(_.name == n)) spark.read.parquet(modelTargets(n))
       else resolve(n)
     val built: Map[String, DataFrame] =
-      if (threads > 1)
+      if (doBuild) {
+        val report = DagRunner.build(spark, models, resolveWithWarehouse, warehouse,
+          NpoDag.defaultChecks)
+        report.failures.foreach { case (m, checks) =>
+          checks.foreach { case (c, n) => println(s"[rundag] FAIL $m $c: $n violations") }
+        }
+        report.skipped.foreach(m => println(s"[rundag] SKIP $m (upstream failed)"))
+        if (!report.ok) { spark.stop(); sys.exit(1) }
+        report.built
+      } else if (threads > 1)
         DagRunner.runParallel(spark, models, resolveWithWarehouse, warehouse, threads)
       else DagRunner.run(spark, models, resolveWithWarehouse, warehouse)
     built.toSeq.sortBy(_._1).foreach { case (name, df) =>
