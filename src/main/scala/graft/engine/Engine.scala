@@ -17,6 +17,16 @@ sealed trait Materialization
 case object View extends Materialization
 /** Full-refresh table; written under `<warehouse>/<schema>/<name>`. */
 case object Table extends Materialization
+/** dbt `materialized='ephemeral'`: the model is never written OR
+  * registered anywhere — dbt interpolates its SQL as a CTE into each
+  * downstream model. Here the frame flows to dependents through the
+  * `ref()` map as a lazy logical plan, so Catalyst inlines it exactly
+  * like dbt's CTE (a downstream filter pushes through the ephemeral
+  * body into the source scan — pinned by `EngineSpec`). Matching dbt's
+  * restrictions, an ephemeral model cannot carry pre/post hooks
+  * (there is no materialization event to hook).
+  */
+case object Ephemeral extends Materialization
 
 /** Incremental insert-overwrite (`/root/reference/models/datamarts/
   * npo-data-hub/intermediary/atinternet_smarttag_streams_daily_v4.sql:
@@ -214,6 +224,7 @@ object DagRunner {
   def writeDocs(spark: SparkSession, models: Seq[Model], path: String): Unit = {
     def matName(m: Materialization): String = m match {
       case View => "view"
+      case Ephemeral => "ephemeral"
       case Table => "table"
       case IncrementalInsertOverwrite(p, _) => s"incremental:insert_overwrite:$p"
       case MergeUpsert(k, p) => s"incremental:merge:$k:$p"
@@ -378,6 +389,9 @@ object DagRunner {
       else Some(s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}")
     def target: String = pathOpt.getOrElse(
       throw new IllegalArgumentException(s"model ${m.name} needs a warehouse dir"))
+    if (m.materialization == Ephemeral)
+      require(m.preHooks.isEmpty && m.postHooks.isEmpty,
+        s"model ${m.name}: ephemeral models cannot have hooks (dbt restriction)")
     val incMat = m.materialization match {
       case _: IncrementalInsertOverwrite | _: MergeUpsert => true
       case _ => false
@@ -403,6 +417,8 @@ object DagRunner {
       m.build(spark, refs)
     } finally buildContext.remove()
     val out = m.materialization match {
+      case Ephemeral =>
+        df // stays a lazy plan; dependents compose it via their refs map
       case View =>
         df.createOrReplaceTempView(m.name)
         df

@@ -129,6 +129,48 @@ class EngineSpec extends SparkSpec {
       "the hook chain must complete in order with {{ this }} reading the materialized table")
   }
 
+  test("ephemeral models inline into dependents: no view, no write, pushdown crosses the boundary") {
+    val dir = Files.createTempDirectory("graft-eph").toFile.getAbsolutePath
+    val src = Files.createTempDirectory("graft-eph-src").resolve("t").toString
+    spark.range(100).selectExpr("id AS k", "id % 7 AS grp", "CAST(id * 2 AS LONG) AS v")
+      .write.parquet(src)
+    spark.sql("DROP VIEW IF EXISTS eph_mid")
+    val eph = Model("eph_mid", Nil,
+      (s, _) => s.read.parquet(src).select(col("k"), col("grp"), (col("v") + 1).as("v1")),
+      materialization = Ephemeral)
+    val leaf = Model("eph_leaf", Seq("eph_mid"),
+      (s, r) => r("eph_mid").filter(col("grp") === 3).select("k", "v1"),
+      materialization = Table)
+    val built = DagRunner.run(spark, Seq(leaf, eph), n => fail(s"unexpected $n"), dir)
+    // correctness: leaf equals the hand-composed plan
+    val expect = spark.read.parquet(src).filter(col("grp") === 3)
+      .selectExpr("k", "v + 1 AS v1").orderBy("k").collect().toSeq
+    assert(built("eph_leaf").orderBy("k").collect().toSeq === expect)
+    // never registered, never written
+    assert(!spark.catalog.tableExists("eph_mid"))
+    assert(!new java.io.File(s"$dir/main/main/eph_mid").exists())
+    assert(new java.io.File(s"$dir/main/main/eph_leaf").exists())
+    // Catalyst optimizes ACROSS the ephemeral boundary: the leaf's grp=3
+    // filter must reach the parquet scan inside the ephemeral body.
+    val plan = built("eph_leaf").queryExecution.executedPlan.toString
+    // leaf reads its own materialized table; re-derive the pre-write plan
+    val pre = leaf.build(spark, Map("eph_mid" -> eph.build(spark, Map.empty)))
+    val preStr = pre.queryExecution.executedPlan.toString
+    assert(preStr.contains("PushedFilters") && preStr.contains("EqualTo(grp,3"),
+      s"filter must push through the ephemeral plan into the scan:\n$preStr\n$plan")
+    // dbt restriction: ephemeral models cannot carry hooks
+    val hooked = eph.copy(preHooks = Seq("SELECT 1"))
+    val e = intercept[IllegalArgumentException](
+      DagRunner.run(spark, Seq(hooked), n => fail(n), dir))
+    assert(e.getMessage.contains("ephemeral"))
+    // docs artifact reports the materialization
+    val p = Files.createTempDirectory("graft-eph-docs").resolve("d.json").toString
+    DagRunner.writeDocs(spark, Seq(eph), p)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    assert(body.contains("\"materialization\":\"ephemeral\""))
+  }
+
   test("writeDocs emits valid JSON lineage for the real 13-model DAG") {
     val docsPath = Files.createTempDirectory("graft-docs")
       .resolve("docs.json").toString
