@@ -161,13 +161,129 @@ object DagRunner {
     }
     def evalSpec(s: String): Set[String] =
       s.split("\\s+").filter(_.nonEmpty).map { token =>
-        token.split(",").filter(_.nonEmpty).map(atomSet)
-          .reduceLeft(_ intersect _)
+        val atoms = token.split(",").filter(_.nonEmpty)
+        // A token that splits to zero atoms (a stray lone comma) must
+        // fail with the offending text, not reduceLeft's opaque
+        // "empty.reduceLeft".
+        require(atoms.nonEmpty, s"selector token '$token' has no selectable atoms")
+        atoms.map(atomSet).reduceLeft(_ intersect _)
       }.foldLeft(Set.empty[String])(_ union _)
     val picked = evalSpec(spec) -- (if (exclude.trim.isEmpty) Set.empty[String]
                                     else evalSpec(exclude))
     models.filter(m => picked(m.name))
   }
+
+  /** Expand a `--select` result with its out-of-selection LAZY
+    * upstreams. View and Ephemeral models have no on-disk form — a
+    * selected descendant cannot read them from the warehouse of a
+    * previous full run the way it can a Table-family upstream (dbt's
+    * contract: those persist) — so their subtrees must join the
+    * selection and build in-process. They are lazy plans, free until a
+    * descendant scans them.
+    */
+  def withLazyUpstreams(all: Seq[Model], selected: Seq[Model]): Seq[Model] = {
+    var names = selected.map(_.name).toSet
+    var grew = true
+    while (grew) {
+      val lazyDeps = all.filter(m => !names(m.name) &&
+        (m.materialization == View || m.materialization == Ephemeral) &&
+        all.exists(d => names(d.name) && d.refs.contains(m.name)))
+      grew = lazyDeps.nonEmpty
+      names ++= lazyDeps.map(_.name)
+    }
+    all.filter(m => names(m.name))
+  }
+
+  /** Physical target of a table-family model: dbt's two-level
+    * database/schema routing under a warehouse root (S7).
+    */
+  def targetPath(warehouse: String, m: Model): String =
+    s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}"
+
+  /** dbt `--defer [--favor-state]`: a ref resolver for a selected
+    * subgraph run in a DEV environment that falls back to ANOTHER
+    * environment's warehouse (the CI/prod state) for upstreams dev has
+    * never materialized — dbt's killer CI feature: build only the
+    * changed subgraph, read everything else from prod. dbt's default
+    * favors the dev relation when one exists; `--favor-state` prefers
+    * the deferred environment unconditionally. Names that are not
+    * table-family models route to `sources` (views/ephemerals have no
+    * relation to defer to — [[withLazyUpstreams]] pulls them into the
+    * run instead).
+    */
+  def deferredResolver(spark: SparkSession, models: Seq[Model],
+                       devWarehouse: String, deferWarehouse: String,
+                       favorState: Boolean = false,
+                       sources: String => DataFrame = n =>
+                         throw new IllegalArgumentException(s"no source resolver for '$n'"))
+      : String => DataFrame = {
+    def existsAt(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    (n: String) => models.find(_.name == n) match {
+      case Some(m) if m.materialization != View && m.materialization != Ephemeral =>
+        val dev = targetPath(devWarehouse, m)
+        val deferred = targetPath(deferWarehouse, m)
+        val pick =
+          if (favorState) { if (existsAt(deferred)) deferred else dev }
+          else if (existsAt(dev)) dev
+          else deferred
+        require(existsAt(pick), s"--defer: ref '$n' is materialized in neither " +
+          s"'$dev' nor '$deferred' — run it in one environment first")
+        spark.read.parquet(pick)
+      case _ => sources(n)
+    }
+  }
+
+  /** dbt UNIT TEST (dbt 1.8 `unit_tests:`): run ONE model's build
+    * against fully mocked inputs and compare to expected rows — pure
+    * logic, no warehouse, nothing materialized. Every ref the model
+    * declares must be mocked (dbt errors identically: a unit test
+    * isolates the model). Comparison is dbt's: only the columns present
+    * in `expect` are compared (extra output columns ignored), as an
+    * unordered MULTISET; expect columns are cast to the model's output
+    * types first (dbt coerces YAML fixture literals the same way).
+    */
+  final case class UnitTest(
+      name: String,
+      model: String,
+      given: Map[String, DataFrame],
+      expect: DataFrame)
+
+  /** `unexpected` = rows the model produced that expect lacks;
+    * `missing` = expected rows the model never produced. Driver-sized
+    * by construction — unit-test fixtures are hand-written rows.
+    */
+  final case class UnitTestResult(
+      name: String, passed: Boolean,
+      unexpected: Seq[org.apache.spark.sql.Row],
+      missing: Seq[org.apache.spark.sql.Row])
+
+  def runUnitTest(spark: SparkSession, models: Seq[Model], ut: UnitTest): UnitTestResult = {
+    val m = models.find(_.name == ut.model).getOrElse(
+      throw new IllegalArgumentException(s"unit test '${ut.name}': no model named '${ut.model}'"))
+    val unmocked = m.refs.filterNot(ut.given.contains)
+    require(unmocked.isEmpty,
+      s"unit test '${ut.name}': unmocked inputs ${unmocked.mkString(", ")} — " +
+        "a unit test must mock every ref/source the model reads")
+    val actual = m.build(spark, ut.given)
+    val cols = ut.expect.columns.toSeq
+    val missingCols = cols.filterNot(actual.columns.contains)
+    require(missingCols.isEmpty,
+      s"unit test '${ut.name}': expect names columns the model never outputs: ${missingCols.mkString(", ")}")
+    val proj = actual.select(cols.map(col): _*)
+    val casted = ut.expect.select(
+      cols.map(c => col(c).cast(proj.schema(c).dataType).as(c)): _*)
+    val unexpected = proj.exceptAll(casted).collect().toSeq
+    val missing = casted.exceptAll(proj).collect().toSeq
+    UnitTestResult(ut.name, unexpected.isEmpty && missing.isEmpty, unexpected, missing)
+  }
+
+  /** Run a suite of unit tests; never materializes anything. */
+  def runUnitTests(spark: SparkSession, models: Seq[Model],
+                   tests: Seq[UnitTest]): Seq[UnitTestResult] =
+    tests.map(runUnitTest(spark, models, _))
 
   /** Persist the models' content fingerprints as the run manifest —
     * the engine's analog of dbt's `manifest.json` for `state:modified`
@@ -386,7 +502,7 @@ object DagRunner {
                              refs: Map[String, DataFrame]): DataFrame = {
     val pathOpt =
       if (warehouse.isEmpty) None
-      else Some(s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}")
+      else Some(targetPath(warehouse, m))
     def target: String = pathOpt.getOrElse(
       throw new IllegalArgumentException(s"model ${m.name} needs a warehouse dir"))
     if (m.materialization == Ephemeral)
@@ -407,9 +523,13 @@ object DagRunner {
     // ({{ this }} → warehouse path, is_incremental() blocks), run on
     // this thread in declaration order. A post-hook runs AFTER the
     // materialized write, so `{{ this }}` is readable from it.
+    // A View materializes nothing at its warehouse path, so a hook's
+    // `{{ this }}` must render to the registered temp-view name (dbt
+    // resolves {{ this }} to the view relation), not the parquet path.
     def runHooks(hooks: Seq[String]): Unit = hooks.foreach { h =>
       spark.sql(SqlModel.renderConditionals(h,
-        incremental = incMat && exists, thisPath = pathOpt))
+        incremental = incMat && exists, thisPath = pathOpt,
+        thisRel = if (m.materialization == View) Some(m.name) else None))
     }
     buildContext.set(Some(BuildTarget(pathOpt, incMat, exists)))
     val df = try {

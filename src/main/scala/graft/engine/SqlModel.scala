@@ -192,7 +192,8 @@ object SqlModel {
     * `DagRunner.currentBuildTarget` is set.
     */
   private[graft] def renderConditionals(text: String, incremental: Boolean,
-                                        thisPath: Option[String]): String = {
+                                        thisPath: Option[String],
+                                        thisRel: Option[String] = None): String = {
     val m = ifIncPat.matcher(text)
     val sb = new java.lang.StringBuilder
     while (m.find()) {
@@ -203,9 +204,16 @@ object SqlModel {
     val out = sb.toString
     if (!thisPat.matcher(out).find()) out
     else {
-      val p = thisPath.getOrElse(throw new IllegalArgumentException(
-        "{{ this }} requires a warehouse-backed run (no target path in context)"))
-      thisPat.matcher(out).replaceAll(Matcher.quoteReplacement(s"parquet.`$p`"))
+      // thisRel (a pre-rendered relation, e.g. a View model's temp-view
+      // name — a view writes nothing to its warehouse path, so the path
+      // form would scan a dir that does not exist) wins over the
+      // default parquet-path rendering.
+      val rel = thisRel.getOrElse {
+        val p = thisPath.getOrElse(throw new IllegalArgumentException(
+          "{{ this }} requires a warehouse-backed run (no target path in context)"))
+        s"parquet.`$p`"
+      }
+      thisPat.matcher(out).replaceAll(Matcher.quoteReplacement(rel))
     }
   }
 

@@ -750,13 +750,10 @@ object SimilarityOps {
     private[graft] def readBpb(s: SparkSession, root: String): Int = {
       val p = new org.apache.hadoop.fs.Path(s"$root/meta")
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      val body = try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim
-      } finally in.close()
-      body.stripPrefix("bpb=").toInt
+      // Read-fully via the shared control-file reader: a short read
+      // (legal on HDFS/S3 streams) would truncate the bpb to a wrong
+      // band geometry.
+      graft.sources.Artifacts.readSmall(fs, p).stripPrefix("bpb=").toInt
     }
 
     /** Band rows at a FIXED geometry — cosinePairs' banding without the

@@ -97,9 +97,14 @@ object Artifacts {
         st.getPath.getName match {
           case genRe(i) if st.isDirectory && i.toLong < curIdx =>
             fs.delete(st.getPath, true)
-          case n if n == name && st.isDirectory && cur.isEmpty && curIdx == 0L =>
-            // First pointer publish over a legacy fixed-dir layout: the
-            // old dir is now unreachable dead data.
+          case n if n == name && st.isDirectory && curIdx >= 1L =>
+            // Legacy fixed-dir layout, now at least two publishes
+            // behind: prune. On the FIRST pointer publish (curIdx == 0)
+            // the legacy dir is retained as the previous generation —
+            // a cross-process reader that resolved generationPath just
+            // before the flip (pointer absent → legacy dir) may still
+            // be scanning it, the same keep-current-plus-previous rule
+            // every later publish honors.
             fs.delete(st.getPath, true)
           case _ => ()
         }
@@ -107,13 +112,21 @@ object Artifacts {
     }
   }
 
-  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
-                        p: org.apache.hadoop.fs.Path): String = {
+  /** Read a small control file (pointer, meta) fully. A single
+    * InputStream.read may legally return fewer bytes than available
+    * (HDFS/S3 streams do this under the reader's feet), which would
+    * truncate a generation name into a wrong artifact path — so loop
+    * to EOF.
+    */
+  private[graft] def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(p)
     try {
+      val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](256)
-      val n = in.read(buf)
-      new String(buf, 0, math.max(n, 0), "UTF-8").trim
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8").trim
     } finally in.close()
   }
 

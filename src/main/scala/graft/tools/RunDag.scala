@@ -29,6 +29,11 @@ import graft.models.testkit.NpoFixtures
   *     materialization (dbt `build`): a failing model's descendants are
   *     skipped, the report prints, and the exit code is nonzero on any
   *     failure or skip.
+  *   Add --defer <otherWarehouse> (with --select) to resolve unselected
+  *     upstreams from another environment's warehouse when this one has
+  *     never materialized them (dbt `--defer --state`); add
+  *     --favor-state to prefer the deferred environment even when a
+  *     dev relation exists.
   */
 object RunDag {
   def main(args0: Array[String]): Unit = {
@@ -44,12 +49,15 @@ object RunDag {
     val selectSpec = flagValue("--select")
     val excludeSpec = flagValue("--exclude")
     val doBuild = args0.contains("--build")
+    val deferWarehouse = flagValue("--defer")
+    val favorState = args0.contains("--favor-state")
     val args = {
       // Strip EVERY occurrence (a repeated flag must not shift the
       // positional sourcesDir/warehouse args).
       var a = args0.toSeq
       while (a.contains("--build")) a = a.patch(a.indexOf("--build"), Nil, 1)
-      for (f <- Seq("--threads", "--select", "--exclude")) {
+      while (a.contains("--favor-state")) a = a.patch(a.indexOf("--favor-state"), Nil, 1)
+      for (f <- Seq("--threads", "--select", "--exclude", "--defer")) {
         var i = a.indexOf(f)
         while (i >= 0) {
           require(i < a.length - 1, s"$f requires a value")
@@ -83,28 +91,27 @@ object RunDag {
     val allModels = NpoDag.models(today)
     // Under --select, unselected TABLE-family upstreams resolve from the
     // warehouse of a previous full run (dbt's contract — they persist);
-    // VIEW upstreams have no on-disk form, so their subtree joins the
-    // selection (they are lazy plans — free until scanned, exactly as a
-    // database view would be). True external sources still come from
-    // the source resolver.
+    // VIEW and EPHEMERAL upstreams have no on-disk form, so their
+    // subtree joins the selection (they are lazy plans — free until
+    // scanned, exactly as a database view would be). True external
+    // sources still come from the source resolver.
     val models = selectSpec.map { spec =>
-      val base = DagRunner.select(allModels, spec, excludeSpec.getOrElse(""))
-      var names = base.map(_.name).toSet
-      var grew = true
-      while (grew) {
-        val viewDeps = allModels.filter(m => !names(m.name) &&
-          m.materialization == graft.engine.View &&
-          allModels.exists(d => names(d.name) && d.refs.contains(m.name)))
-        grew = viewDeps.nonEmpty
-        names ++= viewDeps.map(_.name)
-      }
-      allModels.filter(m => names(m.name))
+      DagRunner.withLazyUpstreams(allModels,
+        DagRunner.select(allModels, spec, excludeSpec.getOrElse("")))
     }.getOrElse(allModels)
-    val modelTargets = allModels.map(m => m.name ->
-      s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}").toMap
+    // Unselected table-family upstreams resolve from the dev warehouse,
+    // or — under --defer — fall back to the deferred environment's
+    // warehouse (dbt `--defer --state`: build the changed subgraph in
+    // dev, read everything else from prod).
+    val byName = allModels.map(m => m.name -> m).toMap
     val resolveWithWarehouse: String => DataFrame = n =>
-      if (selectSpec.isDefined && modelTargets.contains(n) &&
-          !models.exists(_.name == n)) spark.read.parquet(modelTargets(n))
+      if (selectSpec.isDefined && byName.contains(n) && !models.exists(_.name == n))
+        deferWarehouse match {
+          case Some(dw) =>
+            DagRunner.deferredResolver(spark, allModels, warehouse, dw,
+              favorState, resolve)(n)
+          case None => spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
+        }
       else resolve(n)
     val built: Map[String, DataFrame] =
       if (doBuild) {

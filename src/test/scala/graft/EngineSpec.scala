@@ -329,6 +329,134 @@ class EngineSpec extends SparkSpec {
     assert(out("top").count() === 9L) // 3 base (from disk) + 3 mid + 3 top
   }
 
+  test("withLazyUpstreams joins View AND Ephemeral upstreams to a selection (ADVICE r9)") {
+    // src(Table) → eph(Ephemeral) → vw(View) → top(Table): selecting
+    // `top` must pull vw and eph into the run (no on-disk form to read
+    // back) but leave src to warehouse resolution.
+    val wh = Files.createTempDirectory("graft-lazysel").toString
+    def model(name: String, mat: Materialization, refs: String*): Model =
+      Model(name, refs, (s, r) =>
+        refs.foldLeft(s.range(2).toDF("x"))((d, rf) => d.unionAll(r(rf))),
+        materialization = mat)
+    val models = Seq(
+      model("src", Table),
+      model("eph", Ephemeral, "src"),
+      model("vw", View, "eph"),
+      model("top", Table, "vw"))
+    DagRunner.run(spark, models, n => sys.error(s"no source $n"), wh)
+    val expanded = DagRunner.withLazyUpstreams(models, DagRunner.select(models, "top"))
+    assert(expanded.map(_.name).toSet === Set("eph", "vw", "top"),
+      "ephemeral upstreams have no warehouse form and must join the selection like views")
+    // End-to-end: the expanded selection builds with src read from the
+    // warehouse — an ephemeral left out would try to read a never-written path.
+    val out = DagRunner.run(spark, expanded,
+      n => spark.read.parquet(s"$wh/main/main/$n"), wh)
+    assert(out("top").count() === 8L) // 2 top + 2 vw + 2 eph + 2 src
+  }
+
+  test("--defer resolves unselected upstreams from the deferred warehouse; --favor-state flips priority") {
+    val prod = Files.createTempDirectory("graft-prod").toString
+    val dev = Files.createTempDirectory("graft-dev").toString
+    def model(name: String, n: Int, refs: String*): Model =
+      Model(name, refs, (s, r) =>
+        refs.foldLeft(s.range(n).toDF("x"))((d, rf) => d.unionAll(r(rf))),
+        materialization = Table)
+    val models = Seq(model("base", 3), model("top", 2, "base"))
+    // Prod has the full DAG; dev is empty.
+    DagRunner.run(spark, models, n => sys.error(s"no source $n"), prod)
+    val deferRes = DagRunner.deferredResolver(spark, models, dev, prod)
+    val out = DagRunner.run(spark, DagRunner.select(models, "top"), deferRes, dev)
+    assert(out("top").count() === 5L, "base must come from the prod warehouse") // 2 + 3
+    // Now dev materializes its own base with DIFFERENT cardinality: the
+    // dbt default favors the dev relation...
+    DagRunner.run(spark, DagRunner.select(models, "base").map(m =>
+      m.copy(build = (s, _) => s.range(10).toDF("x"))), deferRes, dev)
+    val out2 = DagRunner.run(spark, DagRunner.select(models, "top"), deferRes, dev)
+    assert(out2("top").count() === 12L, "an existing dev relation wins by default") // 2 + 10
+    // ...and --favor-state prefers prod unconditionally.
+    val favored = DagRunner.deferredResolver(spark, models, dev, prod, favorState = true)
+    val out3 = DagRunner.run(spark, DagRunner.select(models, "top"), favored, dev)
+    assert(out3("top").count() === 5L, "--favor-state must read prod over the dev relation")
+    // A ref materialized in NEITHER environment is a diagnosable error.
+    val neither = DagRunner.deferredResolver(spark, Seq(model("ghost", 1)), dev, prod)
+    val e = intercept[IllegalArgumentException](neither("ghost"))
+    assert(e.getMessage.contains("--defer"))
+  }
+
+  test("unit tests run a model's build on mocked inputs and diff against expected rows (dbt 1.8)") {
+    import spark.implicits._
+    // Model under test: join + conditional aggregate — logic worth
+    // pinning without real upstreams.
+    val m = Model("revenue_by_tier", Seq("orders", "customers"), (s, r) => {
+      r("orders").join(r("customers"), "cust_id")
+        .groupBy(col("tier"))
+        .agg(sum(when(col("status") === "paid", col("amt")).otherwise(0L)).as("paid_amt"))
+    })
+    val orders = Seq((1L, "paid", 10L), (1L, "void", 99L), (2L, "paid", 5L))
+      .toDF("cust_id", "status", "amt")
+    val customers = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val pass = DagRunner.runUnitTest(spark, Seq(m), DagRunner.UnitTest(
+      "revenue happy path", "revenue_by_tier",
+      Map("orders" -> orders, "customers" -> customers),
+      // String literals for the numeric column: the runner must coerce
+      // expect to the model's output types, as dbt does for YAML fixtures.
+      Seq(("gold", "10"), ("basic", "5")).toDF("tier", "paid_amt")))
+    assert(pass.passed, s"expected pass, got $pass")
+    val fail = DagRunner.runUnitTest(spark, Seq(m), DagRunner.UnitTest(
+      "wrong expectation", "revenue_by_tier",
+      Map("orders" -> orders, "customers" -> customers),
+      Seq(("gold", 109L), ("basic", 5L)).toDF("tier", "paid_amt")))
+    assert(!fail.passed)
+    assert(fail.unexpected.map(r => (r.getString(0), r.getLong(1))) === Seq(("gold", 10L)))
+    assert(fail.missing.map(r => (r.getString(0), r.getLong(1))) === Seq(("gold", 109L)))
+    // Expect may name a SUBSET of output columns (dbt: unlisted columns ignored).
+    val subset = DagRunner.runUnitTest(spark, Seq(m), DagRunner.UnitTest(
+      "subset columns", "revenue_by_tier",
+      Map("orders" -> orders, "customers" -> customers),
+      Seq("gold", "basic").toDF("tier")))
+    assert(subset.passed)
+    // Every ref must be mocked.
+    val e = intercept[IllegalArgumentException](
+      DagRunner.runUnitTest(spark, Seq(m), DagRunner.UnitTest(
+        "unmocked", "revenue_by_tier", Map("orders" -> orders),
+        Seq(("gold", 10L)).toDF("tier", "paid_amt"))))
+    assert(e.getMessage.contains("customers"))
+  }
+
+  test("unit tests mock a SQL-text model's ref() AND source() inputs") {
+    import spark.implicits._
+    val sql = SqlModel.fromSqlText("enriched",
+      """SELECT o.id, c.name
+        |FROM {{ source('crm', 'raw_orders') }} o
+        |JOIN {{ ref('dim_customers') }} c USING (cid)
+        |ORDER BY o.id""".stripMargin)
+    val res = DagRunner.runUnitTest(spark, Seq(sql), DagRunner.UnitTest(
+      "sql model unit", "enriched",
+      Map("raw_orders" -> Seq((1L, 7L), (2L, 8L)).toDF("id", "cid"),
+          "dim_customers" -> Seq((7L, "ada"), (8L, "bob")).toDF("cid", "name")),
+      Seq((1L, "ada"), (2L, "bob")).toDF("id", "name")))
+    assert(res.passed, s"got $res")
+  }
+
+  test("select: a lone-comma token fails with the offending token, not empty.reduceLeft") {
+    val models = Seq(m("poms"), m("vod", "poms"))
+    val e = intercept[IllegalArgumentException](
+      DagRunner.select(models, "vod , poms"))
+    assert(e.getMessage.contains("','"), s"diagnosable message, got: ${e.getMessage}")
+  }
+
+  test("a post-hook {{ this }} on a View model resolves to the view relation (ADVICE r9)") {
+    val dir = Files.createTempDirectory("graft-viewhook").toFile.getAbsolutePath
+    spark.sql("DROP VIEW IF EXISTS vh_probe")
+    val v = Model("hooked_view", Nil, (s, _) => s.range(5).toDF("x"),
+      materialization = View,
+      postHooks = Seq(
+        "CREATE TEMP VIEW vh_probe AS SELECT count(*) AS n FROM {{ this }}"))
+    DagRunner.run(spark, Seq(v), n => fail(s"unexpected $n"), dir)
+    assert(spark.table("vh_probe").head().getLong(0) === 5L,
+      "{{ this }} in a view's hook must read the registered view, not a never-written parquet path")
+  }
+
   test("topoSort rejects ref cycles") {
     val ex = intercept[IllegalArgumentException] {
       DagRunner.topoSort(Seq(m("a", "b"), m("b", "a")))

@@ -66,8 +66,19 @@ class GenerationPublishSpec extends SparkSpec {
     val live = Artifacts.generationPath(spark, root, "t")
     assert(live.endsWith("t-g000001"))
     assert(spark.read.parquet(live).head().getLong(0) === 8L)
+    // The legacy dir is the PREVIOUS generation of this publish: a
+    // cross-process reader that resolved generationPath just before the
+    // flip may still be scanning it, so it survives one more cycle —
+    // the same keep-current-plus-previous rule as generation dirs
+    // (ADVICE r9).
+    assert(new java.io.File(s"$root/t").exists(),
+      "first pointer publish must retain the legacy dir for in-flight readers")
+    assert(spark.read.parquet(s"$root/t").head().getLong(0) === 7L)
+    Artifacts.publishGeneration(spark, root, "t")(writeNums(_, 9L))
     assert(!new java.io.File(s"$root/t").exists(),
-      "the unreachable legacy dir is pruned on the first pointer publish")
+      "the second publish prunes the now two-generations-stale legacy dir")
+    assert(new java.io.File(s"$root/t-g000001").exists(),
+      "keep-current-plus-previous still holds for generation dirs")
   }
 
   // --- crash-replay repair of the incremental indexes (ADVICE r8 #1) ---
