@@ -132,6 +132,205 @@ object SqlModel {
     out.result()
   }
 
+  // {% macro name(a, b=default) %} body {% endmacro %} — dbt's macro
+  // authoring surface (a macros/ dir of reusable SQL snippets). The
+  // supported subset is textual expansion: positional + keyword args,
+  // declared defaults, `{{ param }}` interpolation in the body, and
+  // macros calling other macros (bounded, recursion rejected). A quoted
+  // argument passes its CONTENT (dbt: `{{ m('amount') }}` binds the
+  // string amount; a body wanting a SQL literal writes '{{ p }}').
+  private val macroPat = Pattern.compile(
+    """\{%-?\s*macro\s+(\w+)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endmacro\s*-?%\}""",
+    Pattern.DOTALL)
+
+  final case class MacroDef(name: String, params: Seq[(String, Option[String])], body: String)
+
+  /** Parse and strip `{% macro %}` definitions; returns (defs, remaining
+    * text). Params declare as `name` or `name=default`.
+    */
+  private[graft] def extractMacros(text: String): (Map[String, MacroDef], String) = {
+    val defs = scala.collection.mutable.Map.empty[String, MacroDef]
+    val m = macroPat.matcher(text)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+        p.split("=", 2) match {
+          case Array(n) => n.trim -> None
+          case Array(n, d) => n.trim -> Some(stripQuotes(d.trim))
+        }
+      }
+      require(!Set("ref", "source", "var", "config").contains(m.group(1)),
+        s"macro name '${m.group(1)}' shadows a built-in template call")
+      defs(m.group(1)) = MacroDef(m.group(1), params, m.group(3).trim)
+      m.appendReplacement(sb, "")
+    }
+    m.appendTail(sb)
+    (defs.toMap, sb.toString)
+  }
+
+  private def stripQuotes(v: String): String =
+    if (v.length >= 2 && ((v.head == '\'' && v.last == '\'') ||
+        (v.head == '"' && v.last == '"'))) v.substring(1, v.length - 1)
+    else v
+
+  /** Split a macro call's argument text on top-level commas (commas
+    * inside quotes or nested parens don't split).
+    */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var quote: Char = 0
+    var depth = 0
+    s.foreach { c =>
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { cur.append(c); quote = c }
+      else if (c == '(') { cur.append(c); depth += 1 }
+      else if (c == ')') { cur.append(c); depth -= 1 }
+      else if (c == ',' && depth == 0) { out += cur.toString; cur.setLength(0) }
+      else cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty || out.nonEmpty) out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Parse a `{{ name( balanced-args ) }}` call site starting at the
+    * `{{` at index `open`; quote- and paren-aware, so an argument may
+    * itself be a call (`ref('x')` — the dbt idiom for passing a
+    * relation). Returns (name, args, index just past the closing
+    * braces).
+    */
+  private def parseCall(s: String, open: Int): Option[(String, Seq[String], Int)] = {
+    var i = open + 2
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    val ns = i
+    while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+    if (i == ns) return None
+    val name = s.substring(ns, i)
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length || s.charAt(i) != '(') return None
+    i += 1
+    val argStart = i
+    var depth = 1
+    var quote: Char = 0
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      i += 1
+    }
+    if (depth != 0) return None
+    val argsRaw = s.substring(argStart, i - 1)
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i + 1 < s.length + 1 && i + 2 <= s.length && s.charAt(i) == '}' && s.charAt(i + 1) == '}')
+      Some((name, splitArgs(argsRaw), i + 2))
+    else None
+  }
+
+  /** Expand every `{{ name(...) }}` call site whose name is a known
+    * macro, repeatedly (macros may call macros), bounded — a recursive
+    * macro is a template bug and must fail loudly, not loop.
+    */
+  private[graft] def expandMacros(text: String, macros: Map[String, MacroDef]): String = {
+    if (macros.isEmpty) return text
+    var cur = text
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      changed = false
+      rounds += 1
+      require(rounds <= 20, s"macro expansion exceeded 20 rounds — recursive macro? " +
+        s"(defined: ${macros.keys.toSeq.sorted.mkString(", ")})")
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < cur.length) {
+        val open = cur.indexOf("{{", i)
+        if (open < 0) { sb.append(cur.substring(i)); i = cur.length }
+        else {
+          sb.append(cur.substring(i, open))
+          parseCall(cur, open) match {
+            case Some((name, args, end)) if macros.contains(name) =>
+              sb.append(applyMacro(macros(name), args, macros))
+              changed = true
+              i = end
+            case _ => sb.append("{{"); i = open + 2
+          }
+        }
+      }
+      cur = sb.toString
+    }
+    cur
+  }
+
+  private def applyMacro(d: MacroDef, args: Seq[String],
+                         macros: Map[String, MacroDef]): String = {
+    val (kwArgs, posArgs) = args.partition(a =>
+      a.matches("""(?s)\w+\s*=.*""") && !a.takeWhile(_ != '=').contains('\''))
+    require(posArgs.size <= d.params.size,
+      s"macro ${d.name}: ${posArgs.size} positional args for ${d.params.size} params")
+    // A quoted arg binds its CONTENT (dbt: strings name columns or
+    // relations); a builtin template call (`ref('x')`) re-wraps into
+    // `{{ ref('x') }}` so downstream rendering resolves it — the dbt
+    // idiom `{{ my_macro(ref('events')) }}`.
+    def bindVal(v: String): String = {
+      val t = v.trim
+      if (t.matches("""(?s)(ref|source|var)\s*\(.*\)""")) s"{{ $t }}" else stripQuotes(t)
+    }
+    val bound = scala.collection.mutable.Map.empty[String, String]
+    posArgs.zip(d.params).foreach { case (v, (n, _)) => bound(n) = bindVal(v) }
+    kwArgs.foreach { a =>
+      val Array(n, v) = a.split("=", 2)
+      require(d.params.exists(_._1 == n.trim),
+        s"macro ${d.name}: unknown keyword arg '${n.trim}'")
+      bound(n.trim) = bindVal(v)
+    }
+    d.params.foreach { case (n, default) =>
+      if (!bound.contains(n)) {
+        require(default.isDefined, s"macro ${d.name}: missing required arg '$n'")
+        bound(n) = default.get
+      }
+    }
+    val substituted = d.params.foldLeft(d.body) { case (b, (n, _)) =>
+      b.replaceAll("""\{\{\s*""" + Pattern.quote(n) + """\s*\}\}""",
+        Matcher.quoteReplacement(bound(n)))
+    }
+    rewriteNestedArgs(substituted, bound.toMap, macros)
+  }
+
+  /** In a macro body, a nested macro call may pass the enclosing
+    * macro's params by NAME (`{{ pct(n, d) }}` inside pct's caller —
+    * Jinja evaluates args as expressions, so a bare param token means
+    * its value). Substitute those before the next expansion round binds
+    * them as literal text.
+    */
+  private def rewriteNestedArgs(body: String, bound: Map[String, String],
+                                macros: Map[String, MacroDef]): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val open = body.indexOf("{{", i)
+      if (open < 0) { sb.append(body.substring(i)); i = body.length }
+      else {
+        sb.append(body.substring(i, open))
+        parseCall(body, open) match {
+          case Some((name, args, end)) if macros.contains(name) =>
+            val rewritten = args.map { a =>
+              a.split("=", 2) match {
+                case Array(k, v) if a.matches("""(?s)\w+\s*=.*""") &&
+                    bound.contains(v.trim) => s"${k.trim}=${bound(v.trim)}"
+                case _ => bound.getOrElse(a.trim, a)
+              }
+            }
+            sb.append(s"{{ $name(${rewritten.mkString(", ")}) }}")
+            i = end
+          case _ => sb.append("{{"); i = open + 2
+        }
+      }
+    }
+    sb.toString
+  }
+
   /** Parse and strip `{% set name = [...] %}` blocks; returns the list
     * bindings and the text with the blocks removed. Items keep their raw
     * content (which may itself contain `{{ var("x") }}` calls — those
@@ -225,9 +424,19 @@ object SqlModel {
                   materialization: Materialization = View,
                   schema: Option[String] = None,
                   database: Option[String] = None,
-                  vars: Map[String, String] = Map.empty): Model = {
-    val refs = extractRefs(sqlText)
-    val rendered = render(sqlText, vars)
+                  vars: Map[String, String] = Map.empty,
+                  /** Project-level macro definitions (dbt's `macros/`
+                    * dir concatenated); the model text may also define
+                    * its own inline. Expansion happens BEFORE ref/var
+                    * rendering, so macro bodies can call `ref()` /
+                    * `source()` / `var()` and contribute DAG edges.
+                    */
+                  macros: String = ""): Model = {
+    val (projectMacros, _) = extractMacros(macros)
+    val (inlineMacros, strippedText) = extractMacros(sqlText)
+    val expanded = expandMacros(strippedText, projectMacros ++ inlineMacros)
+    val refs = extractRefs(expanded)
+    val rendered = render(expanded, vars)
     // Fingerprint the RENDERED text: a var change (e.g. a new partition
     // window) modifies the model exactly as an edit does — dbt's
     // state:modified hashes compiled SQL for the same reason.

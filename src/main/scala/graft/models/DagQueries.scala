@@ -851,8 +851,36 @@ object DagQueries {
             |FROM read_csv_auto('/root/repo/fixtures/seeds/channel_map.csv')
             |GROUP BY region ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  /** dbt `{% macro %}` authoring end-to-end: a SQL-text model whose
+    * aggregate expressions come from project-level macros (one calling
+    * the other) runs through DagRunner over the TPC-H tables and is
+    * judged against plain-SQL DuckDB — the expansion must be
+    * semantically invisible.
+    */
+  private val sqlMacroPricing = QueryDef(
+    "dag_sql_macro_pricing",
+    (s, dir) => {
+      val projectMacros =
+        """{% macro discounted(p, d) %}{{ p }} * (1 - {{ d }}){% endmacro %}
+          |{% macro revenue(p, d) %}sum({{ discounted(p, d) }}){% endmacro %}""".stripMargin
+      val model = graft.engine.SqlModel.fromSqlText("macro_pricing",
+        """SELECT l_returnflag, l_linestatus,
+          |  round({{ revenue('l_extendedprice', 'l_discount') }}, 2) AS revenue,
+          |  count(*) AS n
+          |FROM {{ ref('lineitem') }}
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+        macros = projectMacros)
+      val built = graft.engine.DagRunner.run(s, Seq(model),
+        n => graft.sources.Tables.load(s, dir, n))
+      ordered(built("macro_pricing"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM lineitem GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
-    sqlPomsFlattened, sqlStreamsDaily, seedRollup)
+    sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing)
 }

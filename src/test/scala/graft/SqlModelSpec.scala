@@ -82,6 +82,62 @@ class SqlModelSpec extends SparkSpec {
     assert(rest.trim === "SELECT 1")
   }
 
+  test("{% macro %}: positional, keyword, and defaulted args expand; quoted args pass content") {
+    import spark.implicits._
+    val m = SqlModel.fromSqlText("dollars",
+      """{% macro cents_to_dollars(column_name, scale=2) %}
+        |round({{ column_name }} / 100.0, {{ scale }})
+        |{% endmacro %}
+        |SELECT {{ cents_to_dollars('amt') }} AS d2,
+        |       {{ cents_to_dollars('amt', scale=0) }} AS d0
+        |FROM {{ ref('pay') }} ORDER BY d2""".stripMargin)
+    val out = m.build(spark, Map("pay" -> Seq(1234L).toDF("amt")))
+    val r = out.selectExpr("cast(d2 AS double)", "cast(d0 AS double)").head()
+    assert(r.getDouble(0) === 12.34)
+    assert(r.getDouble(1) === 12.0)
+  }
+
+  test("macro bodies may call ref()/var(): refs contribute DAG edges, vars bind at parse") {
+    import spark.implicits._
+    val m = SqlModel.fromSqlText("via_macro",
+      """{% macro recent(rel) %}
+        |(SELECT * FROM {{ rel }} WHERE id > {{ var('min_id') }})
+        |{% endmacro %}
+        |SELECT id FROM {{ recent(ref('events')) }} ORDER BY id""".stripMargin,
+      vars = Map("min_id" -> "1"))
+    assert(m.refs === Seq("events"),
+      "a ref() introduced by macro expansion must appear as a DAG edge")
+    val out = m.build(spark, Map("events" -> Seq(1, 2, 3).toDF("id")))
+    assert(out.as[Int].collect().sorted === Array(2, 3))
+  }
+
+  test("project-level macros (dbt macros/ dir) expand in any model; macros can call macros") {
+    import spark.implicits._
+    val projectMacros =
+      """{% macro safe_div(n, d) %}CASE WHEN {{ d }} = 0 THEN NULL ELSE {{ n }} / {{ d }} END{% endmacro %}
+        |{% macro pct(n, d) %}round(100.0 * {{ safe_div(n, d) }}, 1){% endmacro %}""".stripMargin
+    val m = SqlModel.fromSqlText("rates",
+      "SELECT {{ pct('hits', 'total') }} AS rate FROM {{ ref('t') }} ORDER BY rate NULLS FIRST",
+      macros = projectMacros)
+    val out = m.build(spark, Map("t" -> Seq((3L, 4L), (1L, 0L)).toDF("hits", "total")))
+    assert(out.collect().map(r => Option(r.get(0))).toSeq === Seq(None, Some(75.0)))
+  }
+
+  test("macro misuse fails loudly: recursion, reserved names, bad args") {
+    val rec = intercept[IllegalArgumentException](SqlModel.fromSqlText("r",
+      "{% macro loop(x) %}{{ loop(x) }}{% endmacro %} SELECT {{ loop('1') }}"))
+    assert(rec.getMessage.contains("recursive"))
+    val shadow = intercept[IllegalArgumentException](SqlModel.fromSqlText("s",
+      "{% macro ref(x) %}{{ x }}{% endmacro %} SELECT 1"))
+    assert(shadow.getMessage.contains("shadows"))
+    val missing = intercept[IllegalArgumentException](SqlModel.fromSqlText("m",
+      "{% macro two(a, b) %}{{ a }}{{ b }}{% endmacro %} SELECT {{ two('1') }}"))
+    assert(missing.getMessage.contains("missing required arg 'b'"))
+    val badKw = intercept[IllegalArgumentException](SqlModel.fromSqlText("k",
+      "{% macro one(a) %}{{ a }}{% endmacro %} SELECT {{ one(nope='1') }}"))
+    assert(badKw.getMessage.contains("unknown keyword arg"))
+  }
+
   test("SQL-text models participate in DagRunner cycle detection") {
     val a = SqlModel.fromSqlText("a", "SELECT * FROM {{ ref('b') }}")
     val b = SqlModel.fromSqlText("b", "SELECT * FROM {{ ref('a') }}")
