@@ -83,6 +83,23 @@ final case class Model(
     preHooks: Seq[String] = Nil,
     postHooks: Seq[String] = Nil)
 
+/** dbt EXPOSURE: a declared downstream consumer of the DAG (a
+  * dashboard, ML job, notebook) — pure metadata. It materializes
+  * nothing but appears in the lineage docs ([[DagRunner.writeDocs]])
+  * and anchors `exposure:` selection: `+exposure:weekly_dash` selects
+  * everything the dashboard reads (dbt's impact-analysis idiom —
+  * "rebuild what my consumer needs" / "what breaks if I change this").
+  */
+final case class Exposure(
+    name: String,
+    exposureType: String,
+    dependsOn: Seq[String],
+    owner: String = "",
+    url: String = "") {
+  require(Set("dashboard", "notebook", "analysis", "ml", "application")
+    .contains(exposureType), s"exposure $name: unknown type '$exposureType'")
+}
+
 object DagRunner {
 
   /** Kahn topo-sort; deterministic (name order) among ready nodes. */
@@ -121,8 +138,10 @@ object DagRunner {
     * run. `exclude` (dbt `--exclude`) subtracts its own selection —
     * same grammar — AFTER `spec` unions.
     */
-  def select(models: Seq[Model], spec: String, exclude: String = ""): Seq[Model] = {
+  def select(models: Seq[Model], spec: String, exclude: String = "",
+             exposures: Seq[Exposure] = Nil): Seq[Model] = {
     val byName = models.map(m => m.name -> m).toMap
+    val exposureByName = exposures.map(e => e.name -> e).toMap
     val children = models.flatMap(m => m.refs.filter(byName.contains).map(_ -> m.name))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
     def parents(n: String): Seq[String] =
@@ -144,6 +163,18 @@ object DagRunner {
       val down = a0.endsWith("+")
       val name = a0.stripPrefix("+").stripSuffix("+")
       require(!(at && (up || down)), s"selector '$atom': @ already implies closures")
+      // `exposure:` resolves dbt-faithfully: the exposure node itself is
+      // not runnable, so the PLAIN atom selects no models; `+exposure:x`
+      // selects its direct dependencies plus their ancestors; an
+      // exposure has no descendants, so a trailing `+` is an error.
+      if (name.startsWith("exposure:")) {
+        val en = name.stripPrefix("exposure:")
+        val e = exposureByName.getOrElse(en, throw new IllegalArgumentException(
+          s"selector '$atom': no exposure named '$en'"))
+        require(!down && !at, s"selector '$atom': an exposure has no descendants")
+        val deps = e.dependsOn.filter(byName.contains).toSet
+        return if (up) deps ++ closure(deps, parents) else Set.empty
+      }
       val base: Set[String] =
         if (name.startsWith("tag:")) {
           val t = name.stripPrefix("tag:")
@@ -337,7 +368,8 @@ object DagRunner {
     * schemas intentionally live with the materialized outputs (they are
     * a property of a RUN, not of the project text).
     */
-  def writeDocs(spark: SparkSession, models: Seq[Model], path: String): Unit = {
+  def writeDocs(spark: SparkSession, models: Seq[Model], path: String,
+                exposures: Seq[Exposure] = Nil): Unit = {
     def matName(m: Materialization): String = m match {
       case View => "view"
       case Ephemeral => "ephemeral"
@@ -354,7 +386,14 @@ object DagRunner {
         s""""tags":[${m.tags.toSeq.sorted.map(jstr).mkString(",")}],""" +
         s""""fingerprint":${m.fingerprint.map(jstr).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
-    val body = s"""{"nodes":$nodes}"""
+    val exps = exposures.sortBy(_.name).map { e =>
+      jstr(e.name) + ":{" +
+        s""""type":${jstr(e.exposureType)},""" +
+        s""""depends_on":[${e.dependsOn.map(jstr).mkString(",")}],""" +
+        s""""owner":${jstr(e.owner)},""" +
+        s""""url":${jstr(e.url)}}"""
+    }.mkString("{", ",", "}")
+    val body = s"""{"nodes":$nodes,"exposures":$exps}"""
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

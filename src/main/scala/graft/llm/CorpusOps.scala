@@ -930,8 +930,102 @@ object CorpusOps {
     (s, dir) => scoreIndexed(s, dir, Bm25Index.ensureIncremental(s, dir)),
     bm25Topk.oracle)
 
+  /** PMI collocation mining: top-20 adjacent word pairs by pointwise
+    * mutual information log10(p(w1,w2) / (p(w1)p(w2))) among bigrams
+    * seen ≥ 5 times — the classic "strongly-associated phrase"
+    * extractor (Church & Hanks 1990) a tokenizer-vocabulary or
+    * phrase-merge pass runs before training. PMI quantized to 1e-6
+    * BIGINT units (the lp6 convention) for cross-engine hash
+    * stability; (w1, w2) uniqueness makes the DESC ordering total, so
+    * the top-20 cut is deterministic. Scale shape: both joins are
+    * vocabulary×vocabulary MERGE joins (same guard as the LM rows);
+    * the min-count filter runs BEFORE the joins so only
+    * candidate-collocation rows (≪ vocab²) reach them; the top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  private val collocations = QueryDef(
+    "llm_collocations",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val uni = docs.select(explode(splitLit(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val totU = uni.agg(sum("cu").as("tu"))
+      val bi = Grams.ngramWords(docs, splitLit(col("text"), " "), 2)
+        .select(col("w_1").as("w1"), col("w_2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val totB = bi.agg(sum("cb").as("tb"))
+      bi.filter(col("cb") >= 5)
+        .hint("MERGE").join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+        .hint("MERGE").join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        .select(col("w1"), col("w2"), col("cb"),
+          floor(log10((col("cb") / col("tb")) /
+            ((col("c1") / col("tu")) * (col("c2") / col("tu")))) * lit(1e6) + lit(0.5))
+            .cast("long").as("pmi6"))
+        .orderBy(col("pmi6").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+           |cu AS (SELECT wd, count(*) AS cu
+           |       FROM (SELECT unnest(w) AS wd FROM words) GROUP BY wd),
+           |tu AS (SELECT sum(cu) AS tu FROM cu),
+           |cb AS (
+           |  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cb
+           |  FROM (SELECT unnest(list_transform(
+           |          generate_series(1, greatest(len(w) - 1, 0)),
+           |          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+           |        FROM words)
+           |  GROUP BY 1, 2),
+           |tb AS (SELECT sum(cb) AS tb FROM cb)
+           |SELECT w1, w2, CAST(cb.cb AS BIGINT) AS cb,
+           |  CAST(floor(log10((cb.cb / tb.tb) / ((c1.cu / tu.tu) * (c2.cu / tu.tu)))
+           |    * 1000000.0 + 0.5) AS BIGINT) AS pmi6
+           |FROM cb
+           |JOIN cu c1 ON c1.wd = cb.w1
+           |JOIN cu c2 ON c2.wd = cb.w2
+           |CROSS JOIN tu CROSS JOIN tb
+           |WHERE cb.cb >= 5
+           |ORDER BY pmi6 DESC, w1, w2 LIMIT 20""".stripMargin))
+
+  /** Zipf power-law fit: least-squares slope/intercept of log10(freq)
+    * against log10(rank) over the top-1000 words — the standard corpus
+    * health check (natural text fits slope ≈ −1; templated or
+    * machine-generated text deviates). The top-k is
+    * TakeOrderedAndProject with a total (freq DESC, word) order — the
+    * rank window then runs over exactly 1000 rows, so no global sort
+    * of the (possibly billions-of-junk-tokens) vocabulary ever
+    * happens.
+    */
+  private val zipfFit = QueryDef(
+    "llm_zipf_fit",
+    (s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(splitLit(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val top = freq.orderBy(col("f").desc, col("w")).limit(1000)
+      val ranked = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("w"))))
+      ranked.agg(
+        count(lit(1)).as("n_words"),
+        roundTo(expr("regr_slope(log10(f), log10(rank))"), 4).as("zipf_slope"),
+        roundTo(expr("regr_intercept(log10(f), log10(rank))"), 4).as("zipf_intercept"))
+    },
+    Some("""WITH freq AS (
+           |  SELECT wd, count(*) AS f
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+           |  GROUP BY wd),
+           |ranked AS (
+           |  SELECT f, row_number() OVER (ORDER BY f DESC, wd) AS rank
+           |  FROM freq ORDER BY f DESC, wd LIMIT 1000)
+           |SELECT CAST(count(*) AS BIGINT) AS n_words,
+           |  floor(regr_slope(log10(f), log10(rank)) * 10000.0 + 0.5) / 10000.0
+           |    AS zipf_slope,
+           |  floor(regr_intercept(log10(f), log10(rank)) * 10000.0 + 0.5) / 10000.0
+           |    AS zipf_intercept
+           |FROM ranked""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier, pplBuckets,
     domainKl,
     bigramLm, charEntropy, qualityBuckets, bm25Topk, dsirWeights, bm25Indexed,
-    bm25Incremental)
+    bm25Incremental, collocations, zipfFit)
 }

@@ -438,6 +438,29 @@ class EngineSpec extends SparkSpec {
     assert(res.passed, s"got $res")
   }
 
+  test("exposures: +exposure:name selects the consumer's upstream closure; docs include exposure nodes") {
+    val models = Seq(m("dashboard", "vod", "tv"), m("tv", "poms"), m("vod", "poms", "streams"),
+      m("poms"), m("streams", "poms"))
+    val exp = Exposure("weekly_report", "dashboard", Seq("dashboard", "streams"),
+      owner = "data-team", url = "https://bi.example/weekly")
+    def names(spec: String) =
+      DagRunner.select(models, spec, exposures = Seq(exp)).map(_.name).toSet
+    // The exposure itself is not runnable: the plain atom selects nothing.
+    assert(names("exposure:weekly_report") === Set.empty)
+    // +exposure = direct dependencies plus ancestors (dbt impact analysis).
+    assert(names("+exposure:weekly_report") ===
+      Set("dashboard", "streams", "vod", "tv", "poms"))
+    intercept[IllegalArgumentException](names("exposure:weekly_report+"))
+    intercept[IllegalArgumentException](names("+exposure:nope"))
+    // Docs manifest carries the exposure nodes.
+    val p = Files.createTempDirectory("graft-expdocs").toString + "/docs.json"
+    DagRunner.writeDocs(spark, models, p, exposures = Seq(exp))
+    val body = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    assert(body.contains(""""weekly_report":{"type":"dashboard""""))
+    assert(body.contains(""""depends_on":["dashboard","streams"]"""))
+    intercept[IllegalArgumentException](Exposure("bad", "spreadsheet", Nil))
+  }
+
   test("select: a lone-comma token fails with the offending token, not empty.reduceLeft") {
     val models = Seq(m("poms"), m("vod", "poms"))
     val e = intercept[IllegalArgumentException](
