@@ -123,6 +123,61 @@ object DataTests {
            |      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
            |ORDER BY test, model, "column"""".stripMargin))
 
+  /** dbt `store_failures`: the failing ROWS of a check, in the shape
+    * dbt's generated test SQL selects (what lands in the
+    * `dbt_test__audit` schema) — duplicated key values with their
+    * counts for `unique`, the full offending rows for `not_null`,
+    * grouped out-of-list values for `accepted_values`, grouped orphan
+    * keys for `relationships`. Unlike [[run]]'s one-count summary,
+    * this is diagnosis data: row volume is the violation volume, so
+    * callers persist it (the audit table) rather than collect it.
+    */
+  def failingRows(resolve: String => DataFrame, c: Check): DataFrame = c match {
+    case Unique(m, cols) =>
+      resolve(m).filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("n_records")).filter(col("n_records") > 1)
+    case NotNull(m, cName) =>
+      resolve(m).filter(col(cName).isNull)
+    case AcceptedValues(m, cName, vs) =>
+      resolve(m).select(col(cName).cast("string").as("value_field"))
+        .filter(col("value_field").isNotNull && !col("value_field").isin(vs: _*))
+        .groupBy("value_field").agg(count(lit(1)).as("n_records"))
+    case Relationships(cm, cc, pm, pc) =>
+      resolve(cm).select(col(cc).as("from_field")).filter(col("from_field").isNotNull)
+        .join(resolve(pm).select(col(pc).as("from_field")).distinct(),
+          Seq("from_field"), "left_anti")
+        .groupBy("from_field").agg(count(lit(1)).as("n_records"))
+  }
+
+  /** dbt's audit-table name for a check (`unique_orders_o_orderkey`
+    * style).
+    */
+  def checkName(c: Check): String = (c match {
+    case Unique(m, cols) => s"unique_${m}_${cols.mkString("_")}"
+    case NotNull(m, cName) => s"not_null_${m}_$cName"
+    case AcceptedValues(m, cName, _) => s"accepted_values_${m}_$cName"
+    case Relationships(cm, cc, pm, pc) => s"relationships_${cm}_${cc}_${pm}_$pc"
+  }).replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Persist each FAILING check's rows under
+    * `<auditRoot>/<checkName>` (dbt's `dbt_test__audit` schema);
+    * passing checks write nothing, matching dbt. Returns the audit
+    * paths written, keyed by check name.
+    */
+  def storeFailures(resolve: String => DataFrame, checks: Seq[Check],
+                    auditRoot: String): Map[String, String] =
+    checks.flatMap { c =>
+      val rows = failingRows(resolve, c)
+      // head(1) probe: cheap existence check before paying a write.
+      if (rows.head(1).isEmpty) None
+      else {
+        val p = s"$auditRoot/${checkName(c)}"
+        rows.write.mode("overwrite").parquet(p)
+        Some(checkName(c) -> p)
+      }
+    }.toMap
+
   /** dbt `source freshness` — per-source max(loaded_at_field) age vs
     * warn_after/error_after thresholds (dbt-core's collect_freshness
     * semantics). `asOf` is injectable (never wall-clock) so runs are
@@ -186,5 +241,25 @@ object DataTests {
            |    4000000000, 8000000000)
            |ORDER BY source""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(schemaTests, freshnessQuery)
+  /** Oracle row for `store_failures`: a failing unique test writes its
+    * duplicated keys + counts through the audit dir and the row reads
+    * the PERSISTED table back (the storage path is under test, not
+    * just the query); a passing check must write nothing.
+    */
+  private val storeFailuresQuery = QueryDef(
+    "s21_store_failures",
+    (s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft-audit-${s.sparkContext.applicationId}"
+      val written = storeFailures(Tables.load(s, dir, _), Seq(
+        Unique("events", Seq("user_id")),
+        NotNull("lineitem", "l_orderkey")), root)
+      require(!written.contains("not_null_lineitem_l_orderkey"),
+        "a passing check must not write an audit table")
+      s.read.parquet(written("unique_events_user_id")).orderBy("user_id")
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_records
+           |FROM events WHERE user_id IS NOT NULL
+           |GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(schemaTests, freshnessQuery, storeFailuresQuery)
 }

@@ -468,7 +468,12 @@ object DagRunner {
   final case class BuildReport(
       built: Map[String, DataFrame],
       failures: Map[String, Seq[(String, Long)]],
-      skipped: Seq[String]) {
+      skipped: Seq[String],
+      /** Violations from WARN-severity checks (dbt `severity: warn`):
+        * reported, but the model still counts as built and its
+        * descendants still run.
+        */
+      warnings: Map[String, Seq[(String, Long)]] = Map.empty) {
     def ok: Boolean = failures.isEmpty && skipped.isEmpty
   }
 
@@ -487,7 +492,12 @@ object DagRunner {
     */
   def build(spark: SparkSession, models: Seq[Model], resolve: String => DataFrame,
             warehouse: String = "",
-            checks: Seq[DataTests.Check] = Nil): BuildReport = {
+            checks: Seq[DataTests.Check] = Nil,
+            /** dbt `severity: warn` checks: violations are REPORTED in
+              * `BuildReport.warnings` but never fail the model or skip
+              * its descendants.
+              */
+            warnChecks: Seq[DataTests.Check] = Nil): BuildReport = {
     def checkModel(c: DataTests.Check): String = c match {
       case DataTests.Unique(m, _) => m
       case DataTests.NotNull(m, _) => m
@@ -495,8 +505,10 @@ object DagRunner {
       case DataTests.Relationships(cm, _, _, _) => cm
     }
     val byModel = checks.groupBy(checkModel)
+    val warnByModel = warnChecks.groupBy(checkModel)
     var built = Map.empty[String, DataFrame]
     var failures = Map.empty[String, Seq[(String, Long)]]
+    var warnings = Map.empty[String, Seq[(String, Long)]]
     var dead = Set.empty[String] // failed or skipped — poisons descendants
     var skipped = List.empty[String]
     def lookup(n: String): DataFrame = built.getOrElse(n, resolve(n))
@@ -506,19 +518,21 @@ object DagRunner {
       } else {
         val refs = m.refs.map(r => r -> lookup(r)).toMap
         val df = materializeOne(spark, m, warehouse, refs)
-        val mine = byModel.getOrElse(m.name, Nil)
-        val bad =
+        def violations(mine: Seq[DataTests.Check]): Seq[(String, Long)] =
           if (mine.isEmpty) Nil
           else DataTests.run(n => if (n == m.name) df else lookup(n), mine)
             .filter(col("n_violations") > 0)
             .collect()
             .map(r => (s"${r.getString(0)}(${r.getString(2)})", r.getLong(3)))
             .toSeq
+        val bad = violations(byModel.getOrElse(m.name, Nil))
+        val warned = violations(warnByModel.getOrElse(m.name, Nil))
+        if (warned.nonEmpty) warnings += m.name -> warned
         if (bad.isEmpty) built += m.name -> df
         else { failures += m.name -> bad; dead += m.name }
       }
     }
-    BuildReport(built, failures, skipped.reverse)
+    BuildReport(built, failures, skipped.reverse, warnings)
   }
 
   /** Build-time target info exposed to SQL-text models for dbt's

@@ -107,6 +107,24 @@ class EngineSpec extends SparkSpec {
     assert(green.ok && green.built.keySet === Set("base", "side"))
   }
 
+  test("warn-severity checks report violations without failing the model or skipping descendants") {
+    val base = Model("base", Nil, (s, _) =>
+      s.range(3).toDF("k").select(when(col("k") > 0, col("k")).as("k")))
+    val leaf = Model("leaf", Seq("base"), (s, r) => r("base"))
+    val report = DagRunner.build(spark, Seq(leaf, base),
+      n => fail(s"unexpected $n"),
+      warnChecks = Seq(DataTests.NotNull("base", "k")))
+    assert(report.ok, "warn severity must not fail the build")
+    assert(report.built.keySet === Set("base", "leaf"),
+      "descendants of a warned model still build")
+    assert(report.warnings === Map("base" -> Seq(("not_null(k)", 1L))))
+    // The same check at error severity kills the subtree.
+    val hard = DagRunner.build(spark, Seq(leaf, base),
+      n => fail(s"unexpected $n"),
+      checks = Seq(DataTests.NotNull("base", "k")))
+    assert(!hard.ok && hard.skipped === Seq("leaf"))
+  }
+
   test("pre/post hooks and on-run-start/end run in dbt order with {{ this }} resolved") {
     val dir = Files.createTempDirectory("graft-hooks").toFile.getAbsolutePath
     // Audit pattern: every hook creates a temp view REFERENCING the
