@@ -331,6 +331,22 @@ object SqlModel {
     sb.toString
   }
 
+  /** dbt `run-operation`: invoke one macro standalone with `--args`
+    * (the maintenance idiom — grants, audit inserts, cleanup DDL) and
+    * run the rendered SQL on the session. Arguments bind by keyword,
+    * exactly dbt's YAML `--args` form; the macro's declared defaults
+    * fill the rest. Returns the statement's result frame.
+    */
+  def runOperation(spark: SparkSession, macrosText: String, name: String,
+                   args: Map[String, String] = Map.empty): DataFrame = {
+    val (defs, _) = extractMacros(macrosText)
+    require(defs.contains(name),
+      s"run-operation: no macro named '$name' (defined: ${defs.keys.toSeq.sorted.mkString(", ")})")
+    val call = s"{{ $name(${args.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k='$v'" }.mkString(", ")}) }}"
+    spark.sql(expandMacros(call, defs))
+  }
+
   /** Parse and strip `{% set name = [...] %}` blocks; returns the list
     * bindings and the text with the blocks removed. Items keep their raw
     * content (which may itself contain `{{ var("x") }}` calls — those

@@ -386,4 +386,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(planUnder("1").contains("shiftrightunsigned"),
       "corpus above the threshold must take the blocked-permutation path")
   }
+
+  test("llm_collocations: bounded top-k, MERGE vocab joins, min-count filter below the joins") {
+    val p = plan("llm_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 must be a bounded top-k, never a global sort")
+    assert("SortMergeJoin".r.findAllIn(p).length >= 2,
+      "both vocabulary joins must stay sort-merge (broadcast of a corpus-sized side is the 30x trap)")
+    // The cb >= 5 candidate filter must sit BELOW the joins (on the
+    // aggregated bigram side), so only collocation candidates reach them.
+    assert(p.contains("(cb"), "min-count filter must survive in the plan")
+  }
+
+  test("llm_zipf_fit ranks only the top-1000 (no global window over the vocabulary)") {
+    val p = plan("llm_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-1000 must be TakeOrderedAndProject, not a full vocabulary sort")
+  }
 }

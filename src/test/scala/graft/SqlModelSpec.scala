@@ -123,6 +123,21 @@ class SqlModelSpec extends SparkSpec {
     assert(out.collect().map(r => Option(r.get(0))).toSeq === Seq(None, Some(75.0)))
   }
 
+  test("run-operation invokes a macro standalone with keyword args (dbt run-operation)") {
+    val macros =
+      """{% macro snapshot_count(rel, tag='op') %}
+        |SELECT '{{ tag }}' AS tag, count(*) AS n FROM {{ rel }}
+        |{% endmacro %}""".stripMargin
+    spark.range(7).toDF("x").createOrReplaceTempView("op_probe")
+    val out = SqlModel.runOperation(spark, macros, "snapshot_count",
+      Map("rel" -> "op_probe"))
+    val r = out.head()
+    assert((r.getString(0), r.getLong(1)) === ("op", 7L))
+    val e = intercept[IllegalArgumentException](
+      SqlModel.runOperation(spark, macros, "nope"))
+    assert(e.getMessage.contains("snapshot_count"), "error must list defined macros")
+  }
+
   test("macro misuse fails loudly: recursion, reserved names, bad args") {
     val rec = intercept[IllegalArgumentException](SqlModel.fromSqlText("r",
       "{% macro loop(x) %}{{ loop(x) }}{% endmacro %} SELECT {{ loop('1') }}"))
