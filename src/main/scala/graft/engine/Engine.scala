@@ -38,6 +38,34 @@ case object Ephemeral extends Materialization
 final case class IncrementalInsertOverwrite(
     partitionCol: String, partitions: Seq[String]) extends Materialization
 
+/** dbt 1.9 MICROBATCH incremental strategy: the model declares an
+  * event-time column and a `begin` date; the RUNNER derives the batch
+  * list — on the first run every day in [begin, asOf], afterwards the
+  * last `lookback` already-processed days (late-arriving data) plus
+  * every new day through asOf — and processes each day as its own
+  * insert-overwrite of that day's partition, ascending. Batch isolation
+  * is the point: a crash leaves every completed day committed, and the
+  * retry resumes from TARGET STATE (the batch list derives from the
+  * existing partitions), reprocessing only the missing tail. The
+  * engine derives the partition column FROM the event time
+  * (`to_date(eventTime)` as string), encoding the partition/filter
+  * invariant once — the model never hand-maintains a date list
+  * (contrast [[IncrementalInsertOverwrite]], the dbt<1.9 form, where
+  * the list is compile-time templated).
+  *
+  * Input-side filtering comes free from Catalyst: each batch filters
+  * the model's OUTPUT on the event date, and because upstream refs are
+  * lazy plans the predicate pushes through the model body into the
+  * source scans — what dbt implements by rewriting each `ref()` with
+  * an event_time filter, Spark's optimizer does natively.
+  */
+final case class IncrementalMicrobatch(
+    eventTime: String,
+    partitionCol: String,
+    begin: String,
+    asOf: String,
+    lookback: Int = 1) extends Materialization
+
 /** Incremental merge/upsert — dbt's other incremental strategy
   * (`incremental_strategy='merge'` with a `unique_key`): rows in the
   * new frame REPLACE target rows with the same key, new keys insert,
@@ -54,6 +82,11 @@ final case class MergeUpsert(
   * target of table-like materializations as
   * `<warehouse>/<database>/<schema>/<name>`, never the `ref()` name.
   */
+/** One column of a dbt MODEL CONTRACT (`contract: enforced`): declared
+  * name + Spark-SQL type DDL, optional not-null constraint.
+  */
+final case class ColumnContract(name: String, dataType: String, notNull: Boolean = false)
+
 final case class Model(
     name: String,
     refs: Seq[String],
@@ -81,7 +114,14 @@ final case class Model(
       * not with other models'.
       */
     preHooks: Seq[String] = Nil,
-    postHooks: Seq[String] = Nil)
+    postHooks: Seq[String] = Nil,
+    /** dbt model contract (`contract: enforced`): when non-empty, the
+      * materialized output must match these columns EXACTLY — names in
+      * order, types — and not-null constraints must hold, or the model
+      * fails before its dependents run. Empty = unenforced (dbt's
+      * default).
+      */
+    contract: Seq[ColumnContract] = Nil)
 
 /** dbt EXPOSURE: a declared downstream consumer of the DAG (a
   * dashboard, ML job, notebook) — pure metadata. It materializes
@@ -376,6 +416,7 @@ object DagRunner {
       case Table => "table"
       case IncrementalInsertOverwrite(p, _) => s"incremental:insert_overwrite:$p"
       case MergeUpsert(k, p) => s"incremental:merge:$k:$p"
+      case IncrementalMicrobatch(evt, p, _, _, _) => s"incremental:microbatch:$evt:$p"
     }
     val nodes = topoSort(models).map { m =>
       jstr(m.name) + ":{" +
@@ -562,7 +603,8 @@ object DagRunner {
       require(m.preHooks.isEmpty && m.postHooks.isEmpty,
         s"model ${m.name}: ephemeral models cannot have hooks (dbt restriction)")
     val incMat = m.materialization match {
-      case _: IncrementalInsertOverwrite | _: MergeUpsert => true
+      case _: IncrementalInsertOverwrite | _: MergeUpsert |
+           _: IncrementalMicrobatch => true
       case _ => false
     }
     // dbt --full-refresh analog: the conf forces is_incremental() false
@@ -606,13 +648,58 @@ object DagRunner {
         val path = target
         writeIncremental(spark, breakSelfRead(spark, df, path), path, partCol, parts)
         spark.read.schema(df.schema).parquet(path)
+      case IncrementalMicrobatch(evt, partCol, begin, asOf, lookback) =>
+        val path = target
+        val days = microbatchDays(spark, path, partCol, begin, asOf, lookback,
+          firstRun = fullRefresh)
+        val out = breakSelfRead(spark, df, path)
+          .withColumn(partCol, to_date(col(evt)).cast("string"))
+        // Ascending, one insert-overwrite per day: a crash mid-run
+        // leaves a contiguous committed prefix, and the next run's
+        // batch list (derived from the target's partitions) resumes
+        // exactly where it died.
+        days.foreach(d => writeIncremental(spark, out, path, partCol, Seq(d)))
+        spark.read.schema(out.schema).parquet(path)
       case MergeUpsert(key, partCol) =>
         val path = target
         writeMerge(spark, breakSelfRead(spark, df, path), path, key, partCol)
         spark.read.schema(df.schema).parquet(path)
     }
+    if (m.contract.nonEmpty) enforceContract(m, out)
     runHooks(m.postHooks)
     out
+  }
+
+  /** dbt contract enforcement: exact (name, type) match in declared
+    * order, then not-null constraints in ONE aggregate pass. For
+    * table-family models `out` scans the just-written parquet, so the
+    * null check is a column-pruned read of the materialized data, not a
+    * recompute of the model; a violation throws before post-hooks and
+    * before any dependent builds (dbt's failure point). The diff names
+    * every offending column — the error a user actually debugs with.
+    */
+  private def enforceContract(m: Model, out: DataFrame): Unit = {
+    val actual = out.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+    val declared = m.contract.map(c =>
+      (c.name, org.apache.spark.sql.types.DataType.fromDDL(c.dataType).simpleString))
+    if (actual != declared) {
+      val diff = declared.map(d => s"  declared ${d._1} ${d._2}")
+        .zipAll(actual.map(a => s"actual ${a._1} ${a._2}"), "  declared <missing>", "actual <missing>")
+        .map { case (d, a) => s"$d | $a" }.mkString("\n")
+      throw new IllegalArgumentException(
+        s"model ${m.name}: contract violated — output schema does not match:\n$diff")
+    }
+    val nn = m.contract.filter(_.notNull).map(_.name)
+    if (nn.nonEmpty) {
+      val row = out.agg(
+        sum(when(col(nn.head).isNull, 1L).otherwise(0L)).as(nn.head),
+        nn.tail.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*).head()
+      val bad = nn.zipWithIndex.collect {
+        case (c, i) if !row.isNullAt(i) && row.getLong(i) > 0 => s"$c (${row.getLong(i)} NULLs)"
+      }
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"model ${m.name}: contract violated — not-null constraint failed: ${bad.mkString(", ")}")
+    }
   }
 
   /** A self-referencing model (dbt's `{{ this }}` idiom, e.g.
@@ -740,6 +827,39 @@ object DagRunner {
     * partitions were written scans only the reprocessing window (one
     * narrow column, map-side combined).
     */
+  /** The microbatch batch list: every day from `begin` (first run /
+    * --full-refresh) or from `maxExistingDay - (lookback-1)` (the
+    * late-arrival reprocess window) through `asOf`, ascending. Derived
+    * from TARGET STATE — the existing `partCol=day` directories — so a
+    * crashed run's retry resumes from its committed prefix without any
+    * bookkeeping table.
+    */
+  private[graft] def microbatchDays(spark: SparkSession, path: String,
+      partCol: String, begin: String, asOf: String, lookback: Int,
+      firstRun: Boolean = false): Seq[String] = {
+    import java.time.LocalDate
+    require(lookback >= 1, s"microbatch lookback must be >= 1, got $lookback")
+    val beginD = LocalDate.parse(begin)
+    val asOfD = LocalDate.parse(asOf)
+    require(!asOfD.isBefore(beginD), s"microbatch asOf $asOf precedes begin $begin")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing: Seq[LocalDate] =
+      if (firstRun || !fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith(s"$partCol=") =>
+          st.getPath.getName.stripPrefix(s"$partCol=")
+      }.flatMap(d => scala.util.Try(LocalDate.parse(d)).toOption)
+    val start =
+      if (existing.isEmpty) beginD
+      else {
+        val resume = existing.maxBy(_.toEpochDay).minusDays(lookback - 1L)
+        if (resume.isBefore(beginD)) beginD else resume
+      }
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(asOfD))
+      .map(_.toString).toSeq
+  }
+
   def writeIncremental(spark: SparkSession, df: DataFrame, path: String,
                        partitionCol: String, partitions: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path

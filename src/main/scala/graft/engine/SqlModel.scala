@@ -376,8 +376,45 @@ object SqlModel {
     * leaving template calls in SQL text produces an unhelpful parser
     * error downstream.
     */
+  // {% for v in list %} body {% endfor %} — the pivot-column generator
+  // idiom (dbt models stamp out per-category CASE aggregates this way).
+  // The loop variable substitutes via {{ v }}; the separator idiom
+  // `{{ ',' if not loop.last }}` and `{{ loop.index }}` (1-based) are
+  // supported; loops iterate over {% set %} lists.
+  private val forPat = Pattern.compile(
+    """\{%-?\s*for\s+(\w+)\s+in\s+(\w+)\s*-?%\}(.*?)\{%-?\s*endfor\s*-?%\}""",
+    Pattern.DOTALL)
+  private val loopLastCondPat = Pattern.compile(
+    """\{\{\s*'([^']*)'\s*if\s+not\s+loop\.last\s*\}\}|\{\{\s*"([^"]*)"\s*if\s+not\s+loop\.last\s*\}\}""")
+  private val loopIndexPat = Pattern.compile("""\{\{\s*loop\.index\s*\}\}""")
+
+  private def expandForLoops(text: String, setLists: Map[String, Seq[String]]): String = {
+    val m = forPat.matcher(text)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val (v, listName, body) = (m.group(1), m.group(2), m.group(3))
+      val items = setLists.getOrElse(listName, throw new IllegalArgumentException(
+        s"unknown list '$listName' in for loop (defined: ${setLists.keys.toSeq.sorted.mkString(", ")})"))
+      val rendered = items.zipWithIndex.map { case (item, i) =>
+        val last = i == items.size - 1
+        val withVar = Pattern.compile("""\{\{\s*""" + Pattern.quote(v) + """\s*\}\}""")
+          .matcher(body).replaceAll(Matcher.quoteReplacement(item))
+        val withIdx = loopIndexPat.matcher(withVar)
+          .replaceAll(Matcher.quoteReplacement((i + 1).toString))
+        loopLastCondPat.matcher(withIdx).replaceAll { mm =>
+          val lit = Option(mm.group(1)).getOrElse(mm.group(2))
+          Matcher.quoteReplacement(if (last) "" else lit)
+        }
+      }.mkString("")
+      m.appendReplacement(sb, Matcher.quoteReplacement(rendered))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   private[engine] def render(sqlText: String, vars: Map[String, String]): String = {
-    val (setLists, noSets) = extractSetLists(sqlText)
+    val (setLists, noSets0) = extractSetLists(sqlText)
+    val noSets = expandForLoops(noSets0, setLists)
     val noConfig = configPat.matcher(noSets).replaceAll("")
     val jm = joinPat.matcher(noConfig)
     val jb = new java.lang.StringBuilder

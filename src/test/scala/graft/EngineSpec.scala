@@ -107,6 +107,83 @@ class EngineSpec extends SparkSpec {
     assert(green.ok && green.built.keySet === Set("base", "side"))
   }
 
+  test("model contracts: exact schema match + not-null constraints enforced at materialization") {
+    val wh = Files.createTempDirectory("graft-contract").toString
+    def withContract(c: Seq[ColumnContract], build: (org.apache.spark.sql.SparkSession, Map[String, org.apache.spark.sql.DataFrame]) => org.apache.spark.sql.DataFrame) =
+      Model("contracted", Nil, build, materialization = Table, contract = c)
+    val good = Seq(ColumnContract("id", "BIGINT", notNull = true),
+      ColumnContract("name", "STRING"))
+    // Conforming output materializes normally.
+    val ok = DagRunner.run(spark, Seq(withContract(good,
+      (s, _) => s.range(3).toDF("id").select(col("id"), lit("x").as("name")))),
+      n => fail(s"unexpected $n"), wh)
+    assert(ok("contracted").count() === 3)
+    // Wrong type fails with a per-column diff naming the offender.
+    val eType = intercept[IllegalArgumentException](DagRunner.run(spark,
+      Seq(withContract(good, (s, _) =>
+        s.range(3).toDF("id").select(col("id").cast("int").as("id"), lit("x").as("name")))),
+      n => fail(s"unexpected $n"), wh))
+    assert(eType.getMessage.contains("declared id bigint") && eType.getMessage.contains("actual id int"))
+    // Extra / missing / reordered columns fail.
+    val eCols = intercept[IllegalArgumentException](DagRunner.run(spark,
+      Seq(withContract(good, (s, _) =>
+        s.range(3).toDF("id").select(lit("x").as("name"), col("id")))),
+      n => fail(s"unexpected $n"), wh))
+    assert(eCols.getMessage.contains("contract violated"))
+    // A NULL in a not-null column fails with the count.
+    val eNull = intercept[IllegalArgumentException](DagRunner.run(spark,
+      Seq(withContract(good, (s, _) => s.range(3).toDF("id")
+        .select(when(col("id") > 0, col("id")).as("id"), lit("x").as("name")))),
+      n => fail(s"unexpected $n"), wh))
+    assert(eNull.getMessage.contains("not-null") && eNull.getMessage.contains("id (1 NULLs)"))
+  }
+
+  test("microbatch: back-fill from begin, then lookback + new days only; resume from a crashed prefix") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-micro").toString
+    var src = Seq(("2021-01-01 10:00:00", "a"), ("2021-01-02 10:00:00", "b"),
+      ("2021-01-03 10:00:00", "c")).toDF("evt_ts", "v")
+      .select(col("evt_ts").cast("timestamp").as("evt_ts"), col("v"))
+    def mb(asOf: String) = Model("daily", Nil,
+      (s, _) => src,
+      materialization = IncrementalMicrobatch("evt_ts", "evt_date",
+        begin = "2021-01-01", asOf = asOf))
+    // First run: every day in [begin, asOf] back-fills.
+    DagRunner.run(spark, Seq(mb("2021-01-03")), n => fail(s"unexpected $n"), wh)
+    val target = s"$wh/main/main/daily"
+    def partDirs = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("evt_date=")).map(_.getName).sorted.toSeq
+    assert(partDirs === Seq("evt_date=2021-01-01", "evt_date=2021-01-02", "evt_date=2021-01-03"))
+    def fileSig(day: String) = new java.io.File(s"$target/evt_date=$day").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq.sorted
+    val day1Before = fileSig("2021-01-01")
+    // New day-4 rows, a LATE day-3 row (inside lookback=1) and a late
+    // day-1 row (outside it): the second run must reprocess day 3 and
+    // add day 4, leaving day 1 byte-untouched (its late row is missed —
+    // exactly dbt's lookback contract).
+    src = src.unionAll(Seq(("2021-01-04 09:00:00", "d"), ("2021-01-03 23:00:00", "late3"),
+      ("2021-01-01 23:00:00", "late1")).toDF("evt_ts", "v")
+      .select(col("evt_ts").cast("timestamp").as("evt_ts"), col("v")))
+    DagRunner.run(spark, Seq(mb("2021-01-04")), n => fail(s"unexpected $n"), wh)
+    val got = spark.read.parquet(target).select("v").as[String].collect().sorted.toSeq
+    assert(got === Seq("a", "b", "c", "d", "late3"),
+      "day-3 late row picked up by lookback, day-1 late row not, day-4 appended")
+    assert(fileSig("2021-01-01") === day1Before, "untouched days keep their files")
+    // Crash-resume: a target whose newest partition is day 2 (simulate a
+    // crash after day 2 of a [1..4] run) resumes at day 2 (lookback),
+    // not from begin and not from day 4.
+    val days = DagRunner.microbatchDays(spark, target, "evt_date",
+      begin = "2021-01-01", asOf = "2021-01-04", lookback = 1)
+    assert(days === Seq("2021-01-04"), "newest partition day-4 + lookback 1 = reprocess day 4 only")
+    val resumed = DagRunner.microbatchDays(spark, s"$wh/nope", "evt_date",
+      begin = "2021-01-01", asOf = "2021-01-03", lookback = 1)
+    assert(resumed === Seq("2021-01-01", "2021-01-02", "2021-01-03"),
+      "missing target = first run = full back-fill")
+    // Idempotency: re-running the same asOf changes nothing.
+    DagRunner.run(spark, Seq(mb("2021-01-04")), n => fail(s"unexpected $n"), wh)
+    assert(spark.read.parquet(target).select("v").as[String].collect().sorted.toSeq === got)
+  }
+
   test("warn-severity checks report violations without failing the model or skipping descendants") {
     val base = Model("base", Nil, (s, _) =>
       s.range(3).toDF("k").select(when(col("k") > 0, col("k")).as("k")))

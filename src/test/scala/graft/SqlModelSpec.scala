@@ -123,6 +123,24 @@ class SqlModelSpec extends SparkSpec {
     assert(out.collect().map(r => Option(r.get(0))).toSeq === Seq(None, Some(75.0)))
   }
 
+  test("{% for %} over a set list stamps out pivot columns with the loop.last separator idiom") {
+    import spark.implicits._
+    val m = SqlModel.fromSqlText("pivoted",
+      """{% set flags = [ 'A', 'N', 'R' ] %}
+        |SELECT
+        |{% for f in flags %}  sum(CASE WHEN flag = '{{ f }}' THEN qty ELSE 0 END) AS q{{ loop.index }}_{{ f }}{{ ',' if not loop.last }}
+        |{% endfor %}
+        |FROM {{ ref('li') }}""".stripMargin)
+    val li = Seq(("A", 1L), ("A", 2L), ("R", 10L)).toDF("flag", "qty")
+    val out = m.build(spark, Map("li" -> li))
+    assert(out.columns.toSeq === Seq("q1_A", "q2_N", "q3_R"),
+      "loop.index and the loop variable must both substitute per iteration")
+    assert(out.head() === org.apache.spark.sql.Row(3L, 0L, 10L))
+    val e = intercept[IllegalArgumentException](SqlModel.fromSqlText("bad",
+      "{% for x in nolist %}{{ x }}{% endfor %} SELECT 1"))
+    assert(e.getMessage.contains("nolist"))
+  }
+
   test("run-operation invokes a macro standalone with keyword args (dbt run-operation)") {
     val macros =
       """{% macro snapshot_count(rel, tag='op') %}
