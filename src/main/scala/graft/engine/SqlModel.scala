@@ -87,6 +87,16 @@ object SqlModel {
   private[engine] def viewName(ref: String): String =
     "graft_ref_" + ref.replaceAll("[^A-Za-z0-9_]", "_")
 
+  /** A single-quoted scalar from the `{{ config(...) }}` header
+    * (`materialized='view'`, `schema='x'`, ...).
+    */
+  private def configStr(sqlText: String, key: String): Option[String] = {
+    val p = Pattern.compile(
+      """\{\{\s*config\([^}]*?""" + key + """\s*=\s*'([^']*)'[^}]*\)\s*\}\}""")
+    val m = p.matcher(sqlText)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
   /** Upstream names referenced by the template: `ref('x')` contributes
     * `x`; `source('s','t')` contributes `t` (sources resolve by bare
     * table name through `DagRunner.run`'s resolve callback, the same
@@ -490,6 +500,29 @@ object SqlModel {
     val expanded = expandMacros(strippedText, projectMacros ++ inlineMacros)
     val refs = extractRefs(expanded)
     val rendered = render(expanded, vars)
+    // dbt declares materialization IN the file's config header; honor
+    // view/table/ephemeral from there (the parameterized strategies —
+    // incremental, merge — carry runtime-computed arguments and stay
+    // caller-declared). A caller arg that CONTRADICTS the header is a
+    // drift bug, not a tie to break silently.
+    val headerMat: Option[Materialization] =
+      configStr(sqlText, "materialized").collect {
+        case "view" => View
+        case "table" => Table
+        case "ephemeral" => Ephemeral
+      }
+    val mat = headerMat match {
+      case Some(h) if materialization == View => h
+      case Some(h) =>
+        require(h == materialization,
+          s"model $name: config header declares materialized='${configStr(sqlText, "materialized").get}' " +
+            s"but the caller passed $materialization")
+        h
+      case None => materialization
+    }
+    // Routing: an explicit caller arg wins; the config header fills gaps.
+    val sch = schema.orElse(configStr(sqlText, "schema"))
+    val db = database.orElse(configStr(sqlText, "database"))
     // Fingerprint the RENDERED text: a var change (e.g. a new partition
     // window) modifies the model exactly as an edit does — dbt's
     // state:modified hashes compiled SQL for the same reason.
@@ -507,7 +540,7 @@ object SqlModel {
           thisPath = ctx.flatMap(_.path))
         spark.sql(finalSql)
       },
-      materialization, schema, database, fingerprint = Some(fp),
+      mat, sch, db, fingerprint = Some(fp),
       tags = extractTags(sqlText),
       preHooks = extractHooks(sqlText, "pre_hook"),
       postHooks = extractHooks(sqlText, "post_hook"))

@@ -879,8 +879,38 @@ object DagQueries {
            |  CAST(count(*) AS BIGINT) AS n
            |FROM lineitem GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  /** dbt 1.9 microbatch end-to-end: a 5-day back-fill over the events
+    * table (begin=2024-01-26, asOf=2024-01-30), one insert-overwrite
+    * per day with the evt_date partition derived from the event time by
+    * the RUNNER; DuckDB judges the final state against a plain windowed
+    * SELECT. The warehouse is wiped per invocation so every run (and
+    * every bench rerun) exercises the same deterministic back-fill;
+    * lookback/late-row/resume semantics are pinned in `EngineSpec`.
+    */
+  private val microbatchDaily = QueryDef(
+    "dag_microbatch_daily",
+    (s, dir) => {
+      val model = graft.engine.Model("mb_events", Seq("events"),
+        (_, r) => r("events").select(col("ts"), col("event_type"), col("user_id")),
+        materialization = graft.engine.IncrementalMicrobatch("ts", "evt_date",
+          begin = "2024-01-26", asOf = "2024-01-30"))
+      val wh = s"${sys.props("java.io.tmpdir")}/graft-mbwh-${s.sparkContext.applicationId}"
+      val root = new org.apache.hadoop.fs.Path(s"$wh/main/main/mb_events")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val built = graft.engine.DagRunner.run(s, Seq(model),
+        n => graft.sources.Tables.load(s, dir, n), wh)
+      ordered(built("mb_events"))
+    },
+    Some("""SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, user_id,
+           |  CAST(CAST(ts AS DATE) AS VARCHAR) AS evt_date
+           |FROM events
+           |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-26' AND DATE '2024-01-30'
+           |ORDER BY ALL NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
-    sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing)
+    sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing,
+    microbatchDaily)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.engine.{DagRunner, SqlModel, Table}
+import graft.engine.{DagRunner, Ephemeral, SqlModel, Table}
 import graft.models.{NpoDag, SqlReporting}
 import graft.models.testkit.NpoFixtures
 
@@ -121,6 +121,28 @@ class SqlModelSpec extends SparkSpec {
       macros = projectMacros)
     val out = m.build(spark, Map("t" -> Seq((3L, 4L), (1L, 0L)).toDF("hits", "total")))
     assert(out.collect().map(r => Option(r.get(0))).toSeq === Seq(None, Some(75.0)))
+  }
+
+  test("config header declares materialization and routing (dbt: the file is the declaration)") {
+    import java.nio.file.Files
+    val text = """{{ config(materialized='table', schema='marts', database='analytics') }}
+                 |SELECT 1 AS one""".stripMargin
+    val m = SqlModel.fromSqlText("routed", text)
+    assert(m.materialization === Table)
+    assert(m.schema === Some("marts") && m.database === Some("analytics"))
+    // It actually lands at the routed warehouse path.
+    val wh = Files.createTempDirectory("graft-hdrmat").toString
+    DagRunner.run(spark, Seq(m), n => fail(s"unexpected $n"), wh)
+    assert(new java.io.File(s"$wh/analytics/marts/routed").exists())
+    // An explicit caller arg that CONTRADICTS the header is a drift bug.
+    val e = intercept[IllegalArgumentException](
+      SqlModel.fromSqlText("drift", text, materialization = Ephemeral))
+    assert(e.getMessage.contains("materialized='table'"))
+    // Caller-passed routing wins over the header (engine override point).
+    assert(SqlModel.fromSqlText("ovr", text, schema = Some("dev")).schema === Some("dev"))
+    // An ephemeral header parses too.
+    assert(SqlModel.fromSqlText("eph",
+      "{{ config(materialized='ephemeral') }} SELECT 2 AS two").materialization === Ephemeral)
   }
 
   test("{% for %} over a set list stamps out pivot columns with the loop.last separator idiom") {
