@@ -1512,7 +1512,52 @@ object SimilarityOps {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     })
 
+  /** Signed random projection (Achlioptas 2003 / JL): 64-d embeddings →
+    * 16-d with a ±1 sign matrix derived from md5 — deterministic, never
+    * stored, and reproducible by an external SQL engine, so the oracle
+    * hash-pins every projected value exactly (the md5 convention the
+    * MinHash rows use). Elements quantize to 1e-6 BIGINT first, so the
+    * projection sums are exact integers — no float-order sensitivity
+    * across engines. Scale shape: the 64×16 sign matrix is a broadcast
+    * join on the element index; the work is one map-side explode +
+    * (vec_id, j) partial-aggregating groupBy — corpus-linear, the cheap
+    * first stage before any brute-force scoring at reduced dimension.
+    */
+  private val randomProjection = QueryDef(
+    "llm_random_projection",
+    (s, dir) => {
+      val elems = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("e6"))
+      val signs = s.range(64).select(col("id").as("i"))
+        .crossJoin(s.range(16).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          when(substring(md5(concat(lit("rp:"), col("i"), lit(":"), col("j"))), 1, 1) < "8", 1L)
+            .otherwise(-1L).as("sgn"))
+      elems.join(broadcast(signs), "i")
+        .groupBy("vec_id", "j").agg(sum(col("e6") * col("sgn")).as("p6"))
+        // 1/sqrt(k) = 1/4 norm-preserving scale, rendered portably.
+        .select(col("vec_id"), col("j"), roundTo(col("p6") / lit(4e6), 6).as("proj"))
+        .orderBy("vec_id", "j")
+    },
+    Some("""WITH elems AS (
+           |  SELECT vec_id, i - 1 AS i,
+           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS e6
+           |  FROM embeddings, generate_series(1, 64) AS gs(i)),
+           |signs AS (
+           |  SELECT gi.i, gj.j,
+           |    CASE WHEN substring(md5('rp:' || gi.i || ':' || gj.j), 1, 1) < '8'
+           |         THEN 1 ELSE -1 END AS sgn
+           |  FROM generate_series(0, 63) AS gi(i)
+           |  CROSS JOIN generate_series(0, 15) AS gj(j))
+           |SELECT e.vec_id, s.j,
+           |  floor(sum(e.e6 * s.sgn) / 4000000.0 * 1000000.0 + 0.5) / 1000000.0 AS proj
+           |FROM elems e JOIN signs s USING (i)
+           |GROUP BY e.vec_id, s.j
+           |ORDER BY e.vec_id, s.j""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, ivfInc, nearDup, semanticDedup,
     semanticDedupInc,
-    topkQ8, hybridRrf, kmeans, pq, pqIncremental)
+    topkQ8, hybridRrf, kmeans, pq, pqIncremental, randomProjection)
 }
