@@ -121,7 +121,12 @@ final case class Model(
       * fails before its dependents run. Empty = unenforced (dbt's
       * default).
       */
-    contract: Seq[ColumnContract] = Nil)
+    contract: Seq[ColumnContract] = Nil,
+    /** The fully-rendered SQL text (SQL-text models set this) — what
+      * `dbt compile` writes to `target/compiled/`; None for compiled
+      * Scala builders, which have no SQL form.
+      */
+    compiledSql: Option[String] = None)
 
 /** dbt EXPOSURE: a declared downstream consumer of the DAG (a
   * dashboard, ML job, notebook) — pure metadata. It materializes
@@ -355,6 +360,24 @@ object DagRunner {
   def runUnitTests(spark: SparkSession, models: Seq[Model],
                    tests: Seq[UnitTest]): Seq[UnitTestResult] =
     tests.map(runUnitTest(spark, models, _))
+
+  /** dbt `compile`: write each SQL-text model's fully-rendered SQL to
+    * `<dir>/<name>.sql` (the `target/compiled/` artifact reviewers and
+    * lineage tools read). Refs appear as their registered
+    * `graft_ref_*` view names — the relation naming the engine itself
+    * executes. Scala-builder models have no SQL form and are skipped;
+    * returns the paths written.
+    */
+  def writeCompiled(spark: SparkSession, models: Seq[Model], dir: String): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    models.flatMap(m => m.compiledSql.map { sql =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/${m.name}.sql")
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try out.write(sql.getBytes("UTF-8")) finally out.close()
+      m.name -> p.toString
+    }).toMap
+  }
 
   /** Persist the models' content fingerprints as the run manifest —
     * the engine's analog of dbt's `manifest.json` for `state:modified`

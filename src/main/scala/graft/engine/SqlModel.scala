@@ -543,7 +543,8 @@ object SqlModel {
       mat, sch, db, fingerprint = Some(fp),
       tags = extractTags(sqlText),
       preHooks = extractHooks(sqlText, "pre_hook"),
-      postHooks = extractHooks(sqlText, "post_hook"))
+      postHooks = extractHooks(sqlText, "post_hook"),
+      compiledSql = Some(rendered))
   }
 
   /** Load the SQL text from a classpath resource (the engine's analog of

@@ -123,6 +123,20 @@ class SqlModelSpec extends SparkSpec {
     assert(out.collect().map(r => Option(r.get(0))).toSeq === Seq(None, Some(75.0)))
   }
 
+  test("writeCompiled dumps each SQL-text model's rendered SQL (dbt compile analog)") {
+    import java.nio.file.Files
+    val m1 = SqlModel.fromSqlText("cmp_model",
+      "SELECT x FROM {{ ref('up') }} WHERE x > {{ var('cap') }}", vars = Map("cap" -> "5"))
+    val scalaModel = graft.engine.Model("scala_only", Nil, (s, _) => s.range(1).toDF("x"))
+    val dir = Files.createTempDirectory("graft-compiled").toString
+    val written = DagRunner.writeCompiled(spark, Seq(m1, scalaModel), dir)
+    assert(written.keySet === Set("cmp_model"), "Scala builders have no SQL form")
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/cmp_model.sql")), "UTF-8")
+    assert(body === "SELECT x FROM graft_ref_up WHERE x > 5",
+      "compiled text must be fully rendered: ref -> view name, var substituted")
+  }
+
   test("config header declares materialization and routing (dbt: the file is the declaration)") {
     import java.nio.file.Files
     val text = """{{ config(materialized='table', schema='marts', database='analytics') }}
