@@ -1523,41 +1523,133 @@ object SimilarityOps {
     * (vec_id, j) partial-aggregating groupBy — corpus-linear, the cheap
     * first stage before any brute-force scoring at reduced dimension.
     */
+  /** Exact-integer 16-d projections `(vec_id, j, p6)`: elements
+    * quantized to 1e-6 BIGINT, ±1 signs from md5 joined broadcast on
+    * the element index — shared by [[randomProjection]] (the report
+    * row) and [[rpRerank]] (the retrieval consumer).
+    */
+  private def proj6(s: SparkSession, dir: String): DataFrame = {
+    val elems = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("e6"))
+    val signs = s.range(64).select(col("id").as("i"))
+      .crossJoin(s.range(16).select(col("id").as("j")))
+      .select(col("i"), col("j"),
+        when(substring(md5(concat(lit("rp:"), col("i"), lit(":"), col("j"))), 1, 1) < "8", 1L)
+          .otherwise(-1L).as("sgn"))
+    elems.join(broadcast(signs), "i")
+      .groupBy("vec_id", "j").agg(sum(col("e6") * col("sgn")).as("p6"))
+  }
+
+  /** The shared DuckDB CTE chain ending at `proj6(vec_id, j, p6)`. */
+  private val proj6OracleCtes =
+    """elems AS (
+      |  SELECT vec_id, i - 1 AS i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS e6
+      |  FROM embeddings, generate_series(1, 64) AS gs(i)),
+      |signs AS (
+      |  SELECT gi.i, gj.j,
+      |    CASE WHEN substring(md5('rp:' || gi.i || ':' || gj.j), 1, 1) < '8'
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM generate_series(0, 63) AS gi(i)
+      |  CROSS JOIN generate_series(0, 15) AS gj(j)),
+      |proj6 AS (
+      |  SELECT e.vec_id, s.j, CAST(sum(e.e6 * s.sgn) AS BIGINT) AS p6
+      |  FROM elems e JOIN signs s USING (i) GROUP BY e.vec_id, s.j)""".stripMargin
+
   private val randomProjection = QueryDef(
     "llm_random_projection",
-    (s, dir) => {
-      val elems = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("e6"))
-      val signs = s.range(64).select(col("id").as("i"))
-        .crossJoin(s.range(16).select(col("id").as("j")))
-        .select(col("i"), col("j"),
-          when(substring(md5(concat(lit("rp:"), col("i"), lit(":"), col("j"))), 1, 1) < "8", 1L)
-            .otherwise(-1L).as("sgn"))
-      elems.join(broadcast(signs), "i")
-        .groupBy("vec_id", "j").agg(sum(col("e6") * col("sgn")).as("p6"))
+    (s, dir) =>
+      proj6(s, dir)
         // 1/sqrt(k) = 1/4 norm-preserving scale, rendered portably.
         .select(col("vec_id"), col("j"), roundTo(col("p6") / lit(4e6), 6).as("proj"))
-        .orderBy("vec_id", "j")
+        .orderBy("vec_id", "j"),
+    Some(s"""WITH $proj6OracleCtes
+           |SELECT vec_id, j,
+           |  floor(p6 / 4000000.0 * 1000000.0 + 0.5) / 1000000.0 AS proj
+           |FROM proj6
+           |ORDER BY vec_id, j""".stripMargin))
+
+  /** Two-stage retrieval: coarse top-20 per query by cosine in the
+    * 16-d projection (EXACT integer dot products over the shared
+    * [[proj6]] table), then exact 64-d cosine rerank of only those
+    * survivors to top-5. The scale story for brute-force retrieval:
+    * the corpus-wide stage runs at a quarter of the arithmetic and
+    * broadcast bytes, and full-dimension vectors are touched for
+    * |Q|×100 candidates only (the recall/cost dial). Both stages are deterministic (integer
+    * coarse scores, rounded rerank scores, vec_id tiebreaks), so the
+    * oracle replays the WHOLE cascade — candidate sets included — not
+    * just the final ranking.
+    */
+  private val rpRerank = QueryDef(
+    "llm_rp_rerank",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val p6 = proj6(s, dir)
+      val qp = p6.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("j"), col("p6").as("q6"))
+      val cand = p6.join(broadcast(qp), Seq("j"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(sum(col("q6") * col("p6")).as("num6"),
+          sum(col("p6") * col("p6")).as("cc6"),
+          sum(col("q6") * col("q6")).as("qq6"))
+        .withColumn("coarse_cos",
+          roundTo(col("num6") / (sqrt(col("cc6")) * sqrt(col("qq6"))), 6))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("coarse_cos").desc, col("vec_id"))))
+        .filter(col("crank") <= 100)
+        .select("qid", "vec_id")
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      cand.join(emb, "vec_id").join(broadcast(q), "qid")
+        .withColumn("cos_sim", roundTo(cosine(col("qv"), col("embedding")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos_sim")
+        .orderBy("qid", "rank")
     },
-    Some("""WITH elems AS (
-           |  SELECT vec_id, i - 1 AS i,
-           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS e6
-           |  FROM embeddings, generate_series(1, 64) AS gs(i)),
-           |signs AS (
-           |  SELECT gi.i, gj.j,
-           |    CASE WHEN substring(md5('rp:' || gi.i || ':' || gj.j), 1, 1) < '8'
-           |         THEN 1 ELSE -1 END AS sgn
-           |  FROM generate_series(0, 63) AS gi(i)
-           |  CROSS JOIN generate_series(0, 15) AS gj(j))
-           |SELECT e.vec_id, s.j,
-           |  floor(sum(e.e6 * s.sgn) / 4000000.0 * 1000000.0 + 0.5) / 1000000.0 AS proj
-           |FROM elems e JOIN signs s USING (i)
-           |GROUP BY e.vec_id, s.j
-           |ORDER BY e.vec_id, s.j""".stripMargin))
+    Some(s"""WITH $proj6OracleCtes,
+           |qp AS (SELECT vec_id AS qid, j, p6 AS q6 FROM proj6 WHERE vec_id < 8),
+           |coarse AS (
+           |  SELECT q.qid, p.vec_id,
+           |    floor(sum(q.q6 * p.p6)
+           |      / (sqrt(sum(p.p6 * p.p6)) * sqrt(sum(q.q6 * q.q6)))
+           |      * 1000000.0 + 0.5) / 1000000.0 AS coarse_cos
+           |  FROM proj6 p JOIN qp q USING (j)
+           |  WHERE p.vec_id <> q.qid
+           |  GROUP BY q.qid, p.vec_id),
+           |cand AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (
+           |      PARTITION BY qid ORDER BY coarse_cos DESC, vec_id) AS crank
+           |    FROM coarse)
+           |  WHERE crank <= 100),
+           |pairs AS (
+           |  SELECT c.qid, c.vec_id, q.embedding AS qv, e.embedding AS v
+           |  FROM cand c
+           |  JOIN embeddings e ON e.vec_id = c.vec_id
+           |  JOIN embeddings q ON q.vec_id = c.qid),
+           |terms AS (
+           |  SELECT qid, vec_id,
+           |    CAST(unnest(qv) AS DOUBLE) AS qx, CAST(unnest(v) AS DOUBLE) AS vx
+           |  FROM pairs),
+           |scored AS (
+           |  SELECT qid, vec_id,
+           |    floor(sum(qx * vx) / (sqrt(sum(qx * qx)) * sqrt(sum(vx * vx)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+           |  FROM terms GROUP BY qid, vec_id),
+           |ranked AS (
+           |  SELECT qid, vec_id, cos_sim, row_number() OVER (
+           |    PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim
+           |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, ivfInc, nearDup, semanticDedup,
     semanticDedupInc,
-    topkQ8, hybridRrf, kmeans, pq, pqIncremental, randomProjection)
+    topkQ8, hybridRrf, kmeans, pq, pqIncremental, randomProjection, rpRerank)
 }

@@ -46,4 +46,21 @@ class RandomProjectionSpec extends SparkSpec {
     assert(dRatios.count(r => r < 0.2 || r > 5.0) == 0,
       "no pair may collapse or explode — correlated signs would do both")
   }
+
+  test("two-stage rerank recalls the exact top-5 well above chance") {
+    // sf0.01, not sf0.001: at 500 vectors the top-5 neighbor margins
+    // are noise-thin and recall measures the corpus, not the cascade.
+    val mdir = "/root/testdata/sf0.01"
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, mdir).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("llm_cosine_topk")
+    val staged = pairs("llm_rp_rerank")
+    assert(exact.size === 40)
+    val recall = staged.intersect(exact).size.toDouble / exact.size
+    // sf0.01 measures 0.80 with the 100-candidate coarse stage; chance
+    // through a random 100-candidate filter would be ~corpus_frac. A
+    // collapsed projection (correlated signs) drops this to noise.
+    assert(recall >= 0.6, s"two-stage recall@5 degraded to $recall")
+  }
 }
