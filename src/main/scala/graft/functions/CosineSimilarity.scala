@@ -119,6 +119,11 @@ object GraftFunctions {
       "hyperplane_bits", exprs => mkHyperplaneBits(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lexicon_hits", exprs => mkLexiconMatch(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rp_project6", exprs => {
+        require(exprs.length == 1, "rp_project6 takes exactly 1 argument")
+        RpProject6(exprs.head)
+      }, "scala_udf")
   }
 
   private[functions] def mkLexiconMatch(exprs: Seq[Expression]): LexiconMatch = {
@@ -181,5 +186,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LexiconMatch].getCanonicalName, "lexicon_hits"),
       (exprs: Seq[Expression]) => GraftFunctions.mkLexiconMatch(exprs)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("rp_project6"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RpProject6].getCanonicalName, "rp_project6"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "rp_project6 takes exactly 1 argument")
+        RpProject6(exprs.head)
+      }))
   }
 }

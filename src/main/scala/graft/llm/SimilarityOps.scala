@@ -1523,23 +1523,19 @@ object SimilarityOps {
     * (vec_id, j) partial-aggregating groupBy — corpus-linear, the cheap
     * first stage before any brute-force scoring at reduced dimension.
     */
-  /** Exact-integer 16-d projections `(vec_id, j, p6)`: elements
-    * quantized to 1e-6 BIGINT, ±1 signs from md5 joined broadcast on
-    * the element index — shared by [[randomProjection]] (the report
-    * row) and [[rpRerank]] (the retrieval consumer).
+  /** Exact-integer 16-d projections as WIDE columns `(vec_id,
+    * p0..p15)`: ONE fused codegen pass per vector through the native
+    * `rp_project6` expression (each element quantized once, all 16
+    * accumulators fed in the same loop) — pure map-side,
+    * corpus-linear, zero shuffle. Shared by [[randomProjection]] (the
+    * report row) and [[rpRerank]] (the retrieval consumer).
     */
-  private def proj6(s: SparkSession, dir: String): DataFrame = {
-    val elems = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("e6"))
-    val signs = s.range(64).select(col("id").as("i"))
-      .crossJoin(s.range(16).select(col("id").as("j")))
-      .select(col("i"), col("j"),
-        when(substring(md5(concat(lit("rp:"), col("i"), lit(":"), col("j"))), 1, 1) < "8", 1L)
-          .otherwise(-1L).as("sgn"))
-    elems.join(broadcast(signs), "i")
-      .groupBy("vec_id", "j").agg(sum(col("e6") * col("sgn")).as("p6"))
+  private def projectedWide(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.load(s, dir, "embeddings")
+      .withColumn("p6s", call_function("rp_project6", col("embedding")))
+      .select(col("vec_id") +:
+        (0 until 16).map(j => element_at(col("p6s"), j + 1).as(s"p$j")): _*)
   }
 
   /** The shared DuckDB CTE chain ending at `proj6(vec_id, j, p6)`. */
@@ -1561,9 +1557,12 @@ object SimilarityOps {
   private val randomProjection = QueryDef(
     "llm_random_projection",
     (s, dir) =>
-      proj6(s, dir)
+      projectedWide(s, dir)
+        .select(col("vec_id"), posexplode(
+          array((0 until 16).map(j => col(s"p$j")): _*)).as(Seq("j", "p6")))
         // 1/sqrt(k) = 1/4 norm-preserving scale, rendered portably.
-        .select(col("vec_id"), col("j"), roundTo(col("p6") / lit(4e6), 6).as("proj"))
+        .select(col("vec_id"), col("j").cast("bigint").as("j"),
+          roundTo(col("p6") / lit(4e6), 6).as("proj"))
         .orderBy("vec_id", "j"),
     Some(s"""WITH $proj6OracleCtes
            |SELECT vec_id, j,
@@ -1571,40 +1570,54 @@ object SimilarityOps {
            |FROM proj6
            |ORDER BY vec_id, j""".stripMargin))
 
-  /** Two-stage retrieval: coarse top-20 per query by cosine in the
-    * 16-d projection (EXACT integer dot products over the shared
-    * [[proj6]] table), then exact 64-d cosine rerank of only those
-    * survivors to top-5. The scale story for brute-force retrieval:
-    * the corpus-wide stage runs at a quarter of the arithmetic and
-    * broadcast bytes, and full-dimension vectors are touched for
-    * |Q|×100 candidates only (the recall/cost dial). Both stages are deterministic (integer
-    * coarse scores, rounded rerank scores, vec_id tiebreaks), so the
-    * oracle replays the WHOLE cascade — candidate sets included — not
-    * just the final ranking.
+  /** Two-stage retrieval: coarse top-100 per query by cosine in the
+    * 16-d projection (EXACT integer dot products over
+    * [[projectedWide]]), then exact 64-d cosine rerank of only those
+    * survivors to top-5. Both stages are deterministic (integer coarse
+    * scores, rounded rerank scores, vec_id tiebreaks), so the oracle
+    * replays the WHOLE cascade — candidate sets included — not just
+    * the final ranking; measured recall@5 vs the exact row: 0.80 at
+    * sf0.01 (candidates = 2% of the corpus; the count is the
+    * recall/cost dial).
+    *
+    * Honest scale accounting (sf30p, 1.8M vectors, measured): this
+    * cascade runs 2.2 s where the fused brute scan runs ~1.2 s — at
+    * |Q| = 8 over 64 dims the single-pass codegen cosine is already
+    * optimal, and a cascade pays one projection pass to save
+    * arithmetic it barely spends. The pattern earns its keep when the
+    * per-query cost dominates: coarse scoring is dims/16 = 4× cheaper
+    * PER QUERY (the win grows with |Q| and with dims), and full-width
+    * vectors are touched for |Q|×100 candidates instead of
+    * |Q|×corpus — the standard cascade for thousand-query batch
+    * retrieval over kilo-dim embeddings, exercised here at
+    * oracle-checkable size.
     */
   private val rpRerank = QueryDef(
     "llm_rp_rerank",
     (s, dir) => {
       GraftFunctions.register(s)
-      val p6 = proj6(s, dir)
-      val qp = p6.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("j"), col("p6").as("q6"))
-      val cand = p6.join(broadcast(qp), Seq("j"))
-        .filter(col("vec_id") =!= col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(sum(col("q6") * col("p6")).as("num6"),
-          sum(col("p6") * col("p6")).as("cc6"),
-          sum(col("q6") * col("q6")).as("qq6"))
+      val projected = projectedWide(s, dir)
+        .withColumn("cc6", (0 until 16).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _))
+      val q = projected.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid") +:
+          (0 until 16).map(j => col(s"p$j").as(s"q$j")) :+
+          col("cc6").as("qq6"): _*)
+      // Coarse stage: 16-term integer dot products against the
+      // broadcast query projections, top-100 per query via the BOUNDED
+      // topk_pairs aggregate (map-side partials; never a corpus-sized
+      // window into |Q| partitions).
+      val cand = projected.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("num6", (0 until 16).map(j => col(s"p$j") * col(s"q$j")).reduce(_ + _))
         .withColumn("coarse_cos",
           roundTo(col("num6") / (sqrt(col("cc6")) * sqrt(col("qq6"))), 6))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("coarse_cos").desc, col("vec_id"))))
-        .filter(col("crank") <= 100)
-        .select("qid", "vec_id")
+        .groupBy("qid")
+        .agg(expr("topk_pairs(coarse_cos, vec_id, 100)").as("top"))
+        .select(col("qid"), explode(col("top")).as("p"))
+        .select(col("qid"), col("p.id").as("vec_id"))
       val emb = Tables.load(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 8)
+      val qv = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      cand.join(emb, "vec_id").join(broadcast(q), "qid")
+      cand.join(emb, "vec_id").join(broadcast(qv), "qid")
         .withColumn("cos_sim", roundTo(cosine(col("qv"), col("embedding")), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))))
