@@ -36,6 +36,14 @@ object DataTests {
   final case class AcceptedValues(model: String, column: String, values: Seq[String]) extends Check
   final case class Relationships(childModel: String, childColumn: String,
       parentModel: String, parentColumn: String) extends Check
+  /** dbt SINGULAR test — a `.sql` file under `tests/` whose RESULT
+    * ROWS are the violations: arbitrary assertions (cross-model joins,
+    * business rules) the four generic tests can't express. `model`
+    * attributes the test for `dbt build` interleaving; the SQL refs
+    * its inputs with `{{ ref('x') }}`, resolved through the same
+    * resolver and temp-view convention as SQL-text models.
+    */
+  final case class Singular(model: String, name: String, sql: String) extends Check
 
   /** One summary row per check: (test, model, column, n_violations).
     * `resolve` maps a model name to its DataFrame (a `Tables.load`
@@ -76,8 +84,21 @@ object DataTests {
         val orphans = resolve(cm).select(col(cc).as("k")).filter(col("k").isNotNull)
           .join(resolve(pm).select(col(pc).as("k")).distinct(), Seq("k"), "left_anti")
         row("relationships", cm, s"$cc->$pm.$pc", count(lit(1)), orphans)
+      case s: Singular =>
+        row("singular", s.model, s.name, count(lit(1)), singularRows(resolve, s))
     }
     frames.reduce(_.unionAll(_)).orderBy("test", "model", "column")
+  }
+
+  /** A singular test's result frame: refs registered as temp views,
+    * the template rendered, the statement run. The frame IS the
+    * violation set (dbt's contract: a passing singular test returns
+    * zero rows).
+    */
+  private def singularRows(resolve: String => DataFrame, s: Singular): DataFrame = {
+    val refs = SqlModel.extractRefs(s.sql)
+    refs.foreach(r => resolve(r).createOrReplaceTempView(SqlModel.viewName(r)))
+    SparkSession.active.sql(SqlModel.render(s.sql, Map.empty))
   }
 
   /** The oracle row: the four generic tests over the fixture warehouse,
@@ -94,7 +115,16 @@ object DataTests {
       NotNull("lineitem", "l_orderkey"),
       AcceptedValues("lineitem", "l_returnflag", Seq("A", "N", "R")),
       AcceptedValues("events", "event_type", Seq("view", "click", "purchase")),
-      Relationships("lineitem", "l_orderkey", "orders", "o_orderkey"))),
+      Relationships("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      // Singular tests: a business rule the generic tests can't say.
+      // Ship-before-order FAILS on the synthetic data (violations are
+      // counted, not assumed); negative quantity passes with zero rows.
+      Singular("lineitem", "ship_before_order",
+        """SELECT l.l_orderkey FROM {{ ref('lineitem') }} l
+          |JOIN {{ ref('orders') }} o ON l.l_orderkey = o.o_orderkey
+          |WHERE l.l_shipdate < o.o_orderdate""".stripMargin),
+      Singular("lineitem", "negative_quantity",
+        "SELECT * FROM {{ ref('lineitem') }} WHERE l_quantity < 0"))),
     Some("""SELECT * FROM (
            |  SELECT 'unique' AS test, 'orders' AS model, 'o_orderkey' AS "column",
            |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
@@ -120,7 +150,15 @@ object DataTests {
            |  UNION ALL
            |  SELECT 'relationships', 'lineitem', 'l_orderkey->orders.o_orderkey',
            |    (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
-           |      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
+           |      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           |  UNION ALL
+           |  SELECT 'singular', 'lineitem', 'ship_before_order',
+           |    (SELECT count(*) FROM lineitem l JOIN orders o
+           |      ON l.l_orderkey = o.o_orderkey
+           |      WHERE l.l_shipdate < o.o_orderdate)
+           |  UNION ALL
+           |  SELECT 'singular', 'lineitem', 'negative_quantity',
+           |    (SELECT count(*) FROM lineitem WHERE l_quantity < 0))
            |ORDER BY test, model, "column"""".stripMargin))
 
   /** dbt `store_failures`: the failing ROWS of a check, in the shape
@@ -148,6 +186,7 @@ object DataTests {
         .join(resolve(pm).select(col(pc).as("from_field")).distinct(),
           Seq("from_field"), "left_anti")
         .groupBy("from_field").agg(count(lit(1)).as("n_records"))
+    case s: Singular => singularRows(resolve, s)
   }
 
   /** dbt's audit-table name for a check (`unique_orders_o_orderkey`
@@ -158,6 +197,7 @@ object DataTests {
     case NotNull(m, cName) => s"not_null_${m}_$cName"
     case AcceptedValues(m, cName, _) => s"accepted_values_${m}_$cName"
     case Relationships(cm, cc, pm, pc) => s"relationships_${cm}_${cc}_${pm}_$pc"
+    case Singular(_, name, _) => s"singular_$name"
   }).replaceAll("[^A-Za-z0-9_]", "_")
 
   /** Persist each FAILING check's rows under

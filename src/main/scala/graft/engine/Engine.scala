@@ -567,6 +567,7 @@ object DagRunner {
       case DataTests.NotNull(m, _) => m
       case DataTests.AcceptedValues(m, _, _) => m
       case DataTests.Relationships(cm, _, _, _) => cm
+      case DataTests.Singular(m, _, _) => m
     }
     val byModel = checks.groupBy(checkModel)
     val warnByModel = warnChecks.groupBy(checkModel)

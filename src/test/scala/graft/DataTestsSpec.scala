@@ -82,6 +82,28 @@ class DataTestsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_violations") === 1L)
   }
 
+  test("singular tests: result rows ARE the violations; refs resolve; store_failures keeps them") {
+    val f = frames
+    val resolve: String => DataFrame = f(_)
+    // A cross-model join assertion neither generic test can express:
+    // child rows whose payload exceeds one character AND have a parent.
+    val failing = Singular("child", "short_payloads_only",
+      """SELECT c.fk, c.payload FROM {{ ref('child') }} c
+        |JOIN {{ ref('parent') }} p ON c.fk = p.id
+        |WHERE length(c.payload) > 0""".stripMargin)
+    val passing = Singular("child", "no_empty_payload",
+      "SELECT * FROM {{ ref('child') }} WHERE payload = ''")
+    val summary = DataTests.run(resolve, Seq(failing, passing)).collect()
+    assert(summary.map(r => (r.getString(2), r.getLong(3))).toSeq ===
+      Seq(("no_empty_payload", 0L), ("short_payloads_only", 3L)))
+    // store_failures persists the failing singular's OWN result shape.
+    val root = java.nio.file.Files.createTempDirectory("graft-singular").toString
+    val written = DataTests.storeFailures(resolve, Seq(failing, passing), root)
+    assert(written.keySet === Set("singular_short_payloads_only"))
+    val stored = spark.read.parquet(written("singular_short_payloads_only"))
+    assert(stored.columns.toSeq === Seq("fk", "payload") && stored.count() === 3)
+  }
+
   test("an empty check list yields an empty summary, not a crash") {
     val out = DataTests.run(n => sys.error(s"no $n"), Seq.empty)
     assert(out.columns.toSeq === Seq("test", "model", "column", "n_violations"))
