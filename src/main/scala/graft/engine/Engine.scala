@@ -126,7 +126,18 @@ final case class Model(
       * `dbt compile` writes to `target/compiled/`; None for compiled
       * Scala builders, which have no SQL form.
       */
-    compiledSql: Option[String] = None)
+    compiledSql: Option[String] = None,
+    /** dbt model governance (dbt 1.6 groups + access): `group` names
+      * the owning team's group; `access` is `private` (ref-able only
+      * within the same group), `protected` (same project — the
+      * default), or `public` (stable cross-project interface). The
+      * runners enforce the private boundary before any build.
+      */
+    group: Option[String] = None,
+    access: String = "protected") {
+  require(Set("private", "protected", "public").contains(access),
+    s"model $name: unknown access '$access'")
+}
 
 /** dbt EXPOSURE: a declared downstream consumer of the DAG (a
   * dashboard, ML job, notebook) — pure metadata. It materializes
@@ -510,9 +521,39 @@ object DagRunner {
     * bookkeeping, session settings); `onRunEnd` runs only on SUCCESS,
     * matching dbt.
     */
+  /** Enforce dbt's group/access governance on the ref graph: a
+    * PRIVATE model may be ref'd only from models in its own group.
+    * Checked before anything builds, across the full model set handed
+    * to the runner, with the offending edge named.
+    */
+  private[engine] def validateAccess(models: Seq[Model]): Unit = {
+    val byName = models.map(m => m.name -> m).toMap
+    for {
+      child <- models
+      ref <- child.refs
+      parent <- byName.get(ref)
+      if parent.access == "private" && parent.group != child.group
+    } throw new IllegalArgumentException(
+      s"model ${child.name} (group ${child.group.getOrElse("<none>")}) cannot ref " +
+        s"private model ${parent.name} (group ${parent.group.getOrElse("<none>")}) — " +
+        "private models are ref-able only within their own group")
+  }
+
+  /** dbt `--empty`: a schema-only dry run — every EXTERNAL input is
+    * truncated to zero rows (`LIMIT 0`) before the DAG builds, so the
+    * whole pipeline executes, materializes empty-but-typed targets,
+    * and trips schema errors and contract violations at near-zero
+    * cost. Exactly dbt's flag: only ref/source INPUTS are limited; the
+    * model bodies run unmodified.
+    */
+  def runEmpty(spark: SparkSession, models: Seq[Model], resolve: String => DataFrame,
+               warehouse: String = ""): Map[String, DataFrame] =
+    run(spark, models, n => resolve(n).limit(0), warehouse)
+
   def run(spark: SparkSession, models: Seq[Model], resolve: String => DataFrame,
           warehouse: String = "", onRunStart: Seq[String] = Nil,
           onRunEnd: Seq[String] = Nil): Map[String, DataFrame] = {
+    validateAccess(models)
     onRunStart.foreach(spark.sql(_))
     var built = Map.empty[String, DataFrame]
     def lookup(n: String): DataFrame = built.getOrElse(n, resolve(n))
@@ -562,6 +603,7 @@ object DagRunner {
               * its descendants.
               */
             warnChecks: Seq[DataTests.Check] = Nil): BuildReport = {
+    validateAccess(models)
     def checkModel(c: DataTests.Check): String = c match {
       case DataTests.Unique(m, _) => m
       case DataTests.NotNull(m, _) => m
@@ -770,6 +812,7 @@ object DagRunner {
                   warehouse: String = "", threads: Int = 4): Map[String, DataFrame] = {
     import java.util.concurrent.{ConcurrentHashMap, Executors}
     import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+    validateAccess(models)
     val ordered = topoSort(models) // validates acyclicity up front
     val byName = ordered.map(m => m.name -> m).toMap
     val built = new ConcurrentHashMap[String, DataFrame]()

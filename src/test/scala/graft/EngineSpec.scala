@@ -107,6 +107,41 @@ class EngineSpec extends SparkSpec {
     assert(green.ok && green.built.keySet === Set("base", "side"))
   }
 
+  test("access governance: private models ref-able only within their group; --empty dry-runs the DAG") {
+    val wh = Files.createTempDirectory("graft-gov").toString
+    val core = Model("core_dim", Nil, (s, _) => s.range(3).toDF("x"),
+      group = Some("core"), access = "private")
+    val sameGroup = Model("core_mart", Seq("core_dim"), (s, r) => r("core_dim"),
+      group = Some("core"))
+    // Same group: allowed.
+    assert(DagRunner.run(spark, Seq(core, sameGroup),
+      n => fail(s"unexpected $n"), wh)("core_mart").count() === 3)
+    // Cross-group ref of a private model: rejected with the edge named.
+    val outsider = Model("finance_mart", Seq("core_dim"), (s, r) => r("core_dim"),
+      group = Some("finance"))
+    val e = intercept[IllegalArgumentException](
+      DagRunner.run(spark, Seq(core, outsider), n => fail(s"unexpected $n"), wh))
+    assert(e.getMessage.contains("finance_mart") && e.getMessage.contains("core_dim"))
+    // Public lifts the boundary.
+    assert(DagRunner.run(spark, Seq(core.copy(access = "public"), outsider),
+      n => fail(s"unexpected $n"), wh)("finance_mart").count() === 3)
+    intercept[IllegalArgumentException](core.copy(access = "open"))
+    // --empty: external inputs limit to 0 rows, the DAG still builds
+    // typed targets, and contract violations trip at near-zero cost.
+    import spark.implicits._
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val tbl = Model("emptied", Seq("ext"), (s, r) => r("ext"), materialization = Table)
+    val out = DagRunner.runEmpty(spark, Seq(tbl), Map("ext" -> src), wh)
+    assert(out("emptied").count() === 0)
+    assert(out("emptied").schema.fieldNames.toSeq === Seq("id", "name"),
+      "an empty run must still materialize the full typed schema")
+    val broken = tbl.copy(name = "emptied2",
+      contract = Seq(ColumnContract("id", "STRING")))
+    val e2 = intercept[IllegalArgumentException](
+      DagRunner.runEmpty(spark, Seq(broken), Map("ext" -> src), wh))
+    assert(e2.getMessage.contains("contract violated"))
+  }
+
   test("model contracts: exact schema match + not-null constraints enforced at materialization") {
     val wh = Files.createTempDirectory("graft-contract").toString
     def withContract(c: Seq[ColumnContract], build: (org.apache.spark.sql.SparkSession, Map[String, org.apache.spark.sql.DataFrame]) => org.apache.spark.sql.DataFrame) =
