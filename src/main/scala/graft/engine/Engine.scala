@@ -459,6 +459,8 @@ object DagRunner {
         s""""database":${jstr(m.database.getOrElse("main"))},""" +
         s""""schema":${jstr(m.schema.getOrElse("main"))},""" +
         s""""tags":[${m.tags.toSeq.sorted.map(jstr).mkString(",")}],""" +
+        s""""group":${m.group.map(jstr).getOrElse("null")},""" +
+        s""""access":${jstr(m.access)},""" +
         s""""fingerprint":${m.fingerprint.map(jstr).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val exps = exposures.sortBy(_.name).map { e =>
@@ -537,6 +539,22 @@ object DagRunner {
       s"model ${child.name} (group ${child.group.getOrElse("<none>")}) cannot ref " +
         s"private model ${parent.name} (group ${parent.group.getOrElse("<none>")}) — " +
         "private models are ref-able only within their own group")
+  }
+
+  /** dbt MODEL VERSIONS (dbt 1.5): a versioned model's canonical DAG
+    * name is `<base>.v<N>` (dbt's `model_name.v2` node name). An
+    * UNVERSIONED ref to a versioned family resolves to the LATEST
+    * version — dbt's `latest_version` default — via this explicit
+    * pre-pass (compose with `select`/`withLazyUpstreams` like any
+    * other graph rewrite); a pinned `ref('m', v=1)` names `m.v1`
+    * directly and is left untouched.
+    */
+  def resolveVersionRefs(models: Seq[Model]): Seq[Model] = {
+    val ver = """^(.*)\.v(\d+)$""".r
+    val latest: Map[String, String] = models.map(_.name).collect {
+      case n @ ver(base, v) => (base, v.toInt, n)
+    }.groupBy(_._1).map { case (base, vs) => base -> vs.maxBy(_._2)._3 }
+    models.map(m => m.copy(refs = m.refs.map(r => latest.getOrElse(r, r))))
   }
 
   /** dbt `--empty`: a schema-only dry run — every EXTERNAL input is

@@ -48,6 +48,12 @@ object SqlModel {
 
   private val refPat =
     Pattern.compile("""\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""")
+  // ref('m', v=2) / ref('m', version=2) — a version-PINNED ref to a
+  // versioned model (dbt 1.5); resolves to the canonical node name
+  // `m.v2` (DagRunner.resolveVersionRefs handles the unpinned-latest
+  // case).
+  private val refVerPat =
+    Pattern.compile("""\{\{\s*ref\(\s*'([^']+)'\s*,\s*(?:v|version)\s*=\s*(\d+)\s*\)\s*\}\}""")
   private val sourcePat =
     Pattern.compile("""\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""")
   // var('x') or var("x") — double quotes let a var call nest inside a
@@ -107,6 +113,8 @@ object SqlModel {
     val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     val rm = refPat.matcher(sqlText)
     while (rm.find()) hits += rm.start -> rm.group(1)
+    val rv = refVerPat.matcher(sqlText)
+    while (rv.find()) hits += rv.start -> s"${rv.group(1)}.v${rv.group(2)}"
     val sm = sourcePat.matcher(sqlText)
     while (sm.find()) hits += sm.start -> sm.group(2)
     hits.sortBy(_._1).map(_._2).distinct.toSeq
@@ -442,7 +450,9 @@ object SqlModel {
       vm.appendReplacement(sb, Matcher.quoteReplacement(v))
     }
     vm.appendTail(sb)
-    val rendered = refPat.matcher(sb.toString)
+    val renderedVer = refVerPat.matcher(sb.toString)
+      .replaceAll(m => Matcher.quoteReplacement(viewName(s"${m.group(1)}.v${m.group(2)}")))
+    val rendered = refPat.matcher(renderedVer)
       .replaceAll(m => Matcher.quoteReplacement(viewName(m.group(1))))
     sourcePat.matcher(rendered)
       .replaceAll(m => Matcher.quoteReplacement(viewName(m.group(2))))

