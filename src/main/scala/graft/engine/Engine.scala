@@ -372,6 +372,75 @@ object DagRunner {
                    tests: Seq[UnitTest]): Seq[UnitTestResult] =
     tests.map(runUnitTest(spark, models, _))
 
+  /** dbt `retry` state: persist a build's outcome so the NEXT
+    * invocation can rerun exactly the failed and skipped nodes. One
+    * small JSON artifact, same discipline as the manifest.
+    */
+  def writeRunResults(spark: SparkSession, report: BuildReport, path: String): Unit = {
+    def arr(ns: Iterable[String]) = ns.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val body = s"""{"built":${arr(report.built.keys)},""" +
+      s""""failures":${arr(report.failures.keys)},"skipped":${arr(report.skipped)}}"""
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** dbt `retry`: the models the previous build FAILED or SKIPPED —
+    * rerun exactly these (successful upstreams resolve from the
+    * warehouse, like any `--select` subgraph run). Empty when the last
+    * build was green.
+    */
+  def retrySelection(spark: SparkSession, models: Seq[Model], path: String): Seq[Model] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"dbt retry needs a previous run's results at $path")
+    val body = graft.sources.Artifacts.readSmall(fs, p)
+    def names(key: String): Set[String] = {
+      val m = java.util.regex.Pattern.compile("\"" + key + "\":\\[([^\\]]*)\\]").matcher(body)
+      if (!m.find()) Set.empty
+      else {
+        val im = java.util.regex.Pattern.compile("\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(m.group(1))
+        val out = Set.newBuilder[String]
+        while (im.find()) out += im.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+        out.result()
+      }
+    }
+    val rerun = names("failures") ++ names("skipped")
+    models.filter(m => rerun(m.name))
+  }
+
+  /** dbt `clone`: point the target environment at the state
+    * environment's data WITHOUT rebuilding — the CI-promote idiom.
+    * Parquet has no zero-copy view, so this is a file-level copy of
+    * each table-family model's target dir (a server-side copy on
+    * object stores); views and ephemerals have no on-disk form and are
+    * skipped, exactly as dbt clones only materialized relations.
+    * Returns the cloned names.
+    */
+  def cloneModels(spark: SparkSession, models: Seq[Model],
+                  fromWarehouse: String, toWarehouse: String,
+                  overwrite: Boolean = false): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    models.filter(m => m.materialization != View && m.materialization != Ephemeral)
+      .flatMap { m =>
+        val src = new org.apache.hadoop.fs.Path(targetPath(fromWarehouse, m))
+        val dst = new org.apache.hadoop.fs.Path(targetPath(toWarehouse, m))
+        val sfs = src.getFileSystem(conf)
+        val dfs = dst.getFileSystem(conf)
+        if (!sfs.exists(src)) None
+        else {
+          if (dfs.exists(dst)) {
+            require(overwrite, s"clone target ${dst} exists — pass overwrite=true to replace")
+            dfs.delete(dst, true)
+          }
+          dfs.mkdirs(dst.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, conf)
+          Some(m.name)
+        }
+      }
+  }
+
   /** dbt `compile`: write each SQL-text model's fully-rendered SQL to
     * `<dir>/<name>.sql` (the `target/compiled/` artifact reviewers and
     * lineage tools read). Refs appear as their registered

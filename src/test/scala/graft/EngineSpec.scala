@@ -107,6 +107,53 @@ class EngineSpec extends SparkSpec {
     assert(green.ok && green.built.keySet === Set("base", "side"))
   }
 
+  test("retry reruns exactly the failed + skipped nodes against warehouse state (dbt retry)") {
+    val wh = Files.createTempDirectory("graft-retry").toString
+    val results = s"$wh/run_results.json"
+    var buildCount = Map.empty[String, Int].withDefaultValue(0)
+    def counted(name: String, bad: Boolean, refs: String*) =
+      Model(name, refs, (s, r) => {
+        buildCount += name -> (buildCount(name) + 1)
+        val base = refs.foldLeft(s.range(3).toDF("k"))((d, rf) => d.unionAll(r(rf)))
+        if (bad) base.select(when(col("k") > 0, col("k")).as("k")) else base
+      }, materialization = Table)
+    val base = counted("base", bad = false)
+    val mid = counted("mid", bad = true, "base")
+    val leaf = counted("leaf", bad = false, "mid")
+    val models = Seq(base, mid, leaf)
+    val check = Seq(DataTests.NotNull("mid", "k"))
+    val r1 = DagRunner.build(spark, models, n => fail(s"unexpected $n"), wh, check)
+    assert(!r1.ok && r1.failures.keySet === Set("mid") && r1.skipped === Seq("leaf"))
+    DagRunner.writeRunResults(spark, r1, results)
+    // "Fix" the model, then retry: only mid + leaf rebuild, base resolves
+    // from the warehouse untouched.
+    val fixed = models.map(m =>
+      if (m.name == "mid") counted("mid", bad = false, "base") else m)
+    val retry = DagRunner.retrySelection(spark, fixed, results)
+    assert(retry.map(_.name).toSet === Set("mid", "leaf"))
+    val r2 = DagRunner.build(spark, retry,
+      n => spark.read.parquet(s"$wh/main/main/$n"), wh, check)
+    assert(r2.ok && r2.built.keySet === Set("mid", "leaf"))
+    assert(buildCount("base") === 1, "a green upstream must not rebuild on retry")
+    DagRunner.writeRunResults(spark, r2, results)
+    assert(DagRunner.retrySelection(spark, fixed, results).isEmpty,
+      "a green build leaves nothing to retry")
+  }
+
+  test("clone copies table-family targets across warehouses without rebuilding (dbt clone)") {
+    val prod = Files.createTempDirectory("graft-cloneprod").toString
+    val dev = Files.createTempDirectory("graft-clonedev").toString
+    val t = Model("t1", Nil, (s, _) => s.range(4).toDF("x"), materialization = Table)
+    val v = Model("v1", Seq("t1"), (s, r) => r("t1"))
+    DagRunner.run(spark, Seq(t, v), n => fail(s"unexpected $n"), prod)
+    val cloned = DagRunner.cloneModels(spark, Seq(t, v), prod, dev)
+    assert(cloned === Seq("t1"), "views have no on-disk form to clone")
+    assert(spark.read.parquet(s"$dev/main/main/t1").count() === 4)
+    // Refusal without overwrite; success with it.
+    intercept[IllegalArgumentException](DagRunner.cloneModels(spark, Seq(t), prod, dev))
+    assert(DagRunner.cloneModels(spark, Seq(t), prod, dev, overwrite = true) === Seq("t1"))
+  }
+
   test("model versions: unpinned refs resolve to the latest version; pinned refs hold") {
     val wh = Files.createTempDirectory("graft-ver").toString
     def v(name: String, n: Int): Model =
