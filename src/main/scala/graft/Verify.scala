@@ -5,12 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // Optional 3rd arg: name-prefix filter for the dev loop (the driver
-    // always passes exactly two args → full run).
-    val (sfDir, outDir, prefix) = args match {
-      case Array(a, b)    => (a, b, "")
-      case Array(a, b, p) => (a, b, p)
+    // Optional 3rd arg: comma-separated name-prefix filters for the dev
+    // loop (the driver always passes exactly two args → full run).
+    val (sfDir, outDir, prefixes) = args match {
+      case Array(a, b)    => (a, b, Seq(""))
+      case Array(a, b, p) => (a, b, p.split(',').toSeq.filter(_.nonEmpty))
     }
+    def selected(name: String): Boolean = prefixes.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,7 +40,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(_._1.startsWith(prefix))
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -976,7 +976,65 @@ object TextOps {
            |  (dup_word_frac < 0.6 AND top2_frac < 0.2 AND dup5_frac < 0.3) AS keep
            |FROM sig ORDER BY doc_id""".stripMargin))
 
+  /** Portable hex→integer: positional digit lookup over the hex
+    * alphabet — `instr` and `substring` carry identical semantics in
+    * Spark SQL and DuckDB, and there is no shared hex cast. Emits the
+    * same SQL text for both engines.
+    */
+  private def hexToIntSql(hexCol: String, nChars: Int): String =
+    (1 to nChars)
+      .map(i => s"(CAST(instr('0123456789abcdef', substring($hexCol, $i, 1)) AS BIGINT) - 1)")
+      .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * every doc draws key = -ln(u)/w from a uniform u and its weight w;
+    * the k SMALLEST keys are exactly a weight-proportional sample
+    * without replacement. The curation use: sample a training subset
+    * biased toward longer / higher-quality documents (w = n_chars
+    * here; any positive score column works — e.g. the DSIR importance
+    * weights) while staying fully reproducible — u derives from
+    * md5(doc_id), not rand(), so reruns, other engines, and delta
+    * reprocessing draw the SAME sample.
+    *
+    * Scale shape: the key is one map-side expression (zero shuffle);
+    * the global smallest-k plans as TakeOrderedAndProject —
+    * per-partition heaps ship ≤ k rows each, no global sort, no
+    * corpus-sized window. The trailing rank window orders only the k
+    * survivors. Key ties (possible: u is quantized to 32 bits) break
+    * on doc_id in both engines; the float ln risk is ORDER-only and
+    * needs two keys within 1 ulp — ~1e-16 relative — to matter.
+    */
+  private val weightedSample = QueryDef(
+    "llm_weighted_sample",
+    (s, dir) => {
+      val k = 100
+      val keyed = Tables.load(s, dir, "documents")
+        .withColumn("h", md5(concat(lit("wsample:"), col("doc_id").cast("string"))))
+        .withColumn("w", greatest(col("n_chars"), lit(1L)))
+        .withColumn("k", expr(
+          s"-ln((${hexToIntSql("h", 8)} + 1.0) / 4294967297.0) / w"))
+        .select(col("doc_id"), col("lang"), col("w"), col("k"))
+      keyed.orderBy(col("k"), col("doc_id")).limit(k)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("lang"), col("w"))
+        .orderBy("rk")
+    },
+    Some(s"""WITH keyed AS (
+            |  SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+            |    md5('wsample:' || CAST(doc_id AS VARCHAR)) AS h
+            |  FROM documents),
+            |scored AS (
+            |  SELECT doc_id, lang, w,
+            |    -ln((${hexToIntSql("h", 8)} + 1.0) / 4294967297.0) / w AS k
+            |  FROM keyed
+            |  ORDER BY k, doc_id LIMIT 100)
+            |SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS INT) AS rk,
+            |  doc_id, lang, w
+            |FROM scored ORDER BY rk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
-    textClean, stratifiedSample, exactKSample, packSequences, chunkDocs, trainSplit, ngramTopk,
+    textClean, stratifiedSample, exactKSample, weightedSample, packSequences, chunkDocs,
+    trainSplit, ngramTopk,
     bpePairs, bpeTrain, bpeApply, mixtureSample, shuffleShards, blocklist, blocklistSubstr, repSignals)
 }

@@ -443,7 +443,78 @@ object ExtensionOps {
            |  count(*) AS n
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** A27: market-basket frequent pairs with association metrics — the
+    * classic co-occurrence mine (Agrawal et al., VLDB 1994 Apriori
+    * shape, first pass): which part pairs ship together in one order
+    * more often than chance, scored by support, directional
+    * confidence, and lift.
+    *
+    * Scale shape: the per-order item-pair join is bounded by basket
+    * size (TPC-H orders hold ≤ 7 lineitems → ≤ 21 pairs/order — pair
+    * growth is |orders|·b², never |items|²), the distinct (order,
+    * part) projection collapses duplicate part rows BEFORE pairing,
+    * both self-join sides reuse one exchange (same distinct), pair
+    * counts combine map-side, and the singleton-support join is keyed
+    * on partkey (AQE broadcasts it when small; at 100 TB it's an
+    * ordinary keyed join, never a cartesian). Top-20 by count plans as
+    * TakeOrderedAndProject. Lift/confidence quantize portably to 1e-6.
+    */
+  private val basketPairs = QueryDef(
+    "a27_basket_pairs",
+    (s, dir) => {
+      // ONE shuffle on okey builds the per-order basket; the three
+      // downstream branches (pair counts, singleton supports, order
+      // count) all hang off the SAME aggregate subtree, so Catalyst
+      // reuses one exchange and the fact table is scanned once.
+      val baskets = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+      val supports = baskets.select(explode(col("parts")).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("cnt_one"))
+      // In-basket pair expansion: strictly-later elements of the sorted
+      // distinct set, so pa < pb by construction and each unordered
+      // pair appears once per order.
+      val pairs = baskets.select(explode(expr(
+          "flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))"))
+          .as("pr"))
+        .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cnt_ab"))
+        .filter(col("cnt_ab") >= 2)
+      pairs
+        .join(supports.withColumnRenamed("part", "pa").withColumnRenamed("cnt_one", "cnt_a"), "pa")
+        .join(supports.withColumnRenamed("part", "pb").withColumnRenamed("cnt_one", "cnt_b"), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
+          roundTo(col("cnt_ab").cast("double") / col("cnt_a"), 6).as("conf_a_b"),
+          roundTo(col("cnt_ab").cast("double") / col("cnt_b"), 6).as("conf_b_a"),
+          roundTo(col("n_orders") * col("cnt_ab").cast("double") /
+            (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+        .orderBy(col("cnt_ab").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+    Some("""WITH items AS (
+           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+           |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+           |sup AS (SELECT part, count(*) AS cnt_one FROM items GROUP BY part),
+           |pairs AS (
+           |  SELECT a.part AS pa, b.part AS pb, count(*) AS cnt_ab
+           |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT pa, pb, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+           |  CAST(sa.cnt_one AS BIGINT) AS cnt_a, CAST(sb.cnt_one AS BIGINT) AS cnt_b,
+           |  floor(CAST(cnt_ab AS DOUBLE) / sa.cnt_one * 1000000 + 0.5) / 1000000 AS conf_a_b,
+           |  floor(CAST(cnt_ab AS DOUBLE) / sb.cnt_one * 1000000 + 0.5) / 1000000 AS conf_b_a,
+           |  floor(n.n_orders * CAST(cnt_ab AS DOUBLE) / (sa.cnt_one * sb.cnt_one)
+           |    * 1000000 + 0.5) / 1000000 AS lift
+           |FROM pairs
+           |JOIN sup sa ON pairs.pa = sa.part
+           |JOIN sup sb ON pairs.pb = sb.part
+           |CROSS JOIN n
+           |ORDER BY cnt_ab DESC, pa, pb LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
     statsFamily, regrFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg,
-    boolAggs, slidingFrame, condFuncs, unionByNameQ, percentileDisc)
+    boolAggs, slidingFrame, condFuncs, unionByNameQ, percentileDisc, basketPairs)
 }

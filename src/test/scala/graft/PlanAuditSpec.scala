@@ -403,4 +403,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-1000 must be TakeOrderedAndProject, not a full vocabulary sort")
   }
+
+  test("a27_basket_pairs: pair and support branches share one basket exchange, no cartesian") {
+    // The pair-mine must derive pair counts AND singleton supports from
+    // the SAME per-order basket aggregate: if the branches' canonical
+    // plans drift apart, the fact table is aggregated twice — at 100 TB
+    // that doubles the dominant stage. The 1-row order-count branch is
+    // ALLOWED its own column-pruned scan (one narrow column, cheaper
+    // than pinning the fat exchange), so scans ≤ 2 — never the 8 the
+    // naive four-branch items plan produced.
+    val df = SparkEntry.queries("a27_basket_pairs")(spark, dir)
+    df.collect() // AQE resolves reuse at runtime; inspect the final plan
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("ReusedExchange"),
+      "pair counts and supports must reuse one basket aggregate exchange")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    val scans = collectLeaves(exec).count(_.isInstanceOf[
+      org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans <= 2, s"expected at most 2 lineitem scans, found $scans")
+  }
+
+  /** Collect leaves across AQE's nested-stage boundaries. */
+  private def collectLeaves(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val direct = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectLeaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectLeaves(q.plan)
+    }
+    direct.flatten
+  }
 }
