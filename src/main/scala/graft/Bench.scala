@@ -80,7 +80,10 @@ object Bench {
     // name-prefix argument, time ONLY matching queries, three runs each,
     // and print per-run seconds — the per-query methodology the scale
     // records use. The driver always invokes with no args → full bench.
-    val prefix = args.headOption.getOrElse("")
+    // Comma-separated prefixes, same convention as Verify's dev loop.
+    val prefixes = args.headOption.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val prefix = if (prefixes.isEmpty) "" else "set"
+    def selected(name: String): Boolean = prefixes.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -128,7 +131,7 @@ object Bench {
       }
 
     if (prefix.nonEmpty) {
-      SparkEntry.queries.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1)
+      SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1)
         .foreach { case (name, fn) =>
           val runs = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
