@@ -106,4 +106,112 @@ object ProfileOps {
            |) ORDER BY col_name""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(profileOrders)
+
+  /** Incrementally-maintained profile state — the ingest-time
+    * data-quality monitor. Each arriving batch contributes one tiny
+    * per-column PARTIALS row-set (counts, typed min/max, a DataSketches
+    * HLL sketch for distincts); the merged profile of everything
+    * ingested so far is an aggregation over the partials table — the
+    * raw data is never rescanned. All partial metrics are mergeable and
+    * order-insensitive (sums, min/max, HLL register maxima), so any
+    * batch split of the same rows converges to the SAME profile.
+    *
+    * Crash/replay discipline: partials land under a `batch_id=N`
+    * partition via staged rename-swap — a replayed micro-batch sees its
+    * partition already published and no-ops, a crashed half-write
+    * leaves only a staging dir that the retry clears. Effectively-once
+    * state over at-least-once foreachBatch delivery, same argument as
+    * the index-maintenance sinks.
+    */
+  object ProfileState {
+
+    /** Typed views: numerics/timestamps range in a double pair, strings
+      * in a string pair (a single string-rendered pair would order
+      * "10" < "9"); the HLL sketch input is long/string (the sketch
+      * aggregate's supported inputs — doubles and dates sketch their
+      * canonical string form).
+      */
+    private def numView(c: Column, dt: DataType): Column = dt match {
+      case TimestampType  => unix_micros(c).cast("double")
+      case _: NumericType => c.cast("double")
+      case _              => lit(null).cast("double")
+    }
+    private def strView(c: Column, dt: DataType): Column = dt match {
+      case StringType => c
+      case DateType   => c.cast("string")
+      case _          => lit(null).cast("string")
+    }
+    private def sketchView(c: Column, dt: DataType): Column = dt match {
+      case StringType                                     => c
+      case ByteType | ShortType | IntegerType | LongType  => c.cast("long")
+      case TimestampType                                  => unix_micros(c)
+      case _                                              => c.cast("string")
+    }
+
+    /** One partial-profile row per column of `batch`:
+      * (col_name, n_rows, n_nulls, min_num, max_num, min_str, max_str, hll).
+      */
+    def partials(batch: DataFrame): DataFrame = {
+      val fields = batch.schema.fields.toSeq
+      val aggs = fields.flatMap { f =>
+        val c = col(f.name)
+        Seq(
+          count(lit(1)).as(s"${f.name}__rows"),
+          coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
+          min(numView(c, f.dataType)).as(s"${f.name}__minn"),
+          max(numView(c, f.dataType)).as(s"${f.name}__maxn"),
+          min(strView(c, f.dataType)).as(s"${f.name}__mins"),
+          max(strView(c, f.dataType)).as(s"${f.name}__maxs"),
+          hll_sketch_agg(sketchView(c, f.dataType), 12).as(s"${f.name}__hll"))
+      }
+      val one = batch.agg(aggs.head, aggs.drop(1): _*)
+      val rows = fields.map { f =>
+        struct(
+          lit(f.name).as("col_name"),
+          col(s"${f.name}__rows").as("n_rows"),
+          col(s"${f.name}__nulls").as("n_nulls"),
+          col(s"${f.name}__minn").as("min_num"),
+          col(s"${f.name}__maxn").as("max_num"),
+          col(s"${f.name}__mins").as("min_str"),
+          col(s"${f.name}__maxs").as("max_str"),
+          col(s"${f.name}__hll").as("hll"))
+      }
+      one.select(explode(array(rows: _*)).as("p")).select("p.*")
+    }
+
+    /** Publish one batch's partials under `batch_id=<id>`. Replay-safe:
+      * an already-published partition no-ops; a crashed attempt leaves
+      * only staging, which the retry clears before re-writing.
+      */
+    def applyBatch(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                   stateRoot: String, batchId: Long): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val part = new org.apache.hadoop.fs.Path(s"$stateRoot/partials/batch_id=$batchId")
+      val fs = part.getFileSystem(conf)
+      if (fs.exists(part)) return
+      val staging = new org.apache.hadoop.fs.Path(s"$stateRoot/.staging-$batchId")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      partials(batch).coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      fs.mkdirs(part.getParent)
+      require(fs.rename(staging, part), s"profile partials publish failed for batch $batchId")
+    }
+
+    /** The merged profile of everything ingested so far: sums, typed
+      * min/max, HLL-union distinct estimates — an aggregation over the
+      * KB-sized partials table only.
+      */
+    def read(spark: org.apache.spark.sql.SparkSession, stateRoot: String): DataFrame =
+      spark.read.parquet(s"$stateRoot/partials")
+        .groupBy("col_name")
+        .agg(
+          sum("n_rows").as("n_rows"),
+          sum("n_nulls").as("n_nulls"),
+          min("min_num").as("min_num"),
+          max("max_num").as("max_num"),
+          min("min_str").as("min_str"),
+          max("max_str").as("max_str"),
+          coalesce(hll_sketch_estimate(hll_union_agg(col("hll"), lit(false))), lit(0L))
+            .as("n_distinct_est"))
+        .orderBy("col_name")
+  }
 }

@@ -378,6 +378,26 @@ object StreamingOps {
       (batch, _) => graft.llm.SimilarityOps.VecDedupState.applyBatch(
         batch.sparkSession, batch, stateRoot))
 
+  /** Streaming data-quality monitor — the ingest-time face of
+    * `ProfileOps.profile`: each micro-batch folds its per-column
+    * profile partials (counts, typed min/max, HLL distinct sketches)
+    * into a persisted `ProfileState` root; `ProfileState.read` answers
+    * the merged profile of everything ingested so far without ever
+    * rescanning the data. Effectively-once by batch-id partition guard
+    * with rename-swap publish: a replayed micro-batch (same batch id
+    * from the checkpoint) sees its partition already published and
+    * no-ops. All partials are order-insensitive mergeables, so any
+    * batch split converges to the SAME profile as one batch over the
+    * union (`StreamingFileSpec` pins it).
+    */
+  def profileIngestSink(updates: DataFrame, stateRoot: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    indexIngestSink(updates, checkpoint, trigger,
+      (batch, id) => graft.operators.ProfileOps.ProfileState.applyBatch(
+        batch.sparkSession, batch, stateRoot, id))
+
   /** Shared foreachBatch plumbing of the three index-maintenance sinks:
     * each micro-batch applies one idempotent delta-builder, so
     * checkpoint + replay yields effectively-once INDEX state even

@@ -258,4 +258,60 @@ class StreamingFileSpec extends SparkSpec {
     assert(codes(root) === codes(batchRoot),
       "streamed delta encoding must equal the batch incremental build's codes")
   }
+
+  test("streaming profile monitor equals the one-batch profile over everything ingested") {
+    import graft.operators.ProfileOps.ProfileState
+    val dir = Files.createTempDirectory("graft_profstream").toFile.getAbsolutePath
+    val sf = "/root/testdata/sf0.01"
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val cut = 5000L
+    val landing = s"$dir/landing"
+    val root = s"$dir/state"
+
+    // First run: one file; second run: the rest. Two distinct batch ids.
+    ev.filter(col("event_id") < cut).write.mode("append").parquet(landing)
+    val q1 = StreamingOps.profileIngestSink(
+      spark.readStream.schema(ev.schema).parquet(landing), root, s"$dir/ckpt")
+    q1.awaitTermination()
+    ev.filter(col("event_id") >= cut).write.mode("append").parquet(landing)
+    val q2 = StreamingOps.profileIngestSink(
+      spark.readStream.schema(ev.schema).parquet(landing), root, s"$dir/ckpt")
+    q2.awaitTermination()
+
+    // Batch control: the SAME rows as ONE batch into a fresh root. The
+    // exact metrics (counts, min/max) are order-insensitive mergeables
+    // and must be IDENTICAL. The HLL estimates agree only to sketch
+    // accuracy: a DataSketches union takes the out-of-order estimator
+    // path, so a split corpus may estimate a few counts off the
+    // one-batch sketch — that's the documented sketch contract, not
+    // state drift.
+    ProfileState.applyBatch(spark, ev, s"$dir/control", 0L)
+    val streamed = ProfileState.read(spark, root).collect().map(_.toSeq)
+    val control = ProfileState.read(spark, s"$dir/control").collect().map(_.toSeq)
+    assert(streamed.map(_.dropRight(1)).toSeq === control.map(_.dropRight(1)).toSeq,
+      "two streamed batches must merge to the one-batch profile exactly on all exact metrics")
+    streamed.zip(control).foreach { case (sr, cr) =>
+      val (se, ce) = (sr.last.asInstanceOf[Long], cr.last.asInstanceOf[Long])
+      assert(math.abs(se - ce) <= (ce * 5 * 0.0163).toLong.max(2L),
+        s"${sr.head}: split-estimate $se vs one-batch $ce outside the lgK=12 5x-rsd band")
+    }
+
+    // Spot-check absolutes against the raw data.
+    val m = ProfileState.read(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = ev.count()
+    assert(m("event_id").getLong(1) === n && m("event_id").getLong(2) === 0L)
+    val exactUsers = ev.agg(countDistinct("user_id")).head().getLong(0)
+    val est = m("user_id").getLong(7)
+    assert(math.abs(est - exactUsers) <= (exactUsers * 5 * 0.0163).toLong.max(2L),
+      s"HLL estimate $est vs exact $exactUsers outside the lgK=12 5x-rsd band")
+    assert(m("value").getDouble(3) === ev.agg(min("value")).head().getDouble(0))
+    assert(m("event_type").getString(5) === ev.agg(min("event_type")).head().getString(0))
+
+    // Replay: re-applying an already-published batch id is a no-op.
+    ProfileState.applyBatch(spark, ev.limit(3), root, 0L)
+    val after = ProfileState.read(spark, root).collect().map(_.toSeq)
+    assert(after.toSeq === streamed.toSeq, "replayed batch id must not change state")
+  }
 }
