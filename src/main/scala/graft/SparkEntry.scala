@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llm.{CorpusOps, DedupOps, Multimodal, PrivacyOps, SimilarityOps, TextOps}
 import graft.models.DagQueries
-import graft.operators.{DialectOps, ExtensionOps, Flagship, OlapOps, ProfileOps, QueryDef, RelationalOps, ScaleOps, TimeSeriesOps}
+import graft.operators.{DialectOps, ExtensionOps, Flagship, GeoOps, OlapOps, ProfileOps, QueryDef, RelationalOps, ScaleOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 is one entry in `queries`
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private[graft] def allDefs: Seq[QueryDef] =
     RelationalOps.all ++ DialectOps.all ++ Flagship.all ++ ScaleOps.all ++ OlapOps.all ++
-      TimeSeriesOps.all ++ ExtensionOps.all ++ ProfileOps.all ++
+      TimeSeriesOps.all ++ ExtensionOps.all ++ ProfileOps.all ++ GeoOps.all ++
       graft.sources.SourceFormats.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all ++ PrivacyOps.all ++
       CorpusOps.all ++ DagQueries.all ++ graft.engine.DataTests.all ++

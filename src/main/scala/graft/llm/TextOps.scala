@@ -1033,8 +1033,61 @@ object TextOps {
             |  doc_id, lang, w
             |FROM scored ORDER BY rk""".stripMargin))
 
+  /** Hashed-linear classifier INFERENCE (the fastText shape CCNet /
+    * RefinedWeb quality filters deploy): every token hashes into one of
+    * 256 buckets (hashing trick — no vocabulary table to join), each
+    * bucket carries a weight, and a document's score is the mean bucket
+    * weight of its tokens; `keep = score > 0` is the filter decision.
+    * The weight vector here is a deterministic Knuth-hash placeholder —
+    * a real deployment substitutes its trained 256 floats (or millions:
+    * the bucket weight is a pure expression either way, or a broadcast
+    * array lookup) without touching the plan.
+    *
+    * Scale shape: tokenize, hash, and reduce all happen INSIDE one row
+    * expression (`aggregate` over the split array) — zero shuffle, zero
+    * join, streams through the scan with the filter decision available
+    * for pushdown into downstream pruning. This is the model-based
+    * curation stage made embarrassingly parallel.
+    */
+  private val classifierScore = QueryDef(
+    "llm_classifier_score",
+    (s, dir) => {
+      // bucket(x) in 0..255 from the first two hex chars of md5(x);
+      // weight(b) = Knuth multiplicative hash → [-0.5, 0.5).
+      val wOf = "(CAST(((CAST(instr('0123456789abcdef', substring(md5(x), 1, 1)) AS BIGINT) - 1) * 16" +
+        " + CAST(instr('0123456789abcdef', substring(md5(x), 2, 1)) AS BIGINT) - 1)" +
+        " * 2654435761 % 1009 AS DOUBLE) / 1009.0 - 0.5)"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          expr(s"aggregate(toks, CAST(0.0 AS DOUBLE), (acc, x) -> acc + $wOf)").as("sw"))
+        .select(col("doc_id"), col("n_tokens"),
+          roundTo(when(col("n_tokens") > 0,
+            col("sw") / col("n_tokens").cast("double")), 4).as("score"))
+        .withColumn("keep", coalesce(col("score") > 0.0, lit(false)))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |    list_sum(list_transform(toks, x ->
+           |      CAST(((CAST(instr('0123456789abcdef', substring(md5(x), 1, 1)) AS BIGINT) - 1) * 16
+           |            + CAST(instr('0123456789abcdef', substring(md5(x), 2, 1)) AS BIGINT) - 1)
+           |           * 2654435761 % 1009 AS DOUBLE) / 1009.0 - 0.5)) AS sw
+           |  FROM toks)
+           |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           |  floor(sw / nullif(CAST(n_tokens AS DOUBLE), 0.0) * 10000.0 + 0.5) / 10000.0 AS score,
+           |  coalesce(floor(sw / nullif(CAST(n_tokens AS DOUBLE), 0.0) * 10000.0 + 0.5) / 10000.0 > 0.0,
+           |           false) AS keep
+           |FROM scored ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, winnow,
     textClean, stratifiedSample, exactKSample, weightedSample, packSequences, chunkDocs,
     trainSplit, ngramTopk,
-    bpePairs, bpeTrain, bpeApply, mixtureSample, shuffleShards, blocklist, blocklistSubstr, repSignals)
+    bpePairs, bpeTrain, bpeApply, mixtureSample, shuffleShards, blocklist, blocklistSubstr,
+    repSignals, classifierScore)
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dialect.Dialect._
+import graft.sources.Tables
+
+/** Geospatial operators: grid-blocked haversine radius join — the
+  * spatial-join shape every warehouse eventually needs (stores near
+  * customers, cell towers near users) re-expressed as a plain equi-join
+  * on grid cells so Catalyst plans it like any other join.
+  *
+  * The tables carry no coordinates, so both engines derive
+  * deterministic synthetic ones from the integer keys with pure integer
+  * arithmetic (identical cross-engine by construction):
+  * `lat = -60 + (key*37 % 1200)/10`, `lon = -180 + (key*91 % 3600)/10`.
+  * Latitudes stay in [-60, 60) so the longitude compression factor
+  * `cos(lat)` is bounded below by 0.5 — which is what makes a FIXED
+  * grid-cell size safe (see the blocking bound below).
+  *
+  * Scale: the naive radius join is customer × supplier — a cartesian
+  * product that is quadratic at 100 TB. The grid scheme is the standard
+  * distributed spatial join: each supplier lands in exactly one
+  * (5° lat × 10° lon) cell; each customer probes its own cell plus the
+  * 8 neighbors (a bounded 9× map-side fan-out on the PROBE side only);
+  * the join is then a plain equi-join on the cell id — shuffle keyed on
+  * cells, broadcastable when one side is a dimension, AQE-skew-splittable
+  * when a city cell is hot. Correctness of the blocking: two points
+  * within R=500 km differ by ≤ 500/111.195 = 4.50° latitude (< 5°) and
+  * ≤ 500/(111.195·cos(60°)) = 8.99° longitude (< 10°), so every
+  * qualifying pair shares a cell or touches a neighbor cell — the
+  * DuckDB oracle is the brute-force cross join, proving no pair is
+  * missed. Longitude cells wrap at the antimeridian (mod 36).
+  */
+object GeoOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private val RadiusKm = 500.0
+
+  /** Synthetic-but-deterministic coordinates from an integer key. */
+  private def latOf(key: Column): Column = lit(-60.0) + (key * 37 % 1200) / 10.0
+  private def lonOf(key: Column): Column = lit(-180.0) + (key * 91 % 3600) / 10.0
+
+  /** Haversine distance in km, rounded to 2 decimals on BOTH engines so
+    * the radius predicate evaluates on the same quantized value. The
+    * `least(1, a)` clamp keeps asin's argument in range when rounding
+    * pushes the sin/cos composition an ulp above 1.
+    */
+  private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val sdLat = sin(radians(lat2 - lat1) / 2)
+    val sdLon = sin(radians(lon2 - lon1) / 2)
+    val a = sdLat * sdLat + cos(radians(lat1)) * cos(radians(lat2)) * sdLon * sdLon
+    roundTo(lit(2 * 6371.0) * asin(sqrt(least(lit(1.0), a))), 2)
+  }
+
+  private val haversineSql =
+    """floor(2 * 6371.0 * asin(sqrt(least(1.0,
+      |    sin(radians(s.lat - c.lat)/2) * sin(radians(s.lat - c.lat)/2)
+      |    + cos(radians(c.lat)) * cos(radians(s.lat))
+      |      * sin(radians(s.lon - c.lon)/2) * sin(radians(s.lon - c.lon)/2))))
+      |  * 100.0 + 0.5) / 100.0""".stripMargin
+
+  /** G1: suppliers within 500 km of each customer — count and nearest
+    * distance. Spark side is the grid-blocked join; oracle is the
+    * brute-force cross join, so the hash match proves the blocking
+    * loses no pair.
+    */
+  private val radiusJoin = QueryDef(
+    "g1_geo_radius_join",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          latOf(col("s_suppkey")).as("s_lat"), lonOf(col("s_suppkey")).as("s_lon"))
+        .withColumn("cell_lat", floor(col("s_lat") / 5.0).cast("int"))
+        .withColumn("cell_lon",
+          pmod(floor(col("s_lon") / 10.0).cast("int") + 36, lit(36)))
+      val nbrs = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          latOf(col("c_custkey")).as("c_lat"), lonOf(col("c_custkey")).as("c_lon"))
+        .withColumn("nb", explode(nbrs))
+        .withColumn("cell_lat", (floor(col("c_lat") / 5.0) + col("nb.dx")).cast("int"))
+        .withColumn("cell_lon",
+          pmod(floor(col("c_lon") / 10.0).cast("int") + col("nb.dy") + 36, lit(36)))
+      cust.join(sup, Seq("cell_lat", "cell_lon"))
+        .withColumn("km", haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")))
+        .filter(col("km") < RadiusKm)
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_within"), min("km").as("min_km"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""WITH c AS (
+           |  SELECT c_custkey,
+           |    -60.0 + (c_custkey * 37 % 1200) / 10.0 AS lat,
+           |    -180.0 + (c_custkey * 91 % 3600) / 10.0 AS lon
+           |  FROM customer),
+           |s AS (
+           |  SELECT s_suppkey,
+           |    -60.0 + (s_suppkey * 37 % 1200) / 10.0 AS lat,
+           |    -180.0 + (s_suppkey * 91 % 3600) / 10.0 AS lon
+           |  FROM supplier),
+           |p AS (
+           |  SELECT c.c_custkey, $haversineSql AS km
+           |  FROM c CROSS JOIN s)
+           |SELECT c_custkey, count(*) AS n_within, min(km) AS min_km
+           |FROM p WHERE km < $RadiusKm
+           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(radiusJoin)
+}

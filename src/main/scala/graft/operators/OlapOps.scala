@@ -529,8 +529,92 @@ object OlapOps {
            |FROM du GROUP BY cohort, day_offset
            |ORDER BY cohort, day_offset""".stripMargin))
 
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    * streak shape behind "7-day streak" product metrics and SLA
+    * uptime windows). The classic trick — `active_date - row_number()`
+    * is constant within a consecutive run — turns island detection
+    * into a plain GROUP BY; no self-join, no recursive CTE. Scale: one
+    * shuffle on user_id for the window, then the island aggregate is
+    * co-partitioned (the island key extends the user key), and output
+    * is one row per user.
+    */
+  private val gapsIslands = QueryDef(
+    "w11_gaps_islands",
+    (s, dir) => {
+      val wU = Window.partitionBy("user_id").orderBy("d")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .distinct()
+        .withColumn("grp", date_sub(col("d"), row_number().over(wU)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), max("d").as("streak_end"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max("len").as("max_streak"),
+          sum("len").as("active_days"),
+          max(struct(col("streak_end"), col("len"))).getField("len").as("last_streak"))
+        .orderBy("user_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+           |r AS (
+           |  SELECT user_id, d,
+           |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+           |  FROM d),
+           |islands AS (
+           |  SELECT user_id, grp, count(*) AS len, max(d) AS streak_end
+           |  FROM r GROUP BY user_id, grp)
+           |SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak,
+           |  CAST(sum(len) AS BIGINT) AS active_days,
+           |  max_by(len, streak_end) AS last_streak
+           |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Sketch set-INTERSECTION via inclusion-exclusion over three HLL
+    * sketches: |A∩B| ≈ hll(A) + hll(B) − hll(A∪B), where A/B are the
+    * daily-active (user, day) keys of two event types. This is the
+    * audience-overlap question ("how many daily actives did both X and
+    * Y") answered without ever materializing the intersection — at
+    * 100 TB each sketch is a fixed-size buffer merged map-side, and the
+    * three sketches come from ONE scan (conditional inputs), not three.
+    * The exact intersection rides the same pass by the same
+    * inclusion-exclusion over exact distincts, and the oracle pins the
+    * estimate inside the 3σ band of the 2% rsd sketch (σ of the
+    * difference bounded by the sum of the three set σs).
+    */
+  private val hllIntersect = QueryDef(
+    "a28_hll_intersect",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          (col("user_id") * 100 + dayofmonth(col("ts"))).as("uday"))
+      val inA = when(col("event_type") === "click", col("uday"))
+      val inB = when(col("event_type") === "view", col("uday"))
+      val inU = when(col("event_type").isin("click", "view"), col("uday"))
+      e.agg(
+        countDistinct(inA).as("na"), countDistinct(inB).as("nb"),
+        countDistinct(inU).as("nu"),
+        approx_count_distinct(inA, 0.02).as("ea"),
+        approx_count_distinct(inB, 0.02).as("eb"),
+        approx_count_distinct(inU, 0.02).as("eu"))
+        .select(
+          (col("na") + col("nb") - col("nu")).as("exact_inter"),
+          (abs((col("ea") + col("eb") - col("eu")) - (col("na") + col("nb") - col("nu")))
+            <= lit(3 * 0.02) * (col("na") + col("nb") + col("nu"))).as("hll_ok"))
+    },
+    Some("""WITH e AS (
+           |  SELECT event_type,
+           |    user_id * 100 + CAST(extract(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS uday
+           |  FROM events)
+           |SELECT
+           |  count(DISTINCT CASE WHEN event_type = 'click' THEN uday END)
+           |  + count(DISTINCT CASE WHEN event_type = 'view' THEN uday END)
+           |  - count(DISTINCT CASE WHEN event_type IN ('click','view') THEN uday END)
+           |    AS exact_inter,
+           |  true AS hll_ok
+           |FROM e""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(approxQuantile, rollupAgg, pivotAgg, sessionize,
     movingAvg, rankFamily, existsSemiAnti, cubeGrouping, windowedDistinct,
     groupingSets, scd2History, clickAttribution, sessionWindowAgg, cmsFreq,
-    exactPercentiles, hllUnion, funnel, retention)
+    exactPercentiles, hllUnion, funnel, retention, gapsIslands, hllIntersect)
 }

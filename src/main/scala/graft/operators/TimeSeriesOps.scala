@@ -243,5 +243,95 @@ object TimeSeriesOps {
            |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
            |ORDER BY user_id, event_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(gapfill, ohlc, locf, ewma, zscore)
+  /** Autocorrelation function: per event type, Pearson correlation of
+    * the daily event count with itself at lags 1, 2, 3 and 7 — the
+    * standard seasonality probe (a strong lag-7 says weekly rhythm).
+    * Two-phase: the raw stream first collapses to one row per
+    * (type, day) — after which each lag is a window `lag()` plus a
+    * `corr` aggregate over at most |types|×|days| rows, so the four
+    * lag passes cost nothing next to the single events scan that feeds
+    * them. At 100 TB the pre-aggregate is the whole job (map-side
+    * partial count, one shuffle on (type, day)); the ACF math never
+    * sees raw events.
+    */
+  private val autocorr = QueryDef(
+    "ts6_autocorr",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val lagged = Seq(1, 2, 3, 7).map { k =>
+        daily
+          .withColumn("prev", lag("cnt", k).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy("event_type")
+          .agg(roundTo(corr(col("cnt"), col("prev")), 4).as("acf"))
+          .select(col("event_type"), lit(k).as("lag"), col("acf"))
+      }
+      lagged.reduce(_ unionAll _).orderBy("event_type", "lag")
+    },
+    Some {
+      val one =
+        """SELECT event_type, %LAG% AS lag,
+          |  floor(corr(cnt, prev) * 10000.0 + 0.5) / 10000.0 AS acf
+          |FROM (SELECT event_type, cnt,
+          |        lag(cnt, %LAG%) OVER (PARTITION BY event_type ORDER BY d) AS prev
+          |      FROM daily)
+          |WHERE prev IS NOT NULL GROUP BY event_type""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         |    CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM events GROUP BY 1, 2)
+         |${Seq(1, 2, 3, 7).map(k => one.replace("%LAG%", k.toString)).mkString("\nUNION ALL\n")}
+         |ORDER BY event_type, lag""".stripMargin
+    })
+
+  /** Robust outlier detection on the daily series: median/MAD instead
+    * of mean/stddev, so a burst day cannot drag the threshold toward
+    * itself (the textbook failure of z-scores on spiky metrics). A day
+    * is an outlier when |x − median| > 3 · 1.4826 · MAD. Two exact
+    * percentile passes over the (type, day) pre-aggregate — tiny by
+    * the same argument as ts6 — then a broadcast join back. All
+    * comparisons happen on portably-quantized values.
+    */
+  private val madOutliers = QueryDef(
+    "ts7_mad_outliers",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(roundTo(sum("value"), 4).as("x"))
+      val med = daily.groupBy("event_type")
+        .agg(expr("percentile(x, 0.5)").as("med"))
+      val mad = daily.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(first("med").as("med"),
+          expr("percentile(abs(x - med), 0.5)").as("mad"))
+        .select(col("event_type"), roundTo(col("med"), 4).as("med"),
+          roundTo(col("mad"), 4).as("mad"))
+      daily.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("d"), col("x"),
+          (abs(col("x") - col("med")) > lit(3 * 1.4826) * col("mad")).as("is_outlier"))
+        .orderBy("event_type", "d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |    floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS x
+           |  FROM events GROUP BY 1, 2),
+           |med AS (
+           |  SELECT event_type, quantile_cont(x, 0.5) AS med
+           |  FROM daily GROUP BY event_type),
+           |mad AS (
+           |  SELECT d.event_type,
+           |    floor(any_value(m.med) * 10000.0 + 0.5) / 10000.0 AS med,
+           |    floor(quantile_cont(abs(d.x - m.med), 0.5) * 10000.0 + 0.5) / 10000.0 AS mad
+           |  FROM daily d JOIN med m ON m.event_type = d.event_type
+           |  GROUP BY d.event_type)
+           |SELECT d.event_type, d.d, d.x,
+           |  abs(d.x - m.med) > 3 * 1.4826 * m.mad AS is_outlier
+           |FROM daily d JOIN mad m ON m.event_type = d.event_type
+           |ORDER BY d.event_type, d.d""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(gapfill, ohlc, locf, ewma, zscore, autocorr,
+    madOutliers)
 }
