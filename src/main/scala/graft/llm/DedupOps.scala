@@ -468,28 +468,36 @@ object DedupOps {
   private val jaccardEst = QueryDef(
     "llm_minhash_jaccard_est",
     (s, dir) => {
+      // ONE pass builds everything per doc: the 8-row signature AND the
+      // distinct shingle set. The pair join then carries both, and the
+      // exact intersection is a MAP-SIDE array_intersect over the two
+      // carried sets — the former shape exploded every candidate pair by
+      // its full shingle set and re-aggregated it (a pairs×|set| shuffle
+      // that went ~40% superlinear at sf3), plus a second from-scratch
+      // shingle pipeline for the set sizes. This plan shuffles the
+      // shingle relation ONCE and the candidate list twice (small), and
+      // the quadratic-ish fan-out work stays inside codegen.
       val sigCols = (0 to 7).map(i => s"mh$i")
-      val sigs = shingles(s, dir).groupBy("doc_id")
-        .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
-      val sa = sigs.select(col("doc_id").as("pa") +: sigCols.map(c => col(c).as(s"${c}_a")): _*)
-      val sb = sigs.select(col("doc_id").as("pb") +: sigCols.map(c => col(c).as(s"${c}_b")): _*)
+      val perDoc = shingles(s, dir).groupBy("doc_id")
+        .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7),
+          collect_set(col("shingle")).as("shset"))
+      val sa = perDoc.select(col("doc_id").as("pa") +:
+        col("shset").as("shset_a") +: sigCols.map(c => col(c).as(s"${c}_a")): _*)
+      val sb = perDoc.select(col("doc_id").as("pb") +:
+        col("shset").as("shset_b") +: sigCols.map(c => col(c).as(s"${c}_b")): _*)
       val agree = sigCols.map(c =>
         when(col(s"${c}_a") === col(s"${c}_b"), 1L).otherwise(0L)).reduce(_ + _)
-      val pairs = lshPairs(s, dir)
-      val est = pairs
+      lshPairs(s, dir)
         .join(sa, col("doc_a") === col("pa"))
         .join(sb, col("doc_b") === col("pb"))
-        .select(col("doc_a"), col("doc_b"), agree.as("agree_k"))
-      val shd = shingles(s, dir).distinct()
-        .withColumn("nsh", count(lit(1)).over(Window.partitionBy("doc_id")))
-      val ia = shd.select(col("doc_id").as("ja"), col("shingle").as("sha"), col("nsh").as("na"))
-      val ib = shd.select(col("doc_id").as("jb"), col("shingle").as("shb"), col("nsh").as("nb"))
-      val inter = pairs
-        .join(ia, col("doc_a") === col("ja"))
-        .join(ib, col("doc_b") === col("jb") && col("sha") === col("shb"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"), min("na").as("na"), min("nb").as("nb"))
-      est.join(inter, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), agree.as("agree_k"),
+          size(array_intersect(col("shset_a"), col("shset_b"))).cast("long").as("inter"),
+          size(col("shset_a")).cast("long").as("na"),
+          size(col("shset_b")).cast("long").as("nb"))
+        // The oracle's intersection CTE is an inner join on shared
+        // shingles: a candidate pair with NO overlap (band-hash
+        // collision) has no row there — mirror that.
+        .filter(col("inter") >= 1)
         .select(col("doc_a"), col("doc_b"), col("agree_k"),
           (col("agree_k") / 8.0).as("est"),
           roundTo(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
