@@ -599,6 +599,13 @@ object DedupOps {
       .as(Seq("band_idx", "band_hash")))
   }
 
+  /** The MinHash-LSH candidate graph as seen by the dedup family —
+    * exposed for the `graft.tools.GraphStats` diagnostic so two-tier
+    * routing decisions can be inspected at any SF without touching the
+    * private pipeline.
+    */
+  def candidatePairs(s: SparkSession, dir: String): DataFrame = lshPairs(s, dir)
+
   /** Candidate pairs from the MinHash-LSH pipeline (shared by
     * `llm_minhash_lsh_pairs` and the group-resolution step).
     */
@@ -890,7 +897,7 @@ object DedupOps {
     */
   private val dedupGroups = QueryDef(
     "llm_dedup_groups",
-    (s, dir) => connectedComponents(lshPairs(s, dir)).orderBy("doc_id"),
+    (s, dir) => connectedComponents(connectivityEdges(s, dir)).orderBy("doc_id"),
     Some(s"""WITH $lshOracleCtes,
            |$ccOracleCtes
            |SELECT src AS doc_id,
@@ -1001,7 +1008,7 @@ object DedupOps {
       // NOT broadcast: the drop list is corpus-proportional on a
       // duplicate-heavy corpus (it is large exactly when dedup matters),
       // so the exclusion stays a shuffled anti join on doc_id.
-      val nearDupDrop = connectedComponents(lshPairs(s, dir))
+      val nearDupDrop = connectedComponents(connectivityEdges(s, dir))
         .filter(col("doc_id") =!= col("canonical_id"))
         .select(col("doc_id").as("drop_id"))
       docs
@@ -1434,7 +1441,8 @@ object DedupOps {
     * pins row-for-row.
     */
   private[graft] def pagerankComponents(docs: DataFrame, pairs: DataFrame,
-      eps: Long, maxRounds: Int = 200): DataFrame = {
+      eps: Long, maxRounds: Int = 200,
+      connectivity: Option[DataFrame] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val nTotal = docs.agg(count(lit(1))).head().getLong(0)
@@ -1447,12 +1455,33 @@ object DedupOps {
     try {
       val base = 150000000000L / nTotal
       val init = 1000000000000L / nTotal
-      val assign = connectedComponents(cleanPairs).persist(StorageLevel.MEMORY_AND_DISK)
+      // The component assignment only needs CONNECTIVITY. A caller whose
+      // pair list is banded cliques can hand the star-contracted edge
+      // list ([[bandStarEdges]] — same closure, linear instead of
+      // quadratic in bucket occupancy) so the CC pass never touches the
+      // clique volume; degrees and per-component solves still run over
+      // the full `pairs`. Contract: the connectivity frame's closure
+      // restricted to `docs` must equal `pairs`' closure — callers with
+      // a docs subset that drops pair endpoints must not pass one.
+      val assign = connectedComponents(
+          connectivity.getOrElse(cleanPairs)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val comped = cleanPairs.join(
           assign.select(col("doc_id").as("doc_a"), col("canonical_id").as("comp")), "doc_a")
           .select("comp", "doc_a", "doc_b")
-        val maxEdges = s.conf.get("spark.graft.pagerankLocalMaxEdges", "100000").toLong
+        // The in-task bound is deliberately SEPARATE from (and much
+        // higher than) the driver-local tier's conf: a component solve
+        // runs inside ONE executor task whose only footprint is the
+        // component's primitive edge arrays (~16 bytes/edge), so 2M
+        // edges ≈ 32 MB — trivially within any executor's task budget,
+        // while the same figure would be reckless as a DRIVER collect
+        // bound shared by every concurrently-running query. Measured at
+        // sf3: one 194k-edge component under the old shared 100k bound
+        // routed a 570-node subgraph through the full checkpointed
+        // distributed loop — ~35 s of pure per-block fixed cost for a
+        // solve the in-task tier does in milliseconds.
+        val maxEdges = s.conf.get("spark.graft.pagerankComponentMaxEdges", "2000000").toLong
         val counts = comped.groupBy("comp").agg(count(lit(1)).as("np"))
         val bigComps = counts.filter(col("np") * 2 > maxEdges).select("comp")
           .as[Long].collect().toSet // component COUNT is tiny (distinct canonical ids over threshold)
@@ -1460,24 +1489,40 @@ object DedupOps {
         val solvedSmall = small.as[(Long, Long, Long)]
           .groupByKey(_._1)
           .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long)]) =>
-            val ps = it.toArray
-            val seen = new java.util.LinkedHashSet[java.lang.Long]()
-            ps.foreach { p => seen.add(p._2); seen.add(p._3) }
-            val ids = new Array[Long](seen.size)
-            var i = 0
-            val iter = seen.iterator()
-            while (iter.hasNext) { ids(i) = iter.next(); i += 1 }
-            val n = ids.length
-            val idx = new java.util.HashMap[Long, Int](n * 2)
-            ids.zipWithIndex.foreach { case (d, j) => idx.put(d, j) }
-            val m = ps.length * 2
+            // One streaming pass into primitive buffers — at the 2M-edge
+            // in-task bound a boxed Tuple3 array would cost ~5x the
+            // primitive footprint for no reason.
+            var pa = new Array[Long](1024)
+            var pb = new Array[Long](1024)
+            var np = 0
+            while (it.hasNext) {
+              val p = it.next()
+              if (np == pa.length) {
+                pa = java.util.Arrays.copyOf(pa, np * 2)
+                pb = java.util.Arrays.copyOf(pb, np * 2)
+              }
+              pa(np) = p._2; pb(np) = p._3; np += 1
+            }
+            val idx = new java.util.HashMap[Long, Int](np * 2)
+            val idBuf = new Array[Long](2 * np)
+            var n = 0
+            var r = 0
+            while (r < np) {
+              if (!idx.containsKey(pa(r))) { idx.put(pa(r), n); idBuf(n) = pa(r); n += 1 }
+              if (!idx.containsKey(pb(r))) { idx.put(pb(r), n); idBuf(n) = pb(r); n += 1 }
+              r += 1
+            }
+            val ids = java.util.Arrays.copyOf(idBuf, n)
+            val m = np * 2
             val srcs = new Array[Int](m)
             val dsts = new Array[Int](m)
             var w = 0
-            ps.foreach { p =>
-              val a = idx.get(p._2); val b = idx.get(p._3)
+            r = 0
+            while (r < np) {
+              val a = idx.get(pa(r)); val b = idx.get(pb(r))
               srcs(w) = a; dsts(w) = b; w += 1
               srcs(w) = b; dsts(w) = a; w += 1
+              r += 1
             }
             val outdeg = new Array[Long](n)
             srcs.foreach(si => outdeg(si) += 1)
@@ -1549,7 +1594,10 @@ object DedupOps {
       val docs = Tables.load(s, dir, "documents").select("doc_id")
       val eps = s.conf.get("spark.graft.pagerankEpsilon", "1000000").toLong
       val pairs = checkpointSlot("llm_dup_pagerank_comp", lshPairs(s, dir))
-      pagerankComponents(docs, pairs, eps)
+      // Every doc in the band table is in `docs`, so the star-contracted
+      // connectivity satisfies the closure contract.
+      pagerankComponents(docs, pairs, eps,
+        connectivity = Some(connectivityEdges(s, dir)))
         .select(col("doc_id"), col("degree"),
           (col("pr") >= expr("150000000000L div n_docs") &&
             col("pr") <= lit(1000000000000L)).as("rank_ok"),
@@ -1586,7 +1634,7 @@ object DedupOps {
   private val canonicalDocs = QueryDef(
     "llm_canonical_docs",
     (s, dir) => {
-      val groups = connectedComponents(lshPairs(s, dir))
+      val groups = connectedComponents(connectivityEdges(s, dir))
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       val j = groups.join(docs, "doc_id")
         .select(col("canonical_id"), col("doc_id"), col("n_chars"))
@@ -1666,6 +1714,35 @@ object DedupOps {
            |LEFT JOIN hits h USING (doc_id)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Star contraction of a band table for CONNECTIVITY-ONLY consumers:
+    * within a (band_idx, band_hash) bucket every member is reachable
+    * from every other through the bucket minimum, so the k-clique the
+    * banded self-join would emit (C(k,2) pairs) and the star rooted at
+    * the minimum (k−1 edges) have identical transitive closure. Any
+    * operator that feeds [[connectedComponents]] and never looks at the
+    * pair list itself (group resolution, canonical pick, curation drop
+    * list, the component assignment inside PageRank) takes the star:
+    * the edge volume drops from quadratic to linear in bucket occupancy
+    * — at sf3 the same corpus yields 2.9M clique pairs vs ~450k star
+    * edges — and the O(k²) within-bucket join never runs. Operators
+    * whose SEMANTICS are the pairs (the pair-list row, jaccard/edit
+    * verification, triangles, PageRank degrees) keep [[bandSelfPairs]].
+    */
+  private[graft] def bandStarEdges(b: DataFrame): DataFrame = {
+    val w = Window.partitionBy("band_idx", "band_hash")
+    b.select(col("band_idx"), col("band_hash"), col("doc_id"))
+      .withColumn("root", min("doc_id").over(w))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** [[bandStarEdges]] over the corpus's MinHash band table — the
+    * connectivity twin of [[lshPairs]].
+    */
+  private def connectivityEdges(s: SparkSession, dir: String): DataFrame =
+    bandStarEdges(bandHashes(s, dir))
+
   /** Banded candidate self-join over one band table: pairs form only
     * inside a (band_idx, band_hash) bucket, `doc_a < doc_b`.
     */
@@ -1727,7 +1804,7 @@ object DedupOps {
     def buildInto(s: SparkSession, lakeBands: DataFrame, root: String): Unit = {
       lakeBands.select("doc_id", "band_idx", "band_hash")
         .write.mode("overwrite").parquet(s"$root/bandindex")
-      publishStars(s, connectedComponents(bandSelfPairs(lakeBands)), root)
+      publishStars(s, connectedComponents(bandStarEdges(lakeBands)), root)
     }
 
     /** Fold one ingest batch into the persisted state. */
@@ -1736,7 +1813,7 @@ object DedupOps {
       try {
         val lake = s.read.parquet(s"$root/bandindex")
         val stars = s.read.parquet(starsPath(s, root))
-        val bb = bandSelfPairs(batchBands)
+        val bb = bandStarEdges(batchBands)
         val bl = batchBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("bd"))
           .join(lake.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
             col("doc_id").as("ld")),
