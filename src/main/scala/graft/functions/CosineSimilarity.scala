@@ -124,6 +124,11 @@ object GraftFunctions {
         require(exprs.length == 1, "rp_project6 takes exactly 1 argument")
         RpProject6(exprs.head)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_clean", exprs => {
+        require(exprs.length == 1, "text_clean takes exactly 1 argument")
+        TextClean(exprs.head)
+      }, "scala_udf")
   }
 
   private[functions] def mkLexiconMatch(exprs: Seq[Expression]): LexiconMatch = {
@@ -193,6 +198,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "rp_project6 takes exactly 1 argument")
         RpProject6(exprs.head)
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("text_clean"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TextClean].getCanonicalName, "text_clean"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "text_clean takes exactly 1 argument")
+        TextClean(exprs.head)
       }))
   }
 }
