@@ -2031,9 +2031,222 @@ object DedupOps {
            |FROM grp GROUP BY doc_id, island
            |ORDER BY doc_id, span_start""".stripMargin))
 
+  /** Leakage-safe train/val/test split — fold assignment by NEAR-DUP
+    * GROUP, not by document: a doc and its near-copies always land in
+    * the same fold, so an eval example can never have a training-set
+    * twin (the contamination `llm_train_split`'s doc-hash split cannot
+    * rule out). The group key is the CC canonical id over the LSH
+    * candidate graph (star-contracted — connectivity only); ungrouped
+    * docs are their own group. The fold is a pure function of the
+    * GROUP id (first two md5 hex chars: < 'cc' ≈ 80% train, < 'e6' ≈
+    * 10% val, else test), so membership is reproducible across reruns,
+    * engines, and delta reprocessing. Scale shape: CC over star edges +
+    * one broadcast-or-shuffle left join keyed on doc_id + a map-side
+    * hash — nothing quadratic anywhere.
+    */
+  private val groupSplit = QueryDef(
+    "llm_group_split",
+    (s, dir) => {
+      val groups = connectedComponents(connectivityEdges(s, dir))
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      val gid = coalesce(col("canonical_id"), col("doc_id"))
+      val bucket = substring(md5(concat(lit("fold:"), gid.cast("string"))), 1, 2)
+      docs.join(groups, Seq("doc_id"), "left")
+        .select(col("doc_id"), gid.as("group_id"),
+          when(bucket < "cc", "train").when(bucket < "e6", "val")
+            .otherwise("test").as("fold"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |$ccOracleCtes,
+           |grp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+           |  FROM reach GROUP BY src)
+           |SELECT d.doc_id,
+           |  coalesce(g.canonical_id, d.doc_id) AS group_id,
+           |  CASE WHEN substr(md5('fold:' ||
+           |           CAST(coalesce(g.canonical_id, d.doc_id) AS VARCHAR)), 1, 2) < 'cc'
+           |       THEN 'train'
+           |       WHEN substr(md5('fold:' ||
+           |           CAST(coalesce(g.canonical_id, d.doc_id) AS VARCHAR)), 1, 2) < 'e6'
+           |       THEN 'val' ELSE 'test' END AS fold
+           |FROM documents d LEFT JOIN grp g USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
+
+  /** Shingle CONTAINMENT per candidate pair (Broder 1997's second
+    * resemblance measure): |A∩B|/|A| and |A∩B|/|B|. Jaccard misses
+    * subset duplication — a document quoted wholesale inside a larger
+    * one scores low resemblance but containment ≈ 1 on the smaller
+    * side — so curation pipelines flag `max(c_a, c_b) ≥ 0.9` as a
+    * near-dup even when Jaccard passes. Same one-pass carried-set plan
+    * as `llm_minhash_jaccard_est`: the shingle relation aggregates
+    * once, pairs carry both sets, and the intersection is map-side
+    * `array_intersect`.
+    */
+  private val containment = QueryDef(
+    "llm_containment",
+    (s, dir) => {
+      val perDoc = shingles(s, dir).groupBy("doc_id")
+        .agg(collect_set(col("shingle")).as("shset"))
+      val sa = perDoc.select(col("doc_id").as("pa"), col("shset").as("shset_a"))
+      val sb = perDoc.select(col("doc_id").as("pb"), col("shset").as("shset_b"))
+      lshPairs(s, dir)
+        .join(sa, col("doc_a") === col("pa"))
+        .join(sb, col("doc_b") === col("pb"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("shset_a"), col("shset_b"))).cast("long").as("inter"),
+          size(col("shset_a")).cast("long").as("na"),
+          size(col("shset_b")).cast("long").as("nb"))
+        .filter(col("inter") >= 1) // mirror the oracle's inner intersection join
+        .select(col("doc_a"), col("doc_b"),
+          roundTo(col("inter") / col("na"), 4).as("containment_a"),
+          roundTo(col("inter") / col("nb"), 4).as("containment_b"),
+          (greatest(col("inter") / col("na"), col("inter") / col("nb")) >= 0.9)
+            .as("contained"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |nsh AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS i
+           |  FROM cand c
+           |  JOIN shd a ON a.doc_id = c.doc_a
+           |  JOIN shd b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           |  GROUP BY 1, 2)
+           |SELECT i.doc_a, i.doc_b,
+           |  floor(i.i / CAST(na.n AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS containment_a,
+           |  floor(i.i / CAST(nb.n AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS containment_b,
+           |  greatest(i.i / CAST(na.n AS DOUBLE), i.i / CAST(nb.n AS DOUBLE)) >= 0.9
+           |    AS contained
+           |FROM inter i
+           |JOIN nsh na ON na.doc_id = i.doc_a
+           |JOIN nsh nb ON nb.doc_id = i.doc_b
+           |ORDER BY i.doc_a, i.doc_b""".stripMargin))
+
+  /** Curation funnel report — per-stage survivor counts and token
+    * volumes for the `llm_curation_pipeline` predicate chain (raw →
+    * exact dedup → near-dup drop → length filter), the one-page answer
+    * to "where did my tokens go?". ONE pass computes every doc's three
+    * stage flags (semi-join for exact-canonical membership, CC drop
+    * list for near-dups, a map-side token bound), then a single
+    * conditional aggregate folds them into the four cumulative stages —
+    * no per-stage rescan of the corpus at any scale.
+    */
+  private val curationFunnel = QueryDef(
+    "llm_curation_funnel",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(splitLit(col("text"), " ")).cast("long").as("ws"))
+      val exactCanon = Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("ck")).agg(min("doc_id").as("keep_id"))
+        .select("keep_id")
+      val nearDrop = connectedComponents(connectivityEdges(s, dir))
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id").as("drop_id"), lit(true).as("is_drop"))
+      val flagged = docs
+        .join(exactCanon.withColumn("is_exact", lit(true)),
+          col("doc_id") === col("keep_id"), "left")
+        .join(nearDrop, col("doc_id") === col("drop_id"), "left")
+        .select(col("ws"),
+          coalesce(col("is_exact"), lit(false)).as("e"),
+          coalesce(col("is_drop"), lit(false)).as("d"))
+      val s1 = col("e")
+      val s2 = col("e") && !col("d")
+      val s3 = s2 && col("ws").between(5, 1000)
+      val agg = flagged.agg(
+        count(lit(1)).as("n0"), sum("ws").as("t0"),
+        sum(when(s1, 1L).otherwise(0L)).as("n1"),
+        sum(when(s1, col("ws")).otherwise(0L)).as("t1"),
+        sum(when(s2, 1L).otherwise(0L)).as("n2"),
+        sum(when(s2, col("ws")).otherwise(0L)).as("t2"),
+        sum(when(s3, 1L).otherwise(0L)).as("n3"),
+        sum(when(s3, col("ws")).otherwise(0L)).as("t3"))
+      agg.select(explode(array(
+          struct(lit(0).as("stage_idx"), lit("raw").as("stage"),
+            col("n0").as("n_docs"), col("t0").as("tokens")),
+          struct(lit(1).as("stage_idx"), lit("exact_dedup").as("stage"),
+            col("n1").as("n_docs"), col("t1").as("tokens")),
+          struct(lit(2).as("stage_idx"), lit("near_dedup").as("stage"),
+            col("n2").as("n_docs"), col("t2").as("tokens")),
+          struct(lit(3).as("stage_idx"), lit("length_filter").as("stage"),
+            col("n3").as("n_docs"), col("t3").as("tokens")))).as("r"))
+        .select(col("r.stage_idx"), col("r.stage"), col("r.n_docs"), col("r.tokens"))
+        .orderBy("stage_idx")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |$ccOracleCtes,
+           |near_drop AS (
+           |  SELECT src AS doc_id FROM reach GROUP BY src
+           |  HAVING least(src, min(dst)) <> src),
+           |d AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+           |    doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text)) AS e,
+           |    doc_id IN (SELECT doc_id FROM near_drop) AS dr
+           |  FROM documents)
+           |SELECT 0 AS stage_idx, 'raw' AS stage,
+           |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ws) AS BIGINT) AS tokens FROM d
+           |UNION ALL SELECT 1, 'exact_dedup',
+           |  CAST(count(*) FILTER (e) AS BIGINT),
+           |  CAST(coalesce(sum(ws) FILTER (e), 0) AS BIGINT) FROM d
+           |UNION ALL SELECT 2, 'near_dedup',
+           |  CAST(count(*) FILTER (e AND NOT dr) AS BIGINT),
+           |  CAST(coalesce(sum(ws) FILTER (e AND NOT dr), 0) AS BIGINT) FROM d
+           |UNION ALL SELECT 3, 'length_filter',
+           |  CAST(count(*) FILTER (e AND NOT dr AND ws BETWEEN 5 AND 1000) AS BIGINT),
+           |  CAST(coalesce(sum(ws) FILTER (e AND NOT dr AND ws BETWEEN 5 AND 1000), 0) AS BIGINT)
+           |FROM d
+           |ORDER BY stage_idx""".stripMargin))
+
+  /** Cross-source duplication matrix — for every ordered source pair,
+    * how many near-dup candidate pairs connect them (and how many docs
+    * on each side participate). This is the "who copies from whom"
+    * report that decides which source to DROP when two feeds mirror
+    * each other. The pair list joins the (doc_id → source) projection
+    * twice — column-pruned to two narrow columns, broadcastable when
+    * the doc-meta side is small, shuffle-equi otherwise — and the
+    * output is |sources|² rows regardless of corpus size. Source names
+    * are ordered within the pair (least/greatest) so A↔B accumulates
+    * in one cell.
+    */
+  private val sourceOverlap = QueryDef(
+    "llm_source_overlap",
+    (s, dir) => {
+      val meta = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+      lshPairs(s, dir)
+        .join(meta.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(meta.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"),
+          col("doc_a"), col("doc_b"))
+        .groupBy("source_x", "source_y")
+        .agg(count(lit(1)).as("dup_pairs"),
+          countDistinct(col("doc_a")).as("docs_x_side"),
+          countDistinct(col("doc_b")).as("docs_y_side"))
+        .orderBy("source_x", "source_y")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |meta AS (SELECT doc_id, source FROM documents),
+           |p AS (
+           |  SELECT least(a.source, b.source) AS source_x,
+           |         greatest(a.source, b.source) AS source_y,
+           |         c.doc_a, c.doc_b
+           |  FROM cand c
+           |  JOIN meta a ON a.doc_id = c.doc_a
+           |  JOIN meta b ON b.doc_id = c.doc_b)
+           |SELECT source_x, source_y,
+           |  CAST(count(*) AS BIGINT) AS dup_pairs,
+           |  CAST(count(DISTINCT doc_a) AS BIGINT) AS docs_x_side,
+           |  CAST(count(DISTINCT doc_b) AS BIGINT) AS docs_y_side
+           |FROM p GROUP BY 1, 2
+           |ORDER BY source_x, source_y""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
     dupPagerankComp,
     canonicalDocs, incrementalDedup, incrementalGroups, lineDedup, substrSpans,
-    triangles, jaccardEst, editVerify)
+    triangles, jaccardEst, editVerify, groupSplit, containment, curationFunnel,
+    sourceOverlap)
 }
