@@ -765,19 +765,25 @@ object DedupOps {
     *
     * Two-tier strategy, same idea as Spark's broadcast-join threshold:
     * when the deduplicated edge list fits under
-    * `spark.graft.ccLocalMaxEdges` (default 100k edges ≈ a few MB — a
-    * bounded, conf-controlled driver batch, NOT an unbounded collect),
+    * `spark.graft.ccLocalMaxEdges` (default 1M edges — a bounded,
+    * conf-controlled driver batch, NOT an unbounded collect; ~80 MB of
+    * transient Row objects on the driver, the same order as a large
+    * broadcast build side, and the union-find itself is milliseconds),
     * the components are solved in one pass of driver union-find and
-    * `rounds` is 0 — at test/bench scale the candidate graph is a few
-    * hundred edges, and burning 6 shuffle stages per distributed round
-    * on it is pure scheduler overhead. Graphs above the threshold (the
-    * 100 TB case) run the checkpointed distributed loop below, which
-    * `ConnectedComponentsSpec` exercises directly by setting the
-    * threshold to 0.
+    * `rounds` is 0 — every distributed round the small graph skips is
+    * ~6 shuffle stages of pure scheduler overhead. Graphs above the
+    * threshold (the 100 TB case: a planetary candidate graph has
+    * billions of edges) run the checkpointed distributed loop below,
+    * which `ConnectedComponentsSpec` exercises directly by setting the
+    * threshold to 0. With the star-contracted connectivity inputs
+    * ([[bandStarEdges]]) the edge list is linear in banded-doc count,
+    * so the crossover sits near ~250k docs per band-collision cluster
+    * population — the sf3 bench corpus solves locally while any real
+    * lake-scale run goes distributed.
     */
   def connectedComponentsStats(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     val spark = pairs.sparkSession
-    val localMax = spark.conf.get("spark.graft.ccLocalMaxEdges", "100000").toInt
+    val localMax = spark.conf.get("spark.graft.ccLocalMaxEdges", "1000000").toInt
     // Canonical big→small edge list; persisted so the tier probe and the
     // consuming tier (local collect OR initial reliable checkpoint) pay
     // for the upstream candidate pipeline once.
@@ -1202,7 +1208,13 @@ object DedupOps {
     // tiers agree bit-for-bit (`PagerankConvergenceSpec` pins local ==
     // distributed == spec replay). Above the threshold the checkpointed
     // distributed loop below is the 100 TB path.
-    val localMax = s.conf.get("spark.graft.pagerankLocalMaxEdges", "100000").toLong
+    // Default 2M directed edges → a collect of ≤ 1M pair rows (~80 MB
+    // transient on the driver, broadcast-build-side order) and integer
+    // arrays the recurrence solves in milliseconds; above it, the
+    // checkpointed distributed loop. The bound is on the EDGE LIST (the
+    // collected data), never the doc column — isolated docs' ranks are
+    // emitted distributedly from the closed form.
+    val localMax = s.conf.get("spark.graft.pagerankLocalMaxEdges", "2000000").toLong
     // A pair with an endpoint outside `docs` is dropped up-front, for
     // BOTH tiers: previously the distributed tier kept such an edge in
     // the out-degree divisor while dropping its contribution (silently
