@@ -2255,10 +2255,45 @@ object DedupOps {
            |FROM p GROUP BY 1, 2
            |ORDER BY source_x, source_y""".stripMargin))
 
+  /** Ingest-order novelty scoring — per document, the fraction of its
+    * distinct word 3-shingles that NO earlier document (doc_id as
+    * ingest order) contains. Curation uses this as a cheap "information
+    * added" signal: boilerplate-heavy late arrivals score near 0, the
+    * first occurrence of fresh content near 1. Two shuffles total at
+    * any scale: shingle → min(doc_id) (the first-owner table, partial
+    * aggregates map-side) and first-owner hits → per-doc fraction. No
+    * pairwise anything — the novelty of N docs costs the same as the
+    * distinct-shingle count.
+    */
+  private val shingleNovelty = QueryDef(
+    "llm_shingle_novelty",
+    (s, dir) => {
+      val sh = shingles(s, dir).distinct()
+      val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          roundTo(col("n_novel") / col("n_shingles"), 4).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $lshOracleCtes,
+           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |first AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY shingle)
+           |SELECT s.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(count(*) FILTER (s.doc_id = f.first_doc) AS BIGINT) AS n_novel,
+           |  floor(count(*) FILTER (s.doc_id = f.first_doc)
+           |        / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS novelty
+           |FROM shd s JOIN first f USING (shingle)
+           |GROUP BY s.doc_id
+           |ORDER BY s.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
     dupPagerankComp,
     canonicalDocs, incrementalDedup, incrementalGroups, lineDedup, substrSpans,
     triangles, jaccardEst, editVerify, groupSplit, containment, curationFunnel,
-    sourceOverlap)
+    sourceOverlap, shingleNovelty)
 }

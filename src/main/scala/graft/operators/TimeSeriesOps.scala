@@ -332,6 +332,40 @@ object TimeSeriesOps {
            |FROM daily d JOIN mad m ON m.event_type = d.event_type
            |ORDER BY d.event_type, d.d""".stripMargin))
 
+  /** Rolling EXACT median over a trailing 20-event frame — the robust
+    * denoiser (a single spike shifts a moving average by spike/20 but
+    * leaves the median untouched). Spark has no median window, so the
+    * frame materializes as a sorted 20-element array per row
+    * (`collect_list` over the bounded ROWS frame + `sort_array`) and
+    * the median interpolates the two middles on even counts — exactly
+    * DuckDB's `median(DOUBLE) OVER w`. The frame bound is what makes
+    * this scale-sane: per-row state is O(frame), the only exchange is
+    * the user_id partition sort every ts* row already pays, and the
+    * array never outlives its projection.
+    */
+  private val rollingMedian = QueryDef(
+    "ts8_rolling_median",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          sort_array(collect_list(col("value")).over(w)).as("vals"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          roundTo(when(size(col("vals")) % 2 === 1,
+              element_at(col("vals"), ((size(col("vals")) + 1) / 2).cast("int")))
+            .otherwise((element_at(col("vals"), (size(col("vals")) / 2).cast("int")) +
+              element_at(col("vals"), (size(col("vals")) / 2).cast("int") + 1)) / 2.0), 4)
+            .as("rolling_median"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, value,
+           |  floor(median(value) OVER w * 10000.0 + 0.5) / 10000.0 AS rolling_median
+           |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+           |ORDER BY user_id, event_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(gapfill, ohlc, locf, ewma, zscore, autocorr,
-    madOutliers)
+    madOutliers, rollingMedian)
 }

@@ -94,6 +94,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.keys.forall { case (x, y) => x <= y })
   }
 
+  test("shingle novelty: first owner scores 1.0, a later verbatim twin 0.0") {
+    val rows = SparkEntry.queries("llm_shingle_novelty")(spark, corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(1L) === 1.0, "doc 1 is the first owner of all its shingles")
+    assert(rows(2L) === 0.0 && rows(3L) === 0.0,
+      "verbatim twins of an earlier doc add nothing")
+    assert(rows(6L) === 1.0, "unique doc is all-novel")
+  }
+
+  test("rolling median: a single spike moves the mean but not the median") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 30).map { i =>
+      (7L, i.toLong, new java.sql.Timestamp(ts0.getTime + i * 60000L),
+        if (i == 25) 1e6 else 10.0, "click")
+    }
+    val dir = tmpTables(d => rows.toDF("user_id", "event_id", "ts", "value", "event_type")
+      .write.parquet(s"$d/events.parquet"))
+    val out = SparkEntry.queries("ts8_rolling_median")(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(24L) === 10.0 && out(26L) === 10.0 && out(30L) === 10.0,
+      "median must ignore the lone spike")
+    assert(out(25L) === 10.0, "spike row's own frame median is still 10")
+  }
+
   test("plan shape: funnel aggregates the corpus once; split has no cartesian") {
     Seq("llm_curation_funnel", "llm_group_split", "llm_source_overlap").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, corpus).queryExecution.executedPlan
