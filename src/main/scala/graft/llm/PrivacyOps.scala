@@ -262,5 +262,52 @@ object PrivacyOps {
            |JOIN gl USING (lang), tot
            |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(piiRedact, urlCanon, embedQuantize, kAnonymity)
+  /** l-diversity audit (Machanavajjhala et al., "l-Diversity: Privacy
+    * Beyond k-Anonymity", ICDE 2006) — k-anonymity's complement: a
+    * quasi-identifier group can be large (k-anonymous) yet still leak
+    * its members' sensitive attribute if every member SHARES it. Per
+    * (lang, source) group this reports the count of distinct sensitive
+    * values (the document-length class stands in for the sensitive
+    * column), the distinct-l flag at l = 3, and the Shannon entropy of
+    * the sensitive distribution (the entropy-l-diversity measure). One
+    * two-level aggregate — (group, sensitive) partial counts map-side,
+    * then a group rollup — output bounded by |groups|.
+    */
+  private val lDiversity = QueryDef(
+    "llm_l_diversity",
+    (s, dir) => {
+      val l = 3
+      val d = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          floor(col("n_chars") / 500).cast("long").as("sens"))
+      val per = d.groupBy("lang", "source", "sens").agg(count(lit(1)).as("c"))
+      per.groupBy("lang", "source")
+        .agg(sum("c").as("n"),
+          count(lit(1)).as("n_sensitive_values"),
+          roundTo(-sum(col("c") * log(col("c"))) / sum("c") +
+            log(sum("c")), 4).as("sens_entropy"))
+        .select(col("lang"), col("source"), col("n"),
+          col("n_sensitive_values"),
+          (col("n_sensitive_values") >= l).as("l_diverse"),
+          col("sens_entropy"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH d AS (
+           |  SELECT lang, source,
+           |         CAST(floor(n_chars / 500.0) AS BIGINT) AS sens
+           |  FROM documents),
+           |per AS (
+           |  SELECT lang, source, sens, CAST(count(*) AS BIGINT) AS c
+           |  FROM d GROUP BY 1, 2, 3)
+           |SELECT lang, source,
+           |  CAST(sum(c) AS BIGINT) AS n,
+           |  CAST(count(*) AS BIGINT) AS n_sensitive_values,
+           |  count(*) >= 3 AS l_diverse,
+           |  floor((-sum(c * ln(c)) / sum(c) + ln(sum(c))) * 10000.0 + 0.5) / 10000.0
+           |    AS sens_entropy
+           |FROM per GROUP BY 1, 2
+           |ORDER BY lang, source""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(piiRedact, urlCanon, embedQuantize, kAnonymity,
+    lDiversity)
 }

@@ -1255,59 +1255,163 @@ object SimilarityOps {
     pqAdcRank(codes, codebook, wm.filter(col("vec_id") < 8))
   }
 
+  /** Shared DuckDB replay of the PQ training pipeline (bit-exact: 1e6
+    * integer quantization, 16 seed centroids, 2 Lloyd rounds) ending in
+    * the full code table `a3`, the frozen codebook `c2`, and the
+    * query-side ADC lookup table `qt` — interpolated into the
+    * `llm_pq_adc` and `llm_ann_ivfadc` oracles so the replay can never
+    * drift between them.
+    */
+  private val pqOracleTrainingCtes: String = {
+    def assign(prev: String): String =
+      s"""SELECT vec_id, m, CAST(k % 100 AS INTEGER) AS cluster, k // 100 AS dist
+         |  FROM (SELECT w.vec_id, w.m,
+         |          min(CAST(list_sum(list_transform(generate_series(1, len(w.sx)),
+         |                i -> (w.sx[i] - c.c[i]) * (w.sx[i] - c.c[i]))) AS BIGINT)
+         |              * 100 + c.cluster) AS k
+         |        FROM wm w JOIN $prev c ON c.m = w.m GROUP BY w.vec_id, w.m)""".stripMargin
+    def recompute(prev: String): String =
+      s"""SELECT m, cluster, list(cv ORDER BY pos) AS c FROM (
+         |    SELECT m, cluster, pos, CAST(sum(v) AS BIGINT) // count(*) AS cv FROM (
+         |      SELECT a.m, a.cluster, unnest(generate_series(1, len(w.sx))) AS pos,
+         |             unnest(w.sx) AS v
+         |      FROM $prev a JOIN wm w ON w.vec_id = a.vec_id AND w.m = a.m)
+         |    GROUP BY m, cluster, pos)
+         |  GROUP BY m, cluster""".stripMargin
+    s"""pqe AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qx
+       |  FROM embeddings),
+       |wm AS (
+       |  SELECT vec_id, m, list_slice(qx, m * 8 + 1, m * 8 + 8) AS sx
+       |  FROM pqe, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS m) ms),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+       |  FROM (SELECT vec_id FROM pqe ORDER BY vec_id LIMIT 16)),
+       |c0 AS (SELECT w.m, s.cluster, w.sx AS c
+       |       FROM wm w JOIN seeds s ON s.vec_id = w.vec_id),
+       |a1 AS (${assign("c0")}),
+       |c1 AS (${recompute("a1")}),
+       |a2 AS (${assign("c1")}),
+       |c2 AS (${recompute("a2")}),
+       |a3 AS (${assign("c2")}),
+       |qt AS (
+       |  SELECT w.vec_id AS query_id, w.m, c.cluster,
+       |    CAST(list_sum(list_transform(generate_series(1, len(w.sx)),
+       |      i -> (w.sx[i] - c.c[i]) * (w.sx[i] - c.c[i]))) AS BIGINT) AS d
+       |  FROM wm w JOIN c2 c ON c.m = w.m WHERE w.vec_id < 8)""".stripMargin
+  }
+
   private val pq = QueryDef(
     "llm_pq_adc",
     (s, dir) => pqAdc(s, dir),
-    Some {
-      def assign(prev: String): String =
-        s"""SELECT vec_id, m, CAST(k % 100 AS INTEGER) AS cluster, k // 100 AS dist
-           |  FROM (SELECT w.vec_id, w.m,
-           |          min(CAST(list_sum(list_transform(generate_series(1, len(w.sx)),
-           |                i -> (w.sx[i] - c.c[i]) * (w.sx[i] - c.c[i]))) AS BIGINT)
-           |              * 100 + c.cluster) AS k
-           |        FROM wm w JOIN $prev c ON c.m = w.m GROUP BY w.vec_id, w.m)""".stripMargin
-      def recompute(prev: String): String =
-        s"""SELECT m, cluster, list(cv ORDER BY pos) AS c FROM (
-           |    SELECT m, cluster, pos, CAST(sum(v) AS BIGINT) // count(*) AS cv FROM (
-           |      SELECT a.m, a.cluster, unnest(generate_series(1, len(w.sx))) AS pos,
-           |             unnest(w.sx) AS v
-           |      FROM $prev a JOIN wm w ON w.vec_id = a.vec_id AND w.m = a.m)
-           |    GROUP BY m, cluster, pos)
-           |  GROUP BY m, cluster""".stripMargin
-      s"""WITH emb AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qx
-         |  FROM embeddings),
-         |wm AS (
-         |  SELECT vec_id, m, list_slice(qx, m * 8 + 1, m * 8 + 8) AS sx
-         |  FROM emb, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS m) ms),
-         |seeds AS (
-         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
-         |  FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16)),
-         |c0 AS (SELECT w.m, s.cluster, w.sx AS c
-         |       FROM wm w JOIN seeds s ON s.vec_id = w.vec_id),
-         |a1 AS (${assign("c0")}),
-         |c1 AS (${recompute("a1")}),
-         |a2 AS (${assign("c1")}),
-         |c2 AS (${recompute("a2")}),
-         |a3 AS (${assign("c2")}),
-         |qt AS (
-         |  SELECT w.vec_id AS query_id, w.m, c.cluster,
-         |    CAST(list_sum(list_transform(generate_series(1, len(w.sx)),
-         |      i -> (w.sx[i] - c.c[i]) * (w.sx[i] - c.c[i]))) AS BIGINT) AS d
-         |  FROM wm w JOIN c2 c ON c.m = w.m WHERE w.vec_id < 8),
-         |adc AS (
-         |  SELECT t.query_id, a.vec_id AS item_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
-         |  FROM a3 a JOIN qt t ON t.m = a.m AND t.cluster = a.cluster
-         |  WHERE a.vec_id <> t.query_id
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, item_id, adc_dist,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, item_id) AS rank
-         |  FROM adc)
-         |SELECT query_id, CAST(rank AS INTEGER) AS rank, item_id, adc_dist
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    })
+    Some(s"""WITH $pqOracleTrainingCtes,
+           |adc AS (
+           |  SELECT t.query_id, a.vec_id AS item_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+           |  FROM a3 a JOIN qt t ON t.m = a.m AND t.cluster = a.cluster
+           |  WHERE a.vec_id <> t.query_id
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT query_id, item_id, adc_dist,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, item_id) AS rank
+           |  FROM adc)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, item_id, adc_dist
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** IVF + ADC composed — the canonical large-scale ANN architecture
+    * (IVFADC, Jégou/Douze/Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): route each query to its nearest
+    * cell centroid, then rank ONLY that cell's members, scoring them by
+    * asymmetric-distance lookup against their 4-byte PQ codes instead
+    * of their raw vectors. The two halves are this file's existing
+    * verified pieces (`llm_ann_ivf` routing, `llm_pq_adc` scoring); the
+    * composition is what a 100 TB deployment actually runs — the scan
+    * is 1/|cells| of the corpus and reads codes (32 bytes/vector here)
+    * rather than embeddings. In the persisted-index deployment the
+    * codes table is partitioned by cell (the `IvfIndex` corpus layout),
+    * so routing prunes physically; this self-contained row derives both
+    * index halves in-query, restricting by the cell equi-join.
+    */
+  private val ivfPq = QueryDef(
+    "llm_ann_ivfadc",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val wm = pqSubvectors(emb)
+      val codebook = pqTrain(wm)
+      val codes = pqAssign(wm, codebook).select("vec_id", "m", "cluster")
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val cent = emb
+        .select(col("label"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg("x").as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)").as("cv"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val routed = q.join(broadcast(cent))
+        .withColumn("c_sim", roundTo(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("c_sim").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("qid").as("query_id"), col("label").as("cell"))
+      val table = wm.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("m").as("tm"), col("sx"))
+        .join(broadcast(codebook.withColumnRenamed("m", "tm")), "tm")
+        .select(col("query_id"), col("tm"), col("cluster").as("tcluster"), pqSqDist.as("d"))
+        .join(broadcast(routed), "query_id")
+      val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("item_id"))
+      codes.join(broadcast(table),
+          col("m") === col("tm") && col("cluster") === col("tcluster") &&
+            col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("cell"), col("vec_id").as("item_id"))
+        .agg(sum("d").as("adc_dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "cell", "rank", "item_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $pqOracleTrainingCtes,
+           |cterms AS (
+           |  SELECT label,
+           |    CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS pos,
+           |    CAST(unnest(embedding) AS DOUBLE) AS x
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT label AS c_label, pos, avg(x) AS c FROM cterms GROUP BY 1, 2),
+           |q AS (
+           |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |qterms AS (
+           |  SELECT qid,
+           |    CAST(unnest(generate_series(1, len(qv))) AS INTEGER) AS pos,
+           |    CAST(unnest(qv) AS DOUBLE) AS qx
+           |  FROM q),
+           |qcent AS (
+           |  SELECT qid, c_label,
+           |    floor(sum(qx * c) / (sqrt(sum(qx * qx)) * sqrt(sum(c * c)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS c_sim
+           |  FROM qterms JOIN cent USING (pos) GROUP BY qid, c_label),
+           |routed AS (
+           |  SELECT qid, c_label AS cell FROM (
+           |    SELECT qid, c_label,
+           |      row_number() OVER (PARTITION BY qid ORDER BY c_sim DESC, c_label) AS rn
+           |    FROM qcent) WHERE rn = 1),
+           |adc AS (
+           |  SELECT t.query_id, r.cell, a.vec_id AS item_id,
+           |    CAST(sum(t.d) AS BIGINT) AS adc_dist
+           |  FROM a3 a
+           |  JOIN qt t ON t.m = a.m AND t.cluster = a.cluster
+           |  JOIN embeddings e ON e.vec_id = a.vec_id
+           |  JOIN routed r ON r.qid = t.query_id AND e.label = r.cell
+           |  WHERE a.vec_id <> t.query_id
+           |  GROUP BY 1, 2, 3),
+           |ranked AS (
+           |  SELECT query_id, cell, item_id, adc_dist,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, item_id) AS rank
+           |  FROM adc)
+           |SELECT query_id, cell, CAST(rank AS INTEGER) AS rank, item_id, adc_dist
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   /** Persisted PQ index — the deployed shape of the design: the
     * codebook is trained ONCE (on the base corpus) and then FROZEN;
@@ -1664,5 +1768,5 @@ object SimilarityOps {
 
   val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, ivfInc, nearDup, semanticDedup,
     semanticDedupInc,
-    topkQ8, hybridRrf, kmeans, pq, pqIncremental, randomProjection, rpRerank)
+    topkQ8, hybridRrf, kmeans, pq, ivfPq, pqIncremental, randomProjection, rpRerank)
 }
