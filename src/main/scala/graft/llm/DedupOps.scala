@@ -1465,6 +1465,18 @@ object DedupOps {
       .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Same driver-tier crossover as the global loop: a graph whose
+      // WHOLE edge list fits the driver bound has nothing to gain from
+      // the CC + per-component machinery — one driver solve is strictly
+      // cheaper and bit-identical on connected graphs (per-component
+      // stop ≡ global stop there; elsewhere both are within eps, which
+      // is all this form promises). The CC + flatMapGroups path below
+      // is for graphs whose edge list does NOT fit anywhere whole.
+      val localMax = s.conf.get("spark.graft.pagerankLocalMaxEdges", "2000000").toLong
+      if (2L * cleanPairs.count() <= localMax) {
+        val (ranks, _, _) = pagerankConvergedStats(docs, cleanPairs, eps, maxRounds)
+        return ranks.select("doc_id", "pr", "degree", "n_docs")
+      }
       val base = 150000000000L / nTotal
       val init = 1000000000000L / nTotal
       // The component assignment only needs CONNECTIVITY. A caller whose
@@ -1605,11 +1617,16 @@ object DedupOps {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id")
       val eps = s.conf.get("spark.graft.pagerankEpsilon", "1000000").toLong
-      val pairs = checkpointSlot("llm_dup_pagerank_comp", lshPairs(s, dir))
-      // Every doc in the band table is in `docs`, so the star-contracted
-      // connectivity satisfies the closure contract.
-      pagerankComponents(docs, pairs, eps,
-        connectivity = Some(connectivityEdges(s, dir)))
+      // ONE checkpoint of the band table feeds BOTH derivations — the
+      // clique pairs (degree/solve semantics) and the star-contracted
+      // connectivity. A separate connectivityEdges(s, dir) here would
+      // re-run the whole minhash signature pipeline a second time
+      // (measured +20 s at sf10p, erasing the star contraction's win).
+      // Every doc in the band table is in `docs`, so the contraction
+      // satisfies pagerankComponents' closure contract.
+      val bands = checkpointSlot("llm_dup_pagerank_comp", bandHashes(s, dir))
+      pagerankComponents(docs, bandSelfPairs(bands), eps,
+        connectivity = Some(bandStarEdges(bands)))
         .select(col("doc_id"), col("degree"),
           (col("pr") >= expr("150000000000L div n_docs") &&
             col("pr") <= lit(1000000000000L)).as("rank_ok"),
