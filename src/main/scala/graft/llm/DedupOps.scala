@@ -478,16 +478,26 @@ object DedupOps {
       // shingle relation ONCE and the candidate list twice (small), and
       // the quadratic-ish fan-out work stays inside codegen.
       val sigCols = (0 to 7).map(i => s"mh$i")
+      // The carried sets hold 64-bit shingle hashes, not the strings:
+      // the set rides TWO join shuffles (once hooked to each pair
+      // side), and 8 bytes/element vs ~30 shrinks that volume ~4x.
+      // |A∩B| over distinct hashes equals |A∩B| over distinct shingles
+      // up to an xxhash64 collision inside one pair's union (~200
+      // elements → P ≈ 2^-51 per pair) — the same order of design
+      // bound the md5-based signatures already accept.
       val perDoc = shingles(s, dir).groupBy("doc_id")
         .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7),
-          collect_set(col("shingle")).as("shset"))
+          collect_set(xxhash64(col("shingle"))).as("shset"))
       val sa = perDoc.select(col("doc_id").as("pa") +:
         col("shset").as("shset_a") +: sigCols.map(c => col(c).as(s"${c}_a")): _*)
       val sb = perDoc.select(col("doc_id").as("pb") +:
         col("shset").as("shset_b") +: sigCols.map(c => col(c).as(s"${c}_b")): _*)
       val agree = sigCols.map(c =>
         when(col(s"${c}_a") === col(s"${c}_b"), 1L).otherwise(0L)).reduce(_ + _)
-      lshPairs(s, dir)
+      // The candidate pairs derive from the SAME aggregate (bands are
+      // md5-folds of the mh columns), not a second lshPairs call whose
+      // from-scratch shingle pipeline would double the corpus scans.
+      bandSelfPairs(bandsOfSigs(perDoc))
         .join(sa, col("doc_a") === col("pa"))
         .join(sb, col("doc_b") === col("pb"))
         .select(col("doc_a"), col("doc_b"), agree.as("agree_k"),
@@ -591,13 +601,20 @@ object DedupOps {
   private[graft] def bandsOfDocs(docs: DataFrame): DataFrame = {
     val sh = Grams.ngrams(docs, splitLit(col("text"), " "), 3)
       .select(col("doc_id"), col("gram").as("shingle"))
-    val sigs = sh.groupBy("doc_id")
-      .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+    bandsOfSigs(sh.groupBy("doc_id")
+      .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7)))
+  }
+
+  /** Band fold over an existing signature frame (doc_id, mh0..mh7) —
+    * lets a row that already aggregated signatures (e.g. one that also
+    * carries the shingle sets) derive its candidate pairs from the SAME
+    * aggregate instead of a second from-scratch shingle pipeline.
+    */
+  private[graft] def bandsOfSigs(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), posexplode(array(
       md5(concat(col("mh0"), col("mh1"))), md5(concat(col("mh2"), col("mh3"))),
       md5(concat(col("mh4"), col("mh5"))), md5(concat(col("mh6"), col("mh7")))))
       .as(Seq("band_idx", "band_hash")))
-  }
 
   /** The MinHash-LSH candidate graph as seen by the dedup family —
     * exposed for the `graft.tools.GraphStats` diagnostic so two-tier
@@ -2115,11 +2132,16 @@ object DedupOps {
   private val containment = QueryDef(
     "llm_containment",
     (s, dir) => {
+      // Signatures and shingle sets from ONE aggregate; the candidate
+      // pairs fold bands off the same frame (no second shingle pass).
+      // Sets carry 64-bit hashes, not strings — see the jaccard row's
+      // note on the shuffle-volume/collision-bound trade.
       val perDoc = shingles(s, dir).groupBy("doc_id")
-        .agg(collect_set(col("shingle")).as("shset"))
+        .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7),
+          collect_set(xxhash64(col("shingle"))).as("shset"))
       val sa = perDoc.select(col("doc_id").as("pa"), col("shset").as("shset_a"))
       val sb = perDoc.select(col("doc_id").as("pb"), col("shset").as("shset_b"))
-      lshPairs(s, dir)
+      bandSelfPairs(bandsOfSigs(perDoc))
         .join(sa, col("doc_a") === col("pa"))
         .join(sb, col("doc_b") === col("pb"))
         .select(col("doc_a"), col("doc_b"),
