@@ -1766,7 +1766,96 @@ object SimilarityOps {
            |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim
            |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
+  /** Retrieval-quality metrics over the IVF search — MRR and nDCG@5
+    * per query, with relevance = "shares the query's cluster label"
+    * (the deterministic ground truth this corpus carries). This is the
+    * eval layer every retrieval deployment runs next to its index: the
+    * metric math costs |queries|×k rows regardless of corpus size, so
+    * quality tracking is free next to the search itself. IDCG is the
+    * all-relevant-top-5 constant (each label has ≥ 5 members here);
+    * both engines evaluate the same literal log2 formula so the
+    * normalization is bit-identical.
+    */
+  private val retrievalMetrics = QueryDef(
+    "llm_retrieval_metrics",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val res = ivfSearch(s, dir, q, k = 5, nprobe = 1)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val qlbl = emb.select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      val idcg = expr("1.0/log2(2.0D) + 1.0/log2(3.0D) + 1.0/log2(4.0D) " +
+        "+ 1.0/log2(5.0D) + 1.0/log2(6.0D)")
+      res.join(lbl, "vec_id").join(qlbl, "qid")
+        .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+        .groupBy("qid")
+        .agg(sum("rel").cast("long").as("n_rel5"),
+          roundTo(coalesce(max(when(col("rel") === 1, lit(1.0) / col("rank"))),
+            lit(0.0)), 4).as("mrr"),
+          roundTo(sum(col("rel") / log2(col("rank") + 1)) / idcg, 4).as("ndcg5"))
+        .orderBy("qid")
+    },
+    Some("""WITH cterms AS (
+           |  SELECT label,
+           |    CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS pos,
+           |    CAST(unnest(embedding) AS DOUBLE) AS x
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT label AS c_label, pos, avg(x) AS c FROM cterms GROUP BY 1, 2),
+           |q AS (
+           |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |qterms AS (
+           |  SELECT qid,
+           |    CAST(unnest(generate_series(1, len(qv))) AS INTEGER) AS pos,
+           |    CAST(unnest(qv) AS DOUBLE) AS qx
+           |  FROM q),
+           |qcent AS (
+           |  SELECT qid, c_label,
+           |    floor(sum(qx * c) / (sqrt(sum(qx * qx)) * sqrt(sum(c * c)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS c_sim
+           |  FROM qterms JOIN cent USING (pos) GROUP BY qid, c_label),
+           |routed AS (
+           |  SELECT qid, c_label AS cell FROM (
+           |    SELECT qid, c_label,
+           |      row_number() OVER (PARTITION BY qid ORDER BY c_sim DESC, c_label) AS rn
+           |    FROM qcent) WHERE rn = 1),
+           |pairs AS (
+           |  SELECT r.qid, r.cell, e.vec_id, q.qv, e.embedding AS v
+           |  FROM routed r JOIN q ON q.qid = r.qid
+           |  JOIN embeddings e ON e.label = r.cell AND e.vec_id <> r.qid),
+           |terms AS (
+           |  SELECT qid, cell, vec_id,
+           |    CAST(unnest(qv) AS DOUBLE) AS qx, CAST(unnest(v) AS DOUBLE) AS vx
+           |  FROM pairs),
+           |scored AS (
+           |  SELECT qid, cell, vec_id,
+           |    floor(sum(qx * vx) / (sqrt(sum(qx * qx)) * sqrt(sum(vx * vx)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+           |  FROM terms GROUP BY 1, 2, 3),
+           |top5 AS (
+           |  SELECT qid, vec_id, rank FROM (
+           |    SELECT qid, vec_id, cos_sim,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 5),
+           |m AS (
+           |  SELECT t.qid, t.rank,
+           |    CASE WHEN e.label = ql.label THEN 1 ELSE 0 END AS rel
+           |  FROM top5 t
+           |  JOIN embeddings e ON e.vec_id = t.vec_id
+           |  JOIN embeddings ql ON ql.vec_id = t.qid)
+           |SELECT qid,
+           |  CAST(sum(rel) AS BIGINT) AS n_rel5,
+           |  floor(coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0)
+           |        * 10000.0 + 0.5) / 10000.0 AS mrr,
+           |  floor(sum(rel / log2(rank + 1.0))
+           |        / (1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0)
+           |           + 1.0/log2(5.0) + 1.0/log2(6.0)) * 10000.0 + 0.5) / 10000.0 AS ndcg5
+           |FROM m GROUP BY qid ORDER BY qid""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, ivfInc, nearDup, semanticDedup,
     semanticDedupInc,
-    topkQ8, hybridRrf, kmeans, pq, ivfPq, pqIncremental, randomProjection, rpRerank)
+    topkQ8, hybridRrf, kmeans, pq, ivfPq, pqIncremental, randomProjection, rpRerank,
+    retrievalMetrics)
 }
