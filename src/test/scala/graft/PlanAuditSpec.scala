@@ -81,6 +81,30 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("pair-verification rows plan at most two documents scans, no cartesian") {
+    // The round-10 single-aggregate plans (signatures + carried
+    // shingle-hash sets, bands folded off the same frame via
+    // `bandsOfSigs`). Catalyst column-prunes the band branch into a
+    // second, narrower aggregate — 2 scans is the planned shape
+    // (forcing 1 would need a corpus-sized persist). THREE scans means
+    // someone reintroduced the from-scratch lshPairs pipeline next to
+    // the set aggregate — the pre-round-10 shape.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("llm_minhash_jaccard_est", "llm_containment").foreach { q =>
+        val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+        val scans = exec.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.size <= 2,
+          s"$q must plan at most 2 documents scans; found ${scans.size}")
+        assert(exec.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.isEmpty, s"$q must not plan a cartesian product")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("llm_cosine_topk broadcasts the query side (one corpus scan, no shuffle of it)") {
     val p = plan("llm_cosine_topk")
     assert(p.contains("Broadcast"), "queries must broadcast against the corpus")
