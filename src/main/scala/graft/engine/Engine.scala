@@ -823,24 +823,34 @@ object DagRunner {
     out
   }
 
-  /** dbt contract enforcement: exact (name, type) match in declared
-    * order, then not-null constraints in ONE aggregate pass. For
+  /** dbt contract enforcement: name-keyed (name, type) match — dbt
+    * compares the column SET, not ordering, so a model whose SELECT
+    * lists the contracted columns in a different order still satisfies
+    * its contract — then not-null constraints in ONE aggregate pass.
+    * Missing, extra, and type-mismatched columns each fail with the
+    * offending names (the error a user actually debugs with). For
     * table-family models `out` scans the just-written parquet, so the
     * null check is a column-pruned read of the materialized data, not a
     * recompute of the model; a violation throws before post-hooks and
-    * before any dependent builds (dbt's failure point). The diff names
-    * every offending column — the error a user actually debugs with.
+    * before any dependent builds (dbt's failure point).
     */
   private def enforceContract(m: Model, out: DataFrame): Unit = {
-    val actual = out.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+    val actual = out.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString).toMap
     val declared = m.contract.map(c =>
-      (c.name, org.apache.spark.sql.types.DataType.fromDDL(c.dataType).simpleString))
-    if (actual != declared) {
-      val diff = declared.map(d => s"  declared ${d._1} ${d._2}")
-        .zipAll(actual.map(a => s"actual ${a._1} ${a._2}"), "  declared <missing>", "actual <missing>")
-        .map { case (d, a) => s"$d | $a" }.mkString("\n")
+      c.name -> org.apache.spark.sql.types.DataType.fromDDL(c.dataType).simpleString).toMap
+    val missing = (declared.keySet -- actual.keySet).toSeq.sorted
+    val extra = (actual.keySet -- declared.keySet).toSeq.sorted
+    val mismatched = declared.keySet.intersect(actual.keySet).toSeq.sorted
+      .filter(c => declared(c) != actual(c))
+      .map(c => s"$c (declared ${declared(c)}, actual ${actual(c)})")
+    if (missing.nonEmpty || extra.nonEmpty || mismatched.nonEmpty) {
+      val parts = Seq(
+        if (missing.nonEmpty) Some(s"missing: ${missing.mkString(", ")}") else None,
+        if (extra.nonEmpty) Some(s"undeclared: ${extra.mkString(", ")}") else None,
+        if (mismatched.nonEmpty) Some(s"type mismatch: ${mismatched.mkString(", ")}") else None
+      ).flatten.mkString("; ")
       throw new IllegalArgumentException(
-        s"model ${m.name}: contract violated — output schema does not match:\n$diff")
+        s"model ${m.name}: contract violated — $parts")
     }
     val nn = m.contract.filter(_.notNull).map(_.name)
     if (nn.nonEmpty) {

@@ -27,7 +27,11 @@ import org.apache.spark.sql.types._
   * integers as the oracle.
   *
   * Result: array<bigint> of length 16. Supports embeddings up to 64
-  * dims (the sign table's extent); NULL array → NULL.
+  * dims (the sign table's extent); NULL array → NULL. NULL ELEMENTS
+  * contribute zero to every projection (they are skipped, exactly as a
+  * missing trailing dimension is) — the function is registered globally
+  * as `rp_project6`, so user SQL may pass containsNull=true arrays;
+  * silently reading an undefined slot is not acceptable there.
   */
 case class RpProject6(child: Expression) extends UnaryExpression {
 
@@ -54,15 +58,17 @@ case class RpProject6(child: Expression) extends UnaryExpression {
     val acc = new Array[Long](RpProject6.K)
     var d = 0
     while (d < n) {
-      val x = t match {
-        case FloatType => a.getFloat(d).toDouble
-        case _ => a.getDouble(d)
-      }
-      val e6 = math.floor(x * 1e6 + 0.5).toLong
-      var j = 0
-      while (j < RpProject6.K) {
-        acc(j) += e6 * RpProject6.signs(d * RpProject6.K + j)
-        j += 1
+      if (!a.isNullAt(d)) { // null elements contribute zero (see Scaladoc)
+        val x = t match {
+          case FloatType => a.getFloat(d).toDouble
+          case _ => a.getDouble(d)
+        }
+        val e6 = math.floor(x * 1e6 + 0.5).toLong
+        var j = 0
+        while (j < RpProject6.K) {
+          acc(j) += e6 * RpProject6.signs(d * RpProject6.K + j)
+          j += 1
+        }
       }
       d += 1
     }
@@ -86,6 +92,7 @@ case class RpProject6(child: Expression) extends UnaryExpression {
          |final int $n = java.lang.Math.min($a.numElements(), 64);
          |final long[] $acc = new long[$k];
          |for (int $d = 0; $d < $n; $d++) {
+         |  if ($a.isNullAt($d)) continue; // null elements contribute zero
          |  final long $e6 = (long) java.lang.Math.floor(${getter(a, d)} * 1000000.0 + 0.5);
          |  for (int $j = 0; $j < $k; $j++) {
          |    $acc[$j] += $e6 * $signsRef[$d * $k + $j];

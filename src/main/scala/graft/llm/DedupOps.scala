@@ -1394,31 +1394,53 @@ object DedupOps {
     require(nTotal > 0, "pagerank over an empty docs frame")
     val docIds = docs.select(col("doc_id"))
     // `pairs` arrives pre-filtered to docs endpoints by the caller, so
-    // every collected id resolves in the index map by construction.
-    val ps = pairs.select("doc_a", "doc_b").collect()
-    // Participating ids only: ≤ 2×pairs of them, by construction.
+    // every collected id resolves in the index by construction.
+    // Edges collect as per-partition PACKED primitive long arrays (a,b
+    // interleaved), not Rows: the driver tier is bounded by
+    // pagerankLocalMaxEdges (2M pairs), and 2M Row objects cost ~10x
+    // the raw 32 MB of two long columns in driver heap/GC; packed
+    // chunks hold exactly 16 bytes/pair with one object per partition.
+    import s.implicits._
+    val chunks: Array[Array[Long]] = pairs
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (a, b) => buf += a; buf += b }
+        Iterator.single(buf.result())
+      }.collect()
+    val mEnds = chunks.iterator.map(_.length).sum
+    // Participating ids only (≤ 2×pairs): sort-dedup one primitive
+    // array, then resolve indices by binary search — zero boxing.
     val ids = {
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      ps.foreach { r => seen.add(r.getLong(0)); seen.add(r.getLong(1)) }
-      val a = new Array[Long](seen.size)
+      val all = new Array[Long](mEnds)
+      var w0 = 0
+      chunks.foreach { c => System.arraycopy(c, 0, all, w0, c.length); w0 += c.length }
+      java.util.Arrays.sort(all)
+      var u = 0
       var i = 0
-      val it = seen.iterator()
-      while (it.hasNext) { a(i) = it.next(); i += 1 }
-      a
+      while (i < all.length) {
+        if (u == 0 || all(i) != all(u - 1)) { all(u) = all(i); u += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(all, u)
     }
     val n = ids.length
     val nIso = nTotal - n
-    val idx = new java.util.HashMap[Long, Int](n * 2)
-    ids.zipWithIndex.foreach { case (d, i) => idx.put(d, i) }
-    val m = ps.length * 2
+    // Each pair contributes two directed edges; mEnds is already
+    // 2 x pairs (endpoints), which equals the directed-edge count.
+    val m = mEnds
     val srcs = new Array[Int](m)
     val dsts = new Array[Int](m)
     var w = 0
-    ps.foreach { r =>
-      val a = idx.get(r.getLong(0))
-      val b = idx.get(r.getLong(1))
-      srcs(w) = a; dsts(w) = b; w += 1
-      srcs(w) = b; dsts(w) = a; w += 1
+    chunks.foreach { c =>
+      var i = 0
+      while (i < c.length) {
+        val a = java.util.Arrays.binarySearch(ids, c(i))
+        val b = java.util.Arrays.binarySearch(ids, c(i + 1))
+        srcs(w) = a; dsts(w) = b; w += 1
+        srcs(w) = b; dsts(w) = a; w += 1
+        i += 2
+      }
     }
     val outdeg = new Array[Long](n)
     srcs.foreach(si => outdeg(si) += 1)
@@ -1426,7 +1448,6 @@ object DedupOps {
     val init = 1000000000000L / nTotal
     val (pr, rounds, delta) =
       solveRankArrays(n, srcs, dsts, outdeg, base, init, eps, maxRounds, nIso)
-    import s.implicits._
     val isoFinal = if (rounds == 0) init else base
     val partDf = ids.indices.map(d => (ids(d), pr(d), outdeg(d)))
       .toDF("doc_id", "pr_part", "deg_part")
@@ -2269,13 +2290,20 @@ object DedupOps {
       lshPairs(s, dir)
         .join(meta.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
         .join(meta.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        // Side attribution follows the SOURCE ordering, not the doc_id
+        // ordering: doc_x is the doc whose source is source_x (the
+        // lexicographically lesser source), regardless of which doc_id
+        // is smaller. For same-source pairs (source_x == source_y) the
+        // pair's doc_a counts to the x side and doc_b to the y side —
+        // both participation columns then cover that source.
         .select(least(col("src_a"), col("src_b")).as("source_x"),
           greatest(col("src_a"), col("src_b")).as("source_y"),
-          col("doc_a"), col("doc_b"))
+          when(col("src_a") <= col("src_b"), col("doc_a")).otherwise(col("doc_b")).as("doc_x"),
+          when(col("src_a") <= col("src_b"), col("doc_b")).otherwise(col("doc_a")).as("doc_y"))
         .groupBy("source_x", "source_y")
         .agg(count(lit(1)).as("dup_pairs"),
-          countDistinct(col("doc_a")).as("docs_x_side"),
-          countDistinct(col("doc_b")).as("docs_y_side"))
+          countDistinct(col("doc_x")).as("docs_x_side"),
+          countDistinct(col("doc_y")).as("docs_y_side"))
         .orderBy("source_x", "source_y")
     },
     Some(s"""WITH $lshOracleCtes,
@@ -2283,14 +2311,15 @@ object DedupOps {
            |p AS (
            |  SELECT least(a.source, b.source) AS source_x,
            |         greatest(a.source, b.source) AS source_y,
-           |         c.doc_a, c.doc_b
+           |         CASE WHEN a.source <= b.source THEN c.doc_a ELSE c.doc_b END AS doc_x,
+           |         CASE WHEN a.source <= b.source THEN c.doc_b ELSE c.doc_a END AS doc_y
            |  FROM cand c
            |  JOIN meta a ON a.doc_id = c.doc_a
            |  JOIN meta b ON b.doc_id = c.doc_b)
            |SELECT source_x, source_y,
            |  CAST(count(*) AS BIGINT) AS dup_pairs,
-           |  CAST(count(DISTINCT doc_a) AS BIGINT) AS docs_x_side,
-           |  CAST(count(DISTINCT doc_b) AS BIGINT) AS docs_y_side
+           |  CAST(count(DISTINCT doc_x) AS BIGINT) AS docs_x_side,
+           |  CAST(count(DISTINCT doc_y) AS BIGINT) AS docs_y_side
            |FROM p GROUP BY 1, 2
            |ORDER BY source_x, source_y""".stripMargin))
 

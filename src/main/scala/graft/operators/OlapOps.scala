@@ -584,9 +584,15 @@ object OlapOps {
   private val hllIntersect = QueryDef(
     "a28_hll_intersect",
     (s, dir) => {
+      // The daily-active key pairs user_id with the FULL epoch day
+      // (datediff vs 1970-01-01), not day-of-month — day-of-month would
+      // conflate Jan 5 with Feb 5 on any corpus spanning months. The
+      // 100000 stride keeps user_id * stride + epoch_day collision-free
+      // for any date below year 2243.
       val e = t(s, dir, "events")
         .select(col("event_type"),
-          (col("user_id") * 100 + dayofmonth(col("ts"))).as("uday"))
+          (col("user_id") * 100000 +
+            datediff(to_date(col("ts")), lit("1970-01-01"))).as("uday"))
       val inA = when(col("event_type") === "click", col("uday"))
       val inB = when(col("event_type") === "view", col("uday"))
       val inU = when(col("event_type").isin("click", "view"), col("uday"))
@@ -603,7 +609,9 @@ object OlapOps {
     },
     Some("""WITH e AS (
            |  SELECT event_type,
-           |    user_id * 100 + CAST(extract(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS uday
+           |    user_id * 100000
+           |      + CAST(datediff('day', DATE '1970-01-01',
+           |                      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS uday
            |  FROM events)
            |SELECT
            |  count(DISTINCT CASE WHEN event_type = 'click' THEN uday END)

@@ -51,6 +51,11 @@ object RunDag {
     val doBuild = args0.contains("--build")
     val deferWarehouse = flagValue("--defer")
     val favorState = args0.contains("--favor-state")
+    // dbt errors on --favor-state without --defer; silently defaulting
+    // to dev-first resolution would ship the opposite of what the user
+    // asked for.
+    require(deferWarehouse.isDefined || !favorState,
+      "--favor-state requires --defer <otherWarehouse>")
     val args = {
       // Strip EVERY occurrence (a repeated flag must not shift the
       // positional sourcesDir/warehouse args).

@@ -228,13 +228,23 @@ class EngineSpec extends SparkSpec {
       Seq(withContract(good, (s, _) =>
         s.range(3).toDF("id").select(col("id").cast("int").as("id"), lit("x").as("name")))),
       n => fail(s"unexpected $n"), wh))
-    assert(eType.getMessage.contains("declared id bigint") && eType.getMessage.contains("actual id int"))
-    // Extra / missing / reordered columns fail.
+    assert(eType.getMessage.contains("declared bigint") && eType.getMessage.contains("actual int"))
+    // Reordered columns PASS — dbt compares the column set, not order.
+    val reordered = DagRunner.run(spark, Seq(withContract(good, (s, _) =>
+      s.range(3).toDF("id").select(lit("x").as("name"), col("id")))),
+      n => fail(s"unexpected $n"), wh)
+    assert(reordered("contracted").count() === 3)
+    // Extra / missing columns fail, naming the offenders.
     val eCols = intercept[IllegalArgumentException](DagRunner.run(spark,
       Seq(withContract(good, (s, _) =>
-        s.range(3).toDF("id").select(lit("x").as("name"), col("id")))),
+        s.range(3).toDF("id").select(col("id"), lit("x").as("name"), lit(1).as("extra_col")))),
       n => fail(s"unexpected $n"), wh))
-    assert(eCols.getMessage.contains("contract violated"))
+    assert(eCols.getMessage.contains("contract violated") &&
+      eCols.getMessage.contains("undeclared: extra_col"))
+    val eMiss = intercept[IllegalArgumentException](DagRunner.run(spark,
+      Seq(withContract(good, (s, _) => s.range(3).toDF("id"))),
+      n => fail(s"unexpected $n"), wh))
+    assert(eMiss.getMessage.contains("missing: name"))
     // A NULL in a not-null column fails with the count.
     val eNull = intercept[IllegalArgumentException](DagRunner.run(spark,
       Seq(withContract(good, (s, _) => s.range(3).toDF("id")
