@@ -365,6 +365,232 @@ object SqlModel {
     spark.sql(expandMacros(call, defs))
   }
 
+  // ===== General Jinja conditionals ======================================
+  // {% if EXPR %} ... {% elif EXPR %} ... {% else %} ... {% endif %},
+  // nested, with var()/target in conditions — the next most common real-
+  // dbt idiom after is_incremental() (feature-flag CTEs, per-target
+  // behavior switches). Resolved at PARSE time: vars and target are
+  // parse-time bindings, so the fingerprint of the rendered text changes
+  // exactly when a var flips a branch (dbt state:modified hashes compiled
+  // SQL for the same reason). `is_incremental()` stays the one BUILD-time
+  // construct: a block whose condition is exactly `is_incremental()`
+  // re-emits (bodies rendered) for renderConditionals to resolve against
+  // the build target.
+
+  sealed private trait JVal
+  private final case class JStr(v: String) extends JVal
+  private final case class JNum(v: Double) extends JVal
+  private final case class JBool(v: Boolean) extends JVal
+  private case object JNone extends JVal
+
+  /** Jinja truthiness: undefined/none, empty string, 0 and false are
+    * falsy; everything else truthy.
+    */
+  private def truthy(v: JVal): Boolean = v match {
+    case JStr(s) => s.nonEmpty
+    case JNum(n) => n != 0.0
+    case JBool(b) => b
+    case JNone => false
+  }
+
+  /** Strict cross-type equality (Jinja: `'1' == 1` is false). */
+  private def jeq(a: JVal, b: JVal): Boolean = (a, b) match {
+    case (JStr(x), JStr(y)) => x == y
+    case (JNum(x), JNum(y)) => x == y
+    case (JBool(x), JBool(y)) => x == y
+    case (JNone, JNone) => true
+    case _ => false
+  }
+
+  /** Evaluate a Jinja condition subset: `or`/`and`/`not`, `==`/`!=`,
+    * parentheses, string/number/true/false/none literals,
+    * `var('x'[, default])` and `target.name`. A var's value is its RAW
+    * bound string (the same text `{{ var('x') }}` would substitute), so
+    * `var('region') == 'eu'` tests the binding verbatim. An unbound var
+    * without a declared default throws — dbt raises a compilation error
+    * there, and a silently-falsy typo'd var name would ship the wrong
+    * branch.
+    */
+  private[graft] def evalCond(cond: String, vars: Map[String, String],
+                              target: String): Boolean = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < cond.length) {
+      val c = cond.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val j = cond.indexOf(c, i + 1)
+        require(j >= 0, s"unterminated string in condition: $cond")
+        toks += cond.substring(i, j + 1)
+        i = j + 1
+      } else if (c == '(' || c == ')' || c == ',') { toks += c.toString; i += 1 }
+      else if (c == '=' && i + 1 < cond.length && cond.charAt(i + 1) == '=') { toks += "=="; i += 2 }
+      else if (c == '!' && i + 1 < cond.length && cond.charAt(i + 1) == '=') { toks += "!="; i += 2 }
+      else if (c.isDigit || (c == '-' && i + 1 < cond.length && cond.charAt(i + 1).isDigit)) {
+        val j0 = i
+        i += 1
+        while (i < cond.length && (cond.charAt(i).isDigit || cond.charAt(i) == '.')) i += 1
+        toks += cond.substring(j0, i)
+      } else if (c.isLetter || c == '_') {
+        val j0 = i
+        while (i < cond.length && (cond.charAt(i).isLetterOrDigit ||
+          cond.charAt(i) == '_' || cond.charAt(i) == '.')) i += 1
+        toks += cond.substring(j0, i)
+      } else throw new IllegalArgumentException(s"unexpected '$c' in condition: $cond")
+    }
+    var p = 0
+    def peek: Option[String] = if (p < toks.length) Some(toks(p)) else None
+    def next(): String = {
+      require(p < toks.length, s"condition ended unexpectedly: $cond")
+      val t = toks(p); p += 1; t
+    }
+    def atom(): JVal = next() match {
+      case "(" =>
+        val v = orExpr()
+        require(next() == ")", s"expected ')' in condition: $cond")
+        v
+      case "true" | "True" => JBool(true)
+      case "false" | "False" => JBool(false)
+      case "none" | "None" => JNone
+      case "is_incremental" => throw new IllegalArgumentException(
+        "is_incremental() may only appear ALONE as the whole condition " +
+          "(it is a build-time construct; combine branches instead)")
+      case "var" =>
+        require(next() == "(", s"var requires parentheses: $cond")
+        val name = stripQuotes(next())
+        val default: Option[JVal] =
+          if (peek.contains(",")) { next(); Some(orExpr()) } else None
+        require(next() == ")", s"var: expected ')': $cond")
+        vars.get(name).map(JStr(_): JVal).orElse(default).getOrElse(
+          throw new IllegalArgumentException(
+            s"unbound var '$name' in condition (bound: ${vars.keys.toSeq.sorted.mkString(", ")})"))
+      case "target.name" => JStr(target)
+      case t if t.startsWith("'") || t.startsWith("\"") => JStr(stripQuotes(t))
+      case t if t.headOption.exists(c => c.isDigit || c == '-') => JNum(t.toDouble)
+      case t => throw new IllegalArgumentException(
+        s"unsupported token '$t' in condition: $cond")
+    }
+    // Precedence (Jinja/Python): comparison > not > and > or.
+    def cmpExpr(): JVal = {
+      val l = atom()
+      peek match {
+        case Some("==") => next(); JBool(jeq(l, atom()))
+        case Some("!=") => next(); JBool(!jeq(l, atom()))
+        case _ => l
+      }
+    }
+    def notExpr(): JVal =
+      if (peek.contains("not")) { next(); JBool(!truthy(notExpr())) } else cmpExpr()
+    def andExpr(): JVal = {
+      var v = notExpr()
+      while (peek.contains("and")) { next(); val r = notExpr(); v = JBool(truthy(v) && truthy(r)) }
+      v
+    }
+    def orExpr(): JVal = {
+      var v = andExpr()
+      while (peek.contains("or")) { next(); val r = andExpr(); v = JBool(truthy(v) || truthy(r)) }
+      v
+    }
+    val out = orExpr()
+    require(p == toks.length, s"trailing tokens in condition: $cond")
+    truthy(out)
+  }
+
+  private val ifTagPat = Pattern.compile(
+    """\{%-?\s*(if|elif|else|endif)\b(.*?)-?%\}""", Pattern.DOTALL)
+
+  /** Expand nested if/elif/else blocks; see the section comment above
+    * for semantics. Dropped branches disappear entirely (their
+    * `{% set %}`/`{{ ref() }}` calls never bind or contribute DAG
+    * edges — correct Jinja evaluation order, since this runs before
+    * set-list extraction and ref extraction).
+    */
+  private[graft] def expandIfBlocks(text: String, vars: Map[String, String],
+                                    target: String): String = {
+    final case class Tag(kind: String, cond: String, start: Int, end: Int)
+    val tags = {
+      val b = Vector.newBuilder[Tag]
+      val m = ifTagPat.matcher(text)
+      while (m.find()) b += Tag(m.group(1), m.group(2).trim, m.start, m.end)
+      b.result()
+    }
+    if (tags.isEmpty) return text
+    var ti = 0
+    // Renders from `pos`; consumes tags as it goes. Inside a block
+    // (stop=true) returns at the first elif/else/endif at this nesting
+    // level (tag consumed, returned); at top level runs to end of input.
+    def renderUntil(pos: Int, stop: Boolean): (String, Option[Tag]) = {
+      val sb = new java.lang.StringBuilder
+      var cur = pos
+      while (true) {
+        // Skip tags lexically before `cur` — they belonged to an inner
+        // block whose text a recursive call already consumed.
+        while (ti < tags.length && tags(ti).start < cur) ti += 1
+        if (ti >= tags.length) {
+          require(!stop, "unterminated {% if %} block")
+          sb.append(text.substring(cur))
+          return (sb.toString, None)
+        }
+        val t = tags(ti)
+        sb.append(text.substring(cur, t.start))
+        t.kind match {
+          case "if" =>
+            ti += 1
+            val (rendered, after) = renderIf(t)
+            sb.append(rendered)
+            cur = after
+          case other =>
+            require(stop, s"stray {% $other %} without a matching {% if %}")
+            ti += 1
+            return (sb.toString, Some(t))
+        }
+      }
+      sys.error("unreachable")
+    }
+    // Called with ti just past the opening if tag; returns (rendered
+    // replacement, index just past the matching endif).
+    def renderIf(open: Tag): (String, Int) = {
+      var branches = Vector.empty[(Option[String], String)]
+      var curCond: Option[String] = Some(open.cond)
+      var pos = open.end
+      var endPos = -1
+      var sawElse = false
+      var done = false
+      while (!done) {
+        val (body, stopTag) = renderUntil(pos, stop = true)
+        branches :+= (curCond, body)
+        val st = stopTag.getOrElse(sys.error("unterminated {% if %} block"))
+        st.kind match {
+          case "endif" => endPos = st.end; done = true
+          case "elif" =>
+            require(!sawElse, s"{% elif %} after {% else %}: ${open.cond}")
+            curCond = Some(st.cond); pos = st.end
+          case "else" =>
+            require(!sawElse, s"duplicate {% else %}: ${open.cond}")
+            sawElse = true; curCond = None; pos = st.end
+          case k => sys.error(s"unreachable stop tag $k")
+        }
+      }
+      if (open.cond.replaceAll("\\s", "") == "is_incremental()") {
+        require(branches.size <= 2 && branches.tail.forall(_._1.isEmpty),
+          "{% elif %} is not supported with an is_incremental() condition")
+        val sb = new java.lang.StringBuilder("{% if is_incremental() %}")
+        sb.append(branches.head._2)
+        if (branches.size == 2) sb.append("{% else %}").append(branches(1)._2)
+        sb.append("{% endif %}")
+        (sb.toString, endPos)
+      } else {
+        val chosen = branches.collectFirst {
+          case (Some(c), body) if evalCond(c, vars, target) => body
+          case (None, body) => body
+        }.getOrElse("")
+        (chosen, endPos)
+      }
+    }
+    val (out, _) = renderUntil(0, stop = false)
+    out
+  }
+
   /** Parse and strip `{% set name = [...] %}` blocks; returns the list
     * bindings and the text with the blocks removed. Items keep their raw
     * content (which may itself contain `{{ var("x") }}` calls — those
@@ -430,8 +656,12 @@ object SqlModel {
     sb.toString
   }
 
-  private[engine] def render(sqlText: String, vars: Map[String, String]): String = {
-    val (setLists, noSets0) = extractSetLists(sqlText)
+  private[engine] def render(sqlText: String, vars: Map[String, String],
+                             target: String = "dev"): String = {
+    // Conditionals expand FIRST (Jinja evaluates control flow top-down):
+    // a {% set %} or ref() inside a dropped branch never binds.
+    val withIfs = expandIfBlocks(sqlText, vars, target)
+    val (setLists, noSets0) = extractSetLists(withIfs)
     val noSets = expandForLoops(noSets0, setLists)
     val noConfig = configPat.matcher(noSets).replaceAll("")
     val jm = joinPat.matcher(noConfig)
@@ -504,12 +734,20 @@ object SqlModel {
                     * rendering, so macro bodies can call `ref()` /
                     * `source()` / `var()` and contribute DAG edges.
                     */
-                  macros: String = ""): Model = {
+                  macros: String = "",
+                  /** dbt `target.name` — the profile target this render
+                    * compiles against (`dev`, `prod`, `ci`), testable in
+                    * `{% if %}` conditions.
+                    */
+                  target: String = "dev"): Model = {
     val (projectMacros, _) = extractMacros(macros)
     val (inlineMacros, strippedText) = extractMacros(sqlText)
     val expanded = expandMacros(strippedText, projectMacros ++ inlineMacros)
-    val refs = extractRefs(expanded)
-    val rendered = render(expanded, vars)
+    // Refs extract from the CONDITIONAL-RESOLVED text: a ref inside a
+    // dropped {% if %} branch contributes no DAG edge (dbt parses
+    // rendered Jinja the same way).
+    val refs = extractRefs(expandIfBlocks(expanded, vars, target))
+    val rendered = render(expanded, vars, target)
     // dbt declares materialization IN the file's config header; honor
     // view/table/ephemeral from there (the parameterized strategies —
     // incremental, merge — carry runtime-computed arguments and stay
@@ -566,13 +804,14 @@ object SqlModel {
                    materialization: Materialization = View,
                    schema: Option[String] = None,
                    database: Option[String] = None,
-                   vars: Map[String, String] = Map.empty): Model = {
+                   vars: Map[String, String] = Map.empty,
+                   target: String = "dev"): Model = {
     val in = getClass.getClassLoader.getResourceAsStream(resourcePath)
     require(in != null, s"SQL model resource not found: $resourcePath")
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val base = resourcePath.split('/').last.stripSuffix(".sql")
-    fromSqlText(base, text, materialization, schema, database, vars)
+    fromSqlText(base, text, materialization, schema, database, vars, target = target)
   }
 }

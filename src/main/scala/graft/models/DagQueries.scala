@@ -879,6 +879,45 @@ object DagQueries {
            |  CAST(count(*) AS BIGINT) AS n
            |FROM lineitem GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  /** General Jinja `{% if %}`/`{% elif %}`/`{% else %}` conditionals
+    * end-to-end: a SQL-text model switches its grouping CTE on a var
+    * (`granularity`) and gates an extra discount column on
+    * `target.name` — the feature-flag authoring idiom. The var binding
+    * selects the returnflag+linestatus branch and the prod target
+    * enables the column; DuckDB judges the rendered result. Branch
+    * choice, fingerprint stability, nesting, and error paths are pinned
+    * in `SqlModelSpec`.
+    */
+  private val sqlIfPricing = QueryDef(
+    "dag_sql_if_pricing",
+    (s, dir) => {
+      val model = graft.engine.SqlModel.fromSqlText("if_pricing",
+        """{% if var('granularity') == 'flag' %}
+          |SELECT l_returnflag AS grp,
+          |{% elif var('granularity') == 'flag_status' %}
+          |SELECT concat(l_returnflag, '/', l_linestatus) AS grp,
+          |{% else %}
+          |SELECT 'all' AS grp,
+          |{% endif %}
+          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          |  count(*) AS n
+          |{% if target.name == 'prod' %}
+          |  , round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+          |{% endif %}
+          |FROM {{ ref('lineitem') }}
+          |GROUP BY grp""".stripMargin,
+        vars = Map("granularity" -> "flag_status"),
+        target = "prod")
+      val built = graft.engine.DagRunner.run(s, Seq(model),
+        n => graft.sources.Tables.load(s, dir, n))
+      ordered(built("if_pricing"))
+    },
+    Some("""SELECT l_returnflag || '/' || l_linestatus AS grp,
+           |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+           |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin))
+
   /** dbt 1.9 microbatch end-to-end: a 5-day back-fill over the events
     * table (begin=2024-01-26, asOf=2024-01-30), one insert-overwrite
     * per day with the evt_date partition derived from the event time by
@@ -912,5 +951,5 @@ object DagQueries {
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
     sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing,
-    microbatchDaily)
+    sqlIfPricing, microbatchDaily)
 }

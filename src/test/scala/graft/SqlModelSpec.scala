@@ -374,4 +374,96 @@ class SqlModelSpec extends SparkSpec {
     assertFrameEqual("streams_daily is_incremental re-authoring",
       second("atinternet_smarttag_streams_daily_v4"), snapshot)
   }
+
+  // ---- general {% if %}/{% elif %}/{% else %} conditionals ---------------
+
+  test("{% if var(...) %}/{% elif %}/{% else %} switches branches; fingerprint tracks the choice") {
+    import spark.implicits._
+    val text =
+      """SELECT id,
+        |{% if var('mode') == 'double' %}
+        |  id * 2 AS v
+        |{% elif var('mode') == 'triple' %}
+        |  id * 3 AS v
+        |{% else %}
+        |  id AS v
+        |{% endif %}
+        |FROM {{ ref('base') }}""".stripMargin
+    def mk(mode: String) = SqlModel.fromSqlText("branched", text, vars = Map("mode" -> mode))
+    val base = Seq(1L, 2L).toDF("id")
+    assert(mk("double").build(spark, Map("base" -> base))
+      .select("v").as[Long].collect().sorted === Array(2L, 4L))
+    assert(mk("triple").build(spark, Map("base" -> base))
+      .select("v").as[Long].collect().sorted === Array(3L, 6L))
+    assert(mk("off").build(spark, Map("base" -> base))
+      .select("v").as[Long].collect().sorted === Array(1L, 2L))
+    // Fingerprint: stable for the same var, different across branches —
+    // a var that flips a branch modifies the model (state:modified).
+    assert(mk("double").fingerprint === mk("double").fingerprint)
+    assert(mk("double").fingerprint !== mk("triple").fingerprint)
+  }
+
+  test("condition grammar: and/or/not, defaults, truthiness, target.name, nesting") {
+    import graft.engine.SqlModel.{evalCond => ec}
+    val vars = Map("region" -> "eu", "n" -> "3")
+    assert(ec("var('region') == 'eu'", vars, "dev"))
+    assert(!ec("var('region') != 'eu'", vars, "dev"))
+    assert(ec("var('region') == 'eu' and target.name == 'prod'", vars, "prod"))
+    assert(!ec("var('region') == 'eu' and target.name == 'prod'", vars, "dev"))
+    assert(ec("var('region') == 'us' or var('n') == '3'", vars, "dev"))
+    assert(ec("not var('region') == 'us'", vars, "dev"))
+    assert(ec("(var('region') == 'us' or true) and not false", vars, "dev"))
+    // var defaults: unbound with default evaluates the default; the
+    // default may be none/true/false/string/number.
+    assert(!ec("var('flag', false)", vars, "dev"))
+    assert(ec("var('flag', true)", vars, "dev"))
+    assert(!ec("var('flag', none)", vars, "dev"))
+    assert(ec("var('flag', 'x') == 'x'", vars, "dev"))
+    // Bound var wins over the default; raw-string truthiness.
+    assert(ec("var('region', 'us') == 'eu'", vars, "dev"))
+    assert(ec("var('region')", vars, "dev"))
+    // Unbound var without default throws with the bound names listed.
+    val e = intercept[IllegalArgumentException](ec("var('missing')", vars, "dev"))
+    assert(e.getMessage.contains("missing") && e.getMessage.contains("region"))
+    // Strict cross-type equality (Jinja: '1' == 1 is false).
+    assert(!ec("var('n') == 3", vars, "dev"))
+    // Nested blocks: inner conditional inside the taken outer branch.
+    val nested = SqlModel.expandIfBlocks(
+      """{% if var('a') == '1' %}A{% if target.name == 'prod' %}P{% else %}D{% endif %}{% else %}B{% endif %}""",
+      Map("a" -> "1"), "prod")
+    assert(nested === "AP")
+  }
+
+  test("a ref inside a dropped branch contributes no DAG edge; {% set %} in a dropped branch never binds") {
+    import spark.implicits._
+    val text =
+      """SELECT count(*) AS n FROM {{ ref('live') }}
+        |{% if var('join_dead', false) %}
+        |JOIN {{ ref('dead') }} USING (id)
+        |{% endif %}""".stripMargin
+    val m = SqlModel.fromSqlText("pruned", text)
+    assert(m.refs === Seq("live"))
+    assert(m.build(spark, Map("live" -> Seq(1, 2).toDF("id"))).head().getLong(0) === 2L)
+    val both = SqlModel.fromSqlText("joined", text, vars = Map("join_dead" -> "true"))
+    assert(both.refs === Seq("live", "dead"))
+  }
+
+  test("is_incremental() blocks survive parse-time expansion and still resolve at build time") {
+    // A var-conditional nested INSIDE an is_incremental block resolves
+    // at parse time; the is_incremental wrapper itself re-emits for the
+    // build-time pass.
+    val text =
+      """SELECT * FROM {{ ref('src') }}
+        |{% if is_incremental() %}
+        |WHERE v > {% if var('strict', false) %}10{% else %}0{% endif %}
+        |{% endif %}""".stripMargin
+    val expanded = SqlModel.expandIfBlocks(text, Map.empty, "dev")
+    assert(expanded.contains("{% if is_incremental() %}"))
+    assert(expanded.contains("WHERE v > 0") && !expanded.contains("10"))
+    // Combined conditions with is_incremental() fail loudly — it is a
+    // build-time construct and cannot mix with parse-time atoms.
+    val e = intercept[IllegalArgumentException](SqlModel.expandIfBlocks(
+      "{% if is_incremental() and var('x', true) %}A{% endif %}", Map.empty, "dev"))
+    assert(e.getMessage.contains("is_incremental"))
+  }
 }
