@@ -1,0 +1,375 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** dbt PROJECT-DIRECTORY frontend: point the engine at a directory laid
+  * out like the reference project (`/root/reference/dbt_project.yml`,
+  * `models/` (recursive) with `.sql` models and `sources.yml`/`schema.yml`
+  * declarations, optional `macros/` SQL files) and get back a runnable DAG —
+  * no Scala wiring. This closes the last parity gap VERDICT r10 named:
+  * previously the YAML files' CONTENT was mirrored in Scala
+  * (`models/NpoDag.scala`); now the files themselves are the input.
+  *
+  * What is parsed from where (all reference line cites):
+  *   - `dbt_project.yml:1` project `name`; `:4-11` the `models:` config
+  *     block — project-default `database`, per-group `database`/`schema`
+  *     routing. Keys accept the modern `+database:` prefixed form too.
+  *   - any `sources.yml` under `models/` (reference
+  *     `models/source/ingest_incremental/sources.yml:1-8`): source
+  *     declarations. A `{{ source('s', 't') }}` call site resolves
+  *     through the runner's callback under the QUALIFIED key `s.t` —
+  *     bare table names like `v1` would collide across sources.
+  *   - any `schema.yml` under `models/`: per-model column test declarations
+  *     (`unique`, `not_null`, `accepted_values`, `relationships`) routed
+  *     into the existing [[DataTests.Check]] algebra; a test with
+  *     `config: {severity: warn}` lands in `warnChecks` (dbt warn
+  *     semantics — reported, never fails the build).
+  *   - every `.sql` file under `models/` is a model named by its basename,
+  *     loaded through [[SqlModel.fromSqlText]] (refs/vars/macros/
+  *     conditionals all apply). `macros/` SQL files concatenate into the
+  *     project macro namespace.
+  *
+  * Config precedence matches dbt: model config header > folder group >
+  * project default.
+  *
+  * Group-key matching: dbt nests `models:` config by project name then
+  * directory. The reference's own file keys groups LOOSELY —
+  * `integral_reporting` names a directory two levels deep, and
+  * `atinternet_smarttag_streams_daily` is a model-name PREFIX
+  * (`dbt_project.yml:6-11`), not a directory at all. Accommodating that
+  * layout verbatim, a group key applies when it equals the project name,
+  * matches ANY path segment of the model's location under `models/`, or
+  * is the model name / an `_`-separated prefix of it. Deeper matches
+  * override shallower ones.
+  *
+  * Two BigQuery-project idioms the reference models use get loader-level
+  * rewrites (the SQL dialect is otherwise the engine's native Spark
+  * SQL, same policy as [[SqlModel]]):
+  *   - a backtick-quoted three-part physical table
+  *     (`` `npo-data-hub.analytics.media_events` `` — reference
+  *     `models/source/ingest_latest/media_events.sql:1`) becomes an
+  *     EXTERNAL ref under its full dotted name: the warehouse table is
+  *     the interface, the runner's resolve callback maps it to data.
+  *     This is how the reference's 10 one-line passthrough models
+  *     ("sources in disguise", SURVEY §3.3) load as real DAG nodes.
+  *   - `materialized='incremental'` headers: `insert_overwrite` reads
+  *     `partition_by` and the `partitions = <set-list>` config
+  *     (reference `atinternet_smarttag_streams_daily_v4.sql:15-22`),
+  *     renders the list items (var substitution) and EVALUATES them as
+  *     one constant SELECT — exactly what dbt+BigQuery does with the
+  *     partition-expression list — yielding the literal
+  *     [[IncrementalInsertOverwrite]] partition values. A `merge`
+  *     strategy maps `unique_key`+`partition_by` to [[MergeUpsert]].
+  *
+  * Seeds (`seeds/` CSVs) load through [[Seeds.fromCsv]] when present;
+  * the reference project has none.
+  */
+object ProjectLoader {
+
+  /** One declared source table (`sources.yml`). `key` is the resolve
+    * name `{{ source(name, table) }}` call sites rewrite to.
+    */
+  final case class SourceTable(sourceName: String, database: Option[String],
+                               schema: Option[String], table: String) {
+    def key: String = s"$sourceName.$table"
+  }
+
+  final case class DbtProject(
+      name: String,
+      models: Seq[Model],
+      sources: Seq[SourceTable],
+      checks: Seq[DataTests.Check],
+      warnChecks: Seq[DataTests.Check]) {
+    def model(n: String): Model = models.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"no model '$n' in project $name (models: ${models.map(_.name).sorted.mkString(", ")})"))
+  }
+
+  // ---- YAML helpers (snakeyaml ships on the Spark classpath) -----------
+
+  private def parseYaml(p: Path): Any =
+    new org.yaml.snakeyaml.Yaml().load[Any](Files.readString(p))
+
+  private def asMap(a: Any): Map[String, Any] = a match {
+    case null => Map.empty
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, v) => String.valueOf(k) -> (v: Any) }.toMap
+    case other => throw new IllegalArgumentException(
+      s"expected a YAML map, got ${other.getClass.getSimpleName}: $other")
+  }
+
+  private def asList(a: Any): Seq[Any] = a match {
+    case null => Nil
+    case l: java.util.List[_] => l.asScala.toSeq.map(v => v: Any)
+    case other => throw new IllegalArgumentException(
+      s"expected a YAML list, got ${other.getClass.getSimpleName}: $other")
+  }
+
+  private def optStr(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).filter(_ != null).map(String.valueOf)
+
+  // ---- dbt_project.yml model-config resolution --------------------------
+
+  /** Merge the `models:` block's applicable config for one model; see
+    * the object scaladoc for the group-matching rule. Scalar entries at
+    * a level are config for that level; map entries are groups.
+    */
+  private[graft] def modelConfig(modelsBlock: Map[String, Any],
+                                  relPathSegs: Seq[String], modelName: String,
+                                  projectName: String): Map[String, String] = {
+    def scalars(m: Map[String, Any]): Map[String, String] = m.collect {
+      case (k, v) if v != null && !v.isInstanceOf[java.util.Map[_, _]] &&
+          !v.isInstanceOf[java.util.List[_]] =>
+        k.stripPrefix("+") -> String.valueOf(v)
+    }
+    def walk(m: Map[String, Any], acc: Map[String, String]): Map[String, String] = {
+      var out = acc ++ scalars(m)
+      m.toSeq.sortBy(_._1).foreach {
+        case (k, sub: java.util.Map[_, _]) =>
+          val applies = k == projectName || relPathSegs.contains(k) ||
+            modelName == k || modelName.startsWith(k + "_")
+          if (applies) out = walk(asMap(sub), out)
+        case _ => ()
+      }
+      out
+    }
+    walk(modelsBlock, Map.empty)
+  }
+
+  // ---- model-body rewrites ----------------------------------------------
+
+  private val sourceCallPat = java.util.regex.Pattern.compile(
+    """\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""")
+  // Backtick-quoted THREE-part name (two dots inside the backticks) —
+  // single-part backticks are ordinary quoted identifiers (`type`,
+  // `index`) and must pass through untouched.
+  private val physicalTablePat = java.util.regex.Pattern.compile(
+    """`([^`\s.]+\.[^`\s.]+\.[^`\s.]+)`""")
+
+  /** Rewrite `{{ source('s','t') }}` to `{{ ref('s.t') }}` (qualified
+    * resolve key), failing on a source not declared in any sources.yml —
+    * dbt's own compile error.
+    */
+  private def rewriteSources(text: String, declared: Set[(String, String)],
+                             file: String): String = {
+    val m = sourceCallPat.matcher(text)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val (s, t) = (m.group(1), m.group(2))
+      require(declared.contains((s, t)),
+        s"$file: source('$s', '$t') is not declared in any sources.yml " +
+          s"(declared: ${declared.toSeq.sorted.map { case (a, b) => s"$a.$b" }.mkString(", ")})")
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(s"{{ ref('$s.$t') }}"))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private def rewritePhysicalTables(text: String): String =
+    physicalTablePat.matcher(text).replaceAll(m =>
+      java.util.regex.Matcher.quoteReplacement(s"{{ ref('${m.group(1)}') }}"))
+
+  // ---- incremental-header materialization --------------------------------
+
+  // partitions = <identifier> inside the config header (a Jinja variable
+  // naming a {% set %} list — reference line 21).
+  private val partitionsRefPat = java.util.regex.Pattern.compile(
+    """\{\{\s*config\([^}]*?partitions\s*=\s*(\w+)[^}]*\)\s*\}\}""", java.util.regex.Pattern.DOTALL)
+
+  private def materializationFor(spark: SparkSession, name: String, raw: String,
+                                 vars: Map[String, String],
+                                 cfg: Map[String, String]): Materialization = {
+    val headerMat = SqlModel.configStr(raw, "materialized")
+    if (!headerMat.contains("incremental")) {
+      // view/table/ephemeral headers are honored by fromSqlText itself;
+      // a FOLDER-level materialized applies only when the header is
+      // silent (dbt precedence: model header > folder).
+      return (if (headerMat.isEmpty) cfg.get("materialized") else None) match {
+        case Some("table") => Table
+        case Some("ephemeral") => Ephemeral
+        case Some("view") | None => View
+        case Some(other) => throw new IllegalArgumentException(
+          s"model $name: folder-level materialized='$other' is not supported " +
+            "outside a model config header (incremental needs partition config)")
+      }
+    }
+    val strategy = SqlModel.configStr(raw, "incremental_strategy")
+      .getOrElse("insert_overwrite")
+    val partCol = SqlModel.configStr(raw, "partition_by").getOrElse(
+      throw new IllegalArgumentException(
+        s"model $name: materialized='incremental' requires partition_by"))
+    strategy match {
+      case "insert_overwrite" =>
+        val pm = partitionsRefPat.matcher(raw)
+        require(pm.find(),
+          s"model $name: insert_overwrite requires `partitions = <set-list>` in config")
+        val listName = pm.group(1)
+        val (lists, _) = SqlModel.extractSetLists(raw)
+        val items = lists.getOrElse(listName, throw new IllegalArgumentException(
+          s"model $name: partitions list '$listName' is not a {% set %} list " +
+            s"(defined: ${lists.keys.toSeq.sorted.mkString(", ")})"))
+        // Render each partition EXPRESSION (var substitution) and
+        // evaluate the whole list as one constant SELECT — the loader's
+        // analog of BigQuery evaluating dbt's partition expressions.
+        val exprs = items.map(SqlModel.substituteVars(_, vars))
+        val row = spark.sql(
+          exprs.zipWithIndex.map { case (e, i) => s"$e AS p$i" }
+            .mkString("SELECT ", ", ", "")).head()
+        IncrementalInsertOverwrite(partCol,
+          exprs.indices.map(i => String.valueOf(row.get(i))))
+      case "merge" =>
+        val key = SqlModel.configStr(raw, "unique_key").getOrElse(
+          throw new IllegalArgumentException(
+            s"model $name: incremental_strategy='merge' requires unique_key"))
+        MergeUpsert(key, partCol)
+      case other => throw new IllegalArgumentException(
+        s"model $name: unsupported incremental_strategy '$other' " +
+          "(supported: insert_overwrite, merge)")
+    }
+  }
+
+  // ---- schema.yml test routing -------------------------------------------
+
+  /** Parse one schema.yml `models:` LIST (distinct from dbt_project.yml's
+    * `models:` MAP) into (fail-severity checks, warn-severity checks).
+    */
+  private[graft] def parseSchemaTests(doc: Map[String, Any]):
+      (Seq[DataTests.Check], Seq[DataTests.Check]) = {
+    val fails = Seq.newBuilder[DataTests.Check]
+    val warns = Seq.newBuilder[DataTests.Check]
+    doc.get("models").map(asList).getOrElse(Nil).foreach { mAny =>
+      val m = asMap(mAny)
+      val model = optStr(m, "name").getOrElse(
+        throw new IllegalArgumentException("schema.yml model entry without a name"))
+      m.get("columns").map(asList).getOrElse(Nil).foreach { cAny =>
+        val c = asMap(cAny)
+        val colName = optStr(c, "name").getOrElse(throw new IllegalArgumentException(
+          s"schema.yml: column entry without a name under model $model"))
+        c.get("tests").map(asList).getOrElse(Nil).foreach { tAny =>
+          val (check, warn) = tAny match {
+            case s: String => (simpleCheck(s, model, colName), false)
+            case mm: java.util.Map[_, _] =>
+              val tm = asMap(mm)
+              require(tm.size == 1,
+                s"schema.yml: a test map must have exactly one test key ($model.$colName)")
+              val (kind, body) = tm.head
+              val bm = asMap(body)
+              val isWarn = bm.get("config").map(asMap)
+                .flatMap(optStr(_, "severity")).contains("warn")
+              (parameterizedCheck(kind, bm, model, colName), isWarn)
+            case other => throw new IllegalArgumentException(
+              s"schema.yml: unsupported test declaration $other ($model.$colName)")
+          }
+          if (warn) warns += check else fails += check
+        }
+      }
+    }
+    (fails.result(), warns.result())
+  }
+
+  private def simpleCheck(kind: String, model: String, col: String): DataTests.Check =
+    kind match {
+      case "unique" => DataTests.Unique(model, Seq(col))
+      case "not_null" => DataTests.NotNull(model, col)
+      case other => throw new IllegalArgumentException(
+        s"schema.yml: unsupported test '$other' on $model.$col " +
+          "(supported: unique, not_null, accepted_values, relationships)")
+    }
+
+  private def parameterizedCheck(kind: String, body: Map[String, Any],
+                                 model: String, col: String): DataTests.Check =
+    kind match {
+      case "unique" => DataTests.Unique(model, Seq(col))
+      case "not_null" => DataTests.NotNull(model, col)
+      case "accepted_values" =>
+        DataTests.AcceptedValues(model, col,
+          body.get("values").map(asList).getOrElse(Nil).map(String.valueOf))
+      case "relationships" =>
+        val toRaw = optStr(body, "to").getOrElse(throw new IllegalArgumentException(
+          s"schema.yml: relationships on $model.$col requires `to:`"))
+        // to: ref('parent') — the dbt form; a bare name is accepted too.
+        val parent = "ref\\('([^']+)'\\)".r.findFirstMatchIn(toRaw)
+          .map(_.group(1)).getOrElse(toRaw)
+        val field = optStr(body, "field").getOrElse(throw new IllegalArgumentException(
+          s"schema.yml: relationships on $model.$col requires `field:`"))
+        DataTests.Relationships(model, col, parent, field)
+      case other => throw new IllegalArgumentException(
+        s"schema.yml: unsupported test '$other' on $model.$col")
+    }
+
+  // ---- the loader ---------------------------------------------------------
+
+  def load(spark: SparkSession, dir: Path,
+           vars: Map[String, String] = Map.empty,
+           target: String = "dev"): DbtProject = {
+    val projFile = dir.resolve("dbt_project.yml")
+    require(Files.exists(projFile), s"not a dbt project: $projFile does not exist")
+    val projYml = asMap(parseYaml(projFile))
+    val projectName = optStr(projYml, "name").getOrElse(
+      throw new IllegalArgumentException(s"$projFile: missing project name"))
+    val modelsBlock = projYml.get("models").map(asMap).getOrElse(Map.empty)
+
+    val modelsDir = dir.resolve("models")
+    require(Files.isDirectory(modelsDir), s"$dir has no models/ directory")
+    def filesUnder(root: Path, suffixes: Seq[String]): Seq[Path] = {
+      if (!Files.isDirectory(root)) return Nil
+      val stream = Files.walk(root)
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          suffixes.exists(p.getFileName.toString.endsWith(_)))
+        .toSeq.sortBy(_.toString)
+      finally stream.close()
+    }
+
+    // Sources + schema tests from every YAML under models/.
+    val ymls = filesUnder(modelsDir, Seq(".yml", ".yaml")).map(p => p -> asMap(parseYaml(p)))
+    val sources = ymls.flatMap { case (_, doc) =>
+      doc.get("sources").map(asList).getOrElse(Nil).map(asMap).flatMap { src =>
+        val sName = optStr(src, "name").getOrElse(
+          throw new IllegalArgumentException("sources.yml: source entry without a name"))
+        src.get("tables").map(asList).getOrElse(Nil).map(asMap).map { t =>
+          SourceTable(sName, optStr(src, "database"), optStr(src, "schema"),
+            optStr(t, "name").getOrElse(throw new IllegalArgumentException(
+              s"sources.yml: table entry without a name under source $sName")))
+        }
+      }
+    }
+    val declaredSources = sources.map(st => (st.sourceName, st.table)).toSet
+    val (checks, warnChecks) = {
+      val parsed = ymls.map { case (_, doc) => parseSchemaTests(doc) }
+      (parsed.flatMap(_._1), parsed.flatMap(_._2))
+    }
+
+    // Project macro namespace: macros/*.sql concatenated.
+    val macrosText = filesUnder(dir.resolve("macros"), Seq(".sql"))
+      .map(Files.readString(_)).mkString("\n")
+
+    val models = filesUnder(modelsDir, Seq(".sql")).map { p =>
+      val name = p.getFileName.toString.stripSuffix(".sql")
+      val raw = Files.readString(p)
+      val text = rewritePhysicalTables(
+        rewriteSources(raw, declaredSources, modelsDir.relativize(p).toString))
+      val relSegs = Option(modelsDir.relativize(p).getParent)
+        .map(par => (0 until par.getNameCount).map(par.getName(_).toString))
+        .getOrElse(Nil)
+      val cfg = modelConfig(modelsBlock, relSegs, name, projectName)
+      // Header wins over folder/project config (dbt precedence); passing
+      // the header's own value as the caller arg is a no-op tie.
+      SqlModel.fromSqlText(name, text,
+        materialization = materializationFor(spark, name, raw, vars, cfg),
+        schema = SqlModel.configStr(raw, "schema").orElse(cfg.get("schema")),
+        database = SqlModel.configStr(raw, "database").orElse(cfg.get("database")),
+        vars = vars, macros = macrosText, target = target)
+    }
+    val names = models.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate model basenames in $modelsDir: " +
+        names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
+    DbtProject(projectName, models, sources, checks, warnChecks)
+  }
+}

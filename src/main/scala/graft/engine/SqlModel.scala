@@ -94,9 +94,10 @@ object SqlModel {
     "graft_ref_" + ref.replaceAll("[^A-Za-z0-9_]", "_")
 
   /** A single-quoted scalar from the `{{ config(...) }}` header
-    * (`materialized='view'`, `schema='x'`, ...).
+    * (`materialized='view'`, `schema='x'`, ...). `private[engine]`:
+    * [[ProjectLoader]] reads headers to apply dbt config precedence.
     */
-  private def configStr(sqlText: String, key: String): Option[String] = {
+  private[engine] def configStr(sqlText: String, key: String): Option[String] = {
     val p = Pattern.compile(
       """\{\{\s*config\([^}]*?""" + key + """\s*=\s*'([^']*)'[^}]*\)\s*\}\}""")
     val m = p.matcher(sqlText)
@@ -653,6 +654,22 @@ object SqlModel {
       m.appendReplacement(sb, Matcher.quoteReplacement(rendered))
     }
     m.appendTail(sb)
+    sb.toString
+  }
+
+  /** Substitute `{{ var('x') }}` call sites in a text fragment (throws
+    * on unbound vars) — [[ProjectLoader]] renders partition-expression
+    * list items with this before evaluating them.
+    */
+  private[engine] def substituteVars(text: String, vars: Map[String, String]): String = {
+    val vm = varPat.matcher(text)
+    val sb = new java.lang.StringBuilder
+    while (vm.find()) {
+      val v = vars.getOrElse(vm.group(1), throw new IllegalArgumentException(
+        s"unbound var '${vm.group(1)}' (bound: ${vars.keys.toSeq.sorted.mkString(", ")})"))
+      vm.appendReplacement(sb, Matcher.quoteReplacement(v))
+    }
+    vm.appendTail(sb)
     sb.toString
   }
 

@@ -879,6 +879,28 @@ object DagQueries {
            |  CAST(count(*) AS BIGINT) AS n
            |FROM lineitem GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  /** The PROJECT-DIRECTORY frontend end-to-end: the entire 20-model DAG
+    * is loaded from the checked-in `fixtures/npo_project` tree (a layout
+    * mirror of the reference — `dbt_project.yml`, `sources.yml`,
+    * `schema.yml`, 20 `.sql` files) by [[graft.engine.ProjectLoader]],
+    * run through DagRunner off the fixture parquet, and the FINAL node
+    * (the dashboard, which transitively exercises every other model) is
+    * judged against the same independent DuckDB oracle as
+    * `dag_dashboard`. Physical BigQuery table refs resolve to the
+    * source parquet through `NpoFixtures.physicalAliases` — the
+    * warehouse-table interface a dropped-in dbt project expects.
+    */
+  private val projectDashboard = QueryDef(
+    "dag_project_dashboard",
+    (s, _) => {
+      val proj = SqlReporting.project(today, s)
+      val built = graft.engine.DagRunner.run(s, proj.models,
+        n => srcDf(s, graft.models.testkit.NpoFixtures.physicalAliases.getOrElse(n, n)),
+        s"${sys.props("java.io.tmpdir")}/graft-projwh-${s.sparkContext.applicationId}")
+      ordered(built("integral_reporting_dashboard_channel_weekly"))
+    },
+    dashboard.oracle)
+
   /** General Jinja `{% if %}`/`{% elif %}`/`{% else %}` conditionals
     * end-to-end: a SQL-text model switches its grouping CTE on a var
     * (`granularity`) and gates an extra discount column on
@@ -951,5 +973,5 @@ object DagQueries {
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
     sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing,
-    sqlIfPricing, microbatchDaily)
+    sqlIfPricing, projectDashboard, microbatchDaily)
 }

@@ -2,30 +2,31 @@ package graft.models
 
 import java.sql.Date
 
-import graft.engine.{IncrementalInsertOverwrite, Model, SqlModel}
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{Model, ProjectLoader}
 
 /** EVERY non-empty reference model authored as SQL TEXT (dbt's authoring
-  * surface) as `.sql` files under `src/main/resources/graft/models/sql`,
-  * loaded through [[graft.engine.SqlModel]] — the path a dbt user takes:
-  * `.sql` files with `ref()`/`var()`/`{% set %}` template calls, no
-  * recompilation. Refs are extracted from the text, so the DAG wiring
-  * below cannot drift from the SQL bodies.
+  * surface), loaded from the checked-in PROJECT DIRECTORY
+  * `fixtures/npo_project` — a byte-for-byte mirror of the reference
+  * layout (`dbt_project.yml`, `models/source/...`, `models/datamarts/
+  * npo-data-hub/...`, `sources.yml`, `schema.yml`) whose `.sql` bodies
+  * are the engine's Spark-SQL dialect ports. Since round 11 the models
+  * come through [[graft.engine.ProjectLoader]] — the dbt path end to
+  * end: files in, DAG out, no Scala wiring. Refs are extracted from the
+  * text, so the DAG wiring below cannot drift from the SQL bodies.
   *
-  * Ten models ship as text: the six reporting views, the dashboard,
-  * `poms_flattened` (five stacked outer UNNESTs), the latest-partition
-  * quintly source model, and the incremental
-  * `atinternet_smarttag_streams_daily_v4` (whose reference authoring
-  * uses a Jinja `{% set %}` partition list + `| join` — the same
-  * templating `SqlModel` supports). The remaining 3 of the reference's
-  * 13 models (`dim_poms_episodes` and the two pages tables) are EMPTY
-  * `.sql` files in the reference — prebuilt sources in disguise (SURVEY
-  * §3.3) — so they resolve through the runner's source callback, not as
-  * text.
+  * The project tree holds all 20 reference model files: the ten
+  * substantive models listed in [[allNames]] plus the ten one-line
+  * BigQuery passthroughs ("sources in disguise", SURVEY §3.3) that
+  * [[ProjectLoader]] turns into external refs under their physical
+  * dotted names (`NpoFixtures.physicalAliases` maps those to fixtures).
   *
   * `SqlModelSpec` proves each SQL-text model frame-equivalent to the
   * compiled builders, which are themselves DuckDB-oracled end-to-end via
-  * the `dag_*` correctness rows; `dag_sql_*` rows additionally pin four
-  * text-path models directly against DuckDB.
+  * the `dag_*` rows; `dag_sql_*` rows additionally pin the text-path
+  * models directly against DuckDB, and `ProjectLoaderSpec` re-runs the
+  * whole file-frontend DAG against the compiled builders.
   */
 object SqlReporting {
 
@@ -37,8 +38,8 @@ object SqlReporting {
     "integral_reporting_instagram",
     "integral_reporting_sites_and_apps")
 
-  /** The four models beyond the reporting layer that now also ship as
-    * SQL text (VERDICT r7 #3).
+  /** The four models beyond the reporting layer that also ship as SQL
+    * text (VERDICT r7 #3).
     */
   val extraNames: Seq[String] = Seq(
     "quintly_youtube_allchannels_weekly",
@@ -48,34 +49,40 @@ object SqlReporting {
 
   val allNames: Seq[String] = names ++ extraNames
 
-  /** The reporting layer from SQL text; `today` is injected as the
-    * `{{ var('today') }}` binding (the reference's CURRENT_DATE()).
+  /** The checked-in dbt project mirroring the reference layout. Resolved
+    * relative to the repo root (sbt runs from there; the absolute
+    * fallback matches the seeds-fixture convention).
     */
-  def models(today: Date): Seq[Model] = names.map { n =>
-    SqlModel.fromResource(s"graft/models/sql/$n.sql",
-      schema = Some("integral_reporting"),
-      database = Some(NpoDag.database),
-      vars = Map("today" -> s"DATE '$today'"))
+  def projectDir: java.nio.file.Path =
+    Seq(java.nio.file.Paths.get("fixtures/npo_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/npo_project"))
+      .find(java.nio.file.Files.isDirectory(_))
+      .getOrElse(throw new IllegalStateException(
+        "fixtures/npo_project not found (run from the repo root)"))
+
+  /** Load the full project through the file frontend; `today` binds the
+    * `{{ var('today') }}` call sites (the reference's CURRENT_DATE()).
+    */
+  def project(today: Date,
+              spark: SparkSession = SparkSession.active): ProjectLoader.DbtProject =
+    ProjectLoader.load(spark, projectDir, vars = Map("today" -> s"DATE '$today'"))
+
+  /** The reporting layer from SQL text. */
+  def models(today: Date): Seq[Model] = {
+    val p = project(today)
+    names.map(p.model)
   }
 
-  /** All ten SQL-text models with the same materialization/routing
-    * config their compiled twins declare in [[NpoDag.models]].
+  /** All ten substantive SQL-text models. Materialization and routing
+    * now derive from the FILES (config headers + dbt_project.yml): the
+    * incremental model's partition list is the loader's evaluation of
+    * the `partitions = partitions_to_replace` header against the
+    * `{% set %}` list — `ProjectLoaderSpec` pins it equal to
+    * `StreamsDaily.partitionsFor(today)`.
     */
   def allModels(today: Date): Seq[Model] = {
-    val vars = Map("today" -> s"DATE '$today'")
-    models(today) ++ Seq(
-      SqlModel.fromResource("graft/models/sql/quintly_youtube_allchannels_weekly.sql",
-        database = Some(NpoDag.database), vars = vars),
-      SqlModel.fromResource("graft/models/sql/poms_flattened.sql",
-        database = Some(NpoDag.database), vars = vars),
-      SqlModel.fromResource("graft/models/sql/atinternet_smarttag_streams_daily_v4.sql",
-        materialization =
-          IncrementalInsertOverwrite("evt_date", StreamsDaily.partitionsFor(today)),
-        schema = Some("atinternet_smarttag_streams_daily"),
-        database = Some(NpoDag.database), vars = vars),
-      SqlModel.fromResource("graft/models/sql/integral_reporting_dashboard_channel_weekly.sql",
-        schema = Some("integral_reporting"),
-        database = Some(NpoDag.database), vars = vars))
+    val p = project(today)
+    allNames.map(p.model)
   }
 
   /** The full NPO DAG with EVERY non-source model swapped to its

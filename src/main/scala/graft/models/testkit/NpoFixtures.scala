@@ -185,4 +185,38 @@ object NpoFixtures {
       "atinternet_smarttag_pages_programmes_weekly_v2" -> pagesProg.toDF(),
       "dim_poms_episodes" -> dim.toDF())
   }
+
+  /** The project tree's EXTERNAL interface: the physical BigQuery table
+    * names its ten passthrough models point at (each a reference
+    * one-liner, e.g. `models/source/ingest_latest/media_events.sql:1`)
+    * plus the declared source's qualified key
+    * (`sources.yml:4-8` → `quintly_youtube_allchannels_weekly.v1`),
+    * aliased to the fixture that stands in for each warehouse table.
+    * `ProjectLoader`-based runs resolve unknown refs through
+    * [[resolveProject]].
+    */
+  val physicalAliases: Map[String, String] = Map(
+    "npo-data-hub.audiovisual_metadata_v1.poms_metadata_v1" ->
+      "audiovisual_metadata_poms_metadata_v1",
+    "npo-data-hub.advantedge_tv_viewer_density_per_show_daily.v1_latest" ->
+      "advantedge_tv_viewer_density_per_show_daily_v1",
+    "npo-data-hub.analytics.media_events" -> "media_events",
+    "npo-data-hub.live_stream_name_mapping.v1" -> "live_stream_name_mapping_v1",
+    "comscore-data-prod.ati.360_graden_rapportage_vertaaltabel_upload_20_21" ->
+      "360_graden_rapportage_vertaaltabel_upload_20_21",
+    "quintly_youtube_allchannels_weekly.v1" -> "src_quintly_youtube_v1",
+    "npo-data-hub.quintly_facebook_pages_weekly.v1_view" -> "quintly_facebook_pages_weekly",
+    "npo-data-hub.quintly_instagram_pages_weekly.v1_view" -> "quintly_instagram_pages_weekly",
+    "npo-data-hub.atinternet_smarttag_pages_weekly.v2" -> "atinternet_smarttag_pages_weekly_v2",
+    "npo-data-hub.atinternet_smarttag_pages_programmes_weekly.v2" ->
+      "atinternet_smarttag_pages_programmes_weekly_v2",
+    "npo-data-hub.looker.poms_episodes_materialized" -> "dim_poms_episodes")
+
+  /** Resolve callback for file-frontend runs: fixture keys answer
+    * directly, physical dotted names and source keys through the alias
+    * table.
+    */
+  def resolveProject(fixtures: Map[String, DataFrame])(n: String): DataFrame =
+    fixtures.getOrElse(n, fixtures(physicalAliases.getOrElse(n,
+      throw new IllegalArgumentException(s"no fixture or alias for external ref '$n'"))))
 }

@@ -47,10 +47,12 @@ class AnnQualitySpec extends SparkSpec {
   test("IVF recall@5 improves monotonically with nprobe and reaches 1.0 at full probe") {
     val r1 = recall(1)
     val r2 = recall(2)
+    val r3 = recall(3) // the oracle-pinned multi-probe row's configuration
     val rAll = recall(10) // 10 cells in the corpus: probing all = exact
-    info(f"recall@5: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f, nprobe=10 $rAll%.3f")
+    info(f"recall@5: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f, nprobe=3 $r3%.3f, nprobe=10 $rAll%.3f")
     assert(r1 > 0.0, "single-probe IVF must find a nonzero share of true neighbors")
     assert(r2 >= r1, "probing more cells must not lose candidates")
+    assert(r3 >= r2, "probing more cells must not lose candidates")
     assert(rAll === 1.0, "probing every cell must reproduce the exact top-k")
   }
 

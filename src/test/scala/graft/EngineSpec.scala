@@ -410,6 +410,35 @@ class EngineSpec extends SparkSpec {
     assert(ts === List("nightly", "pii"))
   }
 
+  test("writeDocsSite renders the real DAG: DOT with every node+edge, standalone SVG HTML") {
+    val dir = Files.createTempDirectory("graft-docsite").toString
+    val models = graft.models.NpoDag.models(graft.models.testkit.NpoFixtures.today)
+    val exp = Exposure("weekly_dash", "dashboard",
+      Seq("integral_reporting_dashboard_channel_weekly"), owner = "bi")
+    DagRunner.writeDocsSite(spark, models, dir, Seq(exp))
+    val dot = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/lineage.dot")), "UTF-8")
+    assert(dot.startsWith("digraph lineage {"))
+    // Every model is a box node; every external source a cylinder.
+    models.foreach(m => assert(dot.contains(s""""${m.name}" [shape=box];"""), m.name))
+    assert(dot.contains(""""dim_poms_episodes" [shape=cylinder];"""))
+    assert(dot.contains(""""weekly_dash" [shape=ellipse, style=dashed];"""))
+    // Every ref is an edge, exposures hang off their dependencies.
+    models.foreach(m => m.refs.foreach(r =>
+      assert(dot.contains(s""""$r" -> "${m.name}";"""), s"$r -> ${m.name}")))
+    assert(dot.contains(
+      """"integral_reporting_dashboard_channel_weekly" -> "weekly_dash";"""))
+    // Edge count is exactly refs + exposure dependencies (no dupes).
+    assert(dot.linesIterator.count(_.contains(" -> ")) ===
+      models.map(_.refs.size).sum + exp.dependsOn.size)
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/index.html")), "UTF-8")
+    assert(html.contains("<svg") && html.contains("</svg>"))
+    models.foreach(m => assert(
+      html.contains(m.name) || html.contains(m.name.take(27) + "…"),
+      s"${m.name} missing from HTML"))
+  }
+
   test("runParallel overlaps independent models, preserves order, equals run()") {
     val active = new java.util.concurrent.atomic.AtomicInteger(0)
     val peak = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -229,7 +229,7 @@ class SqlModelSpec extends SparkSpec {
   private lazy val scalaBuilt = DagRunner.run(spark, NpoDag.models(NpoFixtures.today),
     fixtures.apply, tmpWh())
   private lazy val sqlBuilt = DagRunner.run(spark, SqlReporting.dagModels(NpoFixtures.today),
-    fixtures.apply, tmpWh())
+    NpoFixtures.resolveProject(fixtures), tmpWh())
 
   private def tmpWh(): String =
     java.nio.file.Files.createTempDirectory("graft_sqlwh").toFile.getAbsolutePath
@@ -338,9 +338,8 @@ class SqlModelSpec extends SparkSpec {
   }
 
   test("streams_daily re-authored in the is_incremental() style builds identically once the target exists") {
-    val resPath = "graft/models/sql/atinternet_smarttag_streams_daily_v4.sql"
-    val in = getClass.getClassLoader.getResourceAsStream(resPath)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val text = java.nio.file.Files.readString(SqlReporting.projectDir.resolve(
+      "models/datamarts/npo-data-hub/intermediary/atinternet_smarttag_streams_daily_v4.sql"))
     val guard =
       "AND CAST(CAST(r.d_date_hour_event AS DATE) AS STRING) IN ({{ partitions_to_replace | join(',') }})"
     assert(text.contains(guard), "the static partition filter must be present to re-author")
@@ -362,7 +361,8 @@ class SqlModelSpec extends SparkSpec {
     // Run 1: the ORIGINAL text seeds the warehouse target. Snapshot the
     // rows eagerly — run 2's insert_overwrite replaces the files this
     // lazy frame reads.
-    val first = DagRunner.run(spark, upstream :+ mk(text), fixtures.apply, wh)
+    val first = DagRunner.run(spark, upstream :+ mk(text),
+      NpoFixtures.resolveProject(fixtures), wh)
     val firstDf = first("atinternet_smarttag_streams_daily_v4")
     val snapshot = spark.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(firstDf.collect(): _*)),
@@ -370,7 +370,8 @@ class SqlModelSpec extends SparkSpec {
     // Run 2: the re-authored text against the now-existing target — the
     // incremental branch renders the identical partition filter, so the
     // insert_overwrite replay must leave a frame-identical table.
-    val second = DagRunner.run(spark, upstream :+ mk(reauthored), fixtures.apply, wh)
+    val second = DagRunner.run(spark, upstream :+ mk(reauthored),
+      NpoFixtures.resolveProject(fixtures), wh)
     assertFrameEqual("streams_daily is_incremental re-authoring",
       second("atinternet_smarttag_streams_daily_v4"), snapshot)
   }
