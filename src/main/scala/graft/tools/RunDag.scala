@@ -17,6 +17,14 @@ import graft.models.testkit.NpoFixtures
   *   runMain graft.tools.RunDag <sourcesDir> <warehouse> [todayYYYY-MM-DD]
   *     reads each source as <sourcesDir>/<name>.parquet (names per
   *     `NpoDag.sources`) and materializes into <warehouse>.
+  *   Add --project <dir> to load the DAG from a dbt PROJECT DIRECTORY
+  *     (`dbt_project.yml` + `models/` — `graft.engine.ProjectLoader`)
+  *     instead of the compiled `NpoDag` wiring: the dropped-in-project
+  *     path. External refs (declared sources and physical table names)
+  *     read <sourcesDir>/<name>.parquet, with dots/spaces in physical
+  *     names sanitized to `_`; schema.yml tests run when --build is
+  *     given. `--vars k=v,k2=v2` binds template vars (`today` binds
+  *     automatically from the positional date arg).
   *   Add --threads N to materialize ready models concurrently
   *     (dbt's `threads:` — `DagRunner.runParallel`).
   *   Add --select 'spec' to materialize a node-selection subgraph
@@ -49,6 +57,12 @@ object RunDag {
     val selectSpec = flagValue("--select")
     val excludeSpec = flagValue("--exclude")
     val doBuild = args0.contains("--build")
+    val projectDir = flagValue("--project")
+    val userVars: Map[String, String] = flagValue("--vars").map(
+      _.split(",").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k.trim -> v.trim
+      }.toMap).getOrElse(Map.empty)
     val deferWarehouse = flagValue("--defer")
     val favorState = args0.contains("--favor-state")
     // dbt errors on --favor-state without --defer; silently defaulting
@@ -62,7 +76,7 @@ object RunDag {
       var a = args0.toSeq
       while (a.contains("--build")) a = a.patch(a.indexOf("--build"), Nil, 1)
       while (a.contains("--favor-state")) a = a.patch(a.indexOf("--favor-state"), Nil, 1)
-      for (f <- Seq("--threads", "--select", "--exclude", "--defer")) {
+      for (f <- Seq("--threads", "--select", "--exclude", "--defer", "--project", "--vars")) {
         var i = a.indexOf(f)
         while (i >= 0) {
           require(i < a.length - 1, s"$f requires a value")
@@ -85,15 +99,39 @@ object RunDag {
       if (args.headOption.contains("--demo")) {
         val fixtures = NpoFixtures.all(spark)
         val wh = Files.createTempDirectory("graft_demo_wh").toFile.getAbsolutePath
-        (fixtures.apply _, wh, NpoFixtures.today)
+        // Under --project, external refs are the dropped-in project's
+        // physical table names — route them through the alias table.
+        val res: String => org.apache.spark.sql.DataFrame =
+          if (projectDir.isDefined) NpoFixtures.resolveProject(fixtures)
+          else fixtures.apply _
+        (res, wh, NpoFixtures.today)
       } else {
         val Array(src, wh) = args.take(2)
         val today = args.lift(2).map(java.sql.Date.valueOf)
           .getOrElse(new java.sql.Date(System.currentTimeMillis()))
-        ((n: String) => spark.read.parquet(s"$src/$n.parquet"), wh, today)
+        // A physical ref like `npo-data-hub.analytics.media_events`
+        // maps to a sanitized parquet basename when the verbatim one
+        // does not exist on disk.
+        val res = (n: String) => {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val cands = Seq(n, n.replaceAll("[^A-Za-z0-9_]", "_")).distinct
+            .map(b => s"$src/$b.parquet")
+          val found = cands.find { c =>
+            val p = new org.apache.hadoop.fs.Path(c)
+            p.getFileSystem(conf).exists(p)
+          }
+          spark.read.parquet(found.getOrElse(cands.head))
+        }
+        (res, wh, today)
       }
 
-    val allModels = NpoDag.models(today)
+    // --project loads the DAG (and its schema.yml tests) from a dbt
+    // project directory through the file frontend; otherwise the
+    // compiled NpoDag wiring runs.
+    val project = projectDir.map(pd => graft.engine.ProjectLoader.load(spark,
+      java.nio.file.Paths.get(pd),
+      vars = userVars ++ Map("today" -> s"DATE '$today'")))
+    val allModels = project.map(_.models).getOrElse(NpoDag.models(today))
     // Under --select, unselected TABLE-family upstreams resolve from the
     // warehouse of a previous full run (dbt's contract — they persist);
     // VIEW and EPHEMERAL upstreams have no on-disk form, so their
@@ -121,9 +159,13 @@ object RunDag {
     val built: Map[String, DataFrame] =
       if (doBuild) {
         val report = DagRunner.build(spark, models, resolveWithWarehouse, warehouse,
-          NpoDag.defaultChecks)
+          project.map(_.checks).getOrElse(NpoDag.defaultChecks),
+          project.map(_.warnChecks).getOrElse(Nil))
         report.failures.foreach { case (m, checks) =>
           checks.foreach { case (c, n) => println(s"[rundag] FAIL $m $c: $n violations") }
+        }
+        report.warnings.foreach { case (m, checks) =>
+          checks.foreach { case (c, n) => println(s"[rundag] WARN $m $c: $n violations") }
         }
         report.skipped.foreach(m => println(s"[rundag] SKIP $m (upstream failed)"))
         if (!report.ok) { spark.stop(); sys.exit(1) }
