@@ -313,6 +313,11 @@ object ProjectLoader {
     val projectName = optStr(projYml, "name").getOrElse(
       throw new IllegalArgumentException(s"$projFile: missing project name"))
     val modelsBlock = projYml.get("models").map(asMap).getOrElse(Map.empty)
+    // dbt_project.yml `vars:` declares project-level DEFAULTS; caller
+    // vars (dbt's --vars) override them — dbt's own precedence.
+    val projectVars = projYml.get("vars").map(asMap).getOrElse(Map.empty)
+      .map { case (k, v) => k -> String.valueOf(v) }
+    val boundVars = projectVars ++ vars
 
     val modelsDir = dir.resolve("models")
     require(Files.isDirectory(modelsDir), s"$dir has no models/ directory")
@@ -361,10 +366,10 @@ object ProjectLoader {
       // Header wins over folder/project config (dbt precedence); passing
       // the header's own value as the caller arg is a no-op tie.
       SqlModel.fromSqlText(name, text,
-        materialization = materializationFor(spark, name, raw, vars, cfg),
+        materialization = materializationFor(spark, name, raw, boundVars, cfg),
         schema = SqlModel.configStr(raw, "schema").orElse(cfg.get("schema")),
         database = SqlModel.configStr(raw, "database").orElse(cfg.get("database")),
-        vars = vars, macros = macrosText, target = target)
+        vars = boundVars, macros = macrosText, target = target)
     }
     val names = models.map(_.name)
     require(names.distinct.size == names.size,

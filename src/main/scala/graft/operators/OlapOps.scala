@@ -574,12 +574,19 @@ object OlapOps {
     * daily-active (user, day) keys of two event types. This is the
     * audience-overlap question ("how many daily actives did both X and
     * Y") answered without ever materializing the intersection — at
-    * 100 TB each sketch is a fixed-size buffer merged map-side, and the
-    * three sketches come from ONE scan (conditional inputs), not three.
-    * The exact intersection rides the same pass by the same
-    * inclusion-exclusion over exact distincts, and the oracle pins the
-    * estimate inside the 3σ band of the 2% rsd sketch (σ of the
-    * difference bounded by the sum of the three set σs).
+    * 100 TB each sketch is a fixed-size buffer merged map-side.
+    * The exact intersection rides along to pin the estimate inside the
+    * 3σ band of the 2% rsd sketch (σ of the difference bounded by the
+    * sum of the three set σs).
+    *
+    * Plan shape (round 11 — this row was 82 s at sf10): NO Expand.
+    * A multi-`countDistinct` over the raw events compiles to a 6-way
+    * Expand of the 100M-row scan; instead, one aggregation keyed on
+    * the daily-active key reduces the corpus map-side to |A∪B| rows
+    * carrying two membership flags, and a one-row final aggregate
+    * computes the exact counts as conditional SUMS (the rows are
+    * already distinct) plus the three HLLs (identical sketch values —
+    * HLL registers depend on the value SET, not multiplicities).
     */
   private val hllIntersect = QueryDef(
     "a28_hll_intersect",
@@ -589,19 +596,21 @@ object OlapOps {
       // conflate Jan 5 with Feb 5 on any corpus spanning months. The
       // 100000 stride keeps user_id * stride + epoch_day collision-free
       // for any date below year 2243.
-      val e = t(s, dir, "events")
+      val perDay = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
         .select(col("event_type"),
           (col("user_id") * 100000 +
             datediff(to_date(col("ts")), lit("1970-01-01"))).as("uday"))
-      val inA = when(col("event_type") === "click", col("uday"))
-      val inB = when(col("event_type") === "view", col("uday"))
-      val inU = when(col("event_type").isin("click", "view"), col("uday"))
-      e.agg(
-        countDistinct(inA).as("na"), countDistinct(inB).as("nb"),
-        countDistinct(inU).as("nu"),
-        approx_count_distinct(inA, 0.02).as("ea"),
-        approx_count_distinct(inB, 0.02).as("eb"),
-        approx_count_distinct(inU, 0.02).as("eu"))
+        .groupBy("uday")
+        .agg(max(col("event_type") === "click").as("in_a"),
+          max(col("event_type") === "view").as("in_b"))
+      perDay.agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("nb"),
+        count(lit(1)).as("nu"),
+        approx_count_distinct(when(col("in_a"), col("uday")), 0.02).as("ea"),
+        approx_count_distinct(when(col("in_b"), col("uday")), 0.02).as("eb"),
+        approx_count_distinct(col("uday"), 0.02).as("eu"))
         .select(
           (col("na") + col("nb") - col("nu")).as("exact_inter"),
           (abs((col("ea") + col("eb") - col("eu")) - (col("na") + col("nb") - col("nu")))

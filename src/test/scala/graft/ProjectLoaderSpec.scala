@@ -171,14 +171,16 @@ class ProjectLoaderSpec extends SparkSpec {
     }
     write("dbt_project.yml",
       """name: synth
+        |vars:
+        |  factor: 2
         |models:
         |  staging:
         |    +materialized: table
         |""".stripMargin)
     write("macros/util.sql",
-      "{% macro double(c) %}({{ c }} * 2){% endmacro %}")
+      "{% macro scale(c) %}({{ c }} * {{ var('factor') }}){% endmacro %}")
     write("models/staging/stg_nums.sql",
-      "SELECT {{ double('n') }} AS n2 FROM {{ source('raw', 'nums') }}")
+      "SELECT {{ scale('n') }} AS n2 FROM {{ source('raw', 'nums') }}")
     write("models/sources.yml",
       """version: 2
         |sources:
@@ -191,9 +193,15 @@ class ProjectLoaderSpec extends SparkSpec {
     val stg = p.model("stg_nums")
     assert(stg.materialization === Table, "folder-level +materialized applies")
     assert(stg.refs === Seq("raw.nums"))
+    // The `factor` var binds from dbt_project.yml's `vars:` block.
     val built = DagRunner.run(spark, p.models,
       Map("raw.nums" -> Seq(1, 2).toDF("n")).apply, tmpWh())
     assert(built("stg_nums").as[Long].collect().sorted === Array(2L, 4L))
+    // Caller vars override the project default (dbt --vars precedence).
+    val p3 = ProjectLoader.load(spark, dir, vars = Map("factor" -> "3"))
+    val built3 = DagRunner.run(spark, p3.models,
+      Map("raw.nums" -> Seq(1, 2).toDF("n")).apply, tmpWh())
+    assert(built3("stg_nums").as[Long].collect().sorted === Array(3L, 6L))
     // An undeclared source is dbt's compile error.
     write("models/staging/bad.sql", "SELECT * FROM {{ source('raw', 'nope') }}")
     val e = intercept[IllegalArgumentException](ProjectLoader.load(spark, dir))
