@@ -70,22 +70,41 @@ object GeoOps {
   private val radiusJoin = QueryDef(
     "g1_geo_radius_join",
     (s, dir) => {
+      // The 9-cell neighbor fan-out goes on the SMALL side (suppliers):
+      // a pair within R differs by ≤1 cell in each axis, so supplier-
+      // replicated-into-neighbors ⋈ customer-in-own-cell enumerates
+      // exactly the pairs customer-probes-9-cells would — but the
+      // exploded table is 9×|supplier|, not 9×|customer| (15× less
+      // shuffle at the sf10 cardinalities, and the big side stays a
+      // plain one-row-per-customer scan).
+      // (A finer 2.25°×4.5° grid with a 5×5 window was measured at sf10
+      // and does NOT pay: the 0.56× candidate cut is offset by the 25×-
+      // replicated broadcast hash table's probe cost — 57.5 s vs 54.5 s.)
+      val nbrs = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey"),
           latOf(col("s_suppkey")).as("s_lat"), lonOf(col("s_suppkey")).as("s_lon"))
-        .withColumn("cell_lat", floor(col("s_lat") / 5.0).cast("int"))
+        .withColumn("nb", explode(nbrs))
+        .withColumn("cell_lat", (floor(col("s_lat") / 5.0) + col("nb.dx")).cast("int"))
         .withColumn("cell_lon",
-          pmod(floor(col("s_lon") / 10.0).cast("int") + 36, lit(36)))
-      val nbrs = array((for { dx <- -1 to 1; dy <- -1 to 1 }
-        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+          pmod(floor(col("s_lon") / 10.0).cast("int") + col("nb.dy") + 36, lit(36)))
+        .drop("nb")
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"),
           latOf(col("c_custkey")).as("c_lat"), lonOf(col("c_custkey")).as("c_lon"))
-        .withColumn("nb", explode(nbrs))
-        .withColumn("cell_lat", (floor(col("c_lat") / 5.0) + col("nb.dx")).cast("int"))
+        .withColumn("cell_lat", floor(col("c_lat") / 5.0).cast("int"))
         .withColumn("cell_lon",
-          pmod(floor(col("c_lon") / 10.0).cast("int") + col("nb.dy") + 36, lit(36)))
-      cust.join(sup, Seq("cell_lat", "cell_lon"))
+          pmod(floor(col("c_lon") / 10.0).cast("int") + 36, lit(36)))
+      // Bounding-box prefilter: the 3×3 cell neighborhood admits pairs
+      // up to 15° lat / 30° lon apart, but R=500 km bounds a qualifying
+      // pair by 4.50° lat and 8.99° lon (scaladoc derivation) — two
+      // cheap comparisons discard most candidates before the trig; the
+      // brute-force oracle proves no pair is lost.
+      val dLon = abs(col("c_lon") - col("s_lon"))
+      cust.join(broadcast(sup), Seq("cell_lat", "cell_lon"))
+        .filter(abs(col("c_lat") - col("s_lat")) <= lit(4.51) &&
+          least(dLon, lit(360.0) - dLon) <= lit(9.0))
         .withColumn("km", haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")))
         .filter(col("km") < RadiusKm)
         .groupBy("c_custkey")
