@@ -37,6 +37,9 @@ import graft.models.testkit.NpoFixtures
   *     materialization (dbt `build`): a failing model's descendants are
   *     skipped, the report prints, and the exit code is nonzero on any
   *     failure or skip.
+  *   Add --docs <dir> to also emit the lineage artifacts (dbt docs
+  *     generate): <dir>/docs.json (machine manifest), <dir>/lineage.dot
+  *     (Graphviz) and <dir>/index.html (standalone SVG render).
   *   Add --defer <otherWarehouse> (with --select) to resolve unselected
   *     upstreams from another environment's warehouse when this one has
   *     never materialized them (dbt `--defer --state`); add
@@ -63,6 +66,7 @@ object RunDag {
         val Array(k, v) = kv.split("=", 2)
         k.trim -> v.trim
       }.toMap).getOrElse(Map.empty)
+    val docsDir = flagValue("--docs")
     val deferWarehouse = flagValue("--defer")
     val favorState = args0.contains("--favor-state")
     // dbt errors on --favor-state without --defer; silently defaulting
@@ -76,7 +80,8 @@ object RunDag {
       var a = args0.toSeq
       while (a.contains("--build")) a = a.patch(a.indexOf("--build"), Nil, 1)
       while (a.contains("--favor-state")) a = a.patch(a.indexOf("--favor-state"), Nil, 1)
-      for (f <- Seq("--threads", "--select", "--exclude", "--defer", "--project", "--vars")) {
+      for (f <- Seq("--threads", "--select", "--exclude", "--defer", "--project",
+                    "--vars", "--docs")) {
         var i = a.indexOf(f)
         while (i >= 0) {
           require(i < a.length - 1, s"$f requires a value")
@@ -177,6 +182,11 @@ object RunDag {
       println(f"[rundag] $name%-45s ${df.count()}%8d rows")
     }
     println(s"[rundag] warehouse: $warehouse")
+    docsDir.foreach { dd =>
+      DagRunner.writeDocs(spark, allModels, s"$dd/docs.json")
+      DagRunner.writeDocsSite(spark, allModels, dd)
+      println(s"[rundag] docs: $dd/docs.json, $dd/lineage.dot, $dd/index.html")
+    }
     built.get("integral_reporting_dashboard_channel_weekly").foreach(
       _.orderBy("Naam", "weekdate", "reporting_channel")
         .show(10, truncate = false))

@@ -449,6 +449,26 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   /** Collect leaves across AQE's nested-stage boundaries. */
+  test("a28_hll_intersect plans WITHOUT an Expand (keyed pre-aggregation, not multi-distinct)") {
+    // The round-11 rewrite: a multi-countDistinct compiles to an N-way
+    // Expand of the raw scan (600M intermediate rows at sf10, 82 s);
+    // the daily-active-keyed pre-aggregation + conditional-sum final
+    // agg must keep the plan Expand-free.
+    val p = plan("a28_hll_intersect")
+    assert(!p.contains("Expand"), "a28 regressed to an Expand-based multi-distinct")
+  }
+
+  test("g1_geo_radius_join broadcasts the fanned-out small side and prefilters before the trig") {
+    val p = plan("g1_geo_radius_join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the supplier side (9-cell fan-out) must broadcast — a sort-merge here shuffles the corpus")
+    assert(!p.contains("CartesianProduct"))
+    // The bounding-box prefilter must sit in the join condition or a
+    // filter ABOVE the join but BEFORE the haversine projection — its
+    // cheap comparisons are what keep the trig off most candidates.
+    assert(p.contains("4.51"), "bounding-box lat prefilter missing from the physical plan")
+  }
+
   private def collectLeaves(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val direct = p.collect {
