@@ -459,41 +459,71 @@ object ExtensionOps {
     * ordinary keyed join, never a cartesian). Top-20 by count plans as
     * TakeOrderedAndProject. Lift/confidence quantize portably to 1e-6.
     */
+  /** Shared plan for A27/A27b. `minSupport = None` is the exhaustive
+    * first pass; `Some(ms)` is the Apriori support-prune dial: baskets'
+    * parts are semi-joined against singletons with `cnt_one >= ms`
+    * BEFORE the pair explode, so the candidate-pair key space shrinks
+    * from (all co-occurring parts)² to (frequent parts)² — the move
+    * that makes pair mining feasible on realistic Zipf-skewed corpora,
+    * where the long tail of rare parts contributes almost all candidate
+    * pairs and none of the frequent ones. The prune is lossless for the
+    * pruned row's semantics (a pair involving a part with cnt_one < ms
+    * can never satisfy both-parts-frequent), which the brute-force
+    * DuckDB oracle proves by computing the same result WITHOUT the
+    * prune. Apriori's premise — frequent singletons are few — is what
+    * justifies the explicit broadcast of the qualifying set; on a
+    * corpus where most parts qualify, the prune buys nothing and the
+    * unpruned row is the right tool.
+    */
+  private def basketPairsPlan(s: SparkSession, dir: String,
+                              minSupport: Option[Long]): org.apache.spark.sql.DataFrame = {
+    // ONE shuffle on okey builds the per-order basket; the three
+    // downstream branches (pair counts, singleton supports, order
+    // count) all hang off the SAME aggregate subtree, so Catalyst
+    // reuses one exchange and the fact table is scanned once.
+    val baskets = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+    val supports = baskets.select(explode(col("parts")).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("cnt_one"))
+    // Apriori prune: drop infrequent parts from every basket before
+    // pair expansion (explode → broadcast semi-join → regroup; two
+    // cheap shuffles that replace a quadratically larger pair agg).
+    val pairSource = minSupport match {
+      case None => baskets
+      case Some(ms) =>
+        val qualifying = supports.filter(col("cnt_one") >= ms).select("part")
+        baskets.select(col("okey"), explode(col("parts")).as("part"))
+          .join(broadcast(qualifying), Seq("part"), "left_semi")
+          .groupBy("okey").agg(sort_array(collect_set(col("part"))).as("parts"))
+    }
+    // In-basket pair expansion: strictly-later elements of the sorted
+    // distinct set, so pa < pb by construction and each unordered
+    // pair appears once per order.
+    val pairs = pairSource.select(explode(expr(
+        "flatten(transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))"))
+        .as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= 2)
+    pairs
+      .join(supports.withColumnRenamed("part", "pa").withColumnRenamed("cnt_one", "cnt_a"), "pa")
+      .join(supports.withColumnRenamed("part", "pb").withColumnRenamed("cnt_one", "cnt_b"), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
+        roundTo(col("cnt_ab").cast("double") / col("cnt_a"), 6).as("conf_a_b"),
+        roundTo(col("cnt_ab").cast("double") / col("cnt_b"), 6).as("conf_b_a"),
+        roundTo(col("n_orders") * col("cnt_ab").cast("double") /
+          (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+      .orderBy(col("cnt_ab").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
   private val basketPairs = QueryDef(
     "a27_basket_pairs",
-    (s, dir) => {
-      // ONE shuffle on okey builds the per-order basket; the three
-      // downstream branches (pair counts, singleton supports, order
-      // count) all hang off the SAME aggregate subtree, so Catalyst
-      // reuses one exchange and the fact table is scanned once.
-      val baskets = Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_orderkey").as("okey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      val nOrders = baskets.select(count(lit(1)).as("n_orders"))
-      val supports = baskets.select(explode(col("parts")).as("part"))
-        .groupBy("part").agg(count(lit(1)).as("cnt_one"))
-      // In-basket pair expansion: strictly-later elements of the sorted
-      // distinct set, so pa < pb by construction and each unordered
-      // pair appears once per order.
-      val pairs = baskets.select(explode(expr(
-          "flatten(transform(parts, (x, i) -> " +
-            "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS pa, y AS pb))))"))
-          .as("pr"))
-        .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("cnt_ab"))
-        .filter(col("cnt_ab") >= 2)
-      pairs
-        .join(supports.withColumnRenamed("part", "pa").withColumnRenamed("cnt_one", "cnt_a"), "pa")
-        .join(supports.withColumnRenamed("part", "pb").withColumnRenamed("cnt_one", "cnt_b"), "pb")
-        .crossJoin(broadcast(nOrders))
-        .select(col("pa"), col("pb"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
-          roundTo(col("cnt_ab").cast("double") / col("cnt_a"), 6).as("conf_a_b"),
-          roundTo(col("cnt_ab").cast("double") / col("cnt_b"), 6).as("conf_b_a"),
-          roundTo(col("n_orders") * col("cnt_ab").cast("double") /
-            (col("cnt_a") * col("cnt_b")), 6).as("lift"))
-        .orderBy(col("cnt_ab").desc, col("pa"), col("pb"))
-        .limit(20)
-    },
+    (s, dir) => basketPairsPlan(s, dir, None),
     Some("""WITH items AS (
            |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
            |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
@@ -514,7 +544,38 @@ object ExtensionOps {
            |CROSS JOIN n
            |ORDER BY cnt_ab DESC, pa, pb LIMIT 20""".stripMargin))
 
+  /** A27b: frequent-pairs with the Apriori minSupport dial ON (both
+    * parts must have singleton support ≥ 25). The Spark plan prunes
+    * infrequent parts BEFORE the pair explode; the oracle computes the
+    * identical result by brute force WITHOUT the prune (post-hoc
+    * both-frequent filter) — the hash match is the losslessness proof.
+    */
+  private val basketPairsPruned = QueryDef(
+    "a27b_basket_pairs_pruned",
+    (s, dir) => basketPairsPlan(s, dir, Some(25L)),
+    Some("""WITH items AS (
+           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+           |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+           |sup AS (SELECT part, count(*) AS cnt_one FROM items GROUP BY part),
+           |pairs AS (
+           |  SELECT a.part AS pa, b.part AS pb, count(*) AS cnt_ab
+           |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT pa, pb, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+           |  CAST(sa.cnt_one AS BIGINT) AS cnt_a, CAST(sb.cnt_one AS BIGINT) AS cnt_b,
+           |  floor(CAST(cnt_ab AS DOUBLE) / sa.cnt_one * 1000000 + 0.5) / 1000000 AS conf_a_b,
+           |  floor(CAST(cnt_ab AS DOUBLE) / sb.cnt_one * 1000000 + 0.5) / 1000000 AS conf_b_a,
+           |  floor(n.n_orders * CAST(cnt_ab AS DOUBLE) / (sa.cnt_one * sb.cnt_one)
+           |    * 1000000 + 0.5) / 1000000 AS lift
+           |FROM pairs
+           |JOIN sup sa ON pairs.pa = sa.part
+           |JOIN sup sb ON pairs.pb = sb.part
+           |CROSS JOIN n
+           |WHERE sa.cnt_one >= 25 AND sb.cnt_one >= 25
+           |ORDER BY cnt_ab DESC, pa, pb LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
     statsFamily, regrFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg,
-    boolAggs, slidingFrame, condFuncs, unionByNameQ, percentileDisc, basketPairs)
+    boolAggs, slidingFrame, condFuncs, unionByNameQ, percentileDisc, basketPairs,
+    basketPairsPruned)
 }

@@ -105,7 +105,84 @@ object ProfileOps {
            |    CAST(min(status_nullable) AS VARCHAR), CAST(max(status_nullable) AS VARCHAR) FROM t
            |) ORDER BY col_name""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(profileOrders)
+  /** Tolerance harness for the approx profile: per column, the HLL
+    * estimate (rsd 0.02) must land within 3·rsd of the exact distinct
+    * count. The exact count — and its Expand — exist ONLY in this
+    * oracle-harness row (a3b precedent); the production shape is
+    * [[profile]] with `approx = true` alone, benchmarked as
+    * `s22c_profile_approx_prod` and plan-locked Expand-free in
+    * `PlanAuditSpec`.
+    */
+  private def profileTolerance(df: DataFrame, rsd: Double): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__exact"),
+        approx_count_distinct(c, rsd).as(s"${f.name}__approx"),
+        render(min(c), f.dataType).as(s"${f.name}__min"),
+        render(max(c), f.dataType).as(s"${f.name}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.drop(1): _*)
+    val rows = fields.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__exact").as("n_distinct"),
+        (abs(col(s"${f.name}__approx") - col(s"${f.name}__exact")) <=
+          col(s"${f.name}__exact") * lit(3 * rsd)).as("distinct_ok"),
+        col(s"${f.name}__min").as("min_v"),
+        col(s"${f.name}__max").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_name")
+  }
+
+  private val profileApprox = QueryDef(
+    "s22b_profile_approx",
+    (s, dir) => profileTolerance(Tables.load(s, dir, "orders"), 0.02),
+    Some("""SELECT * FROM (
+           |  SELECT 'o_orderkey' AS col_name,
+           |    CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           |    true AS distinct_ok,
+           |    CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+           |    CAST(max(o_orderkey) AS VARCHAR) AS max_v FROM orders
+           |  UNION ALL
+           |  SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+           |    CAST(count(DISTINCT o_custkey) AS BIGINT), true,
+           |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+           |  UNION ALL
+           |  SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           |    CAST(count(DISTINCT o_orderstatus) AS BIGINT), true,
+           |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+           |  UNION ALL
+           |  SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+           |    CAST(count(DISTINCT o_totalprice) AS BIGINT), true,
+           |    CAST(floor(min(o_totalprice) * 100 + 0.5) / 100 AS VARCHAR),
+           |    CAST(floor(max(o_totalprice) * 100 + 0.5) / 100 AS VARCHAR) FROM orders
+           |  UNION ALL
+           |  SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+           |    CAST(count(DISTINCT o_orderdate) AS BIGINT), true,
+           |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+           |  UNION ALL
+           |  SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           |    CAST(count(DISTINCT o_orderpriority) AS BIGINT), true,
+           |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+           |) ORDER BY col_name""".stripMargin))
+
+  /** The production approx profile: HLL distincts only, NO exact pass,
+    * NO Expand — the 100 TB path. The estimates are engine-specific, so
+    * there is no DuckDB oracle (driver records rows-only); correctness
+    * of the estimates is what `s22b_profile_approx` pins.
+    */
+  private val profileApproxProd = QueryDef(
+    "s22c_profile_approx_prod",
+    (s, dir) => profile(Tables.load(s, dir, "orders"), approx = true),
+    None)
+
+  val all: Seq[QueryDef] = Seq(profileOrders, profileApprox, profileApproxProd)
 
   /** Incrementally-maintained profile state — the ingest-time
     * data-quality monitor. Each arriving batch contributes one tiny

@@ -458,6 +458,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Expand"), "a28 regressed to an Expand-based multi-distinct")
   }
 
+  test("s22c_profile_approx_prod (the 100 TB profile path) plans WITHOUT an Expand") {
+    // Exact multi-column COUNT(DISTINCT) is Catalyst's Expand rewrite
+    // (rows × ncols intermediate); the approx profile must ship one HLL
+    // sketch per column per partition instead — no Expand anywhere.
+    val p = plan("s22c_profile_approx_prod")
+    assert(!p.contains("Expand"),
+      "approx profile regressed to an Expand-based exact multi-distinct")
+  }
+
+  test("a27b_basket_pairs_pruned semi-joins baskets against a BROADCAST qualifying set pre-explode") {
+    // The Apriori dial: infrequent parts leave every basket via a
+    // broadcast left-semi join BEFORE pair expansion. A shuffled semi
+    // join here would re-shuffle the items relation against a set the
+    // premise says is small; losing the semi join entirely means the
+    // prune is gone and the candidate-pair space is quadratic again.
+    val p = plan("a27b_basket_pairs_pruned")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "qualifying-singleton prune must be a broadcast left-semi join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("g1_geo_radius_join broadcasts the fanned-out small side and prefilters before the trig") {
     val p = plan("g1_geo_radius_join")
     assert(p.contains("BroadcastHashJoin"),
