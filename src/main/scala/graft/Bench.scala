@@ -85,13 +85,45 @@ object Bench {
     val prefix = if (prefixes.isEmpty) "" else "set"
     def selected(name: String): Boolean = prefixes.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = buildSession()
+    // Disk-safe full-run mode (VERDICT r11 #2): one long-lived local JVM
+    // accumulates shuffle files for every stage it ever ran (~50 GB over
+    // the full surface at sf10 — local mode has no executor lifecycle to
+    // reclaim them), so SPARK_GRAFT_RESTART_EVERY=N stops and rebuilds
+    // the SparkSession every N timed queries. SparkContext.stop deletes
+    // the context's spark.local.dir scratch (DiskBlockManager
+    // deleteFilesOnStop in local mode), bounding transient disk to N
+    // queries' shuffle output. JIT and whole-stage-codegen caches are
+    // JVM-wide and survive; only the ~1-2 s context re-init is paid,
+    // outside any timing. Default 0 = never restart (the driver's
+    // sf0.1 run keeps its single-session behavior).
+    val restartEvery = sys.env.get("SPARK_GRAFT_RESTART_EVERY")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(0)
+    var queriesSinceRestart = 0
+    def maybeRestart(): Unit = if (restartEvery > 0) {
+      queriesSinceRestart += 1
+      if (queriesSinceRestart >= restartEvery) {
+        queriesSinceRestart = 0
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = buildSession()
+        // Untimed micro-warmup: absorb scheduler/session re-init so the
+        // next timed query measures its plan, not the restart.
+        spark.range(100000).selectExpr("sum(id) AS s")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // Untimed warmup: exercise scan/agg/window/sort codegen paths once so
     // the first timed query doesn't absorb JVM+JIT+codegen startup (~5s
     // observed); steady-state numbers are what scale comparisons need.
@@ -192,6 +224,7 @@ object Bench {
           trailing.enqueue(best)
           if (trailing.size > trailingWindow) trailing.dequeue()
       }
+      maybeRestart()
     }
 
     // End-of-run rerun pass: by now we are minutes past each flagged row's
@@ -213,6 +246,7 @@ object Bench {
         allRuns(name) = allRuns.getOrElse(name, Vector(timings(name))) ++ extra
         timings(name) = math.min(timings(name), extra.min)
       }
+      maybeRestart()
     }
     // Starved = the min over all runs (incl. the end-of-run pass) is >3x
     // better than some run — direct evidence a wave inflated a timing.

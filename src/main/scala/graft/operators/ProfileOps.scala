@@ -115,16 +115,25 @@ object ProfileOps {
     */
   private def profileTolerance(df: DataFrame, rsd: Double): DataFrame = {
     val fields = df.schema.fields.toSeq
-    val aggs = fields.flatMap { f =>
+    // TWO separate one-row aggregations, not one: a single agg mixing
+    // N exact countDistinct with N HLL imperative aggs makes every HLL
+    // evaluate over the (rows × N+1) Expand — measured 12 s vs ~1 s
+    // split at sf0.01. Exact pass (Expand, harness-only) and approx
+    // pass (sketches, the production shape) each keep their own
+    // efficient plan; the cross join glues two 1-row frames.
+    val exactAggs = fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
         countDistinct(c).as(s"${f.name}__exact"),
-        approx_count_distinct(c, rsd).as(s"${f.name}__approx"),
         render(min(c), f.dataType).as(s"${f.name}__min"),
         render(max(c), f.dataType).as(s"${f.name}__max"))
     }
-    val one = df.agg(aggs.head, aggs.drop(1): _*)
+    val approxAggs = fields.map { f =>
+      approx_count_distinct(col(f.name), rsd).as(s"${f.name}__approx")
+    }
+    val one = df.agg(exactAggs.head, exactAggs.drop(1): _*)
+      .crossJoin(broadcast(df.agg(approxAggs.head, approxAggs.drop(1): _*)))
     val rows = fields.map { f =>
       struct(
         lit(f.name).as("col_name"),
