@@ -112,4 +112,54 @@ class MakeSfSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst2))
     }
   }
+
+  test("--zipf: FK columns skew Zipf-like, stay inside the scaled dim domain, PKs untouched") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-makesfz").toString
+    try {
+      MakeSf.run(spark, src, dst, copies = 2, zipf = true)
+
+      // Referential integrity survives the remap: every skewed FK value
+      // exists in the scaled dimension (anti-join is empty).
+      val misses = Tables.load(spark, dst, "lineitem").select("l_partkey")
+        .join(Tables.load(spark, dst, "part"),
+          col("l_partkey") === col("p_partkey"), "left_anti").count()
+      assert(misses === 0L, "every zipf l_partkey must exist in scaled part")
+      val custMisses = Tables.load(spark, dst, "orders").select("o_custkey")
+        .join(Tables.load(spark, dst, "customer"),
+          col("o_custkey") === col("c_custkey"), "left_anti").count()
+      assert(custMisses === 0L, "every zipf o_custkey must exist in scaled customer")
+
+      // Skew: at s=1.1 the hottest key draws ~6.7% of rows — orders of
+      // magnitude above the uniform share (1/|keys|). Assert ≥3% on the
+      // hottest and a heavy head overall (top-10 ≥ 10%).
+      val li = Tables.load(spark, dst, "lineitem")
+      val total = li.count().toDouble
+      val top = li.groupBy("l_partkey").count()
+        .orderBy(col("count").desc).limit(10)
+        .collect().map(_.getLong(1).toDouble)
+      assert(top.head / total > 0.03,
+        f"hottest part carries ${top.head / total}%.4f of rows — expected Zipf head ~0.067")
+      assert(top.sum / total > 0.10, "top-10 parts must carry >10% of all rows")
+
+      // PK association untouched: lineitem still joins orders 1:1 on
+      // orderkey with zero misses, and per-copy counts match the base.
+      val liMisses = Tables.load(spark, dst, "lineitem").select("l_orderkey")
+        .join(Tables.load(spark, dst, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      assert(liMisses === 0L, "l_orderkey keeps its order association")
+
+      // Deterministic: a second run draws identical keys.
+      val dst2 = java.nio.file.Files.createTempDirectory("graft-makesfz2").toString
+      try {
+        MakeSf.run(spark, src, dst2, copies = 2, zipf = true)
+        val a = spark.read.parquet(s"$dst/orders.parquet")
+          .orderBy("o_orderkey").select("o_custkey").collect().map(_.getLong(0)).toSeq
+        val b = spark.read.parquet(s"$dst2/orders.parquet")
+          .orderBy("o_orderkey").select("o_custkey").collect().map(_.getLong(0)).toSeq
+        assert(a === b, "zipf draw must be deterministic across runs")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst2))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+    }
+  }
 }
