@@ -1,0 +1,146 @@
+package graft.engine
+
+import graft.engine.SqlModel.{parseListArg, splitArgs, stripQuotes, MacroDef}
+
+/** Built-in dbt package implementations for the `packages.yml` surface
+  * (VERDICT r11 ask #5). dbt resolves hub packages by downloading their
+  * macro source; this engine runs with zero egress, so the packages a
+  * project can depend on are (a) LOCAL packages (`- local: path`, read
+  * from disk exactly like the project's own `macros/`) and (b) the
+  * built-in registry below — engine-shipped implementations of the
+  * dbt_utils macros whose semantics already exist as audited operators
+  * (`date_spine` = J9's spine, `union_relations` = U5's conform-union,
+  * `generate_surrogate_key` = the md5 fingerprint idiom, `pivot` = A11).
+  *
+  * Namespacing (dbt dispatch order, pinned in `ProjectLoaderSpec`): a
+  * package macro registers under its qualified `pkg.name` AND an
+  * unqualified alias; a project macro of the same name shadows the
+  * alias, while the qualified call always reaches the package.
+  *
+  * Two macro kinds:
+  *   - text macros ([[MacroDef]]): plain Jinja bodies expanded by
+  *     [[SqlModel.expandMacros]] — `date_spine`.
+  *   - NATIVE macros (Scala functions over the raw argument list):
+  *     needed where dbt_utils takes Jinja LIST literals (`['a','b']`),
+  *     which a fixed-parameter text macro cannot bind — `pivot`,
+  *     `generate_surrogate_key`, `union_relations`.
+  */
+object Packages {
+
+  /** One resolved package: its text-macro namespace + native macros. */
+  final case class Package(name: String,
+                           macros: Map[String, MacroDef],
+                           natives: Map[String, Seq[String] => String])
+
+  // ---- dbt_utils ---------------------------------------------------------
+
+  /** `dbt_utils.date_spine(datepart, start_date, end_date)`: one row per
+    * datepart period from start (inclusive) to end (EXCLUSIVE), column
+    * named `date_<datepart>` — dbt_utils' contract. `sequence()` is
+    * inclusive of an aligned endpoint, so the strict `< end` filter
+    * trims it; the generator never materializes large (reference spine
+    * pattern, SCALE.md "Spine joins").
+    */
+  private val dateSpineSql =
+    """{% macro date_spine(datepart, start_date, end_date) %}
+      |SELECT d AS date_{{ datepart }}
+      |FROM (SELECT explode(sequence(CAST({{ start_date }} AS DATE),
+      |                              CAST({{ end_date }} AS DATE),
+      |                              INTERVAL 1 {{ datepart }})) AS d)
+      |WHERE d < CAST({{ end_date }} AS DATE)
+      |{% endmacro %}""".stripMargin
+
+  /** `generate_surrogate_key(['a', 'b'])` (alias `surrogate_key`):
+    * md5 over '-'-joined stringified columns with dbt_utils' literal
+    * null sentinel, so (null, 'x') and ('x', null) hash differently and
+    * differently from ('x','x').
+    */
+  private def surrogateKey(args: Seq[String]): String = {
+    require(args.size == 1,
+      s"generate_surrogate_key takes one list argument, got ${args.size}")
+    val cols = parseListArg(args.head).map(stripQuotes)
+    require(cols.nonEmpty, "generate_surrogate_key: empty column list")
+    cols.map(c => s"coalesce(CAST($c AS STRING), '_dbt_utils_surrogate_key_null_')")
+      .mkString("md5(concat_ws('-', ", ", ", "))")
+  }
+
+  /** `pivot(column, values, agg='sum', then_value=1, else_value=0,
+    * prefix='', suffix='')`: stamps one conditional aggregate per value —
+    * the A11 pivot shape, generated instead of hand-written.
+    */
+  private def pivot(args: Seq[String]): String = {
+    require(args.nonEmpty, "pivot requires (column, values, ...)")
+    val (kw, pos) = args.partition(a =>
+      a.matches("""(?s)\w+\s*=.*""") && !a.takeWhile(_ != '=').contains('\''))
+    val kwMap = kw.map { a =>
+      val Array(k, v) = a.split("=", 2)
+      k.trim -> v.trim
+    }.toMap
+    val unknown = kwMap.keySet --
+      Set("agg", "then_value", "else_value", "prefix", "suffix")
+    require(unknown.isEmpty, s"pivot: unknown keyword args ${unknown.mkString(", ")}")
+    require(pos.size == 2, s"pivot requires positional (column, values), got ${pos.size}")
+    val column = stripQuotes(pos.head)
+    val values = parseListArg(pos(1)).map(stripQuotes)
+    require(values.nonEmpty, "pivot: empty values list")
+    val agg = stripQuotes(kwMap.getOrElse("agg", "sum"))
+    val thenV = stripQuotes(kwMap.getOrElse("then_value", "1"))
+    val elseV = stripQuotes(kwMap.getOrElse("else_value", "0"))
+    val prefix = stripQuotes(kwMap.getOrElse("prefix", ""))
+    val suffix = stripQuotes(kwMap.getOrElse("suffix", ""))
+    values.map { v =>
+      s"$agg(CASE WHEN $column = '$v' THEN $thenV ELSE $elseV END) AS `$prefix$v$suffix`"
+    }.mkString(",\n  ")
+  }
+
+  /** `union_relations([ref('a'), ref('b'), ...])`: UNION ALL with the
+    * provenance column dbt_utils adds (`_dbt_source_relation`).
+    * Relations must share a column LAYOUT — dbt_utils' align-by-name /
+    * fill-missing-with-null behavior introspects warehouse schemas at
+    * compile time, which the template layer deliberately doesn't do
+    * (Spark 4.1's SQL parser has no UNION BY NAME; the schema-aligning
+    * conform-union over heterogeneous inputs is the U5 operator).
+    */
+  private def unionRelations(args: Seq[String]): String = {
+    require(args.size == 1, s"union_relations takes one list argument, got ${args.size}")
+    val rels = parseListArg(args.head)
+    require(rels.size >= 2, "union_relations: need at least two relations")
+    rels.map { r =>
+      val t = r.trim
+      require(t.matches("""(?s)(ref|source)\s*\(.*\)"""),
+        s"union_relations: each relation must be a ref()/source() call, got: $r")
+      // The provenance label is the relation's resolve name (dbt uses
+      // the fully-qualified relation identifier).
+      val label = splitArgs(t.substring(t.indexOf('(') + 1, t.lastIndexOf(')')))
+        .map(stripQuotes).mkString(".")
+      s"SELECT '$label' AS _dbt_source_relation, * FROM {{ $t }}"
+    }.mkString("\nUNION ALL\n")
+  }
+
+  val dbtUtils: Package = {
+    val (textDefs, rest) = SqlModel.extractMacros(dateSpineSql)
+    require(rest.trim.isEmpty, "dbt_utils text-macro source has trailing content")
+    Package("dbt_utils", textDefs,
+      Map(
+        "generate_surrogate_key" -> surrogateKey _,
+        "surrogate_key" -> surrogateKey _,
+        "pivot" -> pivot _,
+        "union_relations" -> unionRelations _))
+  }
+
+  /** The built-in registry `packages.yml` resolves hub names against.
+    * Hub coordinates are `org/name` — the basename keys the registry
+    * (dbt-labs/dbt_utils and dbt_utils both resolve).
+    */
+  val builtin: Map[String, Package] = Map("dbt_utils" -> dbtUtils)
+
+  /** Qualify a package's macro namespace: `pkg.name` keys plus
+    * unqualified aliases. Callers merge project macros AFTER this map so
+    * the alias (not the qualified key) is what a project macro shadows.
+    */
+  def qualified(p: Package): Map[String, MacroDef] =
+    p.macros.map { case (n, d) => s"${p.name}.$n" -> d } ++ p.macros
+
+  def qualifiedNatives(p: Package): Map[String, Seq[String] => String] =
+    p.natives.map { case (n, f) => s"${p.name}.$n" -> f } ++ p.natives
+}

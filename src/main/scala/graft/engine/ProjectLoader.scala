@@ -302,11 +302,107 @@ object ProjectLoader {
         s"schema.yml: unsupported test '$other' on $model.$col")
     }
 
+  // ---- packages.yml -------------------------------------------------------
+
+  /** Resolve `packages.yml` (VERDICT r11 ask #5). Supported entries:
+    *   - `- package: org/name` (or bare `name`) → the engine's BUILT-IN
+    *     registry ([[Packages.builtin]]) — zero-egress stand-in for the
+    *     hub download; `version:` is accepted and ignored (the built-in
+    *     IS the pinned version). Unknown names fail loudly.
+    *   - `- local: relative/path` → a package directory read from disk:
+    *     the SQL files under its `macros/` dir concatenate under a
+    *     namespace named by its own dbt_project.yml `name:` (falling
+    *     back to the directory basename) — dbt's local-package behavior.
+    */
+  private[graft] def loadPackages(dir: Path): Seq[Packages.Package] = {
+    val f = dir.resolve("packages.yml")
+    if (!Files.exists(f)) return Nil
+    val doc = asMap(parseYaml(f))
+    doc.get("packages").map(asList).getOrElse(Nil).map(asMap).map { entry =>
+      (optStr(entry, "package"), optStr(entry, "local")) match {
+        case (Some(hub), None) =>
+          val base = hub.split('/').last
+          Packages.builtin.getOrElse(base, throw new IllegalArgumentException(
+            s"packages.yml: unknown package '$hub' — zero-egress build resolves only " +
+              s"built-ins (${Packages.builtin.keys.toSeq.sorted.mkString(", ")}) and local: paths"))
+        case (None, Some(rel)) =>
+          val pdir = dir.resolve(rel)
+          require(Files.isDirectory(pdir), s"packages.yml: local package $pdir does not exist")
+          val name = {
+            val py = pdir.resolve("dbt_project.yml")
+            if (Files.exists(py)) optStr(asMap(parseYaml(py)), "name")
+              .getOrElse(pdir.getFileName.toString)
+            else pdir.getFileName.toString
+          }
+          val macrosDir = pdir.resolve("macros")
+          require(Files.isDirectory(macrosDir),
+            s"packages.yml: local package $pdir has no macros/ directory")
+          val stream = Files.walk(macrosDir)
+          val text =
+            try stream.iterator().asScala
+              .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".sql"))
+              .toSeq.sortBy(_.toString).map(Files.readString(_)).mkString("\n")
+            finally stream.close()
+          val (defs, _) = SqlModel.extractMacros(text)
+          Packages.Package(name, defs, Map.empty)
+        case _ => throw new IllegalArgumentException(
+          s"packages.yml: each entry needs exactly one of package:/local: ($entry)")
+      }
+    }
+  }
+
+  // ---- profiles.yml -------------------------------------------------------
+
+  /** One resolved profiles.yml output — dbt's per-target connection
+    * config reduced to what a lake engine routes on: target name,
+    * default database/schema (the fallback BELOW dbt_project.yml model
+    * config, dbt's own precedence), and threads.
+    */
+  final case class TargetOutput(name: String, database: Option[String],
+                                schema: Option[String], threads: Int)
+
+  /** Parse a profiles.yml-shaped file and resolve one output:
+    * `profile` picks the top-level entry (dbt_project.yml's `profile:`
+    * key names it), `target` overrides the entry's default `target:`.
+    */
+  def loadProfiles(path: Path, profile: String,
+                   target: Option[String] = None): TargetOutput = {
+    require(Files.exists(path), s"profiles file $path does not exist")
+    val doc = asMap(parseYaml(path))
+    val prof = asMap(doc.getOrElse(profile, throw new IllegalArgumentException(
+      s"$path: no profile '$profile' (profiles: ${doc.keys.toSeq.sorted.mkString(", ")})")))
+    val tName = target.orElse(optStr(prof, "target")).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path: profile '$profile' declares no default target and none was passed"))
+    val outputs = prof.get("outputs").map(asMap).getOrElse(
+      throw new IllegalArgumentException(s"$path: profile '$profile' has no outputs:"))
+    val out = asMap(outputs.getOrElse(tName, throw new IllegalArgumentException(
+      s"$path: profile '$profile' has no output '$tName' " +
+        s"(outputs: ${outputs.keys.toSeq.sorted.mkString(", ")})")))
+    TargetOutput(tName, optStr(out, "database"), optStr(out, "schema"),
+      optStr(out, "threads").map(_.toInt).getOrElse(1))
+  }
+
+  /** The project's `profile:` key (dbt_project.yml names which
+    * profiles.yml entry it connects through).
+    */
+  def profileNameOf(dir: Path): Option[String] = {
+    val f = dir.resolve("dbt_project.yml")
+    if (Files.exists(f)) optStr(asMap(parseYaml(f)), "profile") else None
+  }
+
   // ---- the loader ---------------------------------------------------------
 
   def load(spark: SparkSession, dir: Path,
            vars: Map[String, String] = Map.empty,
-           target: String = "dev"): DbtProject = {
+           target: String = "dev",
+           /** A resolved profiles.yml output: its name becomes
+             * `target.name` (overriding the `target` arg) and its
+             * database/schema are the LAST-resort routing fallback —
+             * below model headers and dbt_project.yml config, dbt's
+             * precedence.
+             */
+           profile: Option[TargetOutput] = None): DbtProject = {
     val projFile = dir.resolve("dbt_project.yml")
     require(Files.exists(projFile), s"not a dbt project: $projFile does not exist")
     val projYml = asMap(parseYaml(projFile))
@@ -350,10 +446,17 @@ object ProjectLoader {
       (parsed.flatMap(_._1), parsed.flatMap(_._2))
     }
 
-    // Project macro namespace: macros/*.sql concatenated.
+    // Project macro namespace: macros/*.sql concatenated. Package macros
+    // (packages.yml) register under `pkg.name` + unqualified aliases;
+    // the project namespace is merged AFTER inside fromSqlText, so a
+    // project macro shadows a package alias (dbt dispatch order).
     val macrosText = filesUnder(dir.resolve("macros"), Seq(".sql"))
       .map(Files.readString(_)).mkString("\n")
+    val pkgs = loadPackages(dir)
+    val pkgMacros = pkgs.flatMap(Packages.qualified).toMap
+    val pkgNatives = pkgs.flatMap(Packages.qualifiedNatives).toMap
 
+    val effTarget = profile.map(_.name).getOrElse(target)
     val models = filesUnder(modelsDir, Seq(".sql")).map { p =>
       val name = p.getFileName.toString.stripSuffix(".sql")
       val raw = Files.readString(p)
@@ -364,12 +467,16 @@ object ProjectLoader {
         .getOrElse(Nil)
       val cfg = modelConfig(modelsBlock, relSegs, name, projectName)
       // Header wins over folder/project config (dbt precedence); passing
-      // the header's own value as the caller arg is a no-op tie.
+      // the header's own value as the caller arg is a no-op tie. The
+      // profile output is the routing fallback BELOW both.
       SqlModel.fromSqlText(name, text,
         materialization = materializationFor(spark, name, raw, boundVars, cfg),
-        schema = SqlModel.configStr(raw, "schema").orElse(cfg.get("schema")),
-        database = SqlModel.configStr(raw, "database").orElse(cfg.get("database")),
-        vars = boundVars, macros = macrosText, target = target)
+        schema = SqlModel.configStr(raw, "schema").orElse(cfg.get("schema"))
+          .orElse(profile.flatMap(_.schema)),
+        database = SqlModel.configStr(raw, "database").orElse(cfg.get("database"))
+          .orElse(profile.flatMap(_.database)),
+        vars = boundVars, macros = macrosText, target = effTarget,
+        packageMacros = pkgMacros, nativeMacros = pkgNatives)
     }
     val names = models.map(_.name)
     require(names.distinct.size == names.size,

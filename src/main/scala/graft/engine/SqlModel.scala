@@ -60,6 +60,13 @@ object SqlModel {
   // single-quoted Jinja string item of a {% set %} list.
   private val varPat =
     Pattern.compile("""\{\{\s*var\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""")
+  // env_var('NAME') / env_var('NAME', 'default') — dbt's environment
+  // interpolation (secrets, CI toggles). Resolved at PARSE time from the
+  // process environment; a missing variable WITHOUT a declared default is
+  // dbt's compilation error (silently-empty env interpolation ships wrong
+  // SQL). The optional second argument is the dbt default-argument form.
+  private val envVarPat = Pattern.compile(
+    """\{\{\s*env_var\(\s*['"]([^'"]+)['"]\s*(?:,\s*['"]([^'"]*)['"]\s*)?\)\s*\}\}""")
   private val configPat =
     Pattern.compile("""\{\{\s*config\([^}]*\)\s*\}\}""")
   // tags=['a', 'b'] or tags='a' inside a config(...) header — dbt model
@@ -187,15 +194,16 @@ object SqlModel {
     (defs.toMap, sb.toString)
   }
 
-  private def stripQuotes(v: String): String =
+  private[graft] def stripQuotes(v: String): String =
     if (v.length >= 2 && ((v.head == '\'' && v.last == '\'') ||
         (v.head == '"' && v.last == '"'))) v.substring(1, v.length - 1)
     else v
 
   /** Split a macro call's argument text on top-level commas (commas
-    * inside quotes or nested parens don't split).
+    * inside quotes, nested parens, or list brackets don't split — a
+    * Jinja list literal like `['a', 'b']` is ONE argument).
     */
-  private def splitArgs(s: String): Seq[String] = {
+  private[graft] def splitArgs(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder
     var quote: Char = 0
@@ -203,8 +211,8 @@ object SqlModel {
     s.foreach { c =>
       if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
       else if (c == '\'' || c == '"') { cur.append(c); quote = c }
-      else if (c == '(') { cur.append(c); depth += 1 }
-      else if (c == ')') { cur.append(c); depth -= 1 }
+      else if (c == '(' || c == '[') { cur.append(c); depth += 1 }
+      else if (c == ')' || c == ']') { cur.append(c); depth -= 1 }
       else if (c == ',' && depth == 0) { out += cur.toString; cur.setLength(0) }
       else cur.append(c)
     }
@@ -212,17 +220,31 @@ object SqlModel {
     out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  /** Parse a Jinja list-literal argument (`['a', 'b']`) into its items;
+    * items keep their raw text (quotes stripped by the caller as needed).
+    * Package natives ([[Packages]]) take list args — dbt_utils'
+    * `generate_surrogate_key(['a','b'])` shape.
+    */
+  private[graft] def parseListArg(arg: String): Seq[String] = {
+    val t = arg.trim
+    require(t.startsWith("[") && t.endsWith("]"),
+      s"expected a Jinja list literal ['..', ..], got: $arg")
+    splitArgs(t.substring(1, t.length - 1))
+  }
+
   /** Parse a `{{ name( balanced-args ) }}` call site starting at the
     * `{{` at index `open`; quote- and paren-aware, so an argument may
     * itself be a call (`ref('x')` — the dbt idiom for passing a
-    * relation). Returns (name, args, index just past the closing
-    * braces).
+    * relation). The name may be DOTTED (`dbt_utils.date_spine`) — a
+    * package-qualified macro call. Returns (name, args, index just past
+    * the closing braces).
     */
   private def parseCall(s: String, open: Int): Option[(String, Seq[String], Int)] = {
     var i = open + 2
     while (i < s.length && s.charAt(i).isWhitespace) i += 1
     val ns = i
-    while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+    while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' ||
+      s.charAt(i) == '.')) i += 1
     if (i == ns) return None
     val name = s.substring(ns, i)
     while (i < s.length && s.charAt(i).isWhitespace) i += 1
@@ -250,9 +272,16 @@ object SqlModel {
   /** Expand every `{{ name(...) }}` call site whose name is a known
     * macro, repeatedly (macros may call macros), bounded — a recursive
     * macro is a template bug and must fail loudly, not loop.
+    *
+    * `natives` are Scala-implemented package macros ([[Packages]]) whose
+    * arguments need structure a textual macro can't bind (Jinja list
+    * literals — dbt_utils' `pivot`/`generate_surrogate_key` shapes);
+    * text macros take precedence over a same-named native (a project
+    * macro shadows a package macro, dbt's dispatch order).
     */
-  private[graft] def expandMacros(text: String, macros: Map[String, MacroDef]): String = {
-    if (macros.isEmpty) return text
+  private[graft] def expandMacros(text: String, macros: Map[String, MacroDef],
+                                  natives: Map[String, Seq[String] => String] = Map.empty): String = {
+    if (macros.isEmpty && natives.isEmpty) return text
     var cur = text
     var rounds = 0
     var changed = true
@@ -260,7 +289,7 @@ object SqlModel {
       changed = false
       rounds += 1
       require(rounds <= 20, s"macro expansion exceeded 20 rounds — recursive macro? " +
-        s"(defined: ${macros.keys.toSeq.sorted.mkString(", ")})")
+        s"(defined: ${(macros.keys ++ natives.keys).toSeq.sorted.mkString(", ")})")
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i < cur.length) {
@@ -271,6 +300,10 @@ object SqlModel {
           parseCall(cur, open) match {
             case Some((name, args, end)) if macros.contains(name) =>
               sb.append(applyMacro(macros(name), args, macros))
+              changed = true
+              i = end
+            case Some((name, args, end)) if natives.contains(name) =>
+              sb.append(natives(name)(args))
               changed = true
               i = end
             case _ => sb.append("{{"); i = open + 2
@@ -465,6 +498,15 @@ object SqlModel {
         vars.get(name).map(JStr(_): JVal).orElse(default).getOrElse(
           throw new IllegalArgumentException(
             s"unbound var '$name' in condition (bound: ${vars.keys.toSeq.sorted.mkString(", ")})"))
+      case "env_var" =>
+        require(next() == "(", s"env_var requires parentheses: $cond")
+        val name = stripQuotes(next())
+        val default: Option[JVal] =
+          if (peek.contains(",")) { next(); Some(orExpr()) } else None
+        require(next() == ")", s"env_var: expected ')': $cond")
+        sys.env.get(name).map(JStr(_): JVal).orElse(default).getOrElse(
+          throw new IllegalArgumentException(
+            s"env_var '$name' is not set and has no default (condition: $cond)"))
       case "target.name" => JStr(target)
       case t if t.startsWith("'") || t.startsWith("\"") => JStr(stripQuotes(t))
       case t if t.headOption.exists(c => c.isDigit || c == '-') => JNum(t.toDouble)
@@ -657,6 +699,26 @@ object SqlModel {
     sb.toString
   }
 
+  /** Substitute `{{ env_var('NAME'[, 'default']) }}` call sites from the
+    * process environment. Missing + no default = dbt's compilation
+    * error. Parse-time like var(): the fingerprint of the rendered text
+    * changes when the environment flips a value, exactly as dbt's
+    * state:modified sees it.
+    */
+  private[graft] def substituteEnvVars(text: String): String = {
+    val m = envVarPat.matcher(text)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val v = sys.env.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+        throw new IllegalArgumentException(
+          s"env_var '${m.group(1)}' is not set and has no default " +
+            "(dbt compilation error; pass a second argument to default)"))
+      m.appendReplacement(sb, Matcher.quoteReplacement(v))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   /** Substitute `{{ var('x') }}` call sites in a text fragment (throws
     * on unbound vars) — [[ProjectLoader]] renders partition-expression
     * list items with this before evaluating them.
@@ -697,7 +759,10 @@ object SqlModel {
       vm.appendReplacement(sb, Matcher.quoteReplacement(v))
     }
     vm.appendTail(sb)
-    val renderedVer = refVerPat.matcher(sb.toString)
+    // env_var AFTER var (a var value may itself carry an env_var call —
+    // the CI-injected-credential idiom), before ref/source rewriting.
+    val withEnv = substituteEnvVars(sb.toString)
+    val renderedVer = refVerPat.matcher(withEnv)
       .replaceAll(m => Matcher.quoteReplacement(viewName(s"${m.group(1)}.v${m.group(2)}")))
     val rendered = refPat.matcher(renderedVer)
       .replaceAll(m => Matcher.quoteReplacement(viewName(m.group(1))))
@@ -756,10 +821,23 @@ object SqlModel {
                     * compiles against (`dev`, `prod`, `ci`), testable in
                     * `{% if %}` conditions.
                     */
-                  target: String = "dev"): Model = {
+                  target: String = "dev",
+                  /** Package macro namespace (packages.yml — see
+                    * [[Packages]]/[[ProjectLoader]]): pre-parsed defs
+                    * keyed by BOTH `pkg.name` and the unqualified alias.
+                    * Listed first so a project macro of the same name
+                    * shadows the unqualified alias (dbt dispatch order);
+                    * the qualified key stays reachable.
+                    */
+                  packageMacros: Map[String, MacroDef] = Map.empty,
+                  /** Scala-implemented package macros (list-literal
+                    * args); text macros shadow a same-named native.
+                    */
+                  nativeMacros: Map[String, Seq[String] => String] = Map.empty): Model = {
     val (projectMacros, _) = extractMacros(macros)
     val (inlineMacros, strippedText) = extractMacros(sqlText)
-    val expanded = expandMacros(strippedText, projectMacros ++ inlineMacros)
+    val expanded = expandMacros(strippedText,
+      packageMacros ++ projectMacros ++ inlineMacros, nativeMacros)
     // Refs extract from the CONDITIONAL-RESOLVED text: a ref inside a
     // dropped {% if %} branch contributes no DAG edge (dbt parses
     // rendered Jinja the same way).

@@ -969,9 +969,95 @@ object DagQueries {
            |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-26' AND DATE '2024-01-30'
            |ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  // -------------------------------------------------- packages.yml (r12)
+
+  /** The checked-in `fixtures/pkg_project` — a dbt project whose models
+    * call dbt_utils macros resolved through `packages.yml`
+    * ([[graft.engine.Packages]], VERDICT r11 ask #5). Each dag_pkg_*
+    * row loads the project through the file frontend, runs the DAG over
+    * the driver's TPC-H parquet (source('tpch','orders') resolves via
+    * Tables.load), and DuckDB re-derives the macro's semantics from
+    * plain SQL — the expansion must be semantically invisible.
+    */
+  private def pkgProjectDir: java.nio.file.Path =
+    Seq(java.nio.file.Paths.get("fixtures/pkg_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/pkg_project"))
+      .find(java.nio.file.Files.isDirectory(_))
+      .getOrElse(throw new IllegalStateException(
+        "fixtures/pkg_project not found (run from the repo root)"))
+
+  private def pkgModel(s: SparkSession, dir: String, name: String): DataFrame = {
+    val proj = graft.engine.ProjectLoader.load(s, pkgProjectDir)
+    val built = graft.engine.DagRunner.run(s, proj.models,
+      n => graft.sources.Tables.load(s, dir, n.stripPrefix("tpch.")))
+    ordered(built(name))
+  }
+
+  /** dbt_utils.date_spine end-to-end (the generated J9 spine). */
+  private val pkgDateSpine = QueryDef(
+    "dag_pkg_date_spine",
+    (s, dir) => pkgModel(s, dir, "spine_orders_daily"),
+    Some("""WITH spine AS (
+           |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+           |    DATE '1995-01-31', INTERVAL 1 DAY)) AS DATE) AS date_day)
+           |SELECT spine.date_day,
+           |  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           |  round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+           |FROM spine LEFT JOIN orders o
+           |  ON CAST(o.o_orderdate AS DATE) = spine.date_day
+           |GROUP BY spine.date_day ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  /** dbt_utils.pivot end-to-end (the generated A11 pivot). */
+  private val pkgPivot = QueryDef(
+    "dag_pkg_pivot",
+    (s, dir) => pkgModel(s, dir, "orders_status_pivot"),
+    Some("""SELECT o_orderpriority,
+           |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "n_F",
+           |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "n_O",
+           |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "n_P"
+           |FROM orders GROUP BY o_orderpriority ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  /** dbt_utils.generate_surrogate_key end-to-end (null-sentinel md5). */
+  private val pkgSurrogateKey = QueryDef(
+    "dag_pkg_surrogate_key",
+    (s, dir) => pkgModel(s, dir, "orders_keyed"),
+    Some("""SELECT md5(concat_ws('-',
+           |    coalesce(CAST(o_orderkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+           |    coalesce(CAST(o_orderstatus AS VARCHAR), '_dbt_utils_surrogate_key_null_'))) AS order_sk,
+           |  o_orderkey, o_orderstatus
+           |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  /** dbt_utils.union_relations end-to-end: provenance column + DAG edges
+    * from the refs inside the expansion.
+    */
+  private val pkgUnionRelations = QueryDef(
+    "dag_pkg_union_relations",
+    (s, dir) => pkgModel(s, dir, "all_orders_rollup"),
+    Some("""WITH u AS (
+           |  SELECT 'stg_orders_fulfilled' AS _dbt_source_relation,
+           |    o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderstatus = 'F'
+           |  UNION ALL
+           |  SELECT 'stg_orders_open', o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderstatus = 'O')
+           |SELECT _dbt_source_relation, o_orderstatus,
+           |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+           |FROM u GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  /** env_var() default-argument form end-to-end (VERDICT r11 ask #6):
+    * GRAFT_PKG_REGION is unset in any sane run, so the declared default
+    * renders — deterministically — and DuckDB pins it.
+    */
+  private val pkgEnvVar = QueryDef(
+    "dag_pkg_env_var",
+    (s, dir) => pkgModel(s, dir, "env_orders_flag"),
+    Some("""SELECT 'eu' AS region, CAST(count(*) AS BIGINT) AS n
+           |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
     sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing,
-    sqlIfPricing, projectDashboard, microbatchDaily)
+    sqlIfPricing, projectDashboard, microbatchDaily,
+    pkgDateSpine, pkgPivot, pkgSurrogateKey, pkgUnionRelations, pkgEnvVar)
 }

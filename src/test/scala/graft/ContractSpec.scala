@@ -9,10 +9,27 @@ package graft
   */
 class ContractSpec extends SparkSpec {
 
-  test("every SparkEntry query has an oracle") {
+  // Rows-only exemptions (the driver contract's "omit for non-SQL-
+  // expressible ops" clause) — each needs a justification AND a stronger
+  // sibling row that IS oracled. Kept deliberately tiny: the default is
+  // an oracle, and this list is the audited record of the exceptions.
+  //   - s22c_profile_approx_prod: the production Expand-free profile
+  //     path emits Spark-HLL++ distinct ESTIMATES — engine-specific by
+  //     nature, so no independent engine can hash-match them. Its
+  //     accuracy is oracle-pinned by `s22b_profile_approx` (tolerance
+  //     row) and its plan shape by `PlanAuditSpec` (no Expand).
+  private val rowsOnly = Set("s22c_profile_approx_prod")
+
+  test("every SparkEntry query has an oracle (or an audited rows-only exemption)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((q -- o -- rowsOnly).isEmpty,
+      s"queries without an oracle: ${(q -- o -- rowsOnly).toSeq.sorted}")
+    // The exemption list may not rot: an exempted name must still exist
+    // and must still have no oracle (else the exemption should go).
+    assert(rowsOnly.subsetOf(q), s"stale rows-only exemption: ${(rowsOnly -- q).toSeq.sorted}")
+    assert((rowsOnly & o).isEmpty,
+      s"exempted queries that now HAVE an oracle: ${(rowsOnly & o).toSeq.sorted}")
   }
 
   test("query names are unique across operator modules") {

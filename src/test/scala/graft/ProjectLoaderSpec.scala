@@ -207,4 +207,139 @@ class ProjectLoaderSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](ProjectLoader.load(spark, dir))
     assert(e.getMessage.contains("nope") && e.getMessage.contains("not declared"))
   }
+
+  // ---- packages.yml ------------------------------------------------------
+
+  private def synthProject(files: (String, String)*): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pkgproj")
+    (files :+ ("dbt_project.yml" -> "name: synth\n")).foreach { case (rel, body) =>
+      val p = dir.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, body)
+    }
+    dir
+  }
+
+  test("packages.yml: dbt_utils resolves from the built-in registry; project macro shadows the alias, qualified reaches the package") {
+    import spark.implicits._
+    val dir = synthProject(
+      "packages.yml" -> "packages:\n  - package: dbt-labs/dbt_utils\n    version: 1.3.0\n",
+      // A project macro named like a package macro: dbt dispatch order
+      // says the project wins for UNQUALIFIED calls.
+      "macros/shadow.sql" ->
+        ("{% macro date_spine(datepart, start_date, end_date) %}" +
+          "SELECT DATE '1999-09-09' AS date_{{ datepart }}{% endmacro %}"),
+      "models/uses_alias.sql" ->
+        "SELECT date_day FROM ({{ date_spine('day', \"DATE '2020-01-01'\", \"DATE '2020-01-04'\") }})",
+      "models/uses_qualified.sql" ->
+        "SELECT date_day FROM ({{ dbt_utils.date_spine('day', \"DATE '2020-01-01'\", \"DATE '2020-01-04'\") }}) s")
+    val p = ProjectLoader.load(spark, dir)
+    val built = DagRunner.run(spark, p.models, n => sys.error(s"no source $n"), tmpWh())
+    // Unqualified → the project's shadow (one fixed row).
+    assert(built("uses_alias").as[java.sql.Date].collect().toSeq ===
+      Seq(java.sql.Date.valueOf("1999-09-09")))
+    // Qualified → the package macro: start inclusive, end EXCLUSIVE.
+    assert(built("uses_qualified").as[java.sql.Date].collect().sorted.toSeq ===
+      Seq("2020-01-01", "2020-01-02", "2020-01-03").map(java.sql.Date.valueOf))
+  }
+
+  test("packages.yml: local packages load their macros under their own namespace; unknown hub packages fail") {
+    import spark.implicits._
+    val dir = synthProject(
+      "packages.yml" -> "packages:\n  - local: pkgs/mathkit\n",
+      "pkgs/mathkit/dbt_project.yml" -> "name: mathkit\n",
+      "pkgs/mathkit/macros/util.sql" ->
+        "{% macro tripled(c) %}({{ c }} * 3){% endmacro %}",
+      "models/m.sql" ->
+        "SELECT {{ mathkit.tripled('x') }} AS t3, {{ tripled('x') }} AS t3b FROM {{ ref('nums') }}")
+    val p = ProjectLoader.load(spark, dir)
+    val built = DagRunner.run(spark, p.models,
+      Map("nums" -> Seq(2).toDF("x")).apply, tmpWh())
+    assert(built("m").collect().head.toSeq === Seq(6, 6))
+    // An unknown hub package is a loud zero-egress error, not a fetch.
+    val bad = synthProject(
+      "packages.yml" -> "packages:\n  - package: someone/unknown_pkg\n",
+      "models/m.sql" -> "SELECT 1 AS one")
+    val e = intercept[IllegalArgumentException](ProjectLoader.load(spark, bad))
+    assert(e.getMessage.contains("unknown_pkg") && e.getMessage.contains("zero-egress"))
+  }
+
+  test("packages.yml: pivot and generate_surrogate_key natives expand list-literal args") {
+    import spark.implicits._
+    val dir = synthProject(
+      "packages.yml" -> "packages:\n  - package: dbt_utils\n",
+      "models/piv.sql" ->
+        ("SELECT grp, {{ dbt_utils.pivot('status', ['a', 'b'], prefix='n_') }} " +
+          "FROM {{ ref('rows') }} GROUP BY grp"),
+      "models/keyed.sql" ->
+        "SELECT {{ dbt_utils.generate_surrogate_key(['grp', 'status']) }} AS sk FROM {{ ref('rows') }}")
+    val p = ProjectLoader.load(spark, dir)
+    val rows = Seq(("g1", "a"), ("g1", "a"), ("g1", "b")).toDF("grp", "status")
+    val built = DagRunner.run(spark, p.models, Map("rows" -> rows).apply, tmpWh())
+    val piv = built("piv").collect().head
+    assert(built("piv").columns.toSeq === Seq("grp", "n_a", "n_b"))
+    assert(piv.getLong(1) === 2L && piv.getLong(2) === 1L)
+    // Null sentinel: the key of ('g1','a') differs from md5 of raw concat.
+    val sk = built("keyed").orderBy("sk").collect().map(_.getString(0))
+    assert(sk.length === 3 && sk.forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  // ---- profiles.yml ------------------------------------------------------
+
+  test("profiles.yml: loadProfiles resolves target outputs; load() routes database/schema below project config and flips target.name") {
+    import spark.implicits._
+    val profYml = java.nio.file.Files.createTempDirectory("graft_prof").resolve("profiles.yml")
+    java.nio.file.Files.writeString(profYml,
+      """pkg_demo:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      database: devdb
+        |      schema: dev_schema
+        |      threads: 1
+        |    prod:
+        |      database: proddb
+        |      schema: prod_schema
+        |      threads: 8
+        |""".stripMargin)
+    val dev = ProjectLoader.loadProfiles(profYml, "pkg_demo")
+    assert(dev === ProjectLoader.TargetOutput("dev", Some("devdb"), Some("dev_schema"), 1))
+    val prod = ProjectLoader.loadProfiles(profYml, "pkg_demo", Some("prod"))
+    assert(prod === ProjectLoader.TargetOutput("prod", Some("proddb"), Some("prod_schema"), 8))
+    intercept[IllegalArgumentException](ProjectLoader.loadProfiles(profYml, "nope"))
+    intercept[IllegalArgumentException](
+      ProjectLoader.loadProfiles(profYml, "pkg_demo", Some("staging")))
+
+    // Through load(): the profile is the routing FALLBACK (model header >
+    // project config > profile), and its name becomes target.name.
+    val dir = synthProject(
+      "models/plain.sql" -> "SELECT 1 AS one",
+      "models/routed.sql" -> "{{ config(schema='pinned') }}\nSELECT 1 AS one",
+      "models/flagged.sql" ->
+        ("SELECT {% if target.name == 'prod' %}'P'{% else %}'D'{% endif %} AS flag"))
+    val p = ProjectLoader.load(spark, dir, profile = Some(prod))
+    assert(p.model("plain").database === Some("proddb"))
+    assert(p.model("plain").schema === Some("prod_schema"))
+    assert(p.model("routed").schema === Some("pinned"), "header beats profile")
+    val built = DagRunner.run(spark, p.models, n => sys.error(s"no source $n"), tmpWh())
+    assert(built("flagged").as[String].head() === "P")
+    val pDev = ProjectLoader.load(spark, dir, profile = Some(dev))
+    val builtDev = DagRunner.run(spark, pDev.models, n => sys.error(s"no source $n"), tmpWh())
+    assert(builtDev("flagged").as[String].head() === "D")
+  }
+
+  test("the checked-in fixtures/pkg_project loads: packages + env_var through the file frontend") {
+    val dir = Seq(java.nio.file.Paths.get("fixtures/pkg_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/pkg_project"))
+      .find(java.nio.file.Files.isDirectory(_)).get
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.name === "pkg_demo")
+    assert(p.models.size === 7)
+    assert(ProjectLoader.profileNameOf(dir) === Some("pkg_demo"))
+    // union_relations' refs contribute DAG edges.
+    assert(p.model("all_orders_rollup").refs.toSet ===
+      Set("stg_orders_fulfilled", "stg_orders_open"))
+    // The spine/pivot/key models depend only on the declared source.
+    assert(p.model("spine_orders_daily").refs === Seq("tpch.orders"))
+  }
 }

@@ -467,4 +467,35 @@ class SqlModelSpec extends SparkSpec {
       "{% if is_incremental() and var('x', true) %}A{% endif %}", Map.empty, "dev"))
     assert(e.getMessage.contains("is_incremental"))
   }
+
+  test("env_var(): substitution, default-argument form, missing-var error, condition use") {
+    // A variable that exists in this process' environment renders its
+    // value verbatim (HOME is set in any sane test environment).
+    val (k, v) = sys.env.find(_._1 == "HOME").getOrElse(sys.env.head)
+    assert(SqlModel.substituteEnvVars(s"SELECT '{{ env_var('$k') }}' AS h") ===
+      s"SELECT '$v' AS h")
+    // Missing + default → the default renders (dbt's second argument).
+    assert(SqlModel.substituteEnvVars(
+      "SELECT '{{ env_var(\"GRAFT_DEFINITELY_UNSET\", \"fallback\") }}' AS r") ===
+      "SELECT 'fallback' AS r")
+    // Missing + no default = dbt's compilation error.
+    val e = intercept[IllegalArgumentException](
+      SqlModel.substituteEnvVars("{{ env_var('GRAFT_DEFINITELY_UNSET') }}"))
+    assert(e.getMessage.contains("GRAFT_DEFINITELY_UNSET") &&
+      e.getMessage.contains("no default"))
+    // env_var works in {% if %} conditions with the same semantics.
+    assert(SqlModel.evalCond(s"env_var('$k') == '$v'", Map.empty, "dev"))
+    assert(SqlModel.evalCond(
+      "env_var('GRAFT_DEFINITELY_UNSET', 'x') == 'x'", Map.empty, "dev"))
+    val ce = intercept[IllegalArgumentException](
+      SqlModel.evalCond("env_var('GRAFT_DEFINITELY_UNSET')", Map.empty, "dev"))
+    assert(ce.getMessage.contains("GRAFT_DEFINITELY_UNSET"))
+    // End-to-end through fromSqlText: render happens at parse time.
+    import spark.implicits._
+    val m = SqlModel.fromSqlText("envy",
+      "SELECT '{{ env_var('GRAFT_DEFINITELY_UNSET', 'eu') }}' AS region, count(*) AS n " +
+        "FROM {{ ref('t') }}")
+    val out = m.build(spark, Map("t" -> Seq(1, 2, 3).toDF("x"))).head()
+    assert(out.getString(0) === "eu" && out.getLong(1) === 3L)
+  }
 }
