@@ -43,18 +43,6 @@ object GeoOps {
   private def latOf(key: Column): Column = lit(-60.0) + (key * 37 % 1200) / 10.0
   private def lonOf(key: Column): Column = lit(-180.0) + (key * 91 % 3600) / 10.0
 
-  /** Haversine distance in km, rounded to 2 decimals on BOTH engines so
-    * the radius predicate evaluates on the same quantized value. The
-    * `least(1, a)` clamp keeps asin's argument in range when rounding
-    * pushes the sin/cos composition an ulp above 1.
-    */
-  private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
-    val sdLat = sin(radians(lat2 - lat1) / 2)
-    val sdLon = sin(radians(lon2 - lon1) / 2)
-    val a = sdLat * sdLat + cos(radians(lat1)) * cos(radians(lat2)) * sdLon * sdLon
-    roundTo(lit(2 * 6371.0) * asin(sqrt(least(lit(1.0), a))), 2)
-  }
-
   private val haversineSql =
     """floor(2 * 6371.0 * asin(sqrt(least(1.0,
       |    sin(radians(s.lat - c.lat)/2) * sin(radians(s.lat - c.lat)/2)
@@ -82,9 +70,19 @@ object GeoOps {
       // replicated broadcast hash table's probe cost — 57.5 s vs 54.5 s.)
       val nbrs = array((for { dx <- -1 to 1; dy <- -1 to 1 }
         yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      // At sf10 the row is OUTPUT-bound (~1.5B qualifying pairs out of
+      // ~1.6B bbox survivors — r11 plan audit), so the remaining lever
+      // is per-candidate trig cost: precompute radians + cos(lat) ONCE
+      // per input row on each side (r12). The per-candidate expression
+      // drops from 2·sin + 2·cos + asin to 2·sin + asin — cos(lat) is
+      // constant per point but codegen re-evaluates projection
+      // expressions per JOINED row, so hoisting it into the pre-join
+      // projections is a real cut, at +16 bytes/row of broadcast width.
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey"),
           latOf(col("s_suppkey")).as("s_lat"), lonOf(col("s_suppkey")).as("s_lon"))
+        .withColumn("s_radlat", radians(col("s_lat")))
+        .withColumn("s_coslat", cos(col("s_radlat")))
         .withColumn("nb", explode(nbrs))
         .withColumn("cell_lat", (floor(col("s_lat") / 5.0) + col("nb.dx")).cast("int"))
         .withColumn("cell_lon",
@@ -93,6 +91,8 @@ object GeoOps {
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"),
           latOf(col("c_custkey")).as("c_lat"), lonOf(col("c_custkey")).as("c_lon"))
+        .withColumn("c_radlat", radians(col("c_lat")))
+        .withColumn("c_coslat", cos(col("c_radlat")))
         .withColumn("cell_lat", floor(col("c_lat") / 5.0).cast("int"))
         .withColumn("cell_lon",
           pmod(floor(col("c_lon") / 10.0).cast("int") + 36, lit(36)))
@@ -102,10 +102,20 @@ object GeoOps {
       // cheap comparisons discard most candidates before the trig; the
       // brute-force oracle proves no pair is lost.
       val dLon = abs(col("c_lon") - col("s_lon"))
+      // Haversine km, rounded to 2 decimals on BOTH engines so the
+      // radius predicate evaluates on the same quantized value; the
+      // least(1, a) clamp keeps asin in range when rounding pushes the
+      // sin/cos composition an ulp above 1. radians(a-b) vs
+      // radians(a)-radians(b) differ in ulps only; the 2-decimal
+      // quantization (oracle-matched at sf0.01/0.1) absorbs it.
+      val sdLat = sin((col("s_radlat") - col("c_radlat")) / 2)
+      val sdLon = sin(radians(col("s_lon") - col("c_lon")) / 2)
+      val hav = sdLat * sdLat + col("c_coslat") * col("s_coslat") * sdLon * sdLon
+      val km = roundTo(lit(2 * 6371.0) * asin(sqrt(least(lit(1.0), hav))), 2)
       cust.join(broadcast(sup), Seq("cell_lat", "cell_lon"))
         .filter(abs(col("c_lat") - col("s_lat")) <= lit(4.51) &&
           least(dLon, lit(360.0) - dLon) <= lit(9.0))
-        .withColumn("km", haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")))
+        .withColumn("km", km)
         .filter(col("km") < RadiusKm)
         .groupBy("c_custkey")
         .agg(count(lit(1)).as("n_within"), min("km").as("min_km"))
