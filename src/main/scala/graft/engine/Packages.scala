@@ -50,6 +50,21 @@ object Packages {
       |WHERE d < CAST({{ end_date }} AS DATE)
       |{% endmacro %}""".stripMargin
 
+  /** dbt_utils' cross-database macros, rendered to the engine's Spark
+    * dialect. `datediff` maps to `timestampdiff` (complete units) —
+    * identical to the boundary-count semantics of BigQuery/DuckDB for
+    * DATE-precision values at `day`+ granularity, which is where the
+    * oracle row pins it. Macro bodies are plain SQL after substitution
+    * (a body's own function names are not Jinja call sites, so
+    * `split_part` the macro and `split_part` the Spark builtin coexist).
+    */
+  private val crossDbSql =
+    """{% macro dateadd(datepart, interval, from_date_or_timestamp) %}timestampadd({{ datepart }}, {{ interval }}, {{ from_date_or_timestamp }}){% endmacro %}
+      |{% macro datediff(first_date, second_date, datepart) %}timestampdiff({{ datepart }}, {{ first_date }}, {{ second_date }}){% endmacro %}
+      |{% macro split_part(string_text, delimiter_text, part_number) %}split_part({{ string_text }}, {{ delimiter_text }}, {{ part_number }}){% endmacro %}
+      |{% macro safe_cast(field, type) %}try_cast({{ field }} AS {{ type }}){% endmacro %}
+      |{% macro hash(field) %}md5(CAST({{ field }} AS STRING)){% endmacro %}""".stripMargin
+
   /** `generate_surrogate_key(['a', 'b'])` (alias `surrogate_key`):
     * md5 over '-'-joined stringified columns with dbt_utils' literal
     * null sentinel, so (null, 'x') and ('x', null) hash differently and
@@ -117,15 +132,26 @@ object Packages {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** `concat(['a', 'b'])`: list-arg concatenation (`||` semantics —
+    * NULL-propagating, like BigQuery/Spark `concat`).
+    */
+  private def concatFields(args: Seq[String]): String = {
+    require(args.size == 1, s"concat takes one list argument, got ${args.size}")
+    val cols = parseListArg(args.head).map(stripQuotes)
+    require(cols.nonEmpty, "concat: empty field list")
+    cols.mkString("concat(", ", ", ")")
+  }
+
   val dbtUtils: Package = {
-    val (textDefs, rest) = SqlModel.extractMacros(dateSpineSql)
+    val (textDefs, rest) = SqlModel.extractMacros(dateSpineSql + "\n" + crossDbSql)
     require(rest.trim.isEmpty, "dbt_utils text-macro source has trailing content")
     Package("dbt_utils", textDefs,
       Map(
         "generate_surrogate_key" -> surrogateKey _,
         "surrogate_key" -> surrogateKey _,
         "pivot" -> pivot _,
-        "union_relations" -> unionRelations _))
+        "union_relations" -> unionRelations _,
+        "concat" -> concatFields _))
   }
 
   /** The built-in registry `packages.yml` resolves hub names against.

@@ -83,7 +83,14 @@ object ProjectLoader {
       models: Seq[Model],
       sources: Seq[SourceTable],
       checks: Seq[DataTests.Check],
-      warnChecks: Seq[DataTests.Check]) {
+      warnChecks: Seq[DataTests.Check],
+      /** dbt_project.yml `on-run-start:` / `on-run-end:` project hooks
+        * (string or list form), vars/env already rendered. RunDag fires
+        * start hooks before the first model and end hooks after a
+        * SUCCESSFUL run — `DagRunner.run`'s own hook semantics.
+        */
+      onRunStart: Seq[String] = Nil,
+      onRunEnd: Seq[String] = Nil) {
     def model(n: String): Model = models.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"no model '$n' in project $name (models: ${models.map(_.name).sorted.mkString(", ")})"))
@@ -351,6 +358,47 @@ object ProjectLoader {
     }
   }
 
+  // ---- selectors.yml ------------------------------------------------------
+
+  /** One named selection spec (dbt selectors.yml). The definition is the
+    * STRING form of dbt's selector grammar — exactly what `--select`
+    * takes, resolved by [[DagRunner.select]] (whitespace unions, comma
+    * intersects, `tag:`/`+`/`@` operators). dbt's structured YAML-tree
+    * form is rejected with a pointer to the string form: both compile
+    * to the same algebra, and the string IS that algebra here.
+    */
+  final case class Selector(name: String, definition: String, default: Boolean)
+
+  /** Parse `<dir>/selectors.yml` (empty when absent). Validates unique
+    * names and at most one `default: true` — dbt's own constraints.
+    */
+  def loadSelectors(dir: Path): Seq[Selector] = {
+    val f = dir.resolve("selectors.yml")
+    if (!Files.exists(f)) return Nil
+    val doc = asMap(parseYaml(f))
+    val out = doc.get("selectors").map(asList).getOrElse(Nil).map(asMap).map { entry =>
+      val name = optStr(entry, "name").getOrElse(
+        throw new IllegalArgumentException(s"$f: selector entry without a name"))
+      val defn = entry.get("definition") match {
+        case Some(s: String) => s
+        case Some(other) => throw new IllegalArgumentException(
+          s"$f: selector '$name' uses the structured definition form " +
+            s"(${other.getClass.getSimpleName}); write the string form of the same " +
+            "spec instead (whitespace unions, commas intersect, tag:/+/@ operators)")
+        case None => throw new IllegalArgumentException(
+          s"$f: selector '$name' has no definition")
+      }
+      val dflt = entry.get("default").exists(v => String.valueOf(v) == "true")
+      Selector(name, defn, dflt)
+    }
+    val names = out.map(_.name)
+    require(names.distinct.size == names.size,
+      s"$f: duplicate selector names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    require(out.count(_.default) <= 1,
+      s"$f: more than one default selector: ${out.filter(_.default).map(_.name).mkString(", ")}")
+    out
+  }
+
   // ---- profiles.yml -------------------------------------------------------
 
   /** One resolved profiles.yml output — dbt's per-target connection
@@ -478,10 +526,33 @@ object ProjectLoader {
         vars = boundVars, macros = macrosText, target = effTarget,
         packageMacros = pkgMacros, nativeMacros = pkgNatives)
     }
-    val names = models.map(_.name)
+    // seeds/ CSVs (dbt seed nodes): one Table model per file, routed by
+    // the dbt_project.yml `seeds:` config block (scalar database/schema,
+    // `+`-prefixed keys accepted — same shape as the models block).
+    val seedsCfg = projYml.get("seeds").map(asMap).getOrElse(Map.empty)
+      .collect { case (k, v) if v != null && !v.isInstanceOf[java.util.Map[_, _]] =>
+        k.stripPrefix("+") -> String.valueOf(v)
+      }
+    val seedModels = filesUnder(dir.resolve("seeds"), Seq(".csv")).map(p =>
+      Seeds.fromCsv(p.toString,
+        schema = seedsCfg.get("schema"), database = seedsCfg.get("database")))
+
+    // Project run hooks: string or list form, vars/env rendered now
+    // (hook SQL is not a model — no refs to resolve).
+    def runHooks(key: String): Seq[String] = projYml.get(key).map {
+      case s: String => Seq(s)
+      case l: java.util.List[_] => asList(l).map(String.valueOf)
+      case other => throw new IllegalArgumentException(
+        s"dbt_project.yml: $key must be a string or list, got ${other.getClass.getSimpleName}")
+    }.getOrElse(Nil).map(h =>
+      SqlModel.substituteEnvVars(SqlModel.substituteVars(h, boundVars)))
+
+    val allNodes = models ++ seedModels
+    val names = allNodes.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate model basenames in $modelsDir: " +
         names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
-    DbtProject(projectName, models, sources, checks, warnChecks)
+    DbtProject(projectName, allNodes, sources, checks, warnChecks,
+      onRunStart = runHooks("on-run-start"), onRunEnd = runHooks("on-run-end"))
   }
 }

@@ -142,14 +142,28 @@ object DedupOps {
     * signature forms project from.
     */
   private def simhashVotes(s: SparkSession, dir: String): DataFrame = {
+    // The md5 hex decodes ONCE per word into two 32-bit ints (r12); each
+    // of the 64 votes is then a shift-and-mask on an int — where the
+    // instr-over-substring form paid 64 string scans per word (~13B
+    // string ops at sf10's 200M word stream). Bit (i,v) of the hex is
+    // bit (8−i)·4+log2(v) of the first chunk (i ≤ 8) / (16−i)·4+log2(v)
+    // of the second — identical membership to instr('89abcdef', …), so
+    // the DuckDB oracles (which keep the strpos form) are unchanged.
     val words = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(splitLit(col("text"), " ")).as("w"))
       .withColumn("h", md5(col("w")))
+      .withColumn("c1", expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
+      .withColumn("c2", expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))
     val votes = for {
       i <- 1 to 16
-      (v, set) <- hexBitSets
-    } yield sum(when(expr(s"instr('$set', substring(h, $i, 1))") > 0, 1)
-      .otherwise(-1)).as(s"b${i}_$v")
+      (v, _) <- hexBitSets
+    } yield {
+      val chunk = if (i <= 8) col("c1") else col("c2")
+      val bitpos = (if (i <= 8) 8 - i else 16 - i) * 4 +
+        (31 - Integer.numberOfLeadingZeros(v))
+      sum(when(shiftright(chunk, bitpos).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b${i}_$v")
+    }
     words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
   }
 

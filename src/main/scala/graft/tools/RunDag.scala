@@ -37,6 +37,10 @@ import graft.models.testkit.NpoFixtures
   *     warehouse of a previous full run). Spec grammar per
   *     `DagRunner.select`: whitespace unions, comma intersects,
   *     `tag:` method atoms, `+`/`@` graph operators.
+  *   Add --selector NAME to apply a named spec from the project's
+  *     selectors.yml (string-form definitions; mutually exclusive with
+  *     --select). With neither flag, a `default: true` selector
+  *     applies automatically — dbt's default-selector behavior.
   *   Add --exclude 'spec' to subtract a selection (dbt `--exclude`).
   *   Add --build to interleave the DAG's default data tests with
   *     materialization (dbt `build`): a failing model's descendants are
@@ -61,7 +65,10 @@ object RunDag {
         Some(args0(i + 1))
       }
     }
-    val selectSpec = flagValue("--select")
+    val selectFlag = flagValue("--select")
+    val selectorName = flagValue("--selector")
+    require(selectFlag.isEmpty || selectorName.isEmpty,
+      "--select and --selector are mutually exclusive (dbt's own rule)")
     val excludeSpec = flagValue("--exclude")
     val doBuild = args0.contains("--build")
     val projectDir = flagValue("--project")
@@ -94,8 +101,9 @@ object RunDag {
       var a = args0.toSeq
       while (a.contains("--build")) a = a.patch(a.indexOf("--build"), Nil, 1)
       while (a.contains("--favor-state")) a = a.patch(a.indexOf("--favor-state"), Nil, 1)
-      for (f <- Seq("--threads", "--select", "--exclude", "--defer", "--project",
-                    "--vars", "--docs", "--profiles", "--profile", "--target")) {
+      for (f <- Seq("--threads", "--select", "--selector", "--exclude", "--defer",
+                    "--project", "--vars", "--docs", "--profiles", "--profile",
+                    "--target")) {
         var i = a.indexOf(f)
         while (i >= 0) {
           require(i < a.length - 1, s"$f requires a value")
@@ -162,6 +170,22 @@ object RunDag {
       java.nio.file.Paths.get(pd),
       vars = userVars ++ Map("today" -> s"DATE '$today'"),
       profile = profile))
+    // Selection resolution (dbt order): --select wins; --selector looks
+    // up the project's selectors.yml; with neither, a `default: true`
+    // selector applies (dbt's default-selector behavior).
+    val selectors = projectDir.map(pd =>
+      graft.engine.ProjectLoader.loadSelectors(java.nio.file.Paths.get(pd)))
+      .getOrElse(Nil)
+    val selectSpec: Option[String] = selectFlag.orElse {
+      selectorName.map { sn =>
+        selectors.find(_.name == sn).map(_.definition).getOrElse(
+          throw new IllegalArgumentException(
+            s"--selector '$sn' not found in selectors.yml " +
+              s"(defined: ${selectors.map(_.name).sorted.mkString(", ")})"))
+      }
+    }.orElse(selectors.find(_.default).map(_.definition))
+    require(selectorName.isEmpty || projectDir.isDefined,
+      "--selector requires --project <dir> (selectors.yml lives in the project)")
     val allModels = project.map(_.models).getOrElse(NpoDag.models(today))
     // Under --select, unselected TABLE-family upstreams resolve from the
     // warehouse of a previous full run (dbt's contract — they persist);
@@ -187,6 +211,10 @@ object RunDag {
           case None => spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
         }
       else resolve(n)
+    // Project run hooks (dbt_project.yml on-run-start/on-run-end):
+    // start before the first model; end only after a SUCCESSFUL run —
+    // DagRunner.run's own hook contract.
+    project.foreach(_.onRunStart.foreach(spark.sql(_)))
     val built: Map[String, DataFrame] =
       if (doBuild) {
         val report = DagRunner.build(spark, models, resolveWithWarehouse, warehouse,
@@ -204,6 +232,7 @@ object RunDag {
       } else if (threads > 1)
         DagRunner.runParallel(spark, models, resolveWithWarehouse, warehouse, threads)
       else DagRunner.run(spark, models, resolveWithWarehouse, warehouse)
+    project.foreach(_.onRunEnd.foreach(spark.sql(_)))
     built.toSeq.sortBy(_._1).foreach { case (name, df) =>
       println(f"[rundag] $name%-45s ${df.count()}%8d rows")
     }

@@ -334,12 +334,107 @@ class ProjectLoaderSpec extends SparkSpec {
       .find(java.nio.file.Files.isDirectory(_)).get
     val p = ProjectLoader.load(spark, dir)
     assert(p.name === "pkg_demo")
-    assert(p.models.size === 7)
+    assert(p.models.size === 8)
     assert(ProjectLoader.profileNameOf(dir) === Some("pkg_demo"))
     // union_relations' refs contribute DAG edges.
     assert(p.model("all_orders_rollup").refs.toSet ===
       Set("stg_orders_fulfilled", "stg_orders_open"))
     // The spine/pivot/key models depend only on the declared source.
     assert(p.model("spine_orders_daily").refs === Seq("tpch.orders"))
+  }
+
+  // ---- selectors.yml -----------------------------------------------------
+
+  test("selectors.yml: named string-form specs load, resolve through select(), and validate") {
+    val dir = Seq(java.nio.file.Paths.get("fixtures/pkg_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/pkg_project"))
+      .find(java.nio.file.Files.isDirectory(_)).get
+    val sels = ProjectLoader.loadSelectors(dir)
+    assert(sels.map(_.name) === Seq("spine_family", "staging"))
+    assert(sels.find(_.default).map(_.name) === Some("staging"))
+    // The definitions run through the SAME grammar --select takes.
+    val p = ProjectLoader.load(spark, dir)
+    val staging = DagRunner.select(p.models, sels.find(_.default).get.definition)
+    assert(staging.map(_.name).toSet === Set("stg_orders_fulfilled", "stg_orders_open"))
+    val spine = DagRunner.select(p.models, sels.head.definition)
+    assert(spine.map(_.name).toSet === Set("spine_orders_daily"))
+    // Absent file = no selectors; structured definitions are rejected
+    // with a pointer to the string form; duplicate names / multiple
+    // defaults fail.
+    assert(ProjectLoader.loadSelectors(
+      java.nio.file.Files.createTempDirectory("nosel")) === Nil)
+    def write(body: String): java.nio.file.Path = {
+      val d = java.nio.file.Files.createTempDirectory("selyml")
+      java.nio.file.Files.writeString(d.resolve("selectors.yml"), body)
+      d
+    }
+    val e1 = intercept[IllegalArgumentException](ProjectLoader.loadSelectors(write(
+      """selectors:
+        |  - name: tree
+        |    definition:
+        |      union:
+        |        - method: tag
+        |          value: nightly
+        |""".stripMargin)))
+    assert(e1.getMessage.contains("string form"))
+    val e2 = intercept[IllegalArgumentException](ProjectLoader.loadSelectors(write(
+      "selectors:\n  - name: a\n    definition: x\n  - name: a\n    definition: y\n")))
+    assert(e2.getMessage.contains("duplicate"))
+    val e3 = intercept[IllegalArgumentException](ProjectLoader.loadSelectors(write(
+      "selectors:\n  - name: a\n    default: true\n    definition: x\n" +
+        "  - name: b\n    default: true\n    definition: y\n")))
+    assert(e3.getMessage.contains("default"))
+  }
+
+  test("seeds/ CSVs load as Table nodes routed by the seeds: block; on-run-start/end hooks parse rendered") {
+    import spark.implicits._
+    val dir = synthProject(
+      "seeds/channel_map.csv" -> "channel,prio\nnpo1,1\nnpo2,2\n",
+      "models/rollup.sql" ->
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM {{ ref('channel_map') }}")
+    // Rewrite the project yml with seeds config + hooks (string + list).
+    java.nio.file.Files.writeString(dir.resolve("dbt_project.yml"),
+      """name: synth
+        |vars:
+        |  audit_tag: r12
+        |seeds:
+        |  +schema: seed_schema
+        |  database: seeddb
+        |on-run-start: "SELECT 'start-{{ var('audit_tag') }}'"
+        |on-run-end:
+        |  - "SELECT 'end-1'"
+        |  - "SELECT 'end-2'"
+        |""".stripMargin)
+    val p = ProjectLoader.load(spark, dir)
+    val seed = p.model("channel_map")
+    assert(seed.materialization === graft.engine.Table)
+    assert(seed.schema === Some("seed_schema") && seed.database === Some("seeddb"))
+    assert(p.onRunStart === Seq("SELECT 'start-r12'"), "hook vars render at load")
+    assert(p.onRunEnd === Seq("SELECT 'end-1'", "SELECT 'end-2'"))
+    val built = DagRunner.run(spark, p.models, n => sys.error(s"no source $n"), tmpWh(),
+      onRunStart = p.onRunStart, onRunEnd = p.onRunEnd)
+    assert(built("rollup").as[Long].head() === 2L)
+  }
+
+  test("dbt_utils cross-database macros render to the Spark dialect") {
+    import spark.implicits._
+    val dir = synthProject(
+      "packages.yml" -> "packages:\n  - package: dbt_utils\n",
+      "models/m.sql" ->
+        ("SELECT CAST({{ dbt_utils.dateadd('day', 3, 'd') }} AS DATE) AS d3, " +
+          "{{ dbt_utils.datediff('d', \"TIMESTAMP '2021-01-10 00:00:00'\", 'day') }} AS dd, " +
+          "{{ dbt_utils.split_part('s', \"'-'\", 2) }} AS p2, " +
+          "{{ dbt_utils.safe_cast('s', 'int') }} AS si, " +
+          "{{ dbt_utils.concat(['s', \"'!'\"]) }} AS c " +
+          "FROM {{ ref('t') }}"))
+    val p = ProjectLoader.load(spark, dir)
+    val t = Seq((java.sql.Timestamp.valueOf("2021-01-01 00:00:00"), "a-b"))
+      .toDF("d", "s")
+    val row = DagRunner.run(spark, p.models, Map("t" -> t).apply, tmpWh())("m").head()
+    assert(row.getDate(0) === java.sql.Date.valueOf("2021-01-04"))
+    assert(row.getLong(1) === 9L)
+    assert(row.getString(2) === "b")
+    assert(row.isNullAt(3))
+    assert(row.getString(4) === "a-b!")
   }
 }
