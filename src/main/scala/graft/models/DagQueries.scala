@@ -993,19 +993,25 @@ object DagQueries {
     ordered(built(name))
   }
 
-  /** dbt_utils.date_spine end-to-end (the generated J9 spine). */
+  /** dbt_utils.date_spine end-to-end (the generated J9 spine). The
+    * model pre-aggregates orders to the day grain BEFORE the spine
+    * join (SCALE.md spine rule) — the oracle mirrors that shape.
+    */
   private val pkgDateSpine = QueryDef(
     "dag_pkg_date_spine",
     (s, dir) => pkgModel(s, dir, "spine_orders_daily"),
     Some("""WITH spine AS (
            |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
-           |    DATE '1995-01-31', INTERVAL 1 DAY)) AS DATE) AS date_day)
+           |    DATE '1995-01-31', INTERVAL 1 DAY)) AS DATE) AS date_day),
+           |daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS d,
+           |    count(*) AS n_orders, sum(o_totalprice) AS rev
+           |  FROM orders GROUP BY 1)
            |SELECT spine.date_day,
-           |  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           |  round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
-           |FROM spine LEFT JOIN orders o
-           |  ON CAST(o.o_orderdate AS DATE) = spine.date_day
-           |GROUP BY spine.date_day ORDER BY ALL NULLS FIRST""".stripMargin))
+           |  CAST(coalesce(daily.n_orders, 0) AS BIGINT) AS n_orders,
+           |  round(coalesce(daily.rev, 0.0), 2) AS revenue
+           |FROM spine LEFT JOIN daily ON daily.d = spine.date_day
+           |ORDER BY ALL NULLS FIRST""".stripMargin))
 
   /** dbt_utils.pivot end-to-end (the generated A11 pivot). */
   private val pkgPivot = QueryDef(

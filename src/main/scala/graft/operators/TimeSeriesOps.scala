@@ -132,22 +132,32 @@ object TimeSeriesOps {
     * `last_value(x IGNORE NULLS)`. Values are copied, never computed,
     * so the hashes match without rounding.
     *
-    * Scale: one shuffle on `user_id`, then both fills ride the same
-    * sorted pass (two frames over one Window sort — the plan has a
-    * single Sort + Window pair, no join and no spine).
+    * Scale: one shuffle on `user_id`, then each fill is a RUNNING
+    * (unbounded-preceding) frame — bfill over the DESCENDING sort,
+    * which selects the same "next non-null at-or-after this row" value
+    * as a forward unbounded-FOLLOWING frame. The frame direction is
+    * load-bearing at scale: Spark's UnboundedFollowingWindowFunctionFrame
+    * re-evaluates the aggregate from each row to partition end — O(n²)
+    * per partition — which the Zipf corpus turned into a single
+    * ~2M-row hot-user task with ~2·10¹² aggregate updates (killed at
+    * 29 min, ETA hours; r12). Running frames accumulate in O(n); the
+    * second sort of the already-exchanged partition is the whole cost.
+    * Plan-locked: no Following frame bound (`PlanAuditSpec`).
     */
   private val locf = QueryDef(
     "ts3_locf_ffill",
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ahead = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val runDesc = wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "events")
         .withColumn("obs",
           when(col("event_type") === "purchase", col("value")))
         .select(col("user_id"), col("event_id"), col("obs"),
           last("obs", ignoreNulls = true).over(run).as("ffill"),
-          first("obs", ignoreNulls = true).over(ahead).as("bfill"))
+          last("obs", ignoreNulls = true).over(runDesc).as("bfill"))
         .orderBy("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id, obs,

@@ -490,6 +490,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("4.51"), "bounding-box lat prefilter missing from the physical plan")
   }
 
+  test("ts3_locf_ffill uses only RUNNING window frames (no unbounded-following)") {
+    // Spark's UnboundedFollowingWindowFunctionFrame re-evaluates the
+    // aggregate from each row to partition end — O(n²) per partition.
+    // A Zipf hot user (~2M events in one partition) turned that into a
+    // single multi-hour task (r12, killed at 29 min). The bfill must be
+    // the reversed RUNNING frame instead — same value, O(n).
+    val p = plan("ts3_locf_ffill")
+    assert(!p.contains("unboundedfollowing") && !p.contains("UNBOUNDED FOLLOWING"),
+      "bfill must ride a descending running frame, not an unbounded-following frame")
+    assert(p.contains("unboundedpreceding") || p.contains("UNBOUNDED PRECEDING"),
+      "running frames missing — the plan no longer computes the fills via windows?")
+  }
+
   private def collectLeaves(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val direct = p.collect {
