@@ -129,6 +129,30 @@ object GraftFunctions {
         require(exprs.length == 1, "text_clean takes exactly 1 argument")
         TextClean(exprs.head)
       }, "scala_udf")
+    // Spark's OWN codegen'd bloom-filter pair (the expressions behind
+    // Catalyst runtime filter injection), exposed as callable functions
+    // so a pipeline can build a membership sketch as a first-class
+    // ARTIFACT instead of waiting for the optimizer to inject one:
+    // bloom_agg(xxhash64(key), estItems, numBits) -> binary sketch;
+    // bloom_contains(<binary literal>, xxhash64(key)) -> boolean.
+    // might_contain requires its sketch side constant (literal or scalar
+    // subquery) — callers collect the 1-row agg result and re-inject it
+    // as a literal, the same conf-bounded driver-artifact discipline as
+    // the CMS/centroid tables.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs => {
+        require(exprs.length == 3,
+          "bloom_agg takes exactly 3 arguments: (xxhash64(key), estItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains", exprs => {
+        require(exprs.length == 2,
+          "bloom_contains takes exactly 2 arguments: (sketch, xxhash64(key))")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
+      }, "scala_udf")
   }
 
   private[functions] def mkLexiconMatch(exprs: Seq[Expression]): LexiconMatch = {

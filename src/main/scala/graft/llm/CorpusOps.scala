@@ -1024,8 +1024,110 @@ object CorpusOps {
            |    AS zipf_intercept
            |FROM ranked""".stripMargin))
 
+  /** Multinomial Naive Bayes classifier, trained AND served in-engine —
+    * the fastText-style linear text classifier every curation pipeline
+    * ends up running (CCNet/GPT-3-style quality or domain filters are
+    * exactly this shape: per-token weight table + per-class bias,
+    * argmax of a sum). Train split = doc_id % 5 != 0, labels = lang;
+    * the held-out 20% is scored. All model weights are Laplace-
+    * smoothed log10 probabilities quantized to 1e-6 BIGINT at the
+    * single point a transcendental enters (the repo's `llm_unigram_lm`
+    * discipline), so scoring is an EXACT integer reduction and the
+    * argmax (tie-break: lang ascending) is bit-identical in any
+    * engine — the full train-infer trajectory hash-matches DuckDB.
+    *
+    * Scale shape: the MODEL is vocabulary-bounded — (test-vocab × 5)
+    * weight rows, class totals, and one countDistinct — never
+    * corpus-sized; at serve time that table broadcasts and inference
+    * is one token join + one doc-keyed sum (the same two shuffles as
+    * the unigram-LM row regardless of corpus size). The 5-row class
+    * list rides a broadcast nested loop deliberately (a 5× fan-out of
+    * the test VOCAB, not the corpus). OOV-under-a-class tokens get the
+    * smoothed zero-count weight via the left join's NULL, so no dense
+    * grid ever materializes beyond test-vocab × classes.
+    */
+  private val nbClassifier = QueryDef(
+    "llm_nb_classifier",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val dw = docWords(t(s, dir, "documents"))
+      val trainDw = dw.filter(col("doc_id") % 5 =!= 0).join(docs, "doc_id")
+      val testDw = dw.filter(col("doc_id") % 5 === 0)
+      val classes = docs.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val nTrain = classes.agg(sum("n_docs").as("n_train"))
+      val priors = classes.crossJoin(broadcast(nTrain))
+        .select(col("lang").as("cand"),
+          floor(log10(col("n_docs") / col("n_train")) * lit(1e6) + lit(0.5))
+            .cast("long").as("prior6"))
+      val tokTot = trainDw.groupBy("lang").agg(sum("tf").as("tot"))
+      val vocabV = trainDw.agg(countDistinct("word").as("v"))
+      val cnts = trainDw.groupBy("lang", "word").agg(sum("tf").as("cnt"))
+      val weights = testDw.select("word").distinct()
+        .crossJoin(broadcast(classes.select(col("lang"))))
+        .join(cnts, Seq("lang", "word"), "left")
+        .join(tokTot, "lang")
+        .crossJoin(broadcast(vocabV))
+        .select(col("word"), col("lang").as("cand"),
+          floor(log10((coalesce(col("cnt"), lit(0L)) + lit(1)) / (col("tot") + col("v")))
+            * lit(1e6) + lit(0.5)).cast("long").as("lp6"))
+      val scored = testDw.join(weights, "word")
+        .groupBy("doc_id", "cand")
+        .agg(sum(col("tf") * col("lp6")).as("s6"))
+        .join(priors, "cand")
+        .select(col("doc_id"), col("cand"), (col("s6") + col("prior6")).as("score6"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score6").desc, col("cand"))))
+        .filter(col("rk") === 1)
+      scored.join(docs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("cand").as("pred"),
+          col("score6"), (col("cand") === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           |dw AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY doc_id, word),
+           |train AS (
+           |  SELECT d.doc_id, d.word, d.tf, doc.lang
+           |  FROM dw d JOIN documents doc USING (doc_id) WHERE d.doc_id % 5 <> 0),
+           |test AS (SELECT doc_id, word, tf FROM dw WHERE doc_id % 5 = 0),
+           |classes AS (
+           |  SELECT lang, count(*) AS n_docs FROM documents
+           |  WHERE doc_id % 5 <> 0 GROUP BY lang),
+           |nt AS (SELECT sum(n_docs) AS n_train FROM classes),
+           |priors AS (
+           |  SELECT lang AS cand,
+           |    CAST(floor(log10(n_docs / n_train) * 1000000.0 + 0.5) AS BIGINT) AS prior6
+           |  FROM classes, nt),
+           |tok_tot AS (SELECT lang, sum(tf) AS tot FROM train GROUP BY lang),
+           |vocab_v AS (SELECT count(DISTINCT word) AS v FROM train),
+           |cnts AS (SELECT lang, word, sum(tf) AS cnt FROM train GROUP BY lang, word),
+           |weights AS (
+           |  SELECT tw.word, c.lang AS cand,
+           |    CAST(floor(log10((COALESCE(cn.cnt, 0) + 1) / (tt.tot + vv.v))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS lp6
+           |  FROM (SELECT DISTINCT word FROM test) tw
+           |  CROSS JOIN (SELECT lang FROM classes) c
+           |  LEFT JOIN cnts cn ON cn.lang = c.lang AND cn.word = tw.word
+           |  JOIN tok_tot tt ON tt.lang = c.lang
+           |  CROSS JOIN vocab_v vv),
+           |scored AS (
+           |  SELECT t.doc_id, w.cand, CAST(sum(t.tf * w.lp6) AS BIGINT) AS s6
+           |  FROM test t JOIN weights w USING (word)
+           |  GROUP BY t.doc_id, w.cand),
+           |ranked AS (
+           |  SELECT s.doc_id, s.cand, s.s6 + p.prior6 AS score6,
+           |    row_number() OVER (PARTITION BY s.doc_id
+           |      ORDER BY s.s6 + p.prior6 DESC, s.cand) AS rk
+           |  FROM scored s JOIN priors p USING (cand))
+           |SELECT r.doc_id, d.lang, r.cand AS pred, r.score6,
+           |  (r.cand = d.lang) AS correct
+           |FROM ranked r JOIN documents d USING (doc_id)
+           |WHERE r.rk = 1 ORDER BY r.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(unigramLm, tfidfTopk, embedOutlier, pplBuckets,
     domainKl,
     bigramLm, charEntropy, qualityBuckets, bm25Topk, dsirWeights, bm25Indexed,
-    bm25Incremental, collocations, zipfFit)
+    bm25Incremental, collocations, zipfFit, nbClassifier)
 }

@@ -2372,10 +2372,134 @@ object DedupOps {
            |GROUP BY s.doc_id
            |ORDER BY s.doc_id""".stripMargin))
 
+  /** Bloom-prefiltered incremental exact dedup — the 100 TB shape of
+    * "is this batch document already in the lake?". A membership
+    * sketch over the lake's content keys (Spark's own codegen'd
+    * `BloomFilterAggregate`, exposed as `bloom_agg`; ONE lake pass,
+    * map-side-combined, ~KB-to-MB result) is collected once and
+    * re-injected as a literal, so the batch probes it MAP-SIDE
+    * (`bloom_contains` = `BloomFilterMightContain`): bloom-negatives
+    * are PROVABLY new (no false negatives) and skip the join entirely;
+    * only bloom-positives — true duplicates plus the ~0.05% false-
+    * positive sliver — pay the exact anti-join against the lake keys.
+    * The final answer is therefore EXACT regardless of sketch error,
+    * which is what the DuckDB oracle (a plain NOT EXISTS) proves; the
+    * sketch only redirects work. At a 1e9-key lake the sketch is
+    * ~2 GB/16 bits-per-key — size it with `numBits` (here 16·|lake|,
+    * capped at 2^26 = 8 MB under Spark's default runtime-filter caps)
+    * or shard the lake and OR per-shard sketches; the anti-join's
+    * probe side shrinks from |batch| to |dups| + fpp·|batch|, which is
+    * the difference between shuffling the whole batch and shuffling
+    * almost nothing when ingest is mostly-new.
+    */
+  private val bloomDedup = QueryDef(
+    "llm_bloom_dedup",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val lake = docs.filter(col("source") =!= "src7").select(md5(col("text")).as("k"))
+      val batch = docs.filter(col("source") === "src7")
+        .select(col("doc_id"), md5(col("text")).as("k"))
+      val nItems = math.max(lake.count(), 64L)
+      val nBits = math.min(nItems * 16, 1L << 26)
+      val sketch = lake.agg(call_function("bloom_agg",
+          xxhash64(col("k")), lit(nItems), lit(nBits)).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val probed = batch.withColumn("maybe",
+        call_function("bloom_contains", lit(sketch), xxhash64(col("k"))))
+      val clear = probed.filter(!col("maybe")).select("doc_id", "k")
+      val verified = probed.filter(col("maybe")).select("doc_id", "k")
+        .join(lake.distinct(), Seq("k"), "left_anti")
+        .select("doc_id", "k") // join USING moved the key first; realign for the positional union
+      clear.unionAll(verified)
+        .select(col("doc_id"), col("k").as("content_key"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(text) AS content_key
+           |FROM documents b
+           |WHERE source = 'src7' AND NOT EXISTS (
+           |  SELECT 1 FROM documents l
+           |  WHERE l.source <> 'src7' AND md5(l.text) = md5(b.text))
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Exact all-pairs Jaccard similarity join (threshold 0.7) via
+    * AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07, Xiao et
+    * al. WWW'08) — the DETERMINISTIC twin of the MinHash row: same
+    * "find every pair above a Jaccard threshold" contract, but exact
+    * (recall 1 by theorem, not by band tuning) and with no signature
+    * state. Tokens order globally by ascending document frequency
+    * (rarest first, word as tie-break); a document of n distinct
+    * tokens exposes only its first `n - ceil(0.7·n) + 1` tokens as
+    * join keys — any pair with J ≥ t MUST share a token inside both
+    * prefixes (if it didn't, the unshared prefix would push the
+    * intersection below t·n), so candidate generation is an equi-join
+    * on the RAREST sliver of the vocabulary instead of an all-pairs
+    * product. A length filter (10·min(na,nb) ≥ 7·max — integer form of
+    * min ≥ ceil(t·max), no float ceil whose 7.000000001 could flip a
+    * prefix length) prunes cross-size candidates before the verify.
+    * ceil(0.7·n) is computed as (7n+9) div 10 for the same reason.
+    *
+    * Scale shape: df is a vocab-sized aggregate joined back on the
+    * word (merge/broadcast-able); the prefix explode emits ~30% of the
+    * distinct-token stream; the candidate join keys on individually
+    * RARE tokens (a token's prefix df is at most its global df, and
+    * high-df tokens sit at the back of every document's order, so the
+    * quadratic blowup hot keys cause in the naive token join cannot
+    * occur on the prefix — that is the entire point of the algorithm).
+    * Verification carries the two sorted token arrays through the
+    * candidate join (the "vector rides the band shuffle" pattern) and
+    * intersects per pair — O(na+nb) per candidate, no second corpus
+    * join. The DuckDB oracle is BRUTE FORCE over all O(N²) pairs —
+    * a genuinely different algorithm, so recall-1 is cross-checked,
+    * not replayed.
+    */
+  private val allpairsJaccard = QueryDef(
+    "llm_allpairs_jaccard",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        array_sort(array_distinct(splitLit(col("text"), " "))).as("ts"))
+      val words = toks.select(col("doc_id"), explode(col("ts")).as("w"))
+      val dfreq = words.groupBy("w").agg(count(lit(1)).as("df"))
+      val prefix = words.join(dfreq, "w")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("w"))))
+        .filter(col("rk") <= col("n") - expr("(n * 7 + 9) div 10") + 1)
+        .select(col("w"), col("doc_id"), col("n"))
+      val cands = prefix.as("a").join(prefix.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 10 >= col("b.n") * 7 && col("b.n") * 10 >= col("a.n") * 7)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val ta = toks.select(col("doc_id").as("doc_a"), col("ts").as("tsa"))
+      val tb = toks.select(col("doc_id").as("doc_b"), col("ts").as("tsb"))
+      cands.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("inter", size(array_intersect(col("tsa"), col("tsb"))))
+        .withColumn("jaccard", roundTo(
+          col("inter") / (size(col("tsa")) + size(col("tsb")) - col("inter")), 4))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) AS i,
+           |    CAST(len(a.ts) AS DOUBLE) AS na, CAST(len(b.ts) AS DOUBLE) AS nb
+           |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           |  SELECT doc_a, doc_b,
+           |    floor(i / (na + nb - i) * 10000.0 + 0.5) / 10000.0 AS jaccard
+           |  FROM pairs)
+           |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,
     dedupGroups, decontaminate, repetition, curation, dupPagerank, dupPagerankConv,
     dupPagerankComp,
     canonicalDocs, incrementalDedup, incrementalGroups, lineDedup, substrSpans,
     triangles, jaccardEst, editVerify, groupSplit, containment, curationFunnel,
-    sourceOverlap, shingleNovelty)
+    sourceOverlap, shingleNovelty, allpairsJaccard, bloomDedup)
 }

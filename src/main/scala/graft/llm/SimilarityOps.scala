@@ -1174,10 +1174,11 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
-  private val kmeans = QueryDef(
-    "llm_kmeans_embed",
-    (s, dir) => kmeansRounds(s, dir, 3),
-    Some {
+  /** DuckDB replay of [[kmeansRounds]] (3 rounds) ending in CTE `a3`
+    * = (vec_id, cluster, dist) — shared by the kmeans oracle row and
+    * the SemDeDup row, which consumes the identical assignment.
+    */
+  private[graft] val kmeansOracleCtes: String = {
       def assign(prev: String): String =
         s"""SELECT vec_id, CAST(k % 100 AS INTEGER) AS cluster, k // 100 AS dist
            |  FROM (SELECT e.vec_id,
@@ -1193,7 +1194,7 @@ object SimilarityOps {
            |      FROM $prev a JOIN emb e ON e.vec_id = a.vec_id)
            |    GROUP BY cluster, pos)
            |  GROUP BY cluster""".stripMargin
-      s"""WITH emb AS (
+      s"""emb AS (
          |  SELECT vec_id, list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qx
          |  FROM embeddings),
@@ -1205,9 +1206,108 @@ object SimilarityOps {
          |c1 AS (${recompute("a1")}),
          |a2 AS (${assign("c1")}),
          |c2 AS (${recompute("a2")}),
-         |a3 AS (${assign("c2")})
-         |SELECT vec_id, cluster, dist FROM a3 ORDER BY vec_id""".stripMargin
-    })
+         |a3 AS (${assign("c2")})""".stripMargin
+  }
+
+  private val kmeans = QueryDef(
+    "llm_kmeans_embed",
+    (s, dir) => kmeansRounds(s, dir, 3),
+    Some(s"""WITH $kmeansOracleCtes
+           |SELECT vec_id, cluster, dist FROM a3 ORDER BY vec_id""".stripMargin))
+
+  /** SemDeDup exactly as published (Abbas et al. 2023, §2): k-means
+    * the embedding space, compare pairs ONLY within a cluster, connect
+    * pairs above the cosine threshold, and keep ONE member per
+    * duplicate group — the member FARTHEST from its centroid (the
+    * paper's keep-low-centroid-similarity rule; our k-means emits the
+    * exact BIGINT squared distance, so "farthest" is an integer argmax
+    * with vec_id as tie-break). Complements `llm_semantic_dedup`
+    * (hyperplane-LSH candidates): same contract, different candidate
+    * generator — LSH bounds recall probabilistically with zero
+    * pairwise work; SemDeDup is exhaustive INSIDE a cluster and blind
+    * ACROSS clusters, which is the published trade-off.
+    *
+    * Scale shape: the only pairwise stage is per-cluster (Σ c_i² — at
+    * 100 TB cap cluster sizes by raising K so |cluster| ~ N/K stays
+    * ~10⁴-10⁵, exactly how the paper ran 100M-scale; K here is the
+    * fixture's 8). Assignment is the broadcast-centroid scan from
+    * [[kmeansRounds]]; the within-cluster self-join keys on the
+    * cluster id; components close with DedupOps' two-tier CC; the
+    * keep-rule is one window over group members. The DuckDB oracle
+    * replays the full trajectory (shared CTEs) and closes the pair
+    * graph with a RECURSIVE reachability — cross-algorithm for the
+    * closure, replay for the trajectory.
+    */
+  private val semdedup = QueryDef(
+    "llm_semdedup_kmeans",
+    (s, dir) => {
+      GraftFunctions.register(s)
+      val asg = kmeansRounds(s, dir, 3)
+      val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val both = asg.join(emb, "vec_id")
+      val a = both.select(col("cluster"), col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = both.select(col("cluster").as("cl2"), col("vec_id").as("vb"), col("embedding").as("eb"))
+      val pairs = a.join(b, col("cluster") === col("cl2") && col("va") < col("vb"))
+        .withColumn("cos_sim", roundTo(call_function("cosine_sim", col("ea"), col("eb")), 6))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val members = DedupOps.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("canonical_id").as("group_id"))
+        .join(asg.select(col("vec_id"), col("dist")), "vec_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("group_id").orderBy(col("dist").desc, col("vec_id"))))
+        .select(col("vec_id"), col("group_id"), (col("rk") === 1).as("keep"))
+      val singles = asg.select(col("vec_id"))
+        .join(members.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("vec_id").as("group_id"), lit(true).as("keep"))
+      members.unionAll(singles)
+        .join(asg.select(col("vec_id"), col("cluster")), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("group_id"), col("keep"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $kmeansOracleCtes,
+           |cpairs AS (
+           |  SELECT a.vec_id AS va, b.vec_id AS vb
+           |  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+           |vpairs AS (
+           |  SELECT va, vb, ea.embedding AS ea, eb.embedding AS eb
+           |  FROM cpairs
+           |  JOIN embeddings ea ON ea.vec_id = va
+           |  JOIN embeddings eb ON eb.vec_id = vb),
+           |vterms AS (
+           |  SELECT va, vb, CAST(unnest(ea) AS DOUBLE) AS x,
+           |         CAST(unnest(eb) AS DOUBLE) AS y
+           |  FROM vpairs),
+           |vscored AS (
+           |  SELECT va, vb,
+           |    floor(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+           |  FROM vterms GROUP BY va, vb),
+           |sedges AS (
+           |  SELECT va AS src, vb AS dst FROM vscored WHERE cos_sim >= 0.4
+           |  UNION SELECT vb, va FROM vscored WHERE cos_sim >= 0.4),
+           |sreach AS (
+           |  WITH RECURSIVE r(src, dst) AS (
+           |    SELECT src, dst FROM sedges
+           |    UNION
+           |    SELECT r.src, e.dst FROM r JOIN sedges e ON r.dst = e.src
+           |  ) SELECT * FROM r),
+           |grp AS (
+           |  SELECT src AS vec_id, least(src, min(dst)) AS group_id
+           |  FROM sreach GROUP BY src),
+           |ranked AS (
+           |  SELECT g.vec_id, g.group_id,
+           |    row_number() OVER (PARTITION BY g.group_id
+           |      ORDER BY a.dist DESC, g.vec_id) AS rk
+           |  FROM grp g JOIN a3 a ON a.vec_id = g.vec_id),
+           |labeled AS (
+           |  SELECT vec_id, group_id, (rk = 1) AS keep FROM ranked
+           |  UNION ALL
+           |  SELECT a.vec_id, a.vec_id AS group_id, true AS keep
+           |  FROM a3 a WHERE NOT EXISTS (SELECT 1 FROM grp g WHERE g.vec_id = a.vec_id))
+           |SELECT l.vec_id, a.cluster, l.group_id, l.keep
+           |FROM labeled l JOIN a3 a ON a.vec_id = l.vec_id
+           |ORDER BY l.vec_id""".stripMargin))
 
   /** Product quantization + asymmetric-distance (ADC) top-k — the
     * second half of Jégou/Douze/Schmid's design (the IVF row carries
@@ -1902,6 +2002,6 @@ object SimilarityOps {
 
   val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, ivfInc, nearDup, semanticDedup,
     semanticDedupInc,
-    topkQ8, hybridRrf, kmeans, pq, ivfPq, ivfPq3, pqIncremental, randomProjection, rpRerank,
-    retrievalMetrics)
+    topkQ8, hybridRrf, kmeans, semdedup, pq, ivfPq, ivfPq3, pqIncremental,
+    randomProjection, rpRerank, retrievalMetrics)
 }

@@ -376,6 +376,69 @@ object TimeSeriesOps {
            |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
            |ORDER BY user_id, event_id""".stripMargin))
 
+  /** Classical seasonal decomposition of the daily event-value series
+    * (the moving-average flavor of STL): trend = centered 7-day moving
+    * average (defined only on FULL frames — edge days stay NULL rather
+    * than averaging a partial week), seasonal = per-day-of-week mean of
+    * the detrended series, remainder = value − trend − seasonal. The
+    * anomaly-screen input every metrics pipeline wants before alerting
+    * on raw values. Exactness: values quantize to 1e-4 BIGINT at
+    * ingest, the trend/seasonal means are integer `div` (truncating in
+    * BOTH engines — verified: DuckDB `//` truncates toward zero like
+    * Spark's `div`), and day-of-week is pure epoch-day arithmetic
+    * ((days+4) mod 7, Sunday=0) so no calendar-function semantics can
+    * diverge. The bounded ROWS frame is O(n·7) — the UNBOUNDED
+    * FOLLOWING trap (SCALE.md) does not apply.
+    *
+    * Scale: the first aggregation collapses the corpus to ≤ |calendar|
+    * rows (the fact→day reduction is map-side combinable); every
+    * window after that runs over the DAY series, whose length is set
+    * by the calendar, not the corpus — the global (unpartitioned)
+    * windows here are windows over ~365 rows/year and would be
+    * per-(metric, series) partitioned the moment a series key exists.
+    */
+  private val seasonal = QueryDef(
+    "ts9_seasonal_decompose",
+    (s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * lit(1e4) + lit(0.5)).cast("long")).as("x4"))
+      val w = Window.orderBy("d").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("s4", sum("x4").over(w))
+        .withColumn("nf", count(lit(1)).over(w))
+        .withColumn("trend4", when(col("nf") === 7, expr("s4 div 7")))
+        .withColumn("dt4", col("x4") - col("trend4"))
+        .withColumn("dow", (datediff(col("d"), lit("1970-01-01")) + 4) % 7)
+      tr.withColumn("seas4", expr("sum(dt4) OVER (PARTITION BY dow) div count(dt4) OVER (PARTITION BY dow)"))
+        .select(col("d"),
+          (col("x4") / lit(10000.0)).as("value"),
+          (col("trend4") / lit(10000.0)).as("trend"),
+          (col("seas4") / lit(10000.0)).as("seasonal"),
+          ((col("x4") - col("trend4") - col("seas4")) / lit(10000.0)).as("remainder"))
+        .orderBy("d")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS d,
+           |    CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS x4
+           |  FROM events GROUP BY 1),
+           |tr AS (
+           |  SELECT d, x4,
+           |    CASE WHEN count(*) OVER w = 7
+           |         THEN CAST(sum(x4) OVER w AS BIGINT) // 7 END AS trend4,
+           |    (datediff('day', DATE '1970-01-01', d) + 4) % 7 AS dow
+           |  FROM daily
+           |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+           |se AS (
+           |  SELECT d, x4, trend4,
+           |    CAST(sum(x4 - trend4) OVER (PARTITION BY dow) AS BIGINT)
+           |      // count(x4 - trend4) OVER (PARTITION BY dow) AS seas4
+           |  FROM tr)
+           |SELECT d, x4 / 10000.0 AS value, trend4 / 10000.0 AS trend,
+           |  seas4 / 10000.0 AS seasonal,
+           |  (x4 - trend4 - seas4) / 10000.0 AS remainder
+           |FROM se ORDER BY d""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(gapfill, ohlc, locf, ewma, zscore, autocorr,
-    madOutliers, rollingMedian)
+    madOutliers, rollingMedian, seasonal)
 }
