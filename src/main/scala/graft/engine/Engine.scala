@@ -134,9 +134,23 @@ final case class Model(
       * runners enforce the private boundary before any build.
       */
     group: Option[String] = None,
-    access: String = "protected") {
+    access: String = "protected",
+    /** dbt `on_schema_change` (incremental models only): how a run
+      * whose output columns differ from the existing target's is
+      * reconciled — `ignore` (default: new columns dropped; a column
+      * the target has but the run lacks is an error, dbt's failed
+      * insert), `append_new_columns` (target gains the new columns,
+      * null-backfilled on old rows via the read schema), `sync_all_
+      * columns` (target schema becomes the run's schema: adds AND
+      * drops), or `fail` (any column-set change aborts the model).
+      * Full refresh / first run always writes the run's own schema.
+      */
+    onSchemaChange: String = "ignore") {
   require(Set("private", "protected", "public").contains(access),
     s"model $name: unknown access '$access'")
+  require(Set("ignore", "append_new_columns", "sync_all_columns", "fail")
+    .contains(onSchemaChange),
+    s"model $name: unknown on_schema_change '$onSchemaChange'")
 }
 
 /** dbt EXPOSURE: a declared downstream consumer of the DAG (a
@@ -883,14 +897,17 @@ object DagRunner {
         spark.read.schema(df.schema).parquet(path)
       case IncrementalInsertOverwrite(partCol, parts) =>
         val path = target
-        writeIncremental(spark, breakSelfRead(spark, df, path), path, partCol, parts)
-        spark.read.schema(df.schema).parquet(path)
+        val rec = reconcileSchema(spark, breakSelfRead(spark, df, path), path, exists, m)
+        writeIncremental(spark, rec, path, partCol, parts)
+        spark.read.schema(rec.schema).parquet(path)
       case IncrementalMicrobatch(evt, partCol, begin, asOf, lookback) =>
         val path = target
         val days = microbatchDays(spark, path, partCol, begin, asOf, lookback,
           firstRun = fullRefresh)
-        val out = breakSelfRead(spark, df, path)
-          .withColumn(partCol, to_date(col(evt)).cast("string"))
+        val out = reconcileSchema(spark,
+          breakSelfRead(spark, df, path)
+            .withColumn(partCol, to_date(col(evt)).cast("string")),
+          path, exists, m)
         // Ascending, one insert-overwrite per day: a crash mid-run
         // leaves a contiguous committed prefix, and the next run's
         // batch list (derived from the target's partitions) resumes
@@ -899,12 +916,58 @@ object DagRunner {
         spark.read.schema(out.schema).parquet(path)
       case MergeUpsert(key, partCol) =>
         val path = target
-        writeMerge(spark, breakSelfRead(spark, df, path), path, key, partCol)
-        spark.read.schema(df.schema).parquet(path)
+        val rec = reconcileSchema(spark, breakSelfRead(spark, df, path), path, exists, m)
+        writeMerge(spark, rec, path, key, partCol)
+        spark.read.schema(rec.schema).parquet(path)
     }
     if (m.contract.nonEmpty) enforceContract(m, out)
     runHooks(m.postHooks)
     out
+  }
+
+  /** dbt `on_schema_change` reconciliation for incremental targets
+    * (see [[Model.onSchemaChange]]). Runs only when the target exists
+    * (first run / --full-refresh write the run's own schema, dbt
+    * semantics) and only the column-name SETS differ — column ORDER is
+    * irrelevant because every write here is by-name (parquet + explicit
+    * read schemas). Cost: one footer read for the existing schema; the
+    * reconciliation itself is a projection, fused into the write plan.
+    * A same-name TYPE change is not reconcilable by any mode (the old
+    * files' pages are authoritative) — it surfaces as a scan error and
+    * needs --full-refresh, as in dbt.
+    */
+  private def reconcileSchema(spark: SparkSession, df: DataFrame, path: String,
+                              exists: Boolean, m: Model): DataFrame = {
+    if (!exists || m.onSchemaChange == "sync_all_columns") return df
+    val existing = spark.read.parquet(path).schema
+    val exNames = existing.fields.map(_.name).toSeq
+    val newNames = df.columns.toSeq
+    if (exNames.toSet == newNames.toSet) return df
+    val added = newNames.filterNot(exNames.contains)
+    val removed = exNames.filterNot(newNames.contains)
+    m.onSchemaChange match {
+      case "fail" =>
+        throw new IllegalStateException(
+          s"model ${m.name}: on_schema_change='fail' and the schema changed — " +
+            s"added: [${added.mkString(", ")}], removed: [${removed.mkString(", ")}]")
+      case "ignore" =>
+        // dbt's default: new columns never reach the target; a column
+        // the target expects but the run no longer produces is the
+        // failed INSERT dbt raises, made explicit.
+        require(removed.isEmpty,
+          s"model ${m.name}: output no longer produces target columns " +
+            s"[${removed.mkString(", ")}]; on_schema_change='ignore' cannot drop " +
+            "target columns — use sync_all_columns or --full-refresh")
+        df.select(exNames.map(col): _*)
+      case "append_new_columns" =>
+        // Target order, null-filling columns this run stopped
+        // producing, then the new columns appended; old rows read the
+        // appended columns back as NULL through the explicit schema.
+        val kept = exNames.map(c =>
+          if (newNames.contains(c)) col(c)
+          else lit(null).cast(existing(existing.fieldIndex(c)).dataType).as(c))
+        df.select(kept ++ added.map(col): _*)
+    }
   }
 
   /** dbt contract enforcement: name-keyed (name, type) match — dbt

@@ -79,9 +79,25 @@ object Packages {
       .mkString("md5(concat_ws('-', ", ", ", "))")
   }
 
+  /** The pivot expansion proper — one conditional aggregate per value
+    * (the A11 shape). Shared by the parse-time literal-values path and
+    * [[CatalogMacros]]' build-time get_column_values path.
+    */
+  private[engine] def pivotCases(column: String, values: Seq[String], agg: String,
+                                 thenV: String, elseV: String,
+                                 prefix: String, suffix: String): String =
+    values.map { v =>
+      val lit = v.replace("'", "''")
+      s"$agg(CASE WHEN $column = '$lit' THEN $thenV ELSE $elseV END) AS `$prefix$v$suffix`"
+    }.mkString(",\n  ")
+
   /** `pivot(column, values, agg='sum', then_value=1, else_value=0,
     * prefix='', suffix='')`: stamps one conditional aggregate per value —
-    * the A11 pivot shape, generated instead of hand-written.
+    * the A11 pivot shape, generated instead of hand-written. `values`
+    * is a Jinja list literal, or dbt_utils' canonical nesting — a
+    * `get_column_values(...)` call, which defers the expansion to build
+    * time where the referenced relation's values are queryable
+    * ([[CatalogMacros]]).
     */
   private def pivot(args: Seq[String]): String = {
     require(args.nonEmpty, "pivot requires (column, values, ...)")
@@ -96,16 +112,19 @@ object Packages {
     require(unknown.isEmpty, s"pivot: unknown keyword args ${unknown.mkString(", ")}")
     require(pos.size == 2, s"pivot requires positional (column, values), got ${pos.size}")
     val column = stripQuotes(pos.head)
-    val values = parseListArg(pos(1)).map(stripQuotes)
-    require(values.nonEmpty, "pivot: empty values list")
     val agg = stripQuotes(kwMap.getOrElse("agg", "sum"))
     val thenV = stripQuotes(kwMap.getOrElse("then_value", "1"))
     val elseV = stripQuotes(kwMap.getOrElse("else_value", "0"))
     val prefix = stripQuotes(kwMap.getOrElse("prefix", ""))
     val suffix = stripQuotes(kwMap.getOrElse("suffix", ""))
-    values.map { v =>
-      s"$agg(CASE WHEN $column = '$v' THEN $thenV ELSE $elseV END) AS `$prefix$v$suffix`"
-    }.mkString(",\n  ")
+    val gcv = CatalogMacros.gcvCallPat.matcher(pos(1).trim)
+    if (gcv.matches())
+      CatalogMacros.pivotGcvSentinel(column, gcv.group(1), agg, thenV, elseV, prefix, suffix)
+    else {
+      val values = parseListArg(pos(1)).map(stripQuotes)
+      require(values.nonEmpty, "pivot: empty values list")
+      pivotCases(column, values, agg, thenV, elseV, prefix, suffix)
+    }
   }
 
   /** `union_relations([ref('a'), ref('b'), ...])`: UNION ALL with the
@@ -151,7 +170,13 @@ object Packages {
         "surrogate_key" -> surrogateKey _,
         "pivot" -> pivot _,
         "union_relations" -> unionRelations _,
-        "concat" -> concatFields _))
+        "concat" -> concatFields _,
+        // Warehouse-introspection macros — parse to build-time
+        // sentinels ([[CatalogMacros]]).
+        "star" -> CatalogMacros.starNative _,
+        "get_column_values" -> (_ => throw new IllegalArgumentException(
+          "get_column_values returns a Jinja LIST — it is consumed by a macro " +
+            "(dbt_utils.pivot(col, get_column_values(...))), not spliced into SQL"))))
   }
 
   /** The built-in registry `packages.yml` resolves hub names against.

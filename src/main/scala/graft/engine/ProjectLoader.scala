@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** dbt PROJECT-DIRECTORY frontend: point the engine at a directory laid
   * out like the reference project (`/root/reference/dbt_project.yml`,
@@ -78,6 +78,16 @@ object ProjectLoader {
     def key: String = s"$sourceName.$table"
   }
 
+  /** One `{% snapshot NAME %}` block (snapshots/ dir): the SELECT as a
+    * [[Model]] (refs + build closure, full Jinja), plus the SCD2
+    * strategy config from its `{{ config(...) }}` header.
+    */
+  final case class SnapshotNode(name: String, model: Model, strategy: String,
+                                uniqueKey: String, updatedAt: Option[String],
+                                checkCols: Seq[String],
+                                targetSchema: Option[String],
+                                targetDatabase: Option[String])
+
   final case class DbtProject(
       name: String,
       models: Seq[Model],
@@ -90,7 +100,62 @@ object ProjectLoader {
         * SUCCESSFUL run — `DagRunner.run`'s own hook semantics.
         */
       onRunStart: Seq[String] = Nil,
-      onRunEnd: Seq[String] = Nil) {
+      onRunEnd: Seq[String] = Nil,
+      /** analyses/ — dbt's compile-only nodes: fully Jinja-resolved
+        * (their compiledSql lands in the compile artifact beside the
+        * models'), never materialized by a run.
+        */
+      analyses: Seq[Model] = Nil,
+      /** `exposures:` declared in models YAML — downstream consumers
+        * anchoring `exposure:` selection and the docs lineage.
+        */
+      exposures: Seq[Exposure] = Nil,
+      /** sources.yml `freshness:` + `loaded_at_field` specs (table
+        * level overrides source level, dbt precedence), ready for
+        * [[DataTests.freshness]].
+        */
+      freshness: Seq[DataTests.Freshness] = Nil,
+      /** `unit_tests:` (dbt 1.8) — mocked-input logic tests, ready for
+        * [[DagRunner.runUnitTests]]. RunDag runs them BEFORE the build
+        * and aborts on failure, dbt build's ordering.
+        */
+      unitTests: Seq[DagRunner.UnitTest] = Nil,
+      /** snapshots/ `{% snapshot %}` blocks — SCD2 nodes run by
+        * [[runSnapshots]] (`dbt snapshot`), never by a model run.
+        */
+      snapshots: Seq[SnapshotNode] = Nil) {
+
+    /** `dbt snapshot`: build each snapshot's SELECT against `resolve`
+      * and fold it into its SCD2 target under `warehouse` (timestamp
+      * strategy keys validity on the source's own updated_at; check
+      * strategy stamps the injectable `asOf` — never wall-clock, the
+      * engine-wide determinism discipline). Returns the updated
+      * snapshot tables.
+      */
+    def runSnapshots(spark: SparkSession, resolve: String => DataFrame,
+                     warehouse: String, asOf: Option[String] = None): Map[String, DataFrame] =
+      snapshots.map { sn =>
+        val current = sn.model.build(spark,
+          sn.model.refs.map(r => r -> resolve(r)).toMap)
+        val path = (Seq(warehouse) ++ sn.targetDatabase ++ sn.targetSchema :+ sn.name)
+          .mkString("/")
+        sn.strategy match {
+          case "timestamp" =>
+            DagRunner.writeSnapshotTimestamp(spark, current, path,
+              sn.uniqueKey, sn.updatedAt.get)
+          case "check" =>
+            // check_cols='all' = every non-key source column (dbt).
+            val cols =
+              if (sn.checkCols == Seq("all"))
+                current.columns.toSeq.filterNot(_ == sn.uniqueKey)
+              else sn.checkCols
+            DagRunner.writeSnapshot(spark, current, path, sn.uniqueKey, cols,
+              asOf.getOrElse(throw new IllegalArgumentException(
+                s"snapshot ${sn.name}: the check strategy stamps an explicit " +
+                  "as-of (RunDag --as-of 'YYYY-MM-DD HH:MM:SS')")))
+        }
+        sn.name -> spark.read.parquet(path)
+      }.toMap
     def model(n: String): Model = models.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"no model '$n' in project $name (models: ${models.map(_.name).sorted.mkString(", ")})"))
@@ -148,6 +213,12 @@ object ProjectLoader {
   }
 
   // ---- model-body rewrites ----------------------------------------------
+
+  // {% snapshot NAME %} body {% endsnapshot %} — dbt's snapshots/ file
+  // grammar (one or more blocks per file).
+  private val snapshotBlockPat = java.util.regex.Pattern.compile(
+    """\{%-?\s*snapshot\s+(\w+)\s*-?%\}(.*?)\{%-?\s*endsnapshot\s*-?%\}""",
+    java.util.regex.Pattern.DOTALL)
 
   private val sourceCallPat = java.util.regex.Pattern.compile(
     """\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""")
@@ -475,17 +546,126 @@ object ProjectLoader {
       finally stream.close()
     }
 
-    // Sources + schema tests from every YAML under models/.
+    // Sources (+ per-source/table freshness config) + schema tests from
+    // every YAML under models/.
     val ymls = filesUnder(modelsDir, Seq(".yml", ".yaml")).map(p => p -> asMap(parseYaml(p)))
-    val sources = ymls.flatMap { case (_, doc) =>
+    def periodSec(fresh: Map[String, Any], key: String, where: String): Long =
+      fresh.get(key).map(asMap).map { a =>
+        val count = a.get("count").map(String.valueOf(_).toLong).getOrElse(
+          throw new IllegalArgumentException(s"$where: $key needs a count"))
+        val unit = a.get("period").map(String.valueOf) match {
+          case Some("minute") => 60L
+          case Some("hour") => 3600L
+          case Some("day") => 86400L
+          case other => throw new IllegalArgumentException(
+            s"$where: $key period must be minute/hour/day, got ${other.getOrElse("(none)")}")
+        }
+        count * unit
+      }.getOrElse(Long.MaxValue) // absent threshold never fires (dbt: filter-only)
+    val sourceEntries = ymls.flatMap { case (_, doc) =>
       doc.get("sources").map(asList).getOrElse(Nil).map(asMap).flatMap { src =>
         val sName = optStr(src, "name").getOrElse(
           throw new IllegalArgumentException("sources.yml: source entry without a name"))
+        val srcLoaded = optStr(src, "loaded_at_field")
+        val srcFresh = src.get("freshness").map(asMap)
         src.get("tables").map(asList).getOrElse(Nil).map(asMap).map { t =>
-          SourceTable(sName, optStr(src, "database"), optStr(src, "schema"),
+          val st = SourceTable(sName, optStr(src, "database"), optStr(src, "schema"),
             optStr(t, "name").getOrElse(throw new IllegalArgumentException(
               s"sources.yml: table entry without a name under source $sName")))
+          // dbt precedence: a table-level freshness/loaded_at_field
+          // block overrides the source-level default.
+          val loaded = optStr(t, "loaded_at_field").orElse(srcLoaded)
+          val spec = t.get("freshness").map(asMap).orElse(srcFresh).map { f =>
+            DataTests.Freshness(st.key,
+              loaded.getOrElse(throw new IllegalArgumentException(
+                s"source ${st.key}: freshness declared without loaded_at_field")),
+              periodSec(f, "warn_after", st.key), periodSec(f, "error_after", st.key))
+          }
+          (st, spec)
         }
+      }
+    }
+    val sources = sourceEntries.map(_._1)
+    val freshSpecs = sourceEntries.flatMap(_._2)
+    // unit_tests: (dbt 1.8) — one model built against fully mocked
+    // inputs, compared to expected rows. Fixture rows are YAML dicts;
+    // column types infer from the first non-null scalar (int → long,
+    // float → double, bool, else string) — the same coercion dbt applies
+    // to YAML literals; the COMPARISON side is cast to the model's
+    // output types by runUnitTest, so expect rows never need casts.
+    def fixtureFrame(rowsAny: Seq[Any], where: String): DataFrame = {
+      val rows = rowsAny.map(asMap)
+      require(rows.nonEmpty, s"$where: rows must be a non-empty list of dicts")
+      val cols = rows.flatMap(_.keys).distinct
+      def sparkType(v: Any): org.apache.spark.sql.types.DataType = v match {
+        case _: java.lang.Integer | _: java.lang.Long => org.apache.spark.sql.types.LongType
+        case _: java.lang.Double | _: java.lang.Float => org.apache.spark.sql.types.DoubleType
+        case _: java.lang.Boolean => org.apache.spark.sql.types.BooleanType
+        case _ => org.apache.spark.sql.types.StringType
+      }
+      val types = cols.map(c =>
+        c -> rows.flatMap(_.get(c)).filter(_ != null).headOption.map(sparkType)
+          .getOrElse(org.apache.spark.sql.types.StringType))
+      val schema = org.apache.spark.sql.types.StructType(types.map { case (c, t) =>
+        org.apache.spark.sql.types.StructField(c, t, nullable = true)
+      })
+      def conv(v: Any, t: org.apache.spark.sql.types.DataType): Any = (v, t) match {
+        case (null, _) => null
+        case (x, org.apache.spark.sql.types.LongType) => String.valueOf(x).toLong
+        case (x, org.apache.spark.sql.types.DoubleType) => String.valueOf(x).toDouble
+        case (x: java.lang.Boolean, org.apache.spark.sql.types.BooleanType) => x
+        case (x, _) => String.valueOf(x)
+      }
+      val data = rows.map(r => org.apache.spark.sql.Row.fromSeq(
+        types.map { case (c, t) => conv(r.get(c).orNull, t) }))
+      spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
+    }
+    // A unit-test input names the model's resolve key the same way the
+    // model text does: ref('x') → x; source('s','t') → the loader's
+    // qualified s.t key (the rewrite every model body goes through).
+    def inputKey(raw: String, where: String): String = {
+      val t = raw.trim
+      val r = """ref\(\s*'([^']+)'\s*\)""".r
+      val s = """source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)""".r
+      t match {
+        case r(name) => name
+        case s(sn, tn) => s"$sn.$tn"
+        case _ => throw new IllegalArgumentException(
+          s"$where: input must be a ref('x') or source('s','t') call, got: $raw")
+      }
+    }
+    val unitTests = ymls.flatMap { case (_, doc) =>
+      doc.get("unit_tests").map(asList).getOrElse(Nil).map(asMap).map { ut =>
+        val utName = optStr(ut, "name").getOrElse(
+          throw new IllegalArgumentException("unit_tests: entry without a name"))
+        val modelName = optStr(ut, "model").getOrElse(
+          throw new IllegalArgumentException(s"unit test $utName: missing model"))
+        val given = ut.get("given").map(asList).getOrElse(Nil).map(asMap).map { g =>
+          val key = inputKey(optStr(g, "input").getOrElse(throw new IllegalArgumentException(
+            s"unit test $utName: given entry without input")), s"unit test $utName")
+          key -> fixtureFrame(g.get("rows").map(asList).getOrElse(Nil),
+            s"unit test $utName given $key")
+        }.toMap
+        val expect = fixtureFrame(
+          ut.get("expect").map(asMap).flatMap(_.get("rows")).map(asList).getOrElse(Nil),
+          s"unit test $utName expect")
+        DagRunner.UnitTest(utName, modelName, given, expect)
+      }
+    }
+    // exposures: — downstream consumers (dashboards, ML jobs): pure
+    // metadata anchoring `exposure:` selection and the docs lineage.
+    val exposures = ymls.flatMap { case (_, doc) =>
+      doc.get("exposures").map(asList).getOrElse(Nil).map(asMap).map { e =>
+        val eName = optStr(e, "name").getOrElse(
+          throw new IllegalArgumentException("exposures: entry without a name"))
+        val deps = e.get("depends_on").map(asList).getOrElse(Nil)
+          .map(String.valueOf).flatMap(d => SqlModel.extractRefs(s"{{ ${d.trim} }}"))
+        Exposure(eName,
+          optStr(e, "type").getOrElse(throw new IllegalArgumentException(
+            s"exposure $eName: missing type")),
+          deps,
+          owner = e.get("owner").map(asMap).flatMap(o => optStr(o, "name")).getOrElse(""),
+          url = optStr(e, "url").getOrElse(""))
       }
     }
     val declaredSources = sources.map(st => (st.sourceName, st.table)).toSet
@@ -547,12 +727,100 @@ object ProjectLoader {
     }.getOrElse(Nil).map(h =>
       SqlModel.substituteEnvVars(SqlModel.substituteVars(h, boundVars)))
 
+    // tests/*.sql — dbt SINGULAR tests: each file is a SELECT whose
+    // result rows are the violations. Jinja resolves at load time
+    // (macros, vars, env, conditionals) exactly like a model, but refs
+    // stay templated: DataTests.singularRows resolves them against the
+    // built DAG at test-run time, so a test can assert over any model
+    // or source. `{{ config(severity='warn') }}` routes to warnChecks
+    // (dbt's warn severity); attribution is the first ref, dbt's own
+    // depends_on ordering.
+    val singulars = filesUnder(dir.resolve("tests"), Seq(".sql")).map { p =>
+      val name = p.getFileName.toString.stripSuffix(".sql")
+      val raw = Files.readString(p)
+      val text = rewritePhysicalTables(
+        rewriteSources(raw, declaredSources, dir.relativize(p).toString))
+      val (inlineMacros, stripped) = SqlModel.extractMacros(text)
+      val expanded = SqlModel.expandMacros(stripped,
+        pkgMacros ++ SqlModel.extractMacros(macrosText)._1 ++ inlineMacros, pkgNatives)
+      val withIfs = SqlModel.expandIfBlocks(expanded, boundVars, effTarget)
+      val resolvedSql = SqlModel.substituteEnvVars(
+        SqlModel.substituteVars(withIfs, boundVars))
+      val refs = SqlModel.extractRefs(resolvedSql)
+      require(refs.nonEmpty,
+        s"${dir.relativize(p)}: a singular test must ref() at least one model or source")
+      val warn = SqlModel.configStr(raw, "severity").map(_.toLowerCase) match {
+        case Some("warn") => true
+        case Some("error") | None => false
+        case Some(other) => throw new IllegalArgumentException(
+          s"${dir.relativize(p)}: severity must be warn or error, got $other")
+      }
+      (DataTests.Singular(refs.head, name, resolvedSql), warn)
+    }
+    val (warnSingulars, errSingulars) = singulars.partition(_._2)
+
+    // analyses/*.sql — dbt compile-only nodes: same Jinja resolution as
+    // a model (so the compile artifact carries their rendered SQL),
+    // excluded from the runnable DAG by construction.
+    val analyses = filesUnder(dir.resolve("analyses"), Seq(".sql")).map { p =>
+      val name = p.getFileName.toString.stripSuffix(".sql")
+      val raw = Files.readString(p)
+      val text = rewritePhysicalTables(
+        rewriteSources(raw, declaredSources, dir.relativize(p).toString))
+      SqlModel.fromSqlText(name, text, vars = boundVars, macros = macrosText,
+        target = effTarget, packageMacros = pkgMacros, nativeMacros = pkgNatives)
+    }
+
+    // snapshots/ — {% snapshot NAME %} blocks (dbt snapshot nodes).
+    // The body is a full Jinja model (sources rewritten, macros/vars
+    // rendered); the strategy config comes from its own header.
+    val snapshotNodes = filesUnder(dir.resolve("snapshots"), Seq(".sql")).flatMap { p =>
+      val raw = Files.readString(p)
+      val m = snapshotBlockPat.matcher(raw)
+      val out = Seq.newBuilder[SnapshotNode]
+      var found = false
+      while (m.find()) {
+        found = true
+        val name = m.group(1)
+        val body = m.group(2)
+        val where = s"snapshot $name (${dir.relativize(p)})"
+        val text = rewritePhysicalTables(
+          rewriteSources(body, declaredSources, dir.relativize(p).toString))
+        val model = SqlModel.fromSqlText(name, text, vars = boundVars,
+          macros = macrosText, target = effTarget,
+          packageMacros = pkgMacros, nativeMacros = pkgNatives)
+        val strategy = SqlModel.configStr(body, "strategy").getOrElse(
+          throw new IllegalArgumentException(s"$where: missing strategy"))
+        val uniqueKey = SqlModel.configStr(body, "unique_key").getOrElse(
+          throw new IllegalArgumentException(s"$where: missing unique_key"))
+        val updatedAt = SqlModel.configStr(body, "updated_at")
+        val checkCols = SqlModel.extractHooks(body, "check_cols")
+        strategy match {
+          case "timestamp" => require(updatedAt.nonEmpty,
+            s"$where: the timestamp strategy needs updated_at")
+          case "check" => require(checkCols.nonEmpty,
+            s"$where: the check strategy needs check_cols (a list, or 'all')")
+          case other => throw new IllegalArgumentException(
+            s"$where: unknown strategy '$other' (timestamp or check)")
+        }
+        out += SnapshotNode(name, model, strategy, uniqueKey, updatedAt, checkCols,
+          SqlModel.configStr(body, "target_schema"),
+          SqlModel.configStr(body, "target_database"))
+      }
+      require(found || !raw.contains("snapshot"),
+        s"${dir.relativize(p)}: no {% snapshot NAME %} block parsed")
+      out.result()
+    }
+
     val allNodes = models ++ seedModels
     val names = allNodes.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate model basenames in $modelsDir: " +
         names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
-    DbtProject(projectName, allNodes, sources, checks, warnChecks,
-      onRunStart = runHooks("on-run-start"), onRunEnd = runHooks("on-run-end"))
+    DbtProject(projectName, allNodes, sources,
+      checks ++ errSingulars.map(_._1), warnChecks ++ warnSingulars.map(_._1),
+      onRunStart = runHooks("on-run-start"), onRunEnd = runHooks("on-run-end"),
+      analyses = analyses, exposures = exposures, freshness = freshSpecs,
+      unitTests = unitTests, snapshots = snapshotNodes)
   }
 }

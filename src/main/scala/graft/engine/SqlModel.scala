@@ -881,13 +881,17 @@ object SqlModel {
         val finalSql = renderConditionals(rendered,
           incremental = ctx.exists(c => c.incremental && c.exists),
           thisPath = ctx.flatMap(_.path))
-        spark.sql(finalSql)
+        // Warehouse-introspection macros (dbt_utils.star /
+        // get_column_values) deferred to this moment, where every ref
+        // is a registered temp view ([[CatalogMacros]]).
+        spark.sql(CatalogMacros.expand(spark, finalSql))
       },
       mat, sch, db, fingerprint = Some(fp),
       tags = extractTags(sqlText),
       preHooks = extractHooks(sqlText, "pre_hook"),
       postHooks = extractHooks(sqlText, "post_hook"),
-      compiledSql = Some(rendered))
+      compiledSql = Some(rendered),
+      onSchemaChange = configStr(sqlText, "on_schema_change").getOrElse("ignore"))
   }
 
   /** Load the SQL text from a classpath resource (the engine's analog of

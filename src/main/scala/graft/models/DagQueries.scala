@@ -1078,11 +1078,90 @@ object DagQueries {
     Some("""SELECT 'eu' AS region, CAST(count(*) AS BIGINT) AS n
            |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  /** dbt_utils.star end-to-end: the model's select list is introspected
+    * from the resolved source schema at BUILD time
+    * ([[graft.engine.CatalogMacros]]) — `except` drops two columns by
+    * name; the oracle hand-writes the surviving list.
+    */
+  private val pkgStar = QueryDef(
+    "dag_pkg_star",
+    (s, dir) => pkgModel(s, dir, "orders_slim"),
+    Some("""SELECT o_orderkey, o_orderstatus, o_orderdate, o_orderpriority
+           |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  /** dbt_utils.pivot over dbt_utils.get_column_values: the pivot axis
+    * is QUERIED from the relation at build time (dbt's compile-time
+    * run_query — one distinct-aggregate, collected, ordered by value).
+    * The oracle stamps the five TPC-H priorities explicitly — the
+    * introspected expansion must be semantically invisible.
+    */
+  private val pkgPivotDynamic = QueryDef(
+    "dag_pkg_pivot_dynamic",
+    (s, dir) => pkgModel(s, dir, "orders_prio_pivot"),
+    Some("""SELECT o_orderstatus,
+           |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "n_1-URGENT",
+           |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "n_2-HIGH",
+           |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "n_3-MEDIUM",
+           |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "n_4-NOT SPECIFIED",
+           |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "n_5-LOW"
+           |FROM orders GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  /** tests/ directory singular tests end-to-end: ProjectLoader ingests
+    * the tests dir's .sql files as [[graft.engine.DataTests.Singular]]
+    * checks — one
+    * passing error-severity test and one DELIBERATELY-violating
+    * warn-severity test (severity routes to warnChecks, so a build
+    * would record, not fail). The summary frame is the oracle surface.
+    */
+  private val pkgSingularTests = QueryDef(
+    "dag_pkg_singular_tests",
+    (s, dir) => {
+      val proj = graft.engine.ProjectLoader.load(s, pkgProjectDir)
+      val resolve = (n: String) => graft.sources.Tables.load(s, dir, n.stripPrefix("tpch."))
+      val singular = (proj.checks ++ proj.warnChecks)
+        .collect { case x: graft.engine.DataTests.Singular => x }
+      ordered(graft.engine.DataTests.run(resolve, singular))
+    },
+    Some("""SELECT * FROM (
+           |  SELECT 'singular' AS test, 'tpch.orders' AS model,
+           |    'assert_no_negative_totals' AS "column", CAST(0 AS BIGINT) AS n_violations
+           |  UNION ALL
+           |  SELECT 'singular', 'tpch.orders', 'warn_pending_orders',
+           |    (SELECT count(*) FROM orders WHERE o_orderstatus = 'P'))
+           |ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  /** sources.yml freshness config end-to-end: the YAML's warn_after /
+    * error_after / loaded_at_field parse into a
+    * [[graft.engine.DataTests.Freshness]] spec and the collect_freshness
+    * aggregate runs at a pinned asOf — max(o_orderdate) is 2001-08-01
+    * at every SF, so 2001-08-15 lands deterministically in the warn
+    * window (14 d: > 7 d warn, < 30 d error).
+    */
+  private val pkgFreshness = QueryDef(
+    "dag_pkg_freshness",
+    (s, dir) => {
+      val proj = graft.engine.ProjectLoader.load(s, pkgProjectDir)
+      val resolve = (n: String) => graft.sources.Tables.load(s, dir, n.stripPrefix("tpch."))
+      ordered(graft.engine.DataTests.freshness(resolve, proj.freshness,
+        "2001-08-15 00:00:00"))
+    },
+    Some("""SELECT 'tpch.orders' AS source, mx AS max_loaded_at,
+           |  CAST(age AS BIGINT) AS age_sec,
+           |  CASE WHEN mx IS NULL THEN 'error'
+           |       WHEN age > 2592000 THEN 'error'
+           |       WHEN age > 604800 THEN 'warn'
+           |       ELSE 'pass' END AS status
+           |FROM (SELECT max(CAST(o_orderdate AS TIMESTAMP)) AS mx,
+           |        epoch(TIMESTAMP '2001-08-15 00:00:00')
+           |          - epoch(max(CAST(o_orderdate AS TIMESTAMP))) AS age
+           |      FROM orders)
+           |ORDER BY ALL NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
     sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing,
     sqlIfPricing, projectDashboard, microbatchDaily,
     pkgDateSpine, pkgPivot, pkgSurrogateKey, pkgUnionRelations, pkgEnvVar,
-    pkgDateMath)
+    pkgDateMath, pkgStar, pkgPivotDynamic, pkgSingularTests, pkgFreshness)
 }

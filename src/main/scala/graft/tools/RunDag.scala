@@ -54,6 +54,14 @@ import graft.models.testkit.NpoFixtures
   *     never materialized them (dbt `--defer --state`); add
   *     --favor-state to prefer the deferred environment even when a
   *     dev relation exists.
+  *   Add --snapshot (with --project) to run the project's snapshots/
+  *     blocks into their SCD2 targets and stop (dbt `snapshot`); the
+  *     check strategy stamps --as-of 'YYYY-MM-DD HH:MM:SS' as
+  *     dbt_valid_from (injectable, never wall-clock).
+  *
+  *   With --project, `unit_tests:` declared in the project YAML run
+  *     BEFORE anything materializes and abort the run on failure
+  *     (dbt build's ordering).
   */
 object RunDag {
   def main(args0: Array[String]): Unit = {
@@ -89,6 +97,10 @@ object RunDag {
     require(profilesFile.isDefined || (targetName.isEmpty && profileName.isEmpty),
       "--target/--profile require --profiles <file>")
     val deferWarehouse = flagValue("--defer")
+    val snapshotMode = args0.contains("--snapshot")
+    val asOfFlag = flagValue("--as-of")
+    require(!snapshotMode || projectDir.isDefined,
+      "--snapshot requires --project <dir> (snapshots/ lives in the project)")
     val favorState = args0.contains("--favor-state")
     // dbt errors on --favor-state without --defer; silently defaulting
     // to dev-first resolution would ship the opposite of what the user
@@ -101,9 +113,10 @@ object RunDag {
       var a = args0.toSeq
       while (a.contains("--build")) a = a.patch(a.indexOf("--build"), Nil, 1)
       while (a.contains("--favor-state")) a = a.patch(a.indexOf("--favor-state"), Nil, 1)
+      while (a.contains("--snapshot")) a = a.patch(a.indexOf("--snapshot"), Nil, 1)
       for (f <- Seq("--threads", "--select", "--selector", "--exclude", "--defer",
                     "--project", "--vars", "--docs", "--profiles", "--profile",
-                    "--target")) {
+                    "--target", "--as-of")) {
         var i = a.indexOf(f)
         while (i >= 0) {
           require(i < a.length - 1, s"$f requires a value")
@@ -195,7 +208,8 @@ object RunDag {
     // sources still come from the source resolver.
     val models = selectSpec.map { spec =>
       DagRunner.withLazyUpstreams(allModels,
-        DagRunner.select(allModels, spec, excludeSpec.getOrElse("")))
+        DagRunner.select(allModels, spec, excludeSpec.getOrElse(""),
+          exposures = project.map(_.exposures).getOrElse(Nil)))
     }.getOrElse(allModels)
     // Unselected table-family upstreams resolve from the dev warehouse,
     // or — under --defer — fall back to the deferred environment's
@@ -211,6 +225,26 @@ object RunDag {
           case None => spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
         }
       else resolve(n)
+    // --snapshot = `dbt snapshot`: fold each snapshots/ block into its
+    // SCD2 target and stop — snapshots never run as part of a model run.
+    if (snapshotMode) {
+      val snapped = project.get.runSnapshots(spark, resolve, warehouse, asOfFlag)
+      snapped.toSeq.sortBy(_._1).foreach { case (n, df) =>
+        println(s"[rundag] snapshot $n: ${df.count()} rows") }
+      spark.stop()
+      return
+    }
+    // unit_tests: run BEFORE anything materializes and abort on
+    // failure — dbt build's ordering (a model with broken logic never
+    // reaches the warehouse).
+    project.map(_.unitTests).filter(_.nonEmpty).foreach { uts =>
+      val results = DagRunner.runUnitTests(spark, allModels, uts)
+      results.foreach(r =>
+        println(s"[rundag] unit test ${r.name}: ${if (r.passed) "PASS" else "FAIL"}"))
+      val failed = results.filterNot(_.passed)
+      require(failed.isEmpty,
+        s"unit tests failed: ${failed.map(_.name).mkString(", ")}")
+    }
     // Project run hooks (dbt_project.yml on-run-start/on-run-end):
     // start before the first model; end only after a SUCCESSFUL run —
     // DagRunner.run's own hook contract.
@@ -239,7 +273,8 @@ object RunDag {
     println(s"[rundag] warehouse: $warehouse")
     docsDir.foreach { dd =>
       DagRunner.writeDocs(spark, allModels, s"$dd/docs.json")
-      DagRunner.writeDocsSite(spark, allModels, dd)
+      DagRunner.writeDocsSite(spark, allModels, dd,
+        exposures = project.map(_.exposures).getOrElse(Nil))
       println(s"[rundag] docs: $dd/docs.json, $dd/lineage.dot, $dd/index.html")
     }
     built.get("integral_reporting_dashboard_channel_weekly").foreach(

@@ -334,7 +334,7 @@ class ProjectLoaderSpec extends SparkSpec {
       .find(java.nio.file.Files.isDirectory(_)).get
     val p = ProjectLoader.load(spark, dir)
     assert(p.name === "pkg_demo")
-    assert(p.models.size === 8)
+    assert(p.models.size === 10)
     assert(ProjectLoader.profileNameOf(dir) === Some("pkg_demo"))
     // union_relations' refs contribute DAG edges.
     assert(p.model("all_orders_rollup").refs.toSet ===
@@ -436,5 +436,302 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(row.getString(2) === "b")
     assert(row.isNullAt(3))
     assert(row.getString(4) === "a-b!")
+  }
+
+  // ---- warehouse-introspection macros (star / get_column_values) ----------
+
+  test("dbt_utils.star introspects the resolved schema at build time: except, alias, prefix, rename") {
+    import spark.implicits._
+    val dir = synthProject(
+      "packages.yml" -> "packages:\n  - package: dbt_utils\n",
+      "models/slim.sql" ->
+        "SELECT {{ dbt_utils.star(from=ref('t'), except=['b']) }} FROM {{ ref('t') }}",
+      "models/renamed.sql" ->
+        ("SELECT {{ dbt_utils.star(from=ref('t'), relation_alias='x', prefix='p_') }} " +
+          "FROM {{ ref('t') }} x"))
+    val p = ProjectLoader.load(spark, dir)
+    // The relation inside the macro args is a real DAG edge.
+    assert(p.model("slim").refs === Seq("t"))
+    val t = Seq((1, "one", 1.5)).toDF("a", "b", "c")
+    val built = DagRunner.run(spark, p.models, Map("t" -> t).apply, tmpWh())
+    assert(built("slim").columns.toSeq === Seq("a", "c"))
+    // relation_alias qualifies the source side; prefix renames the output.
+    assert(built("renamed").columns.toSeq === Seq("p_a", "p_b", "p_c"))
+    assert(built("renamed").head().getInt(0) === 1)
+  }
+
+  test("star rejects except names missing from the relation, and excluding everything") {
+    import spark.implicits._
+    val t = Seq((1, 2)).toDF("a", "b")
+    def loadAndRun(body: String): Unit = {
+      val dir = synthProject(
+        "packages.yml" -> "packages:\n  - package: dbt_utils\n",
+        "models/m.sql" -> body)
+      DagRunner.run(spark, ProjectLoader.load(spark, dir).models,
+        Map("t" -> t).apply, tmpWh())
+    }
+    val e1 = intercept[IllegalArgumentException](loadAndRun(
+      "SELECT {{ dbt_utils.star(from=ref('t'), except=['nope']) }} FROM {{ ref('t') }}"))
+    assert(e1.getMessage.contains("nope"))
+    val e2 = intercept[IllegalArgumentException](loadAndRun(
+      "SELECT {{ dbt_utils.star(from=ref('t'), except=['a', 'b']) }} FROM {{ ref('t') }}"))
+    assert(e2.getMessage.contains("every column"))
+  }
+
+  test("get_column_values feeds pivot at build time (dbt's compile-time run_query); where/max_records bound it") {
+    import spark.implicits._
+    val t = Seq(("x", "F"), ("x", "O"), ("y", "F"), ("y", "Z")).toDF("k", "v")
+    val dir = synthProject(
+      "packages.yml" -> "packages:\n  - package: dbt_utils\n",
+      "models/piv.sql" ->
+        ("SELECT k, {{ dbt_utils.pivot('v', dbt_utils.get_column_values(ref('t'), 'v', order_by='value', " +
+          "where=\"v <> 'Z'\"), prefix='n_') }} FROM {{ ref('t') }} GROUP BY k"),
+      "models/piv_top1.sql" ->
+        ("SELECT k, {{ dbt_utils.pivot('v', dbt_utils.get_column_values(ref('t'), 'v', " +
+          "order_by='count desc, value', max_records=1)) }} FROM {{ ref('t') }} GROUP BY k"))
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.model("piv").refs === Seq("t"))
+    val built = DagRunner.run(spark, p.models, Map("t" -> t).apply, tmpWh())
+    // where= excludes Z from the AXIS (the data still aggregates).
+    assert(built("piv").columns.toSeq === Seq("k", "n_F", "n_O"))
+    assert(built("piv").filter($"k" === "x").head().getLong(1) === 1L)
+    // max_records caps the axis at the most frequent value.
+    assert(built("piv_top1").columns.toSeq === Seq("k", "F"))
+  }
+
+  test("standalone get_column_values is a parse-time error (it returns a list, not SQL)") {
+    val dir = synthProject(
+      "packages.yml" -> "packages:\n  - package: dbt_utils\n",
+      "models/m.sql" ->
+        "SELECT {{ dbt_utils.get_column_values(ref('t'), 'v') }} FROM {{ ref('t') }}")
+    val e = intercept[IllegalArgumentException](ProjectLoader.load(spark, dir))
+    assert(e.getMessage.contains("consumed by a macro"))
+  }
+
+  // ---- tests/ directory (singular tests) ----------------------------------
+
+  test("tests/ dir loads singular tests with severity routing; violations count through DataTests") {
+    import spark.implicits._
+    val dir = synthProject(
+      "models/m.sql" -> "SELECT * FROM {{ ref('t') }}",
+      "tests/no_negatives.sql" -> "SELECT * FROM {{ ref('m') }} WHERE a < 0",
+      "tests/warn_twos.sql" ->
+        "{{ config(severity='warn') }} SELECT * FROM {{ ref('m') }} WHERE a = 2")
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.checks.collect { case s: DataTests.Singular => s.name } === Seq("no_negatives"))
+    assert(p.warnChecks.collect { case s: DataTests.Singular => s.name } === Seq("warn_twos"))
+    // Attribution = first ref (dbt's depends_on ordering).
+    assert(p.checks.collect { case s: DataTests.Singular => s.model } === Seq("m"))
+    val t = Seq(1, 2, 2, 3).toDF("a")
+    val built = DagRunner.run(spark, p.models, Map("t" -> t).apply, tmpWh())
+    val summary = DataTests.run(n => built.getOrElse(n, t), p.checks ++ p.warnChecks)
+      .collect().map(r => r.getAs[String]("column") -> r.getAs[Long]("n_violations")).toMap
+    assert(summary === Map("no_negatives" -> 0L, "warn_twos" -> 2L))
+  }
+
+  test("analyses/ compile but never run: Jinja-resolved, refs extracted, excluded from the DAG") {
+    val dir = Seq(java.nio.file.Paths.get("fixtures/pkg_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/pkg_project"))
+      .find(java.nio.file.Files.isDirectory(_)).get
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.analyses.map(_.name) === Seq("open_order_value"))
+    assert(!p.models.exists(_.name == "open_order_value"))
+    val a = p.analyses.head
+    assert(a.refs === Seq("tpch.orders"))
+    // The compiled artifact carries the rendered SQL (dbt compile).
+    assert(a.compiledSql.exists(_.contains("graft_ref_tpch_orders")))
+    val out = java.nio.file.Files.createTempDirectory("graft_compiled").toString
+    val written = DagRunner.writeCompiled(spark, p.models ++ p.analyses, out)
+    assert(written.contains("open_order_value"))
+  }
+
+  test("exposures: parse from models YAML and anchor +exposure: selection") {
+    val dir = Seq(java.nio.file.Paths.get("fixtures/pkg_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/pkg_project"))
+      .find(java.nio.file.Files.isDirectory(_)).get
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.exposures.map(_.name) === Seq("orders_dashboard"))
+    val e = p.exposures.head
+    assert(e.exposureType === "dashboard")
+    assert(e.owner === "analytics")
+    assert(e.dependsOn.toSet === Set("orders_status_pivot", "spine_orders_daily"))
+    // dbt's impact-analysis idiom: +exposure:x selects everything the
+    // dashboard reads (both models; no upstream models exist here).
+    val sel = DagRunner.select(p.models, "+exposure:orders_dashboard",
+      exposures = p.exposures)
+    assert(sel.map(_.name).toSet === Set("orders_status_pivot", "spine_orders_daily"))
+  }
+
+  test("sources.yml freshness config parses: period math, table-level override, loaded_at required") {
+    val dir = Seq(java.nio.file.Paths.get("fixtures/pkg_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/pkg_project"))
+      .find(java.nio.file.Files.isDirectory(_)).get
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.freshness ===
+      Seq(DataTests.Freshness("tpch.orders", "o_orderdate", 7L * 86400, 30L * 86400)))
+    // Table-level block overrides the source default (dbt precedence).
+    val dir2 = synthProject(
+      "models/sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: s
+          |    loaded_at_field: at_src
+          |    freshness:
+          |      warn_after: {count: 1, period: hour}
+          |    tables:
+          |      - name: a
+          |      - name: b
+          |        loaded_at_field: at_tbl
+          |        freshness:
+          |          error_after: {count: 30, period: minute}
+          |""".stripMargin,
+      "models/m.sql" -> "SELECT 1 AS x FROM {{ source('s', 'a') }}")
+    val p2 = ProjectLoader.load(spark, dir2)
+    val byKey = p2.freshness.map(f => f.source -> f).toMap
+    assert(byKey("s.a") === DataTests.Freshness("s.a", "at_src", 3600L, Long.MaxValue))
+    assert(byKey("s.b") === DataTests.Freshness("s.b", "at_tbl", Long.MaxValue, 1800L))
+    // freshness without any loaded_at_field anywhere = load error.
+    val bad = synthProject(
+      "models/sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: s
+          |    freshness:
+          |      warn_after: {count: 1, period: hour}
+          |    tables:
+          |      - name: a
+          |""".stripMargin,
+      "models/m.sql" -> "SELECT 1 AS x FROM {{ source('s', 'a') }}")
+    val err = intercept[IllegalArgumentException](ProjectLoader.load(spark, bad))
+    assert(err.getMessage.contains("loaded_at_field"))
+  }
+
+  test("unit_tests: YAML parses into mocked-input tests; the fixture test passes and a broken expect fails") {
+    val dir = Seq(java.nio.file.Paths.get("fixtures/pkg_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/pkg_project"))
+      .find(java.nio.file.Files.isDirectory(_)).get
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.unitTests.map(_.name) === Seq("pivot_counts_statuses"))
+    val ut = p.unitTests.head
+    assert(ut.model === "orders_status_pivot")
+    // The source mock keys under the loader's qualified source name.
+    assert(ut.given.keySet === Set("tpch.orders"))
+    val res = DagRunner.runUnitTests(spark, p.models, p.unitTests)
+    assert(res.forall(_.passed), res.map(r => s"${r.name}: ${r.missing} / ${r.unexpected}"))
+    // A wrong expectation fails with the offending rows, not silently.
+    val broken = ut.copy(expect = ut.expect.limit(1))
+    val bad = DagRunner.runUnitTest(spark, p.models, broken)
+    assert(!bad.passed && bad.unexpected.nonEmpty)
+  }
+
+  test("unit_tests: malformed entries fail loudly (bad input call, empty rows)") {
+    val e1 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
+      "models/m.sql" -> "SELECT 1 AS a FROM {{ ref('t') }}",
+      "models/ut.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: bad_input
+          |    model: m
+          |    given:
+          |      - input: just_a_table
+          |        rows:
+          |          - {a: 1}
+          |    expect:
+          |      rows:
+          |        - {a: 1}
+          |""".stripMargin)))
+    assert(e1.getMessage.contains("ref('x') or source('s','t')"))
+    val e2 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
+      "models/m.sql" -> "SELECT 1 AS a FROM {{ ref('t') }}",
+      "models/ut.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: no_rows
+          |    model: m
+          |    given:
+          |      - input: ref('t')
+          |        rows: []
+          |    expect:
+          |      rows:
+          |        - {a: 1}
+          |""".stripMargin)))
+    assert(e2.getMessage.contains("non-empty list"))
+  }
+
+  test("snapshots/ blocks parse and run as SCD2 nodes: timestamp strategy closes superseded versions") {
+    import spark.implicits._
+    val dir = synthProject(
+      "models/m.sql" -> "SELECT 1 AS unused FROM {{ ref('src') }}",
+      "snapshots/cust_snap.sql" ->
+        """{% snapshot cust_snap %}
+          |{{ config(strategy='timestamp', unique_key='id', updated_at='updated_at',
+          |          target_schema='snapshots') }}
+          |SELECT id, status, updated_at FROM {{ ref('src') }}
+          |{% endsnapshot %}""".stripMargin)
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.snapshots.map(_.name) === Seq("cust_snap"))
+    val sn = p.snapshots.head
+    assert(sn.strategy === "timestamp" && sn.uniqueKey === "id" &&
+      sn.updatedAt === Some("updated_at") && sn.targetSchema === Some("snapshots"))
+    assert(sn.model.refs === Seq("src"))
+    // Snapshots never join the model DAG.
+    assert(!p.models.exists(_.name == "cust_snap"))
+    val wh = tmpWh()
+    val day1 = Seq((1L, "new", "2024-01-01"), (2L, "new", "2024-01-01"))
+      .toDF("id", "status", "updated_at")
+    p.runSnapshots(spark, Map("src" -> day1).apply, wh)
+    val day2 = Seq((1L, "shipped", "2024-01-02"), (2L, "new", "2024-01-01"))
+      .toDF("id", "status", "updated_at")
+    val snap = p.runSnapshots(spark, Map("src" -> day2).apply, wh)("cust_snap")
+    // id 1: closed v1 + open v2; id 2: unchanged open row.
+    assert(snap.count() === 3L)
+    val open = snap.filter($"dbt_valid_to".isNull)
+    assert(open.count() === 2L)
+    assert(open.filter($"id" === 1L).head().getAs[String]("status") === "shipped")
+    assert(snap.filter($"dbt_valid_to".isNotNull).head().getAs[String]("dbt_valid_to")
+      === "2024-01-02")
+    // The target path routes through target_schema.
+    assert(new java.io.File(s"$wh/snapshots/cust_snap").isDirectory)
+  }
+
+  test("snapshots/ check strategy needs check_cols and an asOf; config errors are loud") {
+    import spark.implicits._
+    val dir = synthProject(
+      "models/m.sql" -> "SELECT 1 AS unused FROM {{ ref('src') }}",
+      "snapshots/s.sql" ->
+        """{% snapshot chk %}
+          |{{ config(strategy='check', unique_key='id', check_cols=['status']) }}
+          |SELECT id, status FROM {{ ref('src') }}
+          |{% endsnapshot %}""".stripMargin)
+    val p = ProjectLoader.load(spark, dir)
+    val wh = tmpWh()
+    val src = Seq((1L, "a")).toDF("id", "status")
+    val e = intercept[IllegalArgumentException](
+      p.runSnapshots(spark, Map("src" -> src).apply, wh))
+    assert(e.getMessage.contains("as-of"))
+    val snap = p.runSnapshots(spark, Map("src" -> src).apply, wh,
+      asOf = Some("2024-03-01 00:00:00"))("chk")
+    assert(snap.count() === 1L)
+    // Missing strategy fields fail at LOAD, not at run.
+    val bad = synthProject(
+      "models/m.sql" -> "SELECT 1 AS a",
+      "snapshots/s.sql" ->
+        """{% snapshot b %}
+          |{{ config(strategy='timestamp', unique_key='id') }}
+          |SELECT 1 AS id FROM {{ ref('src') }}
+          |{% endsnapshot %}""".stripMargin)
+    val err = intercept[IllegalArgumentException](ProjectLoader.load(spark, bad))
+    assert(err.getMessage.contains("updated_at"))
+  }
+
+  test("a singular test without a ref, or with a bad severity, fails loudly at load") {
+    val e1 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
+      "models/m.sql" -> "SELECT 1 AS a",
+      "tests/no_ref.sql" -> "SELECT 1 WHERE 1 = 2")))
+    assert(e1.getMessage.contains("must ref()"))
+    val e2 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
+      "models/m.sql" -> "SELECT 1 AS a",
+      "tests/bad.sql" -> "{{ config(severity='loud') }} SELECT * FROM {{ ref('m') }}")))
+    assert(e2.getMessage.contains("severity"))
   }
 }
