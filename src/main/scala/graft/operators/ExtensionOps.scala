@@ -476,7 +476,17 @@ object ExtensionOps {
     * unpruned row is the right tool.
     */
   private def basketPairsPlan(s: SparkSession, dir: String,
-                              minSupport: Option[Long]): org.apache.spark.sql.DataFrame = {
+                              minSupport: Option[Long],
+                              /** RELATIVE min support (fraction of all
+                                * baskets) — the classic Apriori dial.
+                                * The threshold derives from the basket
+                                * count inside the plan (1-row broadcast
+                                * + ceil), so no driver round-trip and
+                                * the same fraction stays meaningful at
+                                * every SF — absolute thresholds go
+                                * stale as the corpus grows.
+                                */
+                              relSupport: Option[Double] = None): org.apache.spark.sql.DataFrame = {
     // ONE shuffle on okey builds the per-order basket; the three
     // downstream branches (pair counts, singleton supports, order
     // count) all hang off the SAME aggregate subtree, so Catalyst
@@ -490,10 +500,19 @@ object ExtensionOps {
     // Apriori prune: drop infrequent parts from every basket before
     // pair expansion (explode → broadcast semi-join → regroup; two
     // cheap shuffles that replace a quadratically larger pair agg).
-    val pairSource = minSupport match {
+    val qualifyingOpt = (minSupport, relSupport) match {
+      case (Some(ms), None) => Some(supports.filter(col("cnt_one") >= ms).select("part"))
+      case (None, Some(rel)) => Some(
+        supports.crossJoin(broadcast(nOrders))
+          .filter(col("cnt_one") >= ceil(lit(rel) * col("n_orders")))
+          .select("part"))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "pass at most one of minSupport / relSupport")
+    }
+    val pairSource = qualifyingOpt match {
       case None => baskets
-      case Some(ms) =>
-        val qualifying = supports.filter(col("cnt_one") >= ms).select("part")
+      case Some(qualifying) =>
         baskets.select(col("okey"), explode(col("parts")).as("part"))
           .join(broadcast(qualifying), Seq("part"), "left_semi")
           .groupBy("okey").agg(sort_array(collect_set(col("part"))).as("parts"))
@@ -574,8 +593,44 @@ object ExtensionOps {
            |WHERE sa.cnt_one >= 25 AND sb.cnt_one >= 25
            |ORDER BY cnt_ab DESC, pa, pb LIMIT 20""".stripMargin))
 
+  /** A27c: the RELATIVE Apriori dial — min support as a fraction of
+    * all baskets (0.25% here), the form real basket mining runs with
+    * (absolute counts go stale as the corpus grows; the
+    * `graft.tools.BasketStats` probe measured a 14× candidate cut and
+    * a 4-orders-of-magnitude pair-key-state cut at 1% on the Zipf sf3z
+    * corpus). The threshold is computed INSIDE the plan from the
+    * 1-row basket count — no driver round-trip — and the prune runs
+    * before the pair explode exactly like A27b; the brute-force oracle
+    * applies the same threshold post-hoc, so the hash match proves
+    * losslessness for both-frequent pairs.
+    */
+  private val basketPairsRelSup = QueryDef(
+    "a27c_basket_pairs_relsup",
+    (s, dir) => basketPairsPlan(s, dir, None, relSupport = Some(0.0025)),
+    Some("""WITH items AS (
+           |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+           |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+           |sup AS (SELECT part, count(*) AS cnt_one FROM items GROUP BY part),
+           |pairs AS (
+           |  SELECT a.part AS pa, b.part AS pb, count(*) AS cnt_ab
+           |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT pa, pb, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+           |  CAST(sa.cnt_one AS BIGINT) AS cnt_a, CAST(sb.cnt_one AS BIGINT) AS cnt_b,
+           |  floor(CAST(cnt_ab AS DOUBLE) / sa.cnt_one * 1000000 + 0.5) / 1000000 AS conf_a_b,
+           |  floor(CAST(cnt_ab AS DOUBLE) / sb.cnt_one * 1000000 + 0.5) / 1000000 AS conf_b_a,
+           |  floor(n.n_orders * CAST(cnt_ab AS DOUBLE) / (sa.cnt_one * sb.cnt_one)
+           |    * 1000000 + 0.5) / 1000000 AS lift
+           |FROM pairs
+           |JOIN sup sa ON pairs.pa = sa.part
+           |JOIN sup sb ON pairs.pb = sb.part
+           |CROSS JOIN n
+           |WHERE sa.cnt_one >= ceil(0.0025 * n.n_orders)
+           |  AND sb.cnt_one >= ceil(0.0025 * n.n_orders)
+           |ORDER BY cnt_ab DESC, pa, pb LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(lagLead, setOps, unpivotMelt,
     statsFamily, regrFamily, argMinMax, setOpsAll, bitwiseFuncs, lateralTopN, modeAgg,
     boolAggs, slidingFrame, condFuncs, unionByNameQ, percentileDisc, basketPairs,
-    basketPairsPruned)
+    basketPairsPruned, basketPairsRelSup)
 }
