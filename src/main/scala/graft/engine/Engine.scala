@@ -1331,7 +1331,12 @@ object DagRunner {
     * ([[publishSwap]]): a crash can no longer lose the live table.
     */
   def writeSnapshot(spark: SparkSession, current: DataFrame, path: String,
-                    uniqueKey: String, checkCols: Seq[String], asOf: String): Unit = {
+                    uniqueKey: String, checkCols: Seq[String], asOf: String,
+                    /** dbt `invalidate_hard_deletes`: close the open
+                      * version of a key the source no longer carries
+                      * (dbt_valid_to = asOf) instead of leaving it open.
+                      */
+                    invalidateHardDeletes: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     def checkHash(of: DataFrame): org.apache.spark.sql.Column = md5(concat_ws("\u0001",
       checkCols.map(c => coalesce(of(c).cast("string"), lit("\u0000"))): _*))
@@ -1352,11 +1357,12 @@ object DagRunner {
     val curKeyed = current.select(col(uniqueKey).as("__k"), checkHash(current).as("__ch"))
     val openJ = open.withColumn("__oh", checkHash(open))
       .join(curKeyed, open(uniqueKey) === col("__k"), "left")
+    val hardDeleted = if (invalidateHardDeletes) col("__k").isNull else lit(false)
     val stillOpen = openJ
-      .filter(col("__k").isNull || col("__ch") === col("__oh"))
+      .filter(!hardDeleted && (col("__k").isNull || col("__ch") === col("__oh")))
       .select(snap.columns.map(col): _*)
     val nowClosed = openJ
-      .filter(col("__k").isNotNull && col("__ch") =!= col("__oh"))
+      .filter(hardDeleted || (col("__k").isNotNull && col("__ch") =!= col("__oh")))
       .withColumn("dbt_valid_to", lit(asOf))
       .select(snap.columns.map(col): _*)
     val openKeysUnchanged = openJ
@@ -1383,7 +1389,18 @@ object DagRunner {
     * rename-swap publish with [[writeSnapshot]].
     */
   def writeSnapshotTimestamp(spark: SparkSession, current: DataFrame, path: String,
-                             uniqueKey: String, updatedAt: String): Unit = {
+                             uniqueKey: String, updatedAt: String,
+                             /** dbt `invalidate_hard_deletes`: close keys
+                               * missing from the source at `asOf` (the
+                               * injectable run stamp — dbt uses the
+                               * snapshot run's own timestamp). Requires
+                               * asOf when enabled.
+                               */
+                             invalidateHardDeletes: Boolean = false,
+                             asOf: Option[String] = None): Unit = {
+    require(!invalidateHardDeletes || asOf.nonEmpty,
+      "invalidate_hard_deletes on the timestamp strategy needs an asOf stamp " +
+        "to close deleted keys at (RunDag --as-of)")
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1403,12 +1420,16 @@ object DagRunner {
     val openJ = open.join(curKeyed, open(uniqueKey) === col("__k"), "left")
     // NULL-safe: a NULL source updated_at compares to nothing → not newer.
     val isNewer = coalesce(col("__cu") > open(updatedAt), lit(false))
+    val hardDeleted = if (invalidateHardDeletes) col("__k").isNull else lit(false)
     val stillOpen = openJ
-      .filter(col("__k").isNull || !isNewer)
+      .filter(!hardDeleted && (col("__k").isNull || !isNewer))
       .select(snap.columns.map(col): _*)
     val nowClosed = openJ
-      .filter(col("__k").isNotNull && isNewer)
-      .withColumn("dbt_valid_to", col("__cu").cast("string"))
+      .filter(hardDeleted || (col("__k").isNotNull && isNewer))
+      // A superseded version closes at the superseding row's own
+      // updated_at; a hard-deleted key closes at the run stamp.
+      .withColumn("dbt_valid_to",
+        when(col("__k").isNull, lit(asOf.orNull)).otherwise(col("__cu").cast("string")))
       .select(snap.columns.map(col): _*)
     val openKeysNotSuperseded = openJ
       .filter(col("__k").isNotNull && !isNewer)

@@ -86,7 +86,12 @@ object ProjectLoader {
                                 uniqueKey: String, updatedAt: Option[String],
                                 checkCols: Seq[String],
                                 targetSchema: Option[String],
-                                targetDatabase: Option[String])
+                                targetDatabase: Option[String],
+                                /** dbt `invalidate_hard_deletes`: close
+                                  * open versions of keys the source no
+                                  * longer carries (default false).
+                                  */
+                                invalidateHardDeletes: Boolean = false)
 
   final case class DbtProject(
       name: String,
@@ -142,7 +147,8 @@ object ProjectLoader {
         sn.strategy match {
           case "timestamp" =>
             DagRunner.writeSnapshotTimestamp(spark, current, path,
-              sn.uniqueKey, sn.updatedAt.get)
+              sn.uniqueKey, sn.updatedAt.get,
+              invalidateHardDeletes = sn.invalidateHardDeletes, asOf = asOf)
           case "check" =>
             // check_cols='all' = every non-key source column (dbt).
             val cols =
@@ -152,7 +158,8 @@ object ProjectLoader {
             DagRunner.writeSnapshot(spark, current, path, sn.uniqueKey, cols,
               asOf.getOrElse(throw new IllegalArgumentException(
                 s"snapshot ${sn.name}: the check strategy stamps an explicit " +
-                  "as-of (RunDag --as-of 'YYYY-MM-DD HH:MM:SS')")))
+                  "as-of (RunDag --as-of 'YYYY-MM-DD HH:MM:SS')")),
+              invalidateHardDeletes = sn.invalidateHardDeletes)
         }
         sn.name -> spark.read.parquet(path)
       }.toMap
@@ -709,13 +716,29 @@ object ProjectLoader {
     // seeds/ CSVs (dbt seed nodes): one Table model per file, routed by
     // the dbt_project.yml `seeds:` config block (scalar database/schema,
     // `+`-prefixed keys accepted — same shape as the models block).
-    val seedsCfg = projYml.get("seeds").map(asMap).getOrElse(Map.empty)
+    val seedsBlockAll = projYml.get("seeds").map(asMap).getOrElse(Map.empty)
+    // dbt nests seed config under the project name; accept both the
+    // nested and the flat form (scalars stay project-wide either way).
+    val seedsBlock = seedsBlockAll.get(projectName) match {
+      case Some(nested: java.util.Map[_, _]) =>
+        seedsBlockAll.filterNot(_._2.isInstanceOf[java.util.Map[_, _]]) ++ asMap(nested)
+      case _ => seedsBlockAll
+    }
+    val seedsCfg = seedsBlock
       .collect { case (k, v) if v != null && !v.isInstanceOf[java.util.Map[_, _]] =>
         k.stripPrefix("+") -> String.valueOf(v)
       }
+    // Per-seed `column_types:` (dbt's type escape hatch): a nested map
+    // keyed by the seed's name.
+    def seedColumnTypes(seedName: String): Map[String, String] =
+      seedsBlock.get(seedName).map(asMap)
+        .flatMap(m => m.get("column_types").orElse(m.get("+column_types")).map(asMap))
+        .getOrElse(Map.empty)
+        .map { case (k, v) => k -> String.valueOf(v) }
     val seedModels = filesUnder(dir.resolve("seeds"), Seq(".csv")).map(p =>
       Seeds.fromCsv(p.toString,
-        schema = seedsCfg.get("schema"), database = seedsCfg.get("database")))
+        schema = seedsCfg.get("schema"), database = seedsCfg.get("database"),
+        columnTypes = seedColumnTypes(p.getFileName.toString.stripSuffix(".csv"))))
 
     // Project run hooks: string or list form, vars/env rendered now
     // (hook SQL is not a model — no refs to resolve).
@@ -805,7 +828,9 @@ object ProjectLoader {
         }
         out += SnapshotNode(name, model, strategy, uniqueKey, updatedAt, checkCols,
           SqlModel.configStr(body, "target_schema"),
-          SqlModel.configStr(body, "target_database"))
+          SqlModel.configStr(body, "target_database"),
+          invalidateHardDeletes =
+            SqlModel.configBool(body, "invalidate_hard_deletes").getOrElse(false))
       }
       require(found || !raw.contains("snapshot"),
         s"${dir.relativize(p)}: no {% snapshot NAME %} block parsed")

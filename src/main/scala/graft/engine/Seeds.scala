@@ -24,14 +24,38 @@ object Seeds {
     */
   def fromCsv(path: String, name: Option[String] = None,
               schema: Option[String] = None,
-              database: Option[String] = None): Model = {
+              database: Option[String] = None,
+              /** dbt seeds `column_types:` — explicit per-column types
+                * overriding inference (the dbt escape hatch for zip
+                * codes losing leading zeros, ids read as doubles...).
+                * Types are Spark DDL strings (`string`, `decimal(10,2)`).
+                */
+              columnTypes: Map[String, String] = Map.empty): Model = {
     val p = Paths.get(path)
     require(Files.exists(p), s"seed CSV not found: $path")
     val nm = name.getOrElse(p.getFileName.toString.stripSuffix(".csv"))
     val fp = java.security.MessageDigest.getInstance("SHA-256")
       .digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
     Model(nm, Nil,
-      (s, _) => s.read.option("header", "true").option("inferSchema", "true").csv(path),
+      (s, _) => {
+        val inferred = s.read.option("header", "true")
+          .option("inferSchema", "true").csv(path)
+        val unknown = columnTypes.keySet -- inferred.columns.toSet
+        require(unknown.isEmpty,
+          s"seed $nm: column_types names columns not in the CSV: ${unknown.mkString(", ")}")
+        if (columnTypes.isEmpty) inferred
+        else {
+          // Re-read (not cast) the overridden columns: a cast of an
+          // inferred value can already have destroyed the text (a
+          // leading-zero zip inferred as int), dbt applies the declared
+          // type AT LOAD for the same reason.
+          val declared = org.apache.spark.sql.types.StructType(inferred.schema.map(f =>
+            columnTypes.get(f.name)
+              .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
+              .getOrElse(f)))
+          s.read.option("header", "true").schema(declared).csv(path)
+        }
+      },
       Table, schema, database, fingerprint = Some(fp))
   }
 

@@ -111,6 +111,16 @@ object SqlModel {
     if (m.find()) Some(m.group(1)) else None
   }
 
+  /** A boolean from the config header — accepts Jinja `True`/`true`,
+    * quoted or bare (`invalidate_hard_deletes=true`).
+    */
+  private[engine] def configBool(sqlText: String, key: String): Option[Boolean] = {
+    val p = Pattern.compile(
+      """\{\{\s*config\([^}]*?""" + key + """\s*=\s*'?(\w+)'?[^}]*\)\s*\}\}""")
+    val m = p.matcher(sqlText)
+    if (m.find()) Some(m.group(1).equalsIgnoreCase("true")) else None
+  }
+
   /** Upstream names referenced by the template: `ref('x')` contributes
     * `x`; `source('s','t')` contributes `t` (sources resolve by bare
     * table name through `DagRunner.run`'s resolve callback, the same

@@ -54,6 +54,8 @@ import graft.models.testkit.NpoFixtures
   *     never materialized them (dbt `--defer --state`); add
   *     --favor-state to prefer the deferred environment even when a
   *     dev relation exists.
+  *   Add --warn-error (with --build) to make warn-severity tests fail
+  *     the build instead of merely reporting (dbt --warn-error).
   *   Add --snapshot (with --project) to run the project's snapshots/
   *     blocks into their SCD2 targets and stop (dbt `snapshot`); the
   *     check strategy stamps --as-of 'YYYY-MM-DD HH:MM:SS' as
@@ -98,6 +100,7 @@ object RunDag {
       "--target/--profile require --profiles <file>")
     val deferWarehouse = flagValue("--defer")
     val snapshotMode = args0.contains("--snapshot")
+    val warnError = args0.contains("--warn-error")
     val asOfFlag = flagValue("--as-of")
     require(!snapshotMode || projectDir.isDefined,
       "--snapshot requires --project <dir> (snapshots/ lives in the project)")
@@ -114,6 +117,7 @@ object RunDag {
       while (a.contains("--build")) a = a.patch(a.indexOf("--build"), Nil, 1)
       while (a.contains("--favor-state")) a = a.patch(a.indexOf("--favor-state"), Nil, 1)
       while (a.contains("--snapshot")) a = a.patch(a.indexOf("--snapshot"), Nil, 1)
+      while (a.contains("--warn-error")) a = a.patch(a.indexOf("--warn-error"), Nil, 1)
       for (f <- Seq("--threads", "--select", "--selector", "--exclude", "--defer",
                     "--project", "--vars", "--docs", "--profiles", "--profile",
                     "--target", "--as-of")) {
@@ -251,9 +255,15 @@ object RunDag {
     project.foreach(_.onRunStart.foreach(spark.sql(_)))
     val built: Map[String, DataFrame] =
       if (doBuild) {
+        // dbt --warn-error: warn-severity tests fail the build instead
+        // of merely reporting.
+        val (errChecks, warnOnly) = {
+          val e = project.map(_.checks).getOrElse(NpoDag.defaultChecks)
+          val w = project.map(_.warnChecks).getOrElse(Nil)
+          if (warnError) (e ++ w, Nil) else (e, w)
+        }
         val report = DagRunner.build(spark, models, resolveWithWarehouse, warehouse,
-          project.map(_.checks).getOrElse(NpoDag.defaultChecks),
-          project.map(_.warnChecks).getOrElse(Nil))
+          errChecks, warnOnly)
         report.failures.foreach { case (m, checks) =>
           checks.foreach { case (c, n) => println(s"[rundag] FAIL $m $c: $n violations") }
         }

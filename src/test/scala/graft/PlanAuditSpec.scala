@@ -479,6 +479,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("a27c_basket_pairs_relsup derives the threshold in-plan and prunes via broadcast semi join") {
+    // The RELATIVE dial: the cutoff is ceil(rel * n_orders) computed
+    // from a 1-row broadcast of the basket count — no driver
+    // round-trip — and the prune itself stays the broadcast left-semi
+    // shape the absolute dial locks.
+    val p = plan("a27c_basket_pairs_relsup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "qualifying-singleton prune must be a broadcast left-semi join")
+    assert(p.toLowerCase.contains("ceil"),
+      "the relative threshold must be computed inside the plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("g1_geo_radius_join broadcasts the fanned-out small side and prefilters before the trig") {
     val p = plan("g1_geo_radius_join")
     assert(p.contains("BroadcastHashJoin"),

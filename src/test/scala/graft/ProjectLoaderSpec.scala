@@ -416,6 +416,39 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(built("rollup").as[Long].head() === 2L)
   }
 
+  test("seeds column_types overrides inference at LOAD (leading zeros survive); nested project key accepted") {
+    val dir = synthProject(
+      "seeds/zips.csv" -> "zip,pop\n01234,10\n98765,20\n",
+      "models/m.sql" -> "SELECT zip, pop FROM {{ ref('zips') }}")
+    java.nio.file.Files.writeString(dir.resolve("dbt_project.yml"),
+      """name: synth
+        |seeds:
+        |  synth:
+        |    +schema: seed_schema
+        |    zips:
+        |      +column_types:
+        |        zip: string
+        |""".stripMargin)
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.model("zips").schema === Some("seed_schema"),
+      "scalars under the nested project key still apply project-wide")
+    val built = DagRunner.run(spark, p.models, n => sys.error(s"no source $n"), tmpWh())
+    val rows = built("zips").orderBy("zip").collect()
+    // Without the override inference reads 1234 (int); the declared
+    // string type is applied at READ, so the leading zero survives.
+    assert(rows(0).getAs[String]("zip") === "01234")
+    assert(rows(0).getAs[Int]("pop") === 10)
+    // Unknown column names in column_types fail loudly at build.
+    val bad = synthProject("seeds/s.csv" -> "a\n1\n", "models/m.sql" -> "SELECT 1 AS x")
+    java.nio.file.Files.writeString(bad.resolve("dbt_project.yml"),
+      "name: synth\nseeds:\n  s:\n    column_types:\n      nope: string\n")
+    val e = intercept[IllegalArgumentException] {
+      DagRunner.run(spark, ProjectLoader.load(spark, bad).models,
+        n => sys.error(s"no source $n"), tmpWh())
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("dbt_utils cross-database macros render to the Spark dialect") {
     import spark.implicits._
     val dir = synthProject(

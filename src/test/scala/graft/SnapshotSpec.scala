@@ -53,6 +53,44 @@ class SnapshotSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("invalidate_hard_deletes closes vanished keys at the run stamp (both strategies)") {
+    import spark.implicits._
+    // check strategy: carol vanishes on day 2 -> her open row closes.
+    val p1 = tmp()
+    val day1 = Seq((1L, "alice"), (3L, "carol")).toDF("id", "name")
+    DagRunner.writeSnapshot(spark, day1, p1, "id", Seq("name"), "2024-01-01")
+    DagRunner.writeSnapshot(spark, Seq((1L, "alice")).toDF("id", "name"),
+      p1, "id", Seq("name"), "2024-01-02", invalidateHardDeletes = true)
+    val s = spark.read.parquet(p1)
+    assert(s.filter(col("id") === 3).head().getAs[String]("dbt_valid_to") === "2024-01-02")
+    assert(s.filter(col("id") === 1 && col("dbt_valid_to").isNull).count() === 1)
+    // Idempotent: the already-closed key has no open row to close again.
+    DagRunner.writeSnapshot(spark, Seq((1L, "alice")).toDF("id", "name"),
+      p1, "id", Seq("name"), "2024-01-02", invalidateHardDeletes = true)
+    assert(spark.read.parquet(p1).count() === 2)
+
+    // timestamp strategy: deletion closes at the asOf stamp, a
+    // superseded version still closes at the superseding updated_at.
+    val p2 = tmp()
+    val t1 = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"))
+      .toDF("id", "v", "updated_at")
+    DagRunner.writeSnapshotTimestamp(spark, t1, p2, "id", "updated_at")
+    val t2 = Seq((1L, "a2", "2024-01-03")).toDF("id", "v", "updated_at")
+    DagRunner.writeSnapshotTimestamp(spark, t2, p2, "id", "updated_at",
+      invalidateHardDeletes = true, asOf = Some("2024-01-04"))
+    val ts = spark.read.parquet(p2)
+    assert(ts.filter(col("id") === 2).head().getAs[String]("dbt_valid_to") === "2024-01-04")
+    assert(ts.filter(col("id") === 1 && col("dbt_valid_to") === "2024-01-03").count() === 1)
+    assert(ts.filter(col("id") === 1 && col("dbt_valid_to").isNull)
+      .head().getAs[String]("v") === "a2")
+    // The dial without an asOf stamp is a loud error, not a silent null.
+    val e = intercept[IllegalArgumentException] {
+      DagRunner.writeSnapshotTimestamp(spark, t2, p2, "id", "updated_at",
+        invalidateHardDeletes = true)
+    }
+    assert(e.getMessage.contains("asOf"))
+  }
+
   test("NULL and empty check values are distinct states") {
     import spark.implicits._
     val path = tmp()
