@@ -526,7 +526,14 @@ object DagRunner {
     * a property of a RUN, not of the project text).
     */
   def writeDocs(spark: SparkSession, models: Seq[Model], path: String,
-                exposures: Seq[Exposure] = Nil): Unit = {
+                exposures: Seq[Exposure] = Nil,
+                /** schema.yml `description:` docs — model-level and
+                  * per-column (model → column → text). Emitted into the
+                  * manifest so downstream doc tooling sees what dbt's
+                  * manifest.json carries.
+                  */
+                descriptions: Map[String, String] = Map.empty,
+                columnDescriptions: Map[String, Map[String, String]] = Map.empty): Unit = {
     def matName(m: Materialization): String = m match {
       case View => "view"
       case Ephemeral => "ephemeral"
@@ -544,6 +551,11 @@ object DagRunner {
         s""""tags":[${m.tags.toSeq.sorted.map(jstr).mkString(",")}],""" +
         s""""group":${m.group.map(jstr).getOrElse("null")},""" +
         s""""access":${jstr(m.access)},""" +
+        s""""description":${descriptions.get(m.name).map(jstr).getOrElse("null")},""" +
+        s""""columns":${
+          columnDescriptions.getOrElse(m.name, Map.empty).toSeq.sorted
+            .map { case (c, d) => s"${jstr(c)}:${jstr(d)}" }.mkString("{", ",", "}")
+        },""" +
         s""""fingerprint":${m.fingerprint.map(jstr).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val exps = exposures.sortBy(_.name).map { e =>
@@ -571,7 +583,11 @@ object DagRunner {
     * nothing reads data.
     */
   def writeDocsSite(spark: SparkSession, models: Seq[Model], dir: String,
-                    exposures: Seq[Exposure] = Nil): Unit = {
+                    exposures: Seq[Exposure] = Nil,
+                    /** Model descriptions — rendered as DOT `tooltip`
+                      * attrs and SVG `<title>` hovers.
+                      */
+                    descriptions: Map[String, String] = Map.empty): Unit = {
     val sorted = topoSort(models)
     val byName = models.map(m => m.name -> m).toMap
     val sources = sorted.flatMap(_.refs).distinct.filterNot(byName.contains)
@@ -579,7 +595,11 @@ object DagRunner {
     val dot = {
       val b = new StringBuilder("digraph lineage {\n  rankdir=LR;\n")
       sources.foreach(s => b ++= s"  ${dq(s)} [shape=cylinder];\n")
-      sorted.foreach(m => b ++= s"  ${dq(m.name)} [shape=box];\n")
+      sorted.foreach { m =>
+        val tip = descriptions.get(m.name)
+          .map(d => s", tooltip=${dq(d)}").getOrElse("")
+        b ++= s"  ${dq(m.name)} [shape=box$tip];\n"
+      }
       exposures.sortBy(_.name).foreach(e =>
         b ++= s"  ${dq(e.name)} [shape=ellipse, style=dashed];\n")
       sorted.foreach(m => m.refs.foreach(r => b ++= s"  ${dq(r)} -> ${dq(m.name)};\n"))
@@ -620,7 +640,8 @@ object DagRunner {
         case "exposure" => ("#fdf6ec", """ stroke-dasharray="4 3"""")
         case _ => ("#f4f4f4", "")
       }
-      s"""<g><rect x="$x" y="$y" width="180" height="32" rx="6" fill="$fill" stroke="#555"$dash/>""" +
+      val title = descriptions.get(n).map(d => s"<title>${esc(d)}</title>").getOrElse("")
+      s"""<g>$title<rect x="$x" y="$y" width="180" height="32" rx="6" fill="$fill" stroke="#555"$dash/>""" +
         s"""<text x="${x + 90}" y="${y + 20}" font-size="11" text-anchor="middle" font-family="monospace">${esc(if (n.length > 28) n.take(27) + "…" else n)}</text></g>"""
     }
     val html =

@@ -128,7 +128,13 @@ object ProjectLoader {
       /** snapshots/ `{% snapshot %}` blocks — SCD2 nodes run by
         * [[runSnapshots]] (`dbt snapshot`), never by a model run.
         */
-      snapshots: Seq[SnapshotNode] = Nil) {
+      snapshots: Seq[SnapshotNode] = Nil,
+      /** schema.yml `description:` docs: model-level and per-column
+        * (model → column → text), surfaced through `writeDocs` /
+        * `writeDocsSite` — dbt's manifest/catalog documentation.
+        */
+      descriptions: Map[String, String] = Map.empty,
+      columnDescriptions: Map[String, Map[String, String]] = Map.empty) {
 
     /** `dbt snapshot`: build each snapshot's SELECT against `resolve`
       * and fold it into its SCD2 target under `warehouse` (timestamp
@@ -659,6 +665,23 @@ object ProjectLoader {
         DagRunner.UnitTest(utName, modelName, given, expect)
       }
     }
+    // description: docs from the models YAML — model-level and
+    // per-column, for the docs artifacts (dbt manifest/catalog).
+    val modelDescs = ymls.flatMap { case (_, doc) =>
+      doc.get("models").map(asList).getOrElse(Nil).map(asMap).flatMap { m =>
+        optStr(m, "name").flatMap(n => optStr(m, "description").map(n -> _))
+      }
+    }.toMap
+    val columnDescs = ymls.flatMap { case (_, doc) =>
+      doc.get("models").map(asList).getOrElse(Nil).map(asMap).flatMap { m =>
+        optStr(m, "name").toSeq.flatMap { n =>
+          m.get("columns").map(asList).getOrElse(Nil).map(asMap).flatMap { c =>
+            for (cn <- optStr(c, "name"); d <- optStr(c, "description"))
+              yield (n, cn, d)
+          }
+        }
+      }
+    }.groupBy(_._1).map { case (m, xs) => m -> xs.map(x => x._2 -> x._3).toMap }
     // exposures: — downstream consumers (dashboards, ML jobs): pure
     // metadata anchoring `exposure:` selection and the docs lineage.
     val exposures = ymls.flatMap { case (_, doc) =>
@@ -846,6 +869,7 @@ object ProjectLoader {
       checks ++ errSingulars.map(_._1), warnChecks ++ warnSingulars.map(_._1),
       onRunStart = runHooks("on-run-start"), onRunEnd = runHooks("on-run-end"),
       analyses = analyses, exposures = exposures, freshness = freshSpecs,
-      unitTests = unitTests, snapshots = snapshotNodes)
+      unitTests = unitTests, snapshots = snapshotNodes,
+      descriptions = modelDescs, columnDescriptions = columnDescs)
   }
 }

@@ -2422,78 +2422,114 @@ object DedupOps {
            |  WHERE l.source <> 'src7' AND md5(l.text) = md5(b.text))
            |ORDER BY doc_id""".stripMargin))
 
-  /** Exact all-pairs Jaccard similarity join (threshold 0.7) via
-    * AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07, Xiao et
-    * al. WWW'08) — the DETERMINISTIC twin of the MinHash row: same
-    * "find every pair above a Jaccard threshold" contract, but exact
-    * (recall 1 by theorem, not by band tuning) and with no signature
-    * state. Tokens order globally by ascending document frequency
-    * (rarest first, word as tie-break); a document of n distinct
-    * tokens exposes only its first `n - ceil(0.7·n) + 1` tokens as
-    * join keys — any pair with J ≥ t MUST share a token inside both
-    * prefixes (if it didn't, the unshared prefix would push the
-    * intersection below t·n), so candidate generation is an equi-join
-    * on the RAREST sliver of the vocabulary instead of an all-pairs
-    * product. A length filter (10·min(na,nb) ≥ 7·max — integer form of
-    * min ≥ ceil(t·max), no float ceil whose 7.000000001 could flip a
-    * prefix length) prunes cross-size candidates before the verify.
-    * ceil(0.7·n) is computed as (7n+9) div 10 for the same reason.
+  /** Exact all-pairs Jaccard similarity join (threshold 0.7) over the
+    * SAME 3-gram shingle sets the MinHash row banding approximates —
+    * its deterministic twin: identical "find every pair above a
+    * Jaccard threshold" contract, recall 1 by theorem (AllPairs/PPJoin
+    * prefix filtering — Bayardo et al. WWW'07, Xiao et al. WWW'08),
+    * no signature state. Two stages ahead of the prefix join, both
+    * measured necessary (round 12):
     *
-    * Scale shape: df is a vocab-sized aggregate joined back on the
-    * word (merge/broadcast-able); the prefix explode emits ~30% of the
-    * distinct-token stream; the candidate join keys on individually
-    * RARE tokens (a token's prefix df is at most its global df, and
-    * high-df tokens sit at the back of every document's order, so the
-    * quadratic blowup hot keys cause in the naive token join cannot
-    * occur on the prefix — that is the entire point of the algorithm).
-    * Verification carries the two sorted token arrays through the
-    * candidate join (the "vector rides the band shuffle" pattern) and
-    * intersects per pair — O(na+nb) per candidate, no second corpus
-    * join. The DuckDB oracle is BRUTE FORCE over all O(N²) pairs —
-    * a genuinely different algorithm, so recall-1 is cross-checked,
-    * not replayed.
+    *  1. CLASS COLLAPSE: identical shingle sets group once (one
+    *     aggregate). Twin-copied corpora (the MakeSf scale corpora,
+    *     and any real crawl) multiply every shingle's document
+    *     frequency by the duplication factor, which poisons df-based
+    *     prefix filtering; distinct-set classes restore the dfs the
+    *     theorem needs, same-class pairs emit directly as J = 1, and
+    *     cross-class results expand back through the carried id lists.
+    *  2. PREFIX JOIN over class representatives: shingles order by
+    *     ascending df (rarest first, shingle as tie-break); a set of n
+    *     shingles exposes only its first n - ceil(0.7·n) + 1 as join
+    *     keys — a qualifying pair MUST share a prefix token. The
+    *     integer length filter (10·min >= 7·max) prunes cross-size
+    *     candidates in the join condition; ceil(0.7n) = (7n+9) div 10
+    *     avoids float-ceil edges. Verification intersects the two
+    *     carried xxhash64'd sets per candidate — O(na+nb), no second
+    *     corpus join (the jaccardEst pattern, same collision bound).
+    *
+    * History: the first cut ran token-SET jaccard over raw doc_ids and
+    * cost 210 s at sf0.1 — the synthetic corpus has a 31-word
+    * vocabulary, so every token is hot (132M candidate pairs measured)
+    * AND token-level J >= 0.7 is nearly vacuous there (5.1M output
+    * pairs). On shingle sets the vocabulary is large and Zipf, exactly
+    * the shape prefix filtering assumes: 499k candidates at sf0.1
+    * (measured), output = the true near-dup pairs. That is also what
+    * makes this THE exact twin of `llm_minhash` — which bands these
+    * same shingle sets.
+    *
+    * Scale: df is a vocab-sized aggregate; the prefix explode emits
+    * ~30% of the distinct-shingle stream; candidates key on
+    * individually rare shingles (high-df shingles sit at the back of
+    * every set's order, so hot-key blowup cannot occur on the prefix);
+    * the id-list expansion is output-bound by contract. The DuckDB
+    * oracle is brute force over all pairs sharing any shingle — a
+    * genuinely different algorithm, so recall 1 is cross-checked, not
+    * replayed.
     */
   private val allpairsJaccard = QueryDef(
     "llm_allpairs_jaccard",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
-        array_sort(array_distinct(splitLit(col("text"), " "))).as("ts"))
-      val words = toks.select(col("doc_id"), explode(col("ts")).as("w"))
+      val shd = shingles(s, dir).distinct()
+      val sets = shd.groupBy("doc_id")
+        .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("ts"))
+      val classes = sets.groupBy(col("ts"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .withColumn("sig", md5(col("ts").cast("string")))
+      val words = classes.select(col("sig"), explode(col("ts")).as("w"),
+        size(col("ts")).as("n"))
       val dfreq = words.groupBy("w").agg(count(lit(1)).as("df"))
       val prefix = words.join(dfreq, "w")
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("w"))))
+          Window.partitionBy("sig").orderBy(col("df"), col("w"))))
         .filter(col("rk") <= col("n") - expr("(n * 7 + 9) div 10") + 1)
-        .select(col("w"), col("doc_id"), col("n"))
+        .select(col("w"), col("sig"), col("n"))
       val cands = prefix.as("a").join(prefix.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.w") === col("b.w") && col("a.sig") < col("b.sig") &&
             col("a.n") * 10 >= col("b.n") * 7 && col("b.n") * 10 >= col("a.n") * 7)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .select(col("a.sig").as("siga"), col("b.sig").as("sigb"))
         .distinct()
-      val ta = toks.select(col("doc_id").as("doc_a"), col("ts").as("tsa"))
-      val tb = toks.select(col("doc_id").as("doc_b"), col("ts").as("tsb"))
-      cands.join(ta, "doc_a").join(tb, "doc_b")
+      val ca = classes.select(col("sig").as("siga"), col("ts").as("tsa"),
+        col("ids").as("idsa"))
+      val cb = classes.select(col("sig").as("sigb"), col("ts").as("tsb"),
+        col("ids").as("idsb"))
+      val cross = cands.join(ca, "siga").join(cb, "sigb")
         .withColumn("inter", size(array_intersect(col("tsa"), col("tsb"))))
         .withColumn("jaccard", roundTo(
           col("inter") / (size(col("tsa")) + size(col("tsb")) - col("inter")), 4))
         .filter(col("jaccard") >= 0.7)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .select(explode(col("idsa")).as("ida"), col("idsb"), col("jaccard"))
+        .select(col("ida"), explode(col("idsb")).as("idb"), col("jaccard"))
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+      // Same-class pairs are exact shingle-set duplicates: J = 1.
+      val same = classes.filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"))
+          .as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      cross.unionAll(same).orderBy("doc_a", "doc_b")
     },
-    Some("""WITH toks AS (
-           |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+    Some("""WITH sh AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           |    i -> string_split(text, ' ')[i] || ' ' ||
+           |         string_split(text, ' ')[i+1] || ' ' ||
+           |         string_split(text, ' ')[i+2])) AS shingle
            |  FROM documents),
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) AS i,
-           |    CAST(len(a.ts) AS DOUBLE) AS na, CAST(len(b.ts) AS DOUBLE) AS nb
-           |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+           |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
            |SELECT doc_a, doc_b, jaccard FROM (
            |  SELECT doc_a, doc_b,
-           |    floor(i / (na + nb - i) * 10000.0 + 0.5) / 10000.0 AS jaccard
-           |  FROM pairs)
+           |    floor(i / (sa.n + sb.n - i) * 10000.0 + 0.5) / 10000.0 AS jaccard
+           |  FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b)
            |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(exact, minhash, simhash, simhashNearDup, jaccard,

@@ -56,6 +56,8 @@ import graft.models.testkit.NpoFixtures
   *     dev relation exists.
   *   Add --warn-error (with --build) to make warn-severity tests fail
   *     the build instead of merely reporting (dbt --warn-error).
+  *   Add --list to print the selected node names in dependency order
+  *     and stop (dbt ls) — composes with --select/--selector/--exclude.
   *   Add --snapshot (with --project) to run the project's snapshots/
   *     blocks into their SCD2 targets and stop (dbt `snapshot`); the
   *     check strategy stamps --as-of 'YYYY-MM-DD HH:MM:SS' as
@@ -101,6 +103,7 @@ object RunDag {
     val deferWarehouse = flagValue("--defer")
     val snapshotMode = args0.contains("--snapshot")
     val warnError = args0.contains("--warn-error")
+    val listMode = args0.contains("--list")
     val asOfFlag = flagValue("--as-of")
     require(!snapshotMode || projectDir.isDefined,
       "--snapshot requires --project <dir> (snapshots/ lives in the project)")
@@ -118,6 +121,7 @@ object RunDag {
       while (a.contains("--favor-state")) a = a.patch(a.indexOf("--favor-state"), Nil, 1)
       while (a.contains("--snapshot")) a = a.patch(a.indexOf("--snapshot"), Nil, 1)
       while (a.contains("--warn-error")) a = a.patch(a.indexOf("--warn-error"), Nil, 1)
+      while (a.contains("--list")) a = a.patch(a.indexOf("--list"), Nil, 1)
       for (f <- Seq("--threads", "--select", "--selector", "--exclude", "--defer",
                     "--project", "--vars", "--docs", "--profiles", "--profile",
                     "--target", "--as-of")) {
@@ -229,6 +233,14 @@ object RunDag {
           case None => spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
         }
       else resolve(n)
+    // --list = `dbt ls`: print the selected node names in dependency
+    // order and stop — nothing materializes (the CI idiom for "what
+    // would this selector run?").
+    if (listMode) {
+      graft.engine.DagRunner.topoSort(models).foreach(m => println(m.name))
+      spark.stop()
+      return
+    }
     // --snapshot = `dbt snapshot`: fold each snapshots/ block into its
     // SCD2 target and stop — snapshots never run as part of a model run.
     if (snapshotMode) {
@@ -282,9 +294,13 @@ object RunDag {
     }
     println(s"[rundag] warehouse: $warehouse")
     docsDir.foreach { dd =>
-      DagRunner.writeDocs(spark, allModels, s"$dd/docs.json")
+      DagRunner.writeDocs(spark, allModels, s"$dd/docs.json",
+        exposures = project.map(_.exposures).getOrElse(Nil),
+        descriptions = project.map(_.descriptions).getOrElse(Map.empty),
+        columnDescriptions = project.map(_.columnDescriptions).getOrElse(Map.empty))
       DagRunner.writeDocsSite(spark, allModels, dd,
-        exposures = project.map(_.exposures).getOrElse(Nil))
+        exposures = project.map(_.exposures).getOrElse(Nil),
+        descriptions = project.map(_.descriptions).getOrElse(Map.empty))
       println(s"[rundag] docs: $dd/docs.json, $dd/lineage.dot, $dd/index.html")
     }
     built.get("integral_reporting_dashboard_channel_weekly").foreach(

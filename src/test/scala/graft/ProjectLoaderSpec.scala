@@ -578,6 +578,28 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(written.contains("open_order_value"))
   }
 
+  test("description: docs parse (model + column) and land in docs.json and the site tooltips") {
+    val dir = Seq(java.nio.file.Paths.get("fixtures/pkg_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/pkg_project"))
+      .find(java.nio.file.Files.isDirectory(_)).get
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.descriptions("orders_status_pivot").startsWith("One row per order priority"))
+    assert(p.columnDescriptions("orders_status_pivot")("o_orderpriority") ===
+      "TPC-H order priority bucket")
+    val out = java.nio.file.Files.createTempDirectory("graft_docs")
+    DagRunner.writeDocs(spark, p.models, s"$out/docs.json",
+      descriptions = p.descriptions, columnDescriptions = p.columnDescriptions)
+    val json = java.nio.file.Files.readString(out.resolve("docs.json"))
+    assert(json.contains(""""description":"One row per order priority"""))
+    assert(json.contains(""""o_orderpriority":"TPC-H order priority bucket""""))
+    DagRunner.writeDocsSite(spark, p.models, out.toString,
+      descriptions = p.descriptions)
+    val html = java.nio.file.Files.readString(out.resolve("index.html"))
+    assert(html.contains("<title>One row per order priority"))
+    val dot = java.nio.file.Files.readString(out.resolve("lineage.dot"))
+    assert(dot.contains("tooltip="))
+  }
+
   test("exposures: parse from models YAML and anchor +exposure: selection") {
     val dir = Seq(java.nio.file.Paths.get("fixtures/pkg_project"),
       java.nio.file.Paths.get("/root/repo/fixtures/pkg_project"))
