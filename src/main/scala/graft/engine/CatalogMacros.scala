@@ -183,7 +183,9 @@ object CatalogMacros {
           kept.map { c =>
             val src = (if (alias.nonEmpty) s"$alias." else "") + quoted(c, quote == "true")
             if (prefix.nonEmpty || suffix.nonEmpty)
-              s"$src AS ${quoted(prefix + c + suffix, quote = true)}"
+              // dbt_utils.star: quote_identifiers=false leaves BOTH the
+              // source reference and the renamed alias unquoted.
+              s"$src AS ${quoted(prefix + c + suffix, quote == "true")}"
             else src
           }.mkString(", ")
         case "graft_pivot" =>

@@ -960,7 +960,11 @@ object DagRunner {
   private def reconcileSchema(spark: SparkSession, df: DataFrame, path: String,
                               exists: Boolean, m: Model): DataFrame = {
     if (!exists || m.onSchemaChange == "sync_all_columns") return df
-    val existing = spark.read.parquet(path).schema
+    // mergeSchema: after an append_new_columns run the target's
+    // partitions carry heterogeneous footers; a bare read picks an
+    // arbitrary one and can silently resurrect a pre-append schema.
+    // The union of all footers is the deterministic "catalog" schema.
+    val existing = spark.read.option("mergeSchema", "true").parquet(path).schema
     val exNames = existing.fields.map(_.name).toSeq
     val newNames = df.columns.toSeq
     if (exNames.toSet == newNames.toSet) return df

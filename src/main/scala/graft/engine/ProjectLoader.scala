@@ -240,6 +240,8 @@ object ProjectLoader {
   // `index`) and must pass through untouched.
   private val physicalTablePat = java.util.regex.Pattern.compile(
     """`([^`\s.]+\.[^`\s.]+\.[^`\s.]+)`""")
+  private val bareSourceCallPat = java.util.regex.Pattern.compile(
+    """source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)""")
 
   /** Rewrite `{{ source('s','t') }}` to `{{ ref('s.t') }}` (qualified
     * resolve key), failing on a source not declared in any sources.yml —
@@ -258,7 +260,33 @@ object ProjectLoader {
         java.util.regex.Matcher.quoteReplacement(s"{{ ref('$s.$t') }}"))
     }
     m.appendTail(sb)
-    sb.toString
+    // Second pass: a BARE source('s','t') inside a Jinja region — a macro
+    // relation argument like {{ dbt_utils.star(from=source('s','t')) }} —
+    // is not caught by the braced pattern above. Rewriting it to the
+    // qualified ref('s.t') form keeps the DAG edge keyed identically to
+    // every other source reference (selectors, freshness, alias routing)
+    // and preserves the not-declared compile error. Bare source(...)
+    // OUTSIDE any {{ }} is left untouched (it would be plain SQL text).
+    val braced = sb.toString
+    val m2 = bareSourceCallPat.matcher(braced)
+    val sb2 = new java.lang.StringBuilder
+    while (m2.find()) {
+      val before = braced.substring(0, m2.start)
+      val insideJinja = before.lastIndexOf("{{") > before.lastIndexOf("}}")
+      if (insideJinja) {
+        val (s, t) = (m2.group(1), m2.group(2))
+        require(declared.contains((s, t)),
+          s"$file: source('$s', '$t') is not declared in any sources.yml " +
+            s"(declared: ${declared.toSeq.sorted.map { case (a, b) => s"$a.$b" }.mkString(", ")})")
+        m2.appendReplacement(sb2,
+          java.util.regex.Matcher.quoteReplacement(s"ref('$s.$t')"))
+      } else {
+        m2.appendReplacement(sb2,
+          java.util.regex.Matcher.quoteReplacement(m2.group(0)))
+      }
+    }
+    m2.appendTail(sb2)
+    sb2.toString
   }
 
   private def rewritePhysicalTables(text: String): String =

