@@ -62,7 +62,7 @@ object Packages {
     """{% macro dateadd(datepart, interval, from_date_or_timestamp) %}timestampadd({{ datepart }}, {{ interval }}, {{ from_date_or_timestamp }}){% endmacro %}
       |{% macro datediff(first_date, second_date, datepart) %}timestampdiff({{ datepart }}, {{ first_date }}, {{ second_date }}){% endmacro %}
       |{% macro split_part(string_text, delimiter_text, part_number) %}split_part({{ string_text }}, {{ delimiter_text }}, {{ part_number }}){% endmacro %}
-      |{% macro safe_cast(field, type) %}try_cast({{ field }} AS {{ type }}){% endmacro %}
+      |{% macro safe_cast(field, type) %}safe_cast({{ field }}, '{{ type }}'){% endmacro %}
       |{% macro hash(field) %}md5(CAST({{ field }} AS STRING)){% endmacro %}""".stripMargin
 
   /** `generate_surrogate_key(['a', 'b'])` (alias `surrogate_key`):

@@ -563,6 +563,10 @@ object ProjectLoader {
              * precedence.
              */
            profile: Option[TargetOutput] = None): DbtProject = {
+    // Package macros may render to the engine's native functions
+    // (safe_cast); register them in this session before any model SQL
+    // parses. Idempotent (createOrReplaceTempFunction).
+    graft.functions.GraftFunctions.register(spark)
     val projFile = dir.resolve("dbt_project.yml")
     require(Files.exists(projFile), s"not a dbt project: $projFile does not exist")
     val projYml = asMap(parseYaml(projFile))

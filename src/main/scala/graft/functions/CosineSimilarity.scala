@@ -153,6 +153,21 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "safe_cast", exprs => mkSafeCast(exprs), "scala_udf")
+  }
+
+  private[functions] def mkSafeCast(exprs: Seq[Expression]): SafeCast = {
+    require(exprs.length == 2,
+      "safe_cast takes exactly 2 arguments: (expr, 'type')")
+    val t = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        org.apache.spark.sql.types.DataType.fromDDL(v.toString)
+      case e => throw new IllegalArgumentException(
+        s"safe_cast type must be a string literal, got $e")
+    }
+    SafeCast(exprs.head, t)
   }
 
   private[functions] def mkLexiconMatch(exprs: Seq[Expression]): LexiconMatch = {
@@ -231,5 +246,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(exprs.length == 1, "text_clean takes exactly 1 argument")
         TextClean(exprs.head)
       }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("safe_cast"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SafeCast].getCanonicalName, "safe_cast"),
+      (exprs: Seq[Expression]) => GraftFunctions.mkSafeCast(exprs)))
   }
 }

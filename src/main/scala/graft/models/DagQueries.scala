@@ -988,7 +988,16 @@ object DagQueries {
 
   private def pkgModel(s: SparkSession, dir: String, name: String): DataFrame = {
     val proj = graft.engine.ProjectLoader.load(s, pkgProjectDir)
-    val built = graft.engine.DagRunner.run(s, proj.models,
+    // Build only the requested model's ancestor closure (dbt run
+    // --select +name): the project also contains pivot models whose
+    // get_column_values runs a real introspection query at build time —
+    // paying that for every UNRELATED dag_pkg_* row was most of the
+    // file-frontend fixed cost (measured via tools/PkgProfile: full run
+    // 1.1-1.25 s warm vs ~0.1 s for a single view's closure; load
+    // itself is 0.03 s warm).
+    val sel = graft.engine.DagRunner.withLazyUpstreams(proj.models,
+      graft.engine.DagRunner.select(proj.models, s"+$name"))
+    val built = graft.engine.DagRunner.run(s, sel,
       n => graft.sources.Tables.load(s, dir, n.stripPrefix("tpch.")))
     ordered(built(name))
   }

@@ -49,7 +49,23 @@ import graft.sources.Tables
   * its order↔lineitem association (a Zipf orderkey would fabricate
   * million-item baskets no real workload has).
   *
-  * Usage: runMain graft.tools.MakeSf <srcSfDir> <dstDir> <copies> [--perturb] [--zipf]
+  * `--zipfdocs` (VERDICT r12 #5): `--perturb` keeps duplicate-CLASS
+  * sizes uniform (each source doc gets one light twin), but a real
+  * crawl's duplicate classes are Zipf — one boilerplate page with tens
+  * of thousands of near-copies. The flag rebuilds the replica copies of
+  * `documents` as near-duplicates of a Zipf(1.1)-drawn TARGET source
+  * doc (single-token edit salted by the replica's own id, the same
+  * guarantee as the light twin): the hottest target's class collects
+  * ~6.7% of ALL docs (P(rank=1) = 1 − 2^(1−s)), e.g. a ~10k-member
+  * near-dup class at 30× over sf0.1 — the corpus shape that exposes
+  * per-class quadratic work that uniform twins can never reach. Copy 0
+  * stays the verbatim source corpus. Pair-emitting ops are expected to
+  * be OUTPUT-quadratic here (a c-member class genuinely has C(c,2)
+  * qualifying pairs); class/forest-emitting ops (dedup groups,
+  * canonical picks, CC) must stay linear.
+  *
+  * Usage: runMain graft.tools.MakeSf <srcSfDir> <dstDir> <copies>
+  *   [--perturb] [--zipf] [--zipfdocs]
   * (bench data only — no oracle covers the scaled output.)
   */
 object MakeSf {
@@ -73,6 +89,7 @@ object MakeSf {
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
     val perturb = args.drop(3).contains("--perturb")
     val zipf = args.drop(3).contains("--zipf")
+    val zipfDocs = args.drop(3).contains("--zipfdocs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,7 +98,7 @@ object MakeSf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, copies, perturb, zipf)
+    run(spark, src, dst, copies, perturb, zipf, zipfDocs)
     spark.stop()
   }
 
@@ -123,7 +140,8 @@ object MakeSf {
       " ")
 
   def run(spark: SparkSession, src: String, dst: String, copies: Int,
-          perturb: Boolean = false, zipf: Boolean = false): Unit = {
+          perturb: Boolean = false, zipf: Boolean = false,
+          zipfDocs: Boolean = false): Unit = {
 
     // (fact table → FK column to skew, domain table:key, row-id columns
     // the per-row draw hashes). Base domains are contiguous from 0 in
@@ -140,7 +158,39 @@ object MakeSf {
       r.getLong(1) + 1
     }
 
+    /** `--zipfdocs` documents: copy 0 verbatim; every replica is a
+      * single-token-edit near-dup of a Zipf(1.1)-drawn target source
+      * doc (edit position/content salted by the replica's OWN unique
+      * id, so same-target replicas are distinct near-dups, not exact
+      * copies). lang/source keep the replica's own row's values so the
+      * source distribution is preserved; n_chars re-derives from the
+      * rewritten text.
+      */
+    def writeZipfDocs(): Unit = {
+      val base = Tables.load(spark, src, "documents")
+      val nBase = domainSize("documents", "doc_id")
+      val targets = base.select(col("doc_id").as("target_id"),
+        col("text").as("target_text"))
+      val reps = (1 until copies).map { k =>
+        base.select(
+          (col("doc_id") + lit(k.toLong * stride)).as("doc_id"),
+          zipfKey(hash(col("doc_id"), lit(k), lit("zipfdocs")), nBase, 1)
+            .as("target_id"),
+          col("lang"), col("source"))
+      }.reduce(_ unionAll _)
+      val repDocs = reps.join(targets, "target_id")
+        .withColumn("text", perturbText("target_text", "doc_id", 0))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      base.select("doc_id", "text", "lang", "source", "n_chars")
+        .unionAll(repDocs)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      println(s"[makesf] documents: ${copies}x zipf duplicate classes " +
+        s"(hot class ~6.7% of corpus)")
+    }
+
     def write(name: String, keys: Seq[String]): Unit = {
+      if (name == "documents" && zipfDocs) { writeZipfDocs(); return }
       val base = Tables.load(spark, src, name)
       def content(df: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
         if (!perturb || k == 0) df

@@ -131,4 +131,28 @@ class DialectSpec extends SparkSpec {
       .head().getString(1)
     assert(tl === tn)
   }
+
+  test("safe_cast keeps try_cast semantics with the exception path short-circuited") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // String → int: digit-guarded path must agree with try_cast on
+    // every shape — clean, padded, garbage, digit-containing garbage,
+    // overflow, decimal, sign-only, empty, null.
+    val inputs = Seq("5", " 7 ", "-12", "+3", "abc", "12abc", "99999999999",
+      "1.5", "-", "", null)
+    val both = inputs.toDF("s")
+      .selectExpr("s", "safe_cast(s, 'int') AS g", "try_cast(s AS int) AS t")
+      .collect()
+    both.foreach(r => assert(r.get(1) === r.get(2),
+      s"safe_cast diverged from try_cast on '${r.get(0)}': ${r.get(1)} vs ${r.get(2)}"))
+    // Non-string children delegate to the plain TRY cast — a string-side
+    // digit guard would get boolean→int WRONG (true has no digit).
+    assert(Seq(true, false).toDF("b").selectExpr("safe_cast(b, 'int') AS i")
+      .as[Int].collect().toSeq === Seq(1, 0))
+    // Non-integral targets delegate too (double accepts digit-free
+    // spellings like 'Infinity' / 'NaN').
+    val d = Seq("Infinity", "NaN", "2.5").toDF("s")
+      .selectExpr("safe_cast(s, 'double') AS d").as[Double].collect()
+    assert(d(0).isPosInfinity && d(1).isNaN && d(2) === 2.5)
+  }
 }

@@ -162,4 +162,47 @@ class MakeSfSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
     }
   }
+
+  test("--zipfdocs: duplicate-class sizes are Zipf (one hot class), replicas are single-edit near-dups") {
+    val dst = java.nio.file.Files.createTempDirectory("graft-makesfzd").toString
+    try {
+      MakeSf.run(spark, src, dst, copies = 12, zipfDocs = true)
+      val base = Tables.load(spark, src, "documents")
+      val docs = Tables.load(spark, dst, "documents")
+      val nBase = base.count()
+      assert(docs.count() === 12 * nBase)
+
+      // Recover each replica's class via the SAME deterministic draw the
+      // generator used, then check the hottest class holds the Zipf(1.1)
+      // head share (~6.7%) of the replica mass.
+      val kCol = floor(col("doc_id") / lit(MakeSf.stride)).cast("int")
+      val unshifted = col("doc_id") - kCol.cast("long") * lit(MakeSf.stride)
+      val reps = docs.filter(col("doc_id") >= MakeSf.stride)
+        .withColumn("tgt",
+          MakeSf.zipfKey(hash(unshifted, kCol, lit("zipfdocs")), nBase, 1))
+      val repTotal = reps.count().toDouble
+      val sizes = reps.groupBy("tgt").count().orderBy(col("count").desc)
+        .limit(3).collect().map(_.getLong(1).toDouble)
+      assert(sizes.head / repTotal > 0.04,
+        f"hottest duplicate class carries ${sizes.head / repTotal}%.4f of replicas — expected ~0.067")
+
+      // Near-dup guarantee: every replica carries exactly ONE injected
+      // token and its token-set Jaccard against its class's base doc is
+      // high (single edit on v distinct tokens ⇒ J ≥ (v−1)/(v+1)).
+      val injected = reps.filter(
+        size(expr("filter(split(text, ' '), w -> w RLIKE '^pz[0-9]+$')")) =!= 1).count()
+      assert(injected === 0L, s"$injected replicas lack exactly one injected token")
+      val paired = reps.join(
+        base.select(col("doc_id").as("tgt"), col("text").as("btext")), "tgt")
+      val minJ = paired.select(
+        (size(array_intersect(array_distinct(split(col("text"), " ")),
+                              array_distinct(split(col("btext"), " ")))).cast("double") /
+         size(array_union(array_distinct(split(col("text"), " ")),
+                          array_distinct(split(col("btext"), " "))))).as("j"))
+        .agg(min(col("j"))).head().getDouble(0)
+      assert(minJ > 0.6, f"replica-vs-target token Jaccard fell to $minJ%.3f — not a near-dup class")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+    }
+  }
 }
