@@ -94,6 +94,11 @@ final case class Model(
     materialization: Materialization = View,
     schema: Option[String] = None,
     database: Option[String] = None,
+    /** dbt `alias` (or a `generate_alias_name` macro result): the
+      * relation name the model materializes AS — ref() keys stay on the
+      * model NAME; only the warehouse path segment changes.
+      */
+    alias: Option[String] = None,
     /** Content identity for `state:modified` selection (dbt slim CI):
       * SQL-text models hash their rendered text automatically; compiled
       * Scala models opt in with an explicit version string the author
@@ -299,7 +304,7 @@ object DagRunner {
     * database/schema routing under a warehouse root (S7).
     */
   def targetPath(warehouse: String, m: Model): String =
-    s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.name}"
+    s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.alias.getOrElse(m.name)}"
 
   /** dbt `--defer [--favor-state]`: a ref resolver for a selected
     * subgraph run in a DEV environment that falls back to ANOTHER

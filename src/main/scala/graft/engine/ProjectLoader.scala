@@ -134,7 +134,50 @@ object ProjectLoader {
         * `writeDocsSite` — dbt's manifest/catalog documentation.
         */
       descriptions: Map[String, String] = Map.empty,
-      columnDescriptions: Map[String, Map[String, String]] = Map.empty) {
+      columnDescriptions: Map[String, Map[String, String]] = Map.empty,
+      /** dbt `persist_docs`: model → (persist relation description,
+        * persist column descriptions). The warehouse analog of dbt's
+        * table/column COMMENTs: [[persistDocsSidecars]] writes a
+        * `_graft_docs.json` sidecar inside each configured TABLE-family
+        * model's target directory (views have no on-disk relation to
+        * comment — dbt skips those per-adapter too).
+        */
+      persistDocs: Map[String, (Boolean, Boolean)] = Map.empty) {
+
+    /** Write the persist_docs sidecars for every configured table-family
+      * model under `warehouse`; returns the paths written. Call after a
+      * successful build (dbt persists docs as part of `dbt run`).
+      */
+    def persistDocsSidecars(spark: SparkSession, warehouse: String): Seq[String] = {
+      def js(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      models.flatMap { m =>
+        persistDocs.get(m.name).flatMap { case (rel, cols) =>
+          m.materialization match {
+            case View | Ephemeral => None
+            case _ =>
+              val desc = if (rel) descriptions.get(m.name) else None
+              val cdocs = if (cols) columnDescriptions.getOrElse(m.name, Map.empty)
+                          else Map.empty[String, String]
+              val body = "{" +
+                s""""description":${desc.map(js).getOrElse("null")},""" +
+                s""""columns":${cdocs.toSeq.sorted
+                  .map { case (c, d) => s"${js(c)}:${js(d)}" }.mkString("{", ",", "}")}}"""
+              val path = new org.apache.hadoop.fs.Path(
+                DagRunner.targetPath(warehouse, m), "_graft_docs.json")
+              val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val out = fs.create(path, true)
+              try out.write(body.getBytes("UTF-8")) finally out.close()
+              Some(path.toString)
+          }
+        }
+      }
+    }
 
     /** `dbt snapshot`: build each snapshot's SELECT against `resolve`
       * and fold it into its SCD2 target under `warehouse` (timestamp
@@ -211,10 +254,19 @@ object ProjectLoader {
           !v.isInstanceOf[java.util.List[_]] =>
         k.stripPrefix("+") -> String.valueOf(v)
     }
+    // A '+'-prefixed MAP entry is a config whose value is a dict
+    // (+persist_docs: {relation: true, columns: true}), never a group —
+    // flatten to dotted scalars (persist_docs.relation -> "true").
+    def plusMaps(m: Map[String, Any]): Map[String, String] = m.toSeq.collect {
+      case (k, sub: java.util.Map[_, _]) if k.startsWith("+") =>
+        asMap(sub).collect { case (sk, sv) if sv != null =>
+          s"${k.stripPrefix("+")}.$sk" -> String.valueOf(sv)
+        }
+    }.flatten.toMap
     def walk(m: Map[String, Any], acc: Map[String, String]): Map[String, String] = {
-      var out = acc ++ scalars(m)
+      var out = acc ++ scalars(m) ++ plusMaps(m)
       m.toSeq.sortBy(_._1).foreach {
-        case (k, sub: java.util.Map[_, _]) =>
+        case (k, sub: java.util.Map[_, _]) if !k.startsWith("+") =>
           val applies = k == projectName || relPathSegs.contains(k) ||
             modelName == k || modelName.startsWith(k + "_")
           if (applies) out = walk(asMap(sub), out)
@@ -242,6 +294,75 @@ object ProjectLoader {
     """`([^`\s.]+\.[^`\s.]+\.[^`\s.]+)`""")
   private val bareSourceCallPat = java.util.regex.Pattern.compile(
     """source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)""")
+
+  // {% docs NAME %} markdown {% enddocs %} — dbt's doc blocks, defined
+  // in any .md file under models/ or docs/ and referenced from YAML
+  // descriptions as {{ doc('NAME') }}.
+  private val docBlockPat = java.util.regex.Pattern.compile(
+    """(?s)\{%\s*docs\s+(\w+)\s*%\}(.*?)\{%\s*enddocs\s*%\}""")
+  private val docRefPat = java.util.regex.Pattern.compile(
+    """\{\{\s*doc\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""")
+
+  /** Parse every `{% docs %}` block in `text`; duplicate names across
+    * the project fail loudly (dbt's compile error).
+    */
+  private def parseDocBlocks(text: String, file: String): Seq[(String, String)] = {
+    val m = docBlockPat.matcher(text)
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    while (m.find()) out += (m.group(1) -> m.group(2).trim)
+    out.toSeq
+  }
+
+  /** Evaluate a project-defined `generate_schema_name` /
+    * `generate_alias_name` macro (dbt's custom-naming hooks) for one
+    * node. Supported body constructs — the subset every published
+    * override actually uses: `{% if/elif/else %}` on `is [not] none` /
+    * `==`/`!=` comparisons, the macro's parameters, `node.name`,
+    * `{{ target.name }}`, `{{ target.schema }}`, and string literals
+    * (optionally `| trim`). The result is whitespace-stripped (a
+    * relation name); anything unresolved fails loudly rather than
+    * routing a model to a half-rendered path.
+    */
+  private[graft] def evalNamingMacro(d: SqlModel.MacroDef, custom: Option[String],
+                                     nodeName: String, targetName: String,
+                                     targetSchema: String): String = {
+    import java.util.regex.{Matcher, Pattern}
+    val customLit = custom.map(c => s"'$c'").getOrElse("none")
+    val param = d.params.headOption.map(_._1).getOrElse("custom_schema_name")
+    val bound = d.body
+      .replaceAll("""\bnode\.name\b""", Matcher.quoteReplacement(s"'$nodeName'"))
+      .replaceAll("\\b" + Pattern.quote(param) + "\\b",
+        Matcher.quoteReplacement(customLit))
+    val rendered = SqlModel.expandIfBlocks(bound, Map.empty, targetName)
+      .replaceAll("""\{\{\s*target\.name\s*\}\}""", Matcher.quoteReplacement(targetName))
+      .replaceAll("""\{\{\s*target\.schema\s*\}\}""", Matcher.quoteReplacement(targetSchema))
+      .replaceAll("""\{\{\s*'([^']*)'\s*(?:\|\s*trim\s*)?\}\}""", "$1")
+    val out = rendered.replaceAll("\\s+", "")
+    require(!out.contains("{{") && !out.contains("{%"),
+      s"${d.name}: unsupported construct in naming-macro body " +
+        s"(rendered: ${rendered.trim})")
+    require(out.nonEmpty, s"${d.name} rendered an empty name for $nodeName")
+    out
+  }
+
+  /** Resolve `{{ doc('name') }}` references inside a description
+    * against the project's doc blocks — unknown names are dbt's
+    * compile error, not a silent empty string.
+    */
+  private def renderDocRefs(text: String, blocks: Map[String, String],
+                            where: String): String = {
+    val m = docRefPat.matcher(text)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val name = m.group(1)
+      val body = blocks.getOrElse(name, throw new IllegalArgumentException(
+        s"$where: doc('$name') is not defined in any {% docs %} block " +
+          s"(defined: ${blocks.keys.toSeq.sorted.mkString(", ")})"))
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(body))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
 
   /** Rewrite `{{ source('s','t') }}` to `{{ ref('s.t') }}` (qualified
     * resolve key), failing on a source not declared in any sources.yml —
@@ -594,6 +715,17 @@ object ProjectLoader {
     // Sources (+ per-source/table freshness config) + schema tests from
     // every YAML under models/.
     val ymls = filesUnder(modelsDir, Seq(".yml", ".yaml")).map(p => p -> asMap(parseYaml(p)))
+    // {% docs %} blocks from markdown under models/ and docs/ — the
+    // project-wide doc-block namespace (dbt: unique across the project).
+    val docBlocks: Map[String, String] = {
+      val all = (filesUnder(modelsDir, Seq(".md")) ++
+        filesUnder(dir.resolve("docs"), Seq(".md"))).flatMap(p =>
+        parseDocBlocks(Files.readString(p), p.toString))
+      val dups = all.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+      require(dups.isEmpty,
+        s"duplicate {% docs %} block name(s): ${dups.toSeq.sorted.mkString(", ")}")
+      all.toMap
+    }
     def periodSec(fresh: Map[String, Any], key: String, where: String): Long =
       fresh.get(key).map(asMap).map { a =>
         val count = a.get("count").map(String.valueOf(_).toLong).getOrElse(
@@ -701,7 +833,8 @@ object ProjectLoader {
     // per-column, for the docs artifacts (dbt manifest/catalog).
     val modelDescs = ymls.flatMap { case (_, doc) =>
       doc.get("models").map(asList).getOrElse(Nil).map(asMap).flatMap { m =>
-        optStr(m, "name").flatMap(n => optStr(m, "description").map(n -> _))
+        optStr(m, "name").flatMap(n => optStr(m, "description")
+          .map(d => n -> renderDocRefs(d, docBlocks, s"model $n description")))
       }
     }.toMap
     val columnDescs = ymls.flatMap { case (_, doc) =>
@@ -709,7 +842,8 @@ object ProjectLoader {
         optStr(m, "name").toSeq.flatMap { n =>
           m.get("columns").map(asList).getOrElse(Nil).map(asMap).flatMap { c =>
             for (cn <- optStr(c, "name"); d <- optStr(c, "description"))
-              yield (n, cn, d)
+              yield (n, cn,
+                renderDocRefs(d, docBlocks, s"model $n column $cn description"))
           }
         }
       }
@@ -747,6 +881,19 @@ object ProjectLoader {
     val pkgNatives = pkgs.flatMap(Packages.qualifiedNatives).toMap
 
     val effTarget = profile.map(_.name).getOrElse(target)
+    // dbt custom naming macros: a project-defined generate_schema_name /
+    // generate_alias_name overrides the engine's direct custom-schema /
+    // model-name routing (dbt's own hook points). The engine DEFAULT
+    // (no macro) keeps its established behavior: the custom schema is
+    // used verbatim — equivalent to the common override, not dbt's
+    // built-in target_schema_custom concatenation.
+    val (namingDefs, _) = SqlModel.extractMacros(macrosText)
+    val schemaNamer = namingDefs.get("generate_schema_name")
+    val aliasNamer = namingDefs.get("generate_alias_name")
+    val fallbackSchema = profile.flatMap(_.schema).getOrElse("main")
+    // model name → (persist relation docs, persist column docs) for
+    // models configured with persist_docs (scalar true = both).
+    val persistDocsCfg = scala.collection.mutable.Map.empty[String, (Boolean, Boolean)]
     val models = filesUnder(modelsDir, Seq(".sql")).map { p =>
       val name = p.getFileName.toString.stripSuffix(".sql")
       val raw = Files.readString(p)
@@ -756,13 +903,26 @@ object ProjectLoader {
         .map(par => (0 until par.getNameCount).map(par.getName(_).toString))
         .getOrElse(Nil)
       val cfg = modelConfig(modelsBlock, relSegs, name, projectName)
+      locally {
+        def b(key: String) = cfg.get(key).map(_.trim.equalsIgnoreCase("true"))
+        val rel = b("persist_docs.relation").orElse(b("persist_docs")).getOrElse(false)
+        val cols = b("persist_docs.columns").orElse(b("persist_docs")).getOrElse(false)
+        if (rel || cols) persistDocsCfg(name) = (rel, cols)
+      }
       // Header wins over folder/project config (dbt precedence); passing
       // the header's own value as the caller arg is a no-op tie. The
       // profile output is the routing fallback BELOW both.
+      val customSchema = SqlModel.configStr(raw, "schema").orElse(cfg.get("schema"))
+      val customAlias = SqlModel.configStr(raw, "alias").orElse(cfg.get("alias"))
       SqlModel.fromSqlText(name, text,
         materialization = materializationFor(spark, name, raw, boundVars, cfg),
-        schema = SqlModel.configStr(raw, "schema").orElse(cfg.get("schema"))
+        schema = schemaNamer
+          .map(d => evalNamingMacro(d, customSchema, name, effTarget, fallbackSchema))
+          .orElse(customSchema)
           .orElse(profile.flatMap(_.schema)),
+        alias = aliasNamer
+          .map(d => evalNamingMacro(d, customAlias, name, effTarget, fallbackSchema))
+          .orElse(customAlias),
         database = SqlModel.configStr(raw, "database").orElse(cfg.get("database"))
           .orElse(profile.flatMap(_.database)),
         vars = boundVars, macros = macrosText, target = effTarget,
@@ -902,6 +1062,7 @@ object ProjectLoader {
       onRunStart = runHooks("on-run-start"), onRunEnd = runHooks("on-run-end"),
       analyses = analyses, exposures = exposures, freshness = freshSpecs,
       unitTests = unitTests, snapshots = snapshotNodes,
-      descriptions = modelDescs, columnDescriptions = columnDescs)
+      descriptions = modelDescs, columnDescriptions = columnDescs,
+      persistDocs = persistDocsCfg.toMap)
   }
 }

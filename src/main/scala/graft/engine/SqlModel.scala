@@ -529,6 +529,15 @@ object SqlModel {
       peek match {
         case Some("==") => next(); JBool(jeq(l, atom()))
         case Some("!=") => next(); JBool(!jeq(l, atom()))
+        case Some("is") =>
+          // Jinja's `X is none` / `X is not none` test — the form dbt's
+          // generate_schema_name/generate_alias_name overrides use.
+          next()
+          val neg = if (peek.contains("not")) { next(); true } else false
+          val t = next()
+          require(t == "none" || t == "None",
+            s"only 'is [not] none' is supported: $cond")
+          JBool((l == JNone) ^ neg)
         case _ => l
       }
     }
@@ -819,6 +828,7 @@ object SqlModel {
                   materialization: Materialization = View,
                   schema: Option[String] = None,
                   database: Option[String] = None,
+                  alias: Option[String] = None,
                   vars: Map[String, String] = Map.empty,
                   /** Project-level macro definitions (dbt's `macros/`
                     * dir concatenated); the model text may also define
@@ -896,7 +906,7 @@ object SqlModel {
         // is a registered temp view ([[CatalogMacros]]).
         spark.sql(CatalogMacros.expand(spark, finalSql))
       },
-      mat, sch, db, fingerprint = Some(fp),
+      mat, sch, db, alias = alias, fingerprint = Some(fp),
       tags = extractTags(sqlText),
       preHooks = extractHooks(sqlText, "pre_hook"),
       postHooks = extractHooks(sqlText, "post_hook"),
@@ -921,6 +931,7 @@ object SqlModel {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val base = resourcePath.split('/').last.stripSuffix(".sql")
-    fromSqlText(base, text, materialization, schema, database, vars, target = target)
+    fromSqlText(base, text, materialization, schema, database,
+      vars = vars, target = target)
   }
 }

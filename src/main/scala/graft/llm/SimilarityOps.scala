@@ -1148,10 +1148,17 @@ object SimilarityOps {
     * for the spec's SSE-monotonicity property; the oracle row runs
     * rounds = 3.
     */
-  private[graft] def kmeansRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
+  /** (vec_id, qx) — embeddings quantized to BIGINT millionths, the
+    * exact integer space the k-means trajectory and the cluster-size
+    * guard both operate in.
+    */
+  private[graft] def quantEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("qx"))
+
+  private[graft] def kmeansRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val emb = quantEmb(s, dir)
     val init = emb.orderBy("vec_id").limit(8)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int").as("cluster"), col("qx").as("c"))
@@ -1238,13 +1245,97 @@ object SimilarityOps {
     * graph with a RECURSIVE reachability — cross-algorithm for the
     * closure, replay for the trajectory.
     */
+  /** SemDeDup cluster-size guard (VERDICT r12 #6): the within-cluster
+    * pairwise stage is Σ c_i², and a hot cluster (drifted corpus, or
+    * simply N growing past the fixture's K = 8 — 600k vectors over 8
+    * clusters is ~45B pairs) makes it unrunnable. When
+    * `spark.graft.semdedupMaxClusterRows` > 0, oversized clusters are
+    * recursively SUB-SPLIT with the IVF cell-split's k-d rule: along
+    * the cluster's maximum-variance dimension at its (approx) median —
+    * deterministic, geometry-preserving, each split ~halves the
+    * cluster, so per-cluster pair counts are bounded by ~maxRows². The
+    * trade is SemDeDup's own published one: pairs across a split
+    * boundary are not compared, exactly as pairs across k-means
+    * clusters never were — the conf is a finer-grained K. Default 0 =
+    * off: the oracle row's plan and output are byte-identical.
+    *
+    * Per iteration: one bounded driver collect of the oversized-cluster
+    * split table (≤ #clusters rows), one broadcast-joined remap, and a
+    * localCheckpoint to break lineage (the CC discipline). Degenerate
+    * clusters (all points equal on every dimension) are unsplittable
+    * and left alone; the loop is capped at 20 levels (2^20× reduction).
+    */
+  private[graft] def capClusters(s: SparkSession, asg: DataFrame, emb: DataFrame,
+                                 maxRows: Long): DataFrame = {
+    var cur = asg.select(col("vec_id"), col("cluster").cast("long").as("cl"), col("dist"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < 20) {
+      val over = cur.groupBy("cl").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxRows).select("cl")
+        .collect().map(_.getLong(0)).toSeq
+      if (over.isEmpty)
+        return cur.select(col("vec_id"), col("cl").as("cluster"), col("dist"))
+      val oe = cur.filter(col("cl").isin(over: _*)).join(emb, "vec_id")
+      val dims = oe.select(col("cl"), posexplode(col("qx")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(var_pop(col("x").cast("double")).as("v"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cl").orderBy(col("v").desc, col("pos"))))
+        .filter(col("rk") === 1).select(col("cl"), col("pos"))
+      // Median + range of the split dimension; clusters degenerate on
+      // their max-variance dim (xmin = xmax) are degenerate everywhere
+      // and cannot split.
+      val medRows = oe.join(dims, "cl")
+        .select(col("cl"), col("pos"),
+          element_at(col("qx"), col("pos") + 1).as("x"))
+        .groupBy("cl", "pos")
+        .agg(expr("percentile_approx(x, 0.5, 10000)").as("m"),
+          min("x").as("xmin"), max("x").as("xmax"))
+        .filter(col("xmax") > col("xmin"))
+        .collect()
+      if (medRows.isEmpty)
+        return cur.select(col("vec_id"), col("cl").as("cluster"), col("dist"))
+      // Fresh child ids from a driver counter — tree addressing (2·cl+k)
+      // collides across roots, so ids are allocated explicitly.
+      var nextId = cur.agg(max("cl")).head().getLong(0) + 1
+      val specs = medRows.map { r =>
+        val row = (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4),
+          nextId, nextId + 1)
+        nextId += 2
+        row
+      }.toSeq
+      import s.implicits._
+      val splitDf = specs.toDF("cl", "pos", "m", "xmax", "id0", "id1")
+      cur = cur.join(emb, "vec_id")
+        .join(broadcast(splitDf), Seq("cl"), "left")
+        .withColumn("x", element_at(col("qx"), col("pos") + 1))
+        // side 0 = x <= m unless the median equals the max (heavy upper
+        // tie mass), where x < m keeps both sides non-empty.
+        .withColumn("side",
+          when(col("m") < col("xmax"), col("x") <= col("m"))
+            .otherwise(col("x") < col("m")))
+        .select(col("vec_id"),
+          when(col("id0").isNull, col("cl"))
+            .otherwise(when(col("side"), col("id0")).otherwise(col("id1"))).as("cl"),
+          col("dist"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    cur.select(col("vec_id"), col("cl").as("cluster"), col("dist"))
+  }
+
   private val semdedup = QueryDef(
     "llm_semdedup_kmeans",
     (s, dir) => {
       GraftFunctions.register(s)
       val asg = kmeansRounds(s, dir, 3)
+      val maxClusterRows =
+        s.conf.get("spark.graft.semdedupMaxClusterRows", "0").toLong
+      val asgP =
+        if (maxClusterRows > 0) capClusters(s, asg, quantEmb(s, dir), maxClusterRows)
+        else asg
       val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val both = asg.join(emb, "vec_id")
+      val both = asgP.join(emb, "vec_id")
       val a = both.select(col("cluster"), col("vec_id").as("va"), col("embedding").as("ea"))
       val b = both.select(col("cluster").as("cl2"), col("vec_id").as("vb"), col("embedding").as("eb"))
       val pairs = a.join(b, col("cluster") === col("cl2") && col("va") < col("vb"))

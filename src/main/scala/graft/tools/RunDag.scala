@@ -301,6 +301,11 @@ object RunDag {
         DagRunner.runParallel(spark, models, resolveWithWarehouse, warehouse, threads)
       else DagRunner.run(spark, models, resolveWithWarehouse, warehouse)
     project.foreach(_.onRunEnd.foreach(spark.sql(_)))
+    // persist_docs: after a successful run, write the doc sidecars into
+    // the configured models' target directories (dbt persists relation/
+    // column comments as part of `dbt run`).
+    project.foreach(_.persistDocsSidecars(spark, warehouse)
+      .foreach(p => println(s"[rundag] persisted docs: $p")))
     built.toSeq.sortBy(_._1).foreach { case (name, df) =>
       println(f"[rundag] $name%-45s ${df.count()}%8d rows")
     }

@@ -13,12 +13,10 @@ class ContractSpec extends SparkSpec {
   // expressible ops" clause) — each needs a justification AND a stronger
   // sibling row that IS oracled. Kept deliberately tiny: the default is
   // an oracle, and this list is the audited record of the exceptions.
-  //   - s22c_profile_approx_prod: the production Expand-free profile
-  //     path emits Spark-HLL++ distinct ESTIMATES — engine-specific by
-  //     nature, so no independent engine can hash-match them. Its
-  //     accuracy is oracle-pinned by `s22b_profile_approx` (tolerance
-  //     row) and its plan shape by `PlanAuditSpec` (no Expand).
-  private val rowsOnly = Set("s22c_profile_approx_prod")
+  // EMPTY since round 13: s22c_profile_approx_prod (the last exemption)
+  // now band-validates its HLL estimates in-row against an Expand-free
+  // exact side and pins the result as an oracle boolean.
+  private val rowsOnly = Set.empty[String]
 
   test("every SparkEntry query has an oracle (or an audited rows-only exemption)") {
     val q = SparkEntry.queries.keySet

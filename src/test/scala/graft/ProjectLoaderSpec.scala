@@ -823,6 +823,114 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(expanded("true") === "`a` AS `p_a`, `b` AS `p_b`")
   }
 
+  test("{% docs %} blocks resolve doc() references in descriptions; missing and duplicate names fail loudly") {
+    import spark.implicits._
+    val dir = synthProject(
+      "models/overview.md" ->
+        """{% docs orders_doc %}
+          |The **orders** staging model.
+          |{% enddocs %}
+          |{% docs ok_col %}Order key.{% enddocs %}""".stripMargin,
+      "models/m.sql" -> "SELECT 1 AS ok",
+      "models/schema.yml" ->
+        """version: 2
+          |models:
+          |  - name: m
+          |    description: "{{ doc('orders_doc') }}"
+          |    columns:
+          |      - name: ok
+          |        description: "prefix {{ doc('ok_col') }} suffix"
+          |""".stripMargin)
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.descriptions("m") === "The **orders** staging model.")
+    assert(p.columnDescriptions("m")("ok") === "prefix Order key. suffix")
+    // A doc() reference to an undefined block is dbt's compile error.
+    val bad = synthProject(
+      "models/m.sql" -> "SELECT 1 AS ok",
+      "models/schema.yml" ->
+        "version: 2\nmodels:\n  - name: m\n    description: \"{{ doc('nope') }}\"\n")
+    val e = intercept[IllegalArgumentException](ProjectLoader.load(spark, bad))
+    assert(e.getMessage.contains("doc('nope')"))
+    // Duplicate block names across files fail loudly.
+    val dup = synthProject(
+      "models/a.md" -> "{% docs d %}one{% enddocs %}",
+      "models/b.md" -> "{% docs d %}two{% enddocs %}",
+      "models/m.sql" -> "SELECT 1 AS ok")
+    val e2 = intercept[IllegalArgumentException](ProjectLoader.load(spark, dup))
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
+  test("persist_docs writes relation/column doc sidecars into table-family targets; views are skipped") {
+    import spark.implicits._
+    val dir = synthProject(
+      "models/t.sql" -> "{{ config(materialized='table') }} SELECT 1 AS a",
+      "models/v.sql" -> "SELECT 2 AS b",
+      "models/docs.md" -> "{% docs tdoc %}A documented table.{% enddocs %}",
+      "models/schema.yml" ->
+        """version: 2
+          |models:
+          |  - name: t
+          |    description: "{{ doc('tdoc') }}"
+          |    columns:
+          |      - name: a
+          |        description: the a column
+          |  - name: v
+          |    description: a view
+          |""".stripMargin)
+    // +persist_docs map form at the project level.
+    java.nio.file.Files.writeString(dir.resolve("dbt_project.yml"),
+      """name: synth
+        |models:
+        |  +persist_docs:
+        |    relation: true
+        |    columns: true
+        |""".stripMargin)
+    val p = ProjectLoader.load(spark, dir)
+    assert(p.persistDocs("t") === ((true, true)))
+    val wh = tmpWh()
+    graft.engine.DagRunner.run(spark, p.models, n => sys.error(s"no source $n"), wh)
+    val written = p.persistDocsSidecars(spark, wh)
+    assert(written.size === 1, s"only the table model persists docs, got $written")
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(written.head.stripPrefix("file:"))), "UTF-8")
+    assert(body.contains("A documented table."))
+    assert(body.contains("\"a\":\"the a column\""))
+  }
+
+  test("generate_schema_name / generate_alias_name macros route schemas and relation names per target") {
+    import spark.implicits._
+    val files = Seq(
+      "macros/naming.sql" ->
+        """{% macro generate_schema_name(custom_schema_name, node) -%}
+          |  {%- if custom_schema_name is none -%}
+          |    {{ target.schema }}
+          |  {%- elif target.name == 'prod' -%}
+          |    {{ custom_schema_name | trim }}
+          |  {%- else -%}
+          |    {{ target.name }}_{{ custom_schema_name }}
+          |  {%- endif -%}
+          |{%- endmacro %}
+          |{% macro generate_alias_name(custom_alias_name, node) -%}
+          |  {%- if custom_alias_name is none -%}{{ node.name }}{%- else -%}pre_{{ custom_alias_name }}{%- endif -%}
+          |{%- endmacro %}""".stripMargin,
+      "models/m.sql" -> "{{ config(schema='mart', alias='core') }} SELECT 1 AS a",
+      "models/plain.sql" -> "SELECT 2 AS b")
+    val dev = ProjectLoader.load(spark, synthProject(files: _*))
+    // dev: custom schema prefixed by target name; alias macro applies.
+    assert(dev.model("m").schema === Some("dev_mart"))
+    assert(dev.model("m").alias === Some("pre_core"))
+    // No custom schema → target.schema branch; no custom alias → node.name.
+    assert(dev.model("plain").schema === Some("main"))
+    assert(dev.model("plain").alias === Some("plain"))
+    val prod = ProjectLoader.load(spark, synthProject(files: _*), target = "prod")
+    assert(prod.model("m").schema === Some("mart"))
+    // The alias routes the warehouse path; ref() stays on the model name.
+    val wh = tmpWh()
+    val built = DagRunner.run(spark, dev.models, n => sys.error(s"no source $n"), wh)
+    assert(built.contains("m"))
+    assert(DagRunner.targetPath(wh, dev.model("m")).endsWith("/main/dev_mart/pre_core"))
+  }
+
   test("a singular test without a ref, or with a bad severity, fails loudly at load") {
     val e1 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
       "models/m.sql" -> "SELECT 1 AS a",
