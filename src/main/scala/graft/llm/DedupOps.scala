@@ -639,16 +639,27 @@ object DedupOps {
 
   /** Candidate pairs from the MinHash-LSH pipeline (shared by
     * `llm_minhash_lsh_pairs` and the group-resolution step).
+    *
+    * Hot-bucket dial (round 13, the `--zipfdocs` lesson): a Zipf
+    * duplicate-class corpus puts one ~10k-member near-dup class into
+    * every band bucket it touches, and the bucket self-join then emits
+    * ~bands × C(c, 2) candidate rows — 46M pairs in ONE component at
+    * sf3d (measured, `graft.tools.GraphStats`), which is real output
+    * for the pair-emitting contract but a ×(c/2) blow-up for consumers
+    * that only need per-DOC results (PageRank ranks, groups). When
+    * `spark.graft.lshMaxBucketRows` > 0, buckets larger than the cap
+    * emit STAR edges around the bucket's min doc (c−1 rows) instead of
+    * the clique (C(c,2) rows). The trade, stated exactly: CANDIDATE
+    * connectivity is preserved (a star spans its bucket), so groups/CC
+    * consumers see the same closure as long as star edges survive
+    * their verification; pair-level recall inside hot buckets drops to
+    * the star subset, and degree-derived metrics (pagerank) become
+    * hub-capped — the documented deployment dial for ranking over a
+    * boilerplate-heavy crawl. Default 0 = off: the oracle rows pin the
+    * exact clique semantics.
     */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandHashes(s, dir)
-    val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
-      col("doc_id").as("doc_b"))
-    a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    bandSelfPairs(bandHashes(s, dir))
 
   /** Reliable-checkpoint directory for iterative operators. On a cluster
     * this MUST point at shared storage (HDFS/S3) via
@@ -1826,14 +1837,48 @@ object DedupOps {
 
   /** Banded candidate self-join over one band table: pairs form only
     * inside a (band_idx, band_hash) bucket, `doc_a < doc_b`.
+    *
+    * Hot-bucket dial (round 13, the `--zipfdocs` lesson): a Zipf
+    * duplicate-class corpus puts one ~10k-member near-dup class into
+    * every band bucket it touches, and this self-join then emits
+    * ~bands × C(c, 2) candidate rows — a 46.4M-pair single component at
+    * sf3d (measured, `graft.tools.GraphStats`; `llm_dup_pagerank_comp`
+    * single run 1489 s). That volume IS the answer for pair-emitting
+    * contracts, but a ×(c/2) blow-up for per-DOC consumers (ranks).
+    * When `spark.graft.lshMaxBucketRows` > 0, buckets above the cap
+    * emit STAR edges around the bucket's min doc (c−1 rows) instead of
+    * the clique. Stated exactly: candidate CONNECTIVITY is preserved (a
+    * star spans its bucket — `LshBucketCapSpec` pins closure equality),
+    * pair-level recall inside hot buckets drops to the star subset, and
+    * degree-derived metrics become hub-capped — the deployment dial for
+    * ranking over a boilerplate-heavy crawl. Default 0 = off: the
+    * oracle rows pin the exact clique semantics.
     */
   private[graft] def bandSelfPairs(b: DataFrame): DataFrame = {
-    val a2 = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b2 = b.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
-      col("doc_id").as("doc_b"))
-    a2.join(b2, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cap = b.sparkSession.conf.get("spark.graft.lshMaxBucketRows", "0").toLong
+    if (cap <= 0) {
+      val a2 = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      val b2 = b.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+        col("doc_id").as("doc_b"))
+      a2.join(b2, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    } else {
+      val sizes = b.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("bn"), min("doc_id").as("hub"))
+      val withN = b.join(sizes, Seq("band_idx", "band_hash"))
+      val a2 = withN.filter(col("bn") <= cap)
+        .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      val b2 = withN.filter(col("bn") <= cap)
+        .select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+          col("doc_id").as("doc_b"))
+      val small = a2.join(b2, col("band_idx") === col("bi") &&
+          col("band_hash") === col("bh") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      val hot = withN.filter(col("bn") > cap && col("doc_id") =!= col("hub"))
+        .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      small.unionAll(hot).distinct()
+    }
   }
 
   /** PERSISTED incremental-dedup state — the deployment path of
