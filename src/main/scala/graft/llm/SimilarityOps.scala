@@ -1329,8 +1329,19 @@ object SimilarityOps {
     (s, dir) => {
       GraftFunctions.register(s)
       val asg = kmeansRounds(s, dir, 3)
+      // "auto" (the default): the fixture K = 8 is corpus-size-blind, so
+      // above 2^16 vectors the Σc_i² pair stage would cross ~10⁸ pairs
+      // per cluster and the row stops being runnable (600k vectors over
+      // 8 clusters is ~45B pairs) — engage a 4096-row cap there. Below
+      // the threshold (every oracle and bench SF up to sf1) the guard is
+      // OFF and the row is byte-identical to the published algorithm.
+      // Explicit "0" forces off; an explicit number forces that cap.
       val maxClusterRows =
-        s.conf.get("spark.graft.semdedupMaxClusterRows", "0").toLong
+        s.conf.get("spark.graft.semdedupMaxClusterRows", "auto") match {
+          case "auto" =>
+            if (Tables.load(s, dir, "embeddings").count() > 65536L) 4096L else 0L
+          case v => v.toLong
+        }
       val asgP =
         if (maxClusterRows > 0) capClusters(s, asg, quantEmb(s, dir), maxClusterRows)
         else asg

@@ -59,6 +59,20 @@ class SemdedupGuardSpec extends SparkSpec {
     assert(dOut.select("cluster").distinct().count() === 1L)
   }
 
+  test("auto default: the guard stays OFF below 2^16 vectors (oracle scales) and an explicit 0 forces off") {
+    // At fixture scale the auto threshold must not engage: the row's
+    // output with the default conf equals the output with the guard
+    // explicitly forced off.
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.unset("spark.graft.semdedupMaxClusterRows")
+    val auto = SparkEntry.queries("llm_semdedup_kmeans")(spark, dir).collect().toSeq
+    spark.conf.set("spark.graft.semdedupMaxClusterRows", "0")
+    try {
+      val off = SparkEntry.queries("llm_semdedup_kmeans")(spark, dir).collect().toSeq
+      assert(auto === off, "auto engaged below the 2^16-vector threshold")
+    } finally spark.conf.unset("spark.graft.semdedupMaxClusterRows")
+  }
+
   test("the guard conf bounds the semdedup pair stage without changing the keep contract shape") {
     // Run the full row on the fixture with an aggressively low cap: it
     // must still produce one keep per group and cover every vector.
