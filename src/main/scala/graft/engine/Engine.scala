@@ -912,7 +912,13 @@ object DagRunner {
       case Ephemeral =>
         df // stays a lazy plan; dependents compose it via their refs map
       case View =>
-        df.createOrReplaceTempView(m.name)
+        // Versioned node names (`family.vN`) are not legal single-part
+        // view identifiers; register under the sanitized ref-view name
+        // every SQL consumer actually reads (SqlModel.viewName), and
+        // the plain name too when it is a legal identifier.
+        if (m.name.forall(c => c.isLetterOrDigit || c == '_'))
+          df.createOrReplaceTempView(m.name)
+        else df.createOrReplaceTempView(SqlModel.viewName(m.name))
         df
       case Table =>
         val path = target

@@ -294,6 +294,11 @@ object ProjectLoader {
     """`([^`\s.]+\.[^`\s.]+\.[^`\s.]+)`""")
   private val bareSourceCallPat = java.util.regex.Pattern.compile(
     """source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)""")
+  // Two-arg {{ ref('project', 'model') }} — dbt 1.6 cross-project refs
+  // ("dbt mesh"). Distinct from the version-pinned form (second arg
+  // there is bare `v=N`, not quoted).
+  private val projRefPat = java.util.regex.Pattern.compile(
+    """\{\{\s*ref\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""")
 
   // {% docs NAME %} markdown {% enddocs %} — dbt's doc blocks, defined
   // in any .md file under models/ or docs/ and referenced from YAML
@@ -683,7 +688,17 @@ object ProjectLoader {
              * below model headers and dbt_project.yml config, dbt's
              * precedence.
              */
-           profile: Option[TargetOutput] = None): DbtProject = {
+           profile: Option[TargetOutput] = None): DbtProject =
+    loadImpl(spark, dir, vars, target, profile, Set.empty)
+
+  private def loadImpl(spark: SparkSession, dir: Path,
+                       vars: Map[String, String],
+                       target: String,
+                       profile: Option[TargetOutput],
+                       /** Absolute project dirs already on the load
+                         * path — guards dependencies.yml cycles.
+                         */
+                       visited: Set[Path]): DbtProject = {
     // Package macros may render to the engine's native functions
     // (safe_cast); register them in this session before any model SQL
     // parses. Idempotent (createOrReplaceTempFunction).
@@ -693,6 +708,67 @@ object ProjectLoader {
     val projYml = asMap(parseYaml(projFile))
     val projectName = optStr(projYml, "name").getOrElse(
       throw new IllegalArgumentException(s"$projFile: missing project name"))
+
+    // dependencies.yml (dbt 1.6 cross-project "mesh" refs): each
+    // declared upstream project loads recursively; its PUBLIC models are
+    // the only ones a two-arg ref('project', 'model') may target (dbt's
+    // access enforcement). The upstream's models join THIS project's
+    // runnable DAG — where dbt Cloud resolves a cross-project ref to the
+    // upstream's already-deployed relation, the engine materializes the
+    // upstream in-run, so a mesh works on the FIRST run (the same
+    // strictly-stronger divergence as build-time star introspection).
+    // `path:` locates the upstream relative to the consumer project dir;
+    // default is a sibling directory named after the project. Upstream
+    // TESTS/snapshots/unit tests do not merge — dbt never runs an
+    // upstream project's checks from a consumer invocation.
+    val dirKey = dir.toAbsolutePath.normalize
+    require(!visited.contains(dirKey),
+      s"dependencies.yml cycle: project at $dirKey is already on the load path")
+    val depsFile = dir.resolve("dependencies.yml")
+    val upstreamProjects: Seq[DbtProject] =
+      (if (Files.exists(depsFile)) asMap(parseYaml(depsFile)).get("projects")
+         .map(asList).getOrElse(Nil).map(asMap)
+       else Nil).map { p =>
+        val depName = optStr(p, "name").getOrElse(throw new IllegalArgumentException(
+          s"$depsFile: projects entry without a name"))
+        val depDir = optStr(p, "path").map(dir.resolve(_).normalize)
+          .getOrElse(Option(dir.getParent).map(_.resolve(depName)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$depsFile: project '$depName' has no path and $dir has no parent")))
+        require(Files.isDirectory(depDir),
+          s"$depsFile: upstream project '$depName' not found at $depDir")
+        val up = loadImpl(spark, depDir, vars, target,
+          profile = None, visited = visited + dirKey)
+        require(up.name == depName,
+          s"$depsFile: entry '$depName' points at $depDir, which declares " +
+            s"project '${up.name}'")
+        up
+      }
+    // Full and public model maps per upstream project — full for the
+    // does-it-exist error, public for what a cross-project ref may use.
+    val upAll: Map[String, Map[String, Model]] =
+      upstreamProjects.map(up => up.name -> up.models.map(m => m.name -> m).toMap).toMap
+    def rewriteProjectRefs(text: String, where: String): String = {
+      val m = projRefPat.matcher(text)
+      val sb = new java.lang.StringBuilder
+      while (m.find()) {
+        val (p, mod) = (m.group(1), m.group(2))
+        val fam = upAll.getOrElse(p, throw new IllegalArgumentException(
+          s"$where: ref('$p', '$mod') — project '$p' is not declared in " +
+            s"dependencies.yml (declared: ${
+              if (upAll.isEmpty) "none" else upAll.keys.toSeq.sorted.mkString(", ")})"))
+        val refd = fam.getOrElse(mod, throw new IllegalArgumentException(
+          s"$where: ref('$p', '$mod') — project '$p' has no model '$mod'"))
+        require(refd.access == "public",
+          s"$where: ref('$p', '$mod') — model '$mod' has access: " +
+            s"${refd.access}; only access: public models may be " +
+            "referenced across projects")
+        m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(s"{{ ref('$mod') }}"))
+      }
+      m.appendTail(sb)
+      sb.toString
+    }
     val modelsBlock = projYml.get("models").map(asMap).getOrElse(Map.empty)
     // dbt_project.yml `vars:` declares project-level DEFAULTS; caller
     // vars (dbt's --vars) override them — dbt's own precedence.
@@ -848,6 +924,38 @@ object ProjectLoader {
         }
       }
     }.groupBy(_._1).map { case (m, xs) => m -> xs.map(x => x._2 -> x._3).toMap }
+    // Model contracts (dbt 1.5): schema.yml `config: {contract:
+    // {enforced: true}}` turns the model's column list into an enforced
+    // interface — every column needs a data_type; a `not_null`
+    // constraint routes to the ColumnContract flag. Enforced by
+    // materializeOne BEFORE dependents run.
+    val contractCols: Map[String, Seq[ColumnContract]] = ymls.flatMap { case (_, doc) =>
+      doc.get("models").map(asList).getOrElse(Nil).map(asMap).flatMap { m =>
+        val mName = optStr(m, "name")
+        val enforced = m.get("config").map(asMap)
+          .flatMap(_.get("contract").map(asMap))
+          .exists(_.get("enforced").exists(v =>
+            String.valueOf(v).equalsIgnoreCase("true")))
+        if (!enforced) None
+        else {
+          val n = mName.getOrElse(throw new IllegalArgumentException(
+            "schema.yml: contract config on a model entry without a name"))
+          val cols = m.get("columns").map(asList).getOrElse(Nil).map(asMap).map { c =>
+            val cn = optStr(c, "name").getOrElse(throw new IllegalArgumentException(
+              s"model $n: contract column entry without a name"))
+            val dt = optStr(c, "data_type").getOrElse(
+              throw new IllegalArgumentException(
+                s"model $n: contract is enforced but column $cn has no data_type"))
+            val notNull = c.get("constraints").map(asList).getOrElse(Nil).map(asMap)
+              .exists(k => optStr(k, "type").contains("not_null"))
+            ColumnContract(cn, dt, notNull)
+          }
+          require(cols.nonEmpty,
+            s"model $n: contract is enforced but no columns are declared")
+          Some(n -> cols)
+        }
+      }
+    }.toMap
     // exposures: — downstream consumers (dashboards, ML jobs): pure
     // metadata anchoring `exposure:` selection and the docs lineage.
     val exposures = ymls.flatMap { case (_, doc) =>
@@ -894,11 +1002,39 @@ object ProjectLoader {
     // model name → (persist relation docs, persist column docs) for
     // models configured with persist_docs (scalar true = both).
     val persistDocsCfg = scala.collection.mutable.Map.empty[String, (Boolean, Boolean)]
+    // A BARE ref('m') that names an upstream mesh project's model is a
+    // load-time error carrying the two-arg spelling — dbt's rule that
+    // cross-project references are always explicit. Checked on the RAW
+    // text (a two-arg ref has already-distinct syntax; after the
+    // rewrite both forms look identical). Local basenames — this
+    // project's own models and seeds — shadow upstream names, exactly
+    // dbt's resolution order.
+    val localBasenames: Set[String] =
+      filesUnder(modelsDir, Seq(".sql")).map(_.getFileName.toString.stripSuffix(".sql")).toSet ++
+        filesUnder(dir.resolve("seeds"), Seq(".csv")).map(_.getFileName.toString.stripSuffix(".csv"))
+    val upstreamHome: Map[String, String] = upstreamProjects
+      .flatMap(up => up.models.map(m => m.name -> up.name)).toMap
+    val bareRefPat = java.util.regex.Pattern.compile(
+      """\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""")
+    def checkBareRefs(text: String, where: String): Unit = {
+      val m = bareRefPat.matcher(text)
+      while (m.find()) {
+        val r = m.group(1)
+        if (!localBasenames.contains(r)) upstreamHome.get(r).foreach(home =>
+          throw new IllegalArgumentException(
+            s"$where: bare ref('$r') names a model in upstream project " +
+              s"'$home' — cross-project models must be referenced as " +
+              s"ref('$home', '$r')"))
+      }
+    }
+
     val models = filesUnder(modelsDir, Seq(".sql")).map { p =>
       val name = p.getFileName.toString.stripSuffix(".sql")
       val raw = Files.readString(p)
-      val text = rewritePhysicalTables(
-        rewriteSources(raw, declaredSources, modelsDir.relativize(p).toString))
+      checkBareRefs(raw, modelsDir.relativize(p).toString)
+      val text = rewritePhysicalTables(rewriteSources(
+        rewriteProjectRefs(raw, modelsDir.relativize(p).toString),
+        declaredSources, modelsDir.relativize(p).toString))
       val relSegs = Option(modelsDir.relativize(p).getParent)
         .map(par => (0 until par.getNameCount).map(par.getName(_).toString))
         .getOrElse(Nil)
@@ -914,6 +1050,12 @@ object ProjectLoader {
       // profile output is the routing fallback BELOW both.
       val customSchema = SqlModel.configStr(raw, "schema").orElse(cfg.get("schema"))
       val customAlias = SqlModel.configStr(raw, "alias").orElse(cfg.get("alias"))
+      // dbt governance config (dbt 1.5 groups + access): header wins
+      // over folder/project config, default access is 'protected' —
+      // enforced by DagRunner.validateAccess (private/group) and by
+      // rewriteProjectRefs above (cross-project refs need public).
+      val accessCfg = SqlModel.configStr(raw, "access").orElse(cfg.get("access"))
+      val groupCfg = SqlModel.configStr(raw, "group").orElse(cfg.get("group"))
       SqlModel.fromSqlText(name, text,
         materialization = materializationFor(spark, name, raw, boundVars, cfg),
         schema = schemaNamer
@@ -927,7 +1069,11 @@ object ProjectLoader {
           .orElse(profile.flatMap(_.database)),
         vars = boundVars, macros = macrosText, target = effTarget,
         packageMacros = pkgMacros, nativeMacros = pkgNatives)
+        .copy(access = accessCfg.getOrElse("protected"), group = groupCfg,
+          contract = contractCols.getOrElse(name, Nil))
     }
+    contractCols.keys.foreach(n => require(models.exists(_.name == n),
+      s"schema.yml declares a contract for unknown model '$n'"))
     // seeds/ CSVs (dbt seed nodes): one Table model per file, routed by
     // the dbt_project.yml `seeds:` config block (scalar database/schema,
     // `+`-prefixed keys accepted — same shape as the models block).
@@ -976,8 +1122,9 @@ object ProjectLoader {
     val singulars = filesUnder(dir.resolve("tests"), Seq(".sql")).map { p =>
       val name = p.getFileName.toString.stripSuffix(".sql")
       val raw = Files.readString(p)
-      val text = rewritePhysicalTables(
-        rewriteSources(raw, declaredSources, dir.relativize(p).toString))
+      val text = rewritePhysicalTables(rewriteSources(
+        rewriteProjectRefs(raw, dir.relativize(p).toString),
+        declaredSources, dir.relativize(p).toString))
       val (inlineMacros, stripped) = SqlModel.extractMacros(text)
       val expanded = SqlModel.expandMacros(stripped,
         pkgMacros ++ SqlModel.extractMacros(macrosText)._1 ++ inlineMacros, pkgNatives)
@@ -1003,8 +1150,9 @@ object ProjectLoader {
     val analyses = filesUnder(dir.resolve("analyses"), Seq(".sql")).map { p =>
       val name = p.getFileName.toString.stripSuffix(".sql")
       val raw = Files.readString(p)
-      val text = rewritePhysicalTables(
-        rewriteSources(raw, declaredSources, dir.relativize(p).toString))
+      val text = rewritePhysicalTables(rewriteSources(
+        rewriteProjectRefs(raw, dir.relativize(p).toString),
+        declaredSources, dir.relativize(p).toString))
       SqlModel.fromSqlText(name, text, vars = boundVars, macros = macrosText,
         target = effTarget, packageMacros = pkgMacros, nativeMacros = pkgNatives)
     }
@@ -1022,8 +1170,9 @@ object ProjectLoader {
         val name = m.group(1)
         val body = m.group(2)
         val where = s"snapshot $name (${dir.relativize(p)})"
-        val text = rewritePhysicalTables(
-          rewriteSources(body, declaredSources, dir.relativize(p).toString))
+        val text = rewritePhysicalTables(rewriteSources(
+          rewriteProjectRefs(body, where),
+          declaredSources, dir.relativize(p).toString))
         val model = SqlModel.fromSqlText(name, text, vars = boundVars,
           macros = macrosText, target = effTarget,
           packageMacros = pkgMacros, nativeMacros = pkgNatives)
@@ -1052,12 +1201,17 @@ object ProjectLoader {
       out.result()
     }
 
-    val allNodes = models ++ seedModels
+    val allNodes = models ++ seedModels ++ upstreamProjects.flatMap(_.models)
     val names = allNodes.map(_.name)
     require(names.distinct.size == names.size,
-      s"duplicate model basenames in $modelsDir: " +
+      s"duplicate model basenames across $modelsDir and its mesh upstreams: " +
         names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
-    DbtProject(projectName, allNodes, sources,
+    // Upstream source declarations merge so the combined DAG resolves;
+    // on a key collision the consumer's declaration wins (it is the
+    // project being invoked).
+    val mergedSources = sources ++ upstreamProjects.flatMap(_.sources)
+      .filterNot(s => sources.exists(_.key == s.key))
+    DbtProject(projectName, allNodes, mergedSources,
       checks ++ errSingulars.map(_._1), warnChecks ++ warnSingulars.map(_._1),
       onRunStart = runHooks("on-run-start"), onRunEnd = runHooks("on-run-end"),
       analyses = analyses, exposures = exposures, freshness = freshSpecs,

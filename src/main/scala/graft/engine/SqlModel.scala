@@ -896,7 +896,21 @@ object SqlModel {
       .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
     Model(name, refs,
       (spark: SparkSession, resolved: Map[String, DataFrame]) => {
-        refs.foreach(r => resolved(r).createOrReplaceTempView(viewName(r)))
+        // Register views from the RESOLVED map, not the captured refs:
+        // DagRunner.resolveVersionRefs may have rewritten an unpinned
+        // ref('family') edge to the latest `family.vN` node, in which
+        // case the rendered SQL still reads the UNPINNED view name —
+        // answer it with the version-resolved frame too. (A ref the
+        // model pinned itself is in `refs`, so no alias is added.)
+        val verKey = """^(.*)\.v\d+$""".r
+        resolved.foreach { case (r, df) =>
+          df.createOrReplaceTempView(viewName(r))
+          r match {
+            case verKey(base) if !refs.contains(r) =>
+              df.createOrReplaceTempView(viewName(base))
+            case _ => ()
+          }
+        }
         val ctx = DagRunner.currentBuildTarget
         val finalSql = renderConditionals(rendered,
           incremental = ctx.exists(c => c.incremental && c.exists),

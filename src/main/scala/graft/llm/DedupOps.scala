@@ -661,6 +661,18 @@ object DedupOps {
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     bandSelfPairs(bandHashes(s, dir))
 
+  /** Candidate pairs for the RANK consumers (PageRank family): same
+    * banded self-join, but under the [[rankEdgeCap]] auto guard —
+    * per-doc rank contracts tolerate hub-capped hot buckets
+    * (connectivity preserved), where pair-EMITTING contracts never do.
+    * The corpus size deciding `auto` is the parquet row count (a
+    * metadata-only job).
+    */
+  private def rankPairs(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.load(s, dir, "documents").count()
+    bandSelfPairsCapped(bandHashes(s, dir), rankEdgeCap(s, nDocs))
+  }
+
   /** Reliable-checkpoint directory for iterative operators. On a cluster
     * this MUST point at shared storage (HDFS/S3) via
     * `spark.graft.checkpointDir` — `checkpoint()` (unlike
@@ -1119,7 +1131,7 @@ object DedupOps {
       // no cache entry behind in the long-lived bench JVM. The pair list
       // is near-dup-sized (two longs per candidate), orders of magnitude
       // smaller than the corpus.
-      val pairs = checkpointSlot("llm_dup_pagerank", lshPairs(s, dir))
+      val pairs = checkpointSlot("llm_dup_pagerank", rankPairs(s, dir))
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -1648,7 +1660,7 @@ object DedupOps {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id")
       val eps = s.conf.get("spark.graft.pagerankEpsilon", "1000000").toLong
-      val pairs = checkpointSlot("llm_dup_pagerank_conv", lshPairs(s, dir))
+      val pairs = checkpointSlot("llm_dup_pagerank_conv", rankPairs(s, dir))
       val (ranks, _, delta) = pagerankConvergedStats(docs, pairs, eps)
       ranks.select(col("doc_id"), col("degree"),
           (col("pr") >= expr("150000000000L div n_docs") &&
@@ -1688,7 +1700,8 @@ object DedupOps {
       // Every doc in the band table is in `docs`, so the contraction
       // satisfies pagerankComponents' closure contract.
       val bands = checkpointSlot("llm_dup_pagerank_comp", bandHashes(s, dir))
-      pagerankComponents(docs, bandSelfPairs(bands), eps,
+      pagerankComponents(docs,
+        bandSelfPairsCapped(bands, rankEdgeCap(s, docs.count())), eps,
         connectivity = Some(bandStarEdges(bands)))
         .select(col("doc_id"), col("degree"),
           (col("pr") >= expr("150000000000L div n_docs") &&
@@ -1854,8 +1867,38 @@ object DedupOps {
     * ranking over a boilerplate-heavy crawl. Default 0 = off: the
     * oracle rows pin the exact clique semantics.
     */
-  private[graft] def bandSelfPairs(b: DataFrame): DataFrame = {
-    val cap = b.sparkSession.conf.get("spark.graft.lshMaxBucketRows", "0").toLong
+  private[graft] def bandSelfPairs(b: DataFrame): DataFrame =
+    bandSelfPairsCapped(b,
+      b.sparkSession.conf.get("spark.graft.lshMaxBucketRows", "0").toLong)
+
+  /** The hot-bucket cap the RANK consumers (PageRank family) apply —
+    * `spark.graft.pagerankMaxBucketRows`, default `auto` (the SemDeDup
+    * auto-guard precedent: a corpus-size-blind default must not decide
+    * 100×'s fate):
+    *
+    *  - `auto`, corpus ≤ 2^17 docs: defer to the global
+    *    `lshMaxBucketRows` conf (0 = exact cliques) — every oracle and
+    *    sub-sf1 bench scale stays bit-exact;
+    *  - `auto`, corpus > 2^17 docs: star-cap buckets above 4096 rows
+    *    (or tighter, if the global conf is) — a Zipf hot class's
+    *    ~bands × C(c,2) candidate volume is what made the sf3d
+    *    `llm_dup_pagerank_comp` run take 1489 s at old defaults; on a
+    *    UNIFORM corpus no bucket reaches 4096, so the flip is
+    *    output-invisible there;
+    *  - an explicit number N: that cap (0 forces exact cliques at any
+    *    scale — the published-algorithm escape hatch).
+    */
+  private[graft] def rankEdgeCap(s: SparkSession, nDocs: Long): Long =
+    s.conf.get("spark.graft.pagerankMaxBucketRows", "auto") match {
+      case "auto" =>
+        val global = s.conf.get("spark.graft.lshMaxBucketRows", "0").toLong
+        if (nDocs <= (1L << 17)) global
+        else if (global > 0) math.min(global, 4096L)
+        else 4096L
+      case v => v.toLong
+    }
+
+  private[graft] def bandSelfPairsCapped(b: DataFrame, cap: Long): DataFrame = {
     if (cap <= 0) {
       val a2 = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
       val b2 = b.select(col("band_idx").as("bi"), col("band_hash").as("bh"),

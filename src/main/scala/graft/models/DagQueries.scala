@@ -1166,11 +1166,78 @@ object DagQueries {
            |      FROM orders)
            |ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  /** dependencies.yml cross-project refs (dbt 1.6 mesh) end-to-end:
+    * `fixtures/mesh_consumer` declares `fixtures/mesh_core` as an
+    * upstream project; its dashboard model two-arg-refs mesh_core's
+    * PUBLIC interface model and joins its own source. The load merges
+    * both projects into one runnable DAG (access enforced at load);
+    * DuckDB re-derives the whole mesh from plain SQL.
+    */
+  private val meshDashboard = QueryDef(
+    "dag_mesh_dashboard",
+    (s, dir) => {
+      val consumerDir = Seq(java.nio.file.Paths.get("fixtures/mesh_consumer"),
+        java.nio.file.Paths.get("/root/repo/fixtures/mesh_consumer"))
+        .find(java.nio.file.Files.isDirectory(_))
+        .getOrElse(throw new IllegalStateException(
+          "fixtures/mesh_consumer not found (run from the repo root)"))
+      val proj = graft.engine.ProjectLoader.load(s, consumerDir)
+      val sel = graft.engine.DagRunner.withLazyUpstreams(proj.models,
+        graft.engine.DagRunner.select(proj.models, "+mesh_dashboard"))
+      val built = graft.engine.DagRunner.run(s, sel,
+        n => graft.sources.Tables.load(s, dir, n.stripPrefix("tpch.")))
+      ordered(built("mesh_dashboard"))
+    },
+    Some("""SELECT c.c_mktsegment,
+           |  CASE WHEN o.o_totalprice >= 200000 THEN 'big' ELSE 'small' END AS size_class,
+           |  CAST(count(*) AS BIGINT) AS n_orders,
+           |  round(sum(o.o_totalprice), 2) AS total_price
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  /** dbt 1.5 MODEL VERSIONS end-to-end through the file frontend
+    * (`fixtures/ver_project`): the rev_daily family ships v1 and v2
+    * side by side (v2 is a breaking revision — filter + added column).
+    * `dag_ver_latest` pins the UNPINNED ref('rev_daily') resolving to
+    * the latest version; `dag_ver_pinned` pins ref('rev_daily', v=1)
+    * staying on the old contract. DuckDB re-derives each version's
+    * semantics from plain SQL.
+    */
+  private def verModel(s: SparkSession, dir: String, name: String): DataFrame = {
+    val projDir = Seq(java.nio.file.Paths.get("fixtures/ver_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/ver_project"))
+      .find(java.nio.file.Files.isDirectory(_))
+      .getOrElse(throw new IllegalStateException(
+        "fixtures/ver_project not found (run from the repo root)"))
+    val proj = graft.engine.ProjectLoader.load(s, projDir)
+    val resolved = graft.engine.DagRunner.resolveVersionRefs(proj.models)
+    val sel = graft.engine.DagRunner.withLazyUpstreams(resolved,
+      graft.engine.DagRunner.select(resolved, s"+$name"))
+    val built = graft.engine.DagRunner.run(s, sel,
+      n => graft.sources.Tables.load(s, dir, n.stripPrefix("tpch.")))
+    ordered(built(name))
+  }
+
+  private val verLatest = QueryDef(
+    "dag_ver_latest",
+    (s, dir) => verModel(s, dir, "rev_latest_wide"),
+    Some("""SELECT o_orderdate, round(sum(o_totalprice), 2) AS rev,
+           |  CAST(count(*) AS BIGINT) AS n_orders
+           |FROM orders WHERE o_orderstatus = 'F'
+           |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  private val verPinned = QueryDef(
+    "dag_ver_pinned",
+    (s, dir) => verModel(s, dir, "rev_pinned_v1"),
+    Some("""SELECT o_orderdate, round(sum(o_totalprice), 2) AS rev
+           |FROM orders GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     pomsFlattened, tvBroadcasts, youtube, facebook, instagram, sitesAndApps,
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
     sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing,
     sqlIfPricing, projectDashboard, microbatchDaily,
     pkgDateSpine, pkgPivot, pkgSurrogateKey, pkgUnionRelations, pkgEnvVar,
-    pkgDateMath, pkgStar, pkgPivotDynamic, pkgSingularTests, pkgFreshness)
+    pkgDateMath, pkgStar, pkgPivotDynamic, pkgSingularTests, pkgFreshness,
+    meshDashboard, verLatest, verPinned)
 }

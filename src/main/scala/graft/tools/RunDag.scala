@@ -207,7 +207,11 @@ object RunDag {
     }.orElse(selectors.find(_.default).map(_.definition))
     require(selectorName.isEmpty || projectDir.isDefined,
       "--selector requires --project <dir> (selectors.yml lives in the project)")
-    val allModels = project.map(_.models).getOrElse(NpoDag.models(today))
+    // Versioned-model pre-pass (dbt 1.5): unpinned refs to a versioned
+    // family resolve to its latest version before selection, so
+    // `--select +consumer` pulls the right version's subtree.
+    val allModels = DagRunner.resolveVersionRefs(
+      project.map(_.models).getOrElse(NpoDag.models(today)))
     // Under --select, unselected TABLE-family upstreams resolve from the
     // warehouse of a previous full run (dbt's contract — they persist);
     // VIEW and EPHEMERAL upstreams have no on-disk form, so their

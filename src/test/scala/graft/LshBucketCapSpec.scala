@@ -52,4 +52,27 @@ class LshBucketCapSpec extends SparkSpec {
         "capping changed the candidate-graph closure")
     } finally spark.conf.unset("spark.graft.lshMaxBucketRows")
   }
+
+  test("rankEdgeCap auto policy: exact at oracle scale, 4096-star-capped above 2^17 docs, explicit 0 forces exact") {
+    import graft.llm.DedupOps.rankEdgeCap
+    // auto (default): below the corpus threshold the global conf rules
+    // (0 = exact), above it the 4096 guard engages.
+    assert(rankEdgeCap(spark, 10000L) === 0L)
+    assert(rankEdgeCap(spark, (1L << 17)) === 0L)
+    assert(rankEdgeCap(spark, (1L << 17) + 1) === 4096L)
+    // An explicit global lsh cap composes: honored below, tightens above.
+    spark.conf.set("spark.graft.lshMaxBucketRows", "100")
+    try {
+      assert(rankEdgeCap(spark, 10000L) === 100L)
+      assert(rankEdgeCap(spark, 1000000L) === 100L)
+    } finally spark.conf.unset("spark.graft.lshMaxBucketRows")
+    // Explicit pagerank conf wins over auto — including 0 = published
+    // exact cliques at any scale.
+    spark.conf.set("spark.graft.pagerankMaxBucketRows", "0")
+    try assert(rankEdgeCap(spark, 100000000L) === 0L)
+    finally spark.conf.unset("spark.graft.pagerankMaxBucketRows")
+    spark.conf.set("spark.graft.pagerankMaxBucketRows", "17")
+    try assert(rankEdgeCap(spark, 10L) === 17L)
+    finally spark.conf.unset("spark.graft.pagerankMaxBucketRows")
+  }
 }

@@ -931,6 +931,170 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(DagRunner.targetPath(wh, dev.model("m")).endsWith("/main/dev_mart/pre_core"))
   }
 
+  // ---- dependencies.yml cross-project refs (dbt mesh) ---------------------
+
+  private def meshConsumerDir = Seq(
+    java.nio.file.Paths.get("fixtures/mesh_consumer"),
+    java.nio.file.Paths.get("/root/repo/fixtures/mesh_consumer"))
+    .find(java.nio.file.Files.isDirectory(_)).get
+
+  test("dependencies.yml: the upstream project's models join the DAG; a two-arg ref builds end-to-end") {
+    import spark.implicits._
+    val p = ProjectLoader.load(spark, meshConsumerDir)
+    assert(p.name === "mesh_consumer")
+    // Consumer model + both upstream models are in the runnable DAG.
+    assert(p.models.map(_.name).toSet ===
+      Set("mesh_dashboard", "core_orders_enriched", "core_internal_margins"))
+    // The two-arg ref became a plain DAG edge; governance metadata
+    // parsed from the upstream's config headers.
+    assert(p.model("mesh_dashboard").refs.contains("core_orders_enriched"))
+    assert(p.model("core_orders_enriched").access === "public")
+    assert(p.model("core_orders_enriched").group === Some("core"))
+    assert(p.model("core_internal_margins").access === "protected")
+    // Upstream source declarations merged under their qualified keys.
+    assert(p.sources.map(_.key).toSet === Set("tpch.customer", "tpch.orders"))
+    // Build the consumer model's closure over tiny in-memory tables.
+    val orders = Seq((1L, 10L, "1995-01-01", 250000.0), (2L, 10L, "1995-01-02", 1000.0),
+      (3L, 20L, "1995-01-03", 900000.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq((10L, "BUILDING"), (20L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val sel = DagRunner.withLazyUpstreams(p.models,
+      DagRunner.select(p.models, "+mesh_dashboard"))
+    val built = DagRunner.run(spark, sel, {
+      case "tpch.orders" => orders
+      case "tpch.customer" => customer
+      case n => sys.error(s"no source $n")
+    })
+    val rows = built("mesh_dashboard")
+      .select("c_mktsegment", "size_class", "n_orders", "total_price")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(rows === Set(("BUILDING", "big", 1L, 250000.0),
+      ("BUILDING", "small", 1L, 1000.0), ("MACHINERY", "big", 1L, 900000.0)))
+  }
+
+  test("mesh governance: non-public targets, unknown projects/models, bare refs, and cycles all fail loudly") {
+    def consumer(modelSql: String, deps: String =
+        "projects:\n  - name: mesh_core\n    path: MESHCORE\n"): java.nio.file.Path = {
+      val core = meshConsumerDir.getParent.resolve("mesh_core")
+        .toAbsolutePath.normalize
+      synthProject(
+        "dependencies.yml" -> deps.replace("MESHCORE", core.toString),
+        "models/consumer_m.sql" -> modelSql)
+    }
+    // Two-arg ref to a protected model: dbt's access error.
+    val e1 = intercept[IllegalArgumentException](ProjectLoader.load(spark,
+      consumer("SELECT * FROM {{ ref('mesh_core', 'core_internal_margins') }}")))
+    assert(e1.getMessage.contains("access: protected"))
+    // Unknown model in a declared project.
+    val e2 = intercept[IllegalArgumentException](ProjectLoader.load(spark,
+      consumer("SELECT * FROM {{ ref('mesh_core', 'nope') }}")))
+    assert(e2.getMessage.contains("has no model 'nope'"))
+    // Undeclared project.
+    val e3 = intercept[IllegalArgumentException](ProjectLoader.load(spark,
+      consumer("SELECT * FROM {{ ref('other_proj', 'm') }}")))
+    assert(e3.getMessage.contains("not declared in"))
+    // A bare ref to an upstream model demands the two-arg spelling.
+    val e4 = intercept[IllegalArgumentException](ProjectLoader.load(spark,
+      consumer("SELECT * FROM {{ ref('core_orders_enriched') }}")))
+    assert(e4.getMessage.contains("ref('mesh_core', 'core_orders_enriched')"))
+    // dependencies.yml entry whose path declares a different project name.
+    val e5 = intercept[IllegalArgumentException](ProjectLoader.load(spark,
+      consumer("SELECT 1 AS a",
+        deps = "projects:\n  - name: wrong_name\n    path: MESHCORE\n")))
+    assert(e5.getMessage.contains("declares project 'mesh_core'"))
+    // A self-cycle is caught, not an infinite recursion.
+    val cyc = synthProject("models/m.sql" -> "SELECT 1 AS a")
+    java.nio.file.Files.writeString(cyc.resolve("dependencies.yml"),
+      s"projects:\n  - name: synth\n    path: $cyc\n")
+    val e6 = intercept[IllegalArgumentException](ProjectLoader.load(spark, cyc))
+    assert(e6.getMessage.contains("cycle"))
+  }
+
+  test("model versions through the file frontend: unpinned refs resolve latest, pinned refs hold") {
+    import spark.implicits._
+    val dir = Seq(java.nio.file.Paths.get("fixtures/ver_project"),
+      java.nio.file.Paths.get("/root/repo/fixtures/ver_project"))
+      .find(java.nio.file.Files.isDirectory(_)).get
+    val p = ProjectLoader.load(spark, dir)
+    // The family's canonical node names carry the version suffix; the
+    // pinned ref extracted as the canonical name, the unpinned ref as
+    // the bare family name until the resolution pre-pass.
+    assert(p.models.map(_.name).toSet === Set("rev_daily.v1", "rev_daily.v2",
+      "rev_latest_wide", "rev_pinned_v1"))
+    assert(p.model("rev_latest_wide").refs === Seq("rev_daily"))
+    assert(p.model("rev_pinned_v1").refs === Seq("rev_daily.v1"))
+    val resolved = DagRunner.resolveVersionRefs(p.models)
+    assert(resolved.find(_.name == "rev_latest_wide").get.refs === Seq("rev_daily.v2"))
+    val orders = Seq((1L, "1995-01-01", 100.0, "F"), (2L, "1995-01-01", 50.0, "O"),
+      (3L, "1995-01-02", 10.0, "F"))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+    val built = DagRunner.run(spark, resolved,
+      { case "tpch.orders" => orders; case n => sys.error(s"no source $n") })
+    // latest (v2): fulfilled only, with counts; pinned (v1): all orders.
+    assert(built("rev_latest_wide").select("o_orderdate", "rev", "n_orders")
+      .as[(String, Double, Long)].collect().toSet ===
+      Set(("1995-01-01", 100.0, 1L), ("1995-01-02", 10.0, 1L)))
+    assert(built("rev_pinned_v1").select("o_orderdate", "rev")
+      .as[(String, Double)].collect().toSet ===
+      Set(("1995-01-01", 150.0), ("1995-01-02", 10.0)))
+  }
+
+  test("schema.yml contracts: enforced column set/types/not-null through the file frontend") {
+    def proj(modelSql: String, dataType: String = "bigint") = synthProject(
+      "models/m.sql" -> modelSql,
+      "models/schema.yml" ->
+        s"""version: 2
+           |models:
+           |  - name: m
+           |    config:
+           |      contract:
+           |        enforced: true
+           |    columns:
+           |      - name: id
+           |        data_type: $dataType
+           |        constraints:
+           |          - type: not_null
+           |      - name: label
+           |        data_type: string
+           |""".stripMargin)
+    def run(dir: java.nio.file.Path) = {
+      val p = ProjectLoader.load(spark, dir)
+      assert(p.model("m").contract.map(_.name) === Seq("id", "label"))
+      assert(p.model("m").contract.head.notNull)
+      DagRunner.run(spark, p.models, n => sys.error(s"no source $n"), tmpWh())
+    }
+    // Satisfied contract (order-insensitive set match).
+    run(proj("SELECT 'a' AS label, CAST(1 AS BIGINT) AS id"))
+    // Type mismatch.
+    val e1 = intercept[IllegalArgumentException](
+      run(proj("SELECT CAST(1 AS INT) AS id, 'a' AS label")))
+    assert(e1.getMessage.contains("type mismatch"))
+    // Undeclared extra column.
+    val e2 = intercept[IllegalArgumentException](
+      run(proj("SELECT CAST(1 AS BIGINT) AS id, 'a' AS label, 2 AS extra")))
+    assert(e2.getMessage.contains("undeclared"))
+    // not_null violated.
+    val e3 = intercept[IllegalArgumentException](
+      run(proj("SELECT CAST(NULL AS BIGINT) AS id, 'a' AS label")))
+    assert(e3.getMessage.toLowerCase.contains("null"))
+    // Contract on a model that does not exist.
+    val e4 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
+      "models/other.sql" -> "SELECT 1 AS a",
+      "models/schema.yml" ->
+        """version: 2
+          |models:
+          |  - name: ghost
+          |    config:
+          |      contract:
+          |        enforced: true
+          |    columns:
+          |      - name: a
+          |        data_type: int
+          |""".stripMargin)))
+    assert(e4.getMessage.contains("unknown model 'ghost'"))
+  }
+
   test("a singular test without a ref, or with a bad severity, fails loudly at load") {
     val e1 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
       "models/m.sql" -> "SELECT 1 AS a",
