@@ -1580,7 +1580,13 @@ object DedupOps {
         // routed a 570-node subgraph through the full checkpointed
         // distributed loop — ~35 s of pure per-block fixed cost for a
         // solve the in-task tier does in milliseconds.
-        val maxEdges = s.conf.get("spark.graft.pagerankComponentMaxEdges", "2000000").toLong
+        // Default 16M (round 13): ~256 MB/task of primitive longs —
+        // sized so every post-rankEdgeCap component (worst sub-cap
+        // class ≈ bands × C(1023,2) ≈ 4M edges) solves in-task; the
+        // sf3d probe showed the distributed loop's ~85 rounds × fixed
+        // per-round cost dominating whenever a hot component missed
+        // this tier.
+        val maxEdges = s.conf.get("spark.graft.pagerankComponentMaxEdges", "16000000").toLong
         val counts = comped.groupBy("comp").agg(count(lit(1)).as("np"))
         val bigComps = counts.filter(col("np") * 2 > maxEdges).select("comp")
           .as[Long].collect().toSet // component COUNT is tiny (distinct canonical ids over threshold)
@@ -1879,12 +1885,18 @@ object DedupOps {
     *  - `auto`, corpus ≤ 2^17 docs: defer to the global
     *    `lshMaxBucketRows` conf (0 = exact cliques) — every oracle and
     *    sub-sf1 bench scale stays bit-exact;
-    *  - `auto`, corpus > 2^17 docs: star-cap buckets above 4096 rows
+    *  - `auto`, corpus > 2^17 docs: star-cap buckets above 1024 rows
     *    (or tighter, if the global conf is) — a Zipf hot class's
     *    ~bands × C(c,2) candidate volume is what made the sf3d
     *    `llm_dup_pagerank_comp` run take 1489 s at old defaults; on a
-    *    UNIFORM corpus no bucket reaches 4096, so the flip is
-    *    output-invisible there;
+    *    UNIFORM corpus no bucket reaches 1024, so the flip is
+    *    output-invisible there. The cap composes with the in-task
+    *    component tier (`pagerankComponentMaxEdges`, 16M): the WORST
+    *    sub-cap class still emits bands × C(1023, 2) ≈ 4M clique
+    *    edges — inside the tier, so no post-cap component ever routes
+    *    to the slow distributed loop (a 4096 cap was probed first and
+    *    failed exactly that arithmetic: sub-cap classes near 4k docs
+    *    emit ~67M-edge components);
     *  - an explicit number N: that cap (0 forces exact cliques at any
     *    scale — the published-algorithm escape hatch).
     */
@@ -1893,8 +1905,8 @@ object DedupOps {
       case "auto" =>
         val global = s.conf.get("spark.graft.lshMaxBucketRows", "0").toLong
         if (nDocs <= (1L << 17)) global
-        else if (global > 0) math.min(global, 4096L)
-        else 4096L
+        else if (global > 0) math.min(global, 1024L)
+        else 1024L
       case v => v.toLong
     }
 

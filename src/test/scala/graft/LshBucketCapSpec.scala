@@ -53,13 +53,14 @@ class LshBucketCapSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.lshMaxBucketRows")
   }
 
-  test("rankEdgeCap auto policy: exact at oracle scale, 4096-star-capped above 2^17 docs, explicit 0 forces exact") {
+  test("rankEdgeCap auto policy: exact at oracle scale, 1024-star-capped above 2^17 docs, explicit 0 forces exact") {
     import graft.llm.DedupOps.rankEdgeCap
     // auto (default): below the corpus threshold the global conf rules
-    // (0 = exact), above it the 4096 guard engages.
+    // (0 = exact), above it the 1024 guard engages (sized so worst
+    // sub-cap cliques stay inside the 16M in-task component tier).
     assert(rankEdgeCap(spark, 10000L) === 0L)
     assert(rankEdgeCap(spark, (1L << 17)) === 0L)
-    assert(rankEdgeCap(spark, (1L << 17) + 1) === 4096L)
+    assert(rankEdgeCap(spark, (1L << 17) + 1) === 1024L)
     // An explicit global lsh cap composes: honored below, tightens above.
     spark.conf.set("spark.graft.lshMaxBucketRows", "100")
     try {
