@@ -142,7 +142,14 @@ object ProjectLoader {
         * model's target directory (views have no on-disk relation to
         * comment — dbt skips those per-adapter too).
         */
-      persistDocs: Map[String, (Boolean, Boolean)] = Map.empty) {
+      persistDocs: Map[String, (Boolean, Boolean)] = Map.empty,
+      /** The project's macro namespace (package macros under qualified
+        * AND alias names, project macros shadowing) plus the natively-
+        * rendered package macros — what `dbt run-operation` expands a
+        * standalone macro call against ([[graft.tools.RunDag]]).
+        */
+      macroDefs: Map[String, SqlModel.MacroDef] = Map.empty,
+      nativeMacroDefs: Map[String, Seq[String] => String] = Map.empty) {
 
     /** Write the persist_docs sidecars for every configured table-family
       * model under `warehouse`; returns the paths written. Call after a
@@ -1217,6 +1224,8 @@ object ProjectLoader {
       analyses = analyses, exposures = exposures, freshness = freshSpecs,
       unitTests = unitTests, snapshots = snapshotNodes,
       descriptions = modelDescs, columnDescriptions = columnDescs,
-      persistDocs = persistDocsCfg.toMap)
+      persistDocs = persistDocsCfg.toMap,
+      macroDefs = pkgMacros ++ SqlModel.extractMacros(macrosText)._1,
+      nativeMacroDefs = pkgNatives)
   }
 }

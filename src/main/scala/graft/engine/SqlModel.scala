@@ -742,7 +742,7 @@ object SqlModel {
     * on unbound vars) — [[ProjectLoader]] renders partition-expression
     * list items with this before evaluating them.
     */
-  private[engine] def substituteVars(text: String, vars: Map[String, String]): String = {
+  private[graft] def substituteVars(text: String, vars: Map[String, String]): String = {
     val vm = varPat.matcher(text)
     val sb = new java.lang.StringBuilder
     while (vm.find()) {

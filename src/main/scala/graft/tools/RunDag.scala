@@ -107,6 +107,21 @@ object RunDag {
     val asOfFlag = flagValue("--as-of")
     require(!snapshotMode || projectDir.isDefined,
       "--snapshot requires --project <dir> (snapshots/ lives in the project)")
+    // dbt run-operation: expand a project/package macro standalone and
+    // execute the rendered SQL (--args pastes verbatim into the call
+    // parens). dbt prints only what the macro logs; the engine prints
+    // the result frame — the useful divergence for a SQL-rendering
+    // macro subset.
+    val runOperation = flagValue("--run-operation")
+    val opArgs = flagValue("--args")
+    require(opArgs.isEmpty || runOperation.isDefined,
+      "--args requires --run-operation <macro>")
+    require(runOperation.isEmpty || projectDir.isDefined,
+      "--run-operation requires --project <dir> (macros live in the project)")
+    // dbt show: build the selected model's closure and print a row
+    // preview instead of a full run.
+    val showModel = flagValue("--show")
+    val showLimit = flagValue("--limit").map(_.toInt).getOrElse(5)
     val favorState = args0.contains("--favor-state")
     // dbt errors on --favor-state without --defer; silently defaulting
     // to dev-first resolution would ship the opposite of what the user
@@ -124,7 +139,8 @@ object RunDag {
       while (a.contains("--list")) a = a.patch(a.indexOf("--list"), Nil, 1)
       for (f <- Seq("--threads", "--select", "--selector", "--exclude", "--defer",
                     "--project", "--vars", "--docs", "--profiles", "--profile",
-                    "--target", "--as-of")) {
+                    "--target", "--as-of", "--run-operation", "--args",
+                    "--show", "--limit")) {
         var i = a.indexOf(f)
         while (i >= 0) {
           require(i < a.length - 1, s"$f requires a value")
@@ -162,7 +178,10 @@ object RunDag {
         // does not exist on disk.
         val res = (n: String) => {
           val conf = spark.sparkContext.hadoopConfiguration
-          val cands = Seq(n, n.replaceAll("[^A-Za-z0-9_]", "_")).distinct
+          // A QUALIFIED source key (`tpch.orders`) falls back to the bare
+          // table basename — the sources dir holds one parquet per table.
+          val cands = Seq(n, n.replaceAll("[^A-Za-z0-9_]", "_"),
+              n.substring(n.lastIndexOf('.') + 1)).distinct
             .map(b => s"$src/$b.parquet")
           val found = cands.find { c =>
             val p = new org.apache.hadoop.fs.Path(c)
@@ -237,6 +256,58 @@ object RunDag {
           case None => spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
         }
       else resolve(n)
+    // --run-operation = `dbt run-operation`: render ONE macro call and
+    // execute it, nothing else. Unknown macros fail listing the known
+    // namespace; vars/env resolve exactly as they would inside a model.
+    if (runOperation.isDefined) {
+      val opName = runOperation.get
+      val p = project.get
+      require(p.macroDefs.contains(opName) || p.nativeMacroDefs.contains(opName),
+        s"--run-operation: macro '$opName' is not defined " +
+          s"(known: ${(p.macroDefs.keySet ++ p.nativeMacroDefs.keySet).toSeq.sorted.mkString(", ")})")
+      val call = s"{{ $opName(${opArgs.getOrElse("")}) }}"
+      val rendered = graft.engine.SqlModel.substituteEnvVars(
+        graft.engine.SqlModel.substituteVars(
+          graft.engine.SqlModel.expandMacros(call, p.macroDefs, p.nativeMacroDefs),
+          userVars))
+      // Resolve relation call sites exactly as a model build would:
+      // sources through the source resolver, refs through the model's
+      // built warehouse relation (run-operation runs AGAINST state, it
+      // never builds).
+      val srcCall = """\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
+      val refCall = """\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}""".r
+      var sql = rendered
+      srcCall.findAllMatchIn(rendered).foreach { m =>
+        val key = s"${m.group(1)}.${m.group(2)}"
+        val vn = "graft_op_" + key.replaceAll("[^A-Za-z0-9_]", "_")
+        resolve(key).createOrReplaceTempView(vn)
+        sql = sql.replace(m.matched, vn)
+      }
+      refCall.findAllMatchIn(sql).foreach { m =>
+        val n = m.group(1)
+        require(byName.contains(n), s"run-operation $opName: unknown ref('$n')")
+        val vn = "graft_op_" + n.replaceAll("[^A-Za-z0-9_]", "_")
+        spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
+          .createOrReplaceTempView(vn)
+        sql = sql.replace(m.matched, vn)
+      }
+      println(s"[rundag] run-operation $opName:\n$sql")
+      spark.sql(sql).show(50, truncate = false)
+      spark.stop()
+      return
+    }
+    // --show = `dbt show`: build the model's ancestor closure lazily and
+    // print a bounded row preview (nothing else materializes).
+    if (showModel.isDefined) {
+      val name = showModel.get
+      require(byName.contains(name), s"--show: unknown model '$name'")
+      val closure = DagRunner.withLazyUpstreams(allModels,
+        DagRunner.select(allModels, s"+$name"))
+      val built = DagRunner.run(spark, closure, resolve, warehouse)
+      built(name).show(showLimit, truncate = false)
+      spark.stop()
+      return
+    }
     // --list = `dbt ls`: print the selected node names in dependency
     // order and stop — nothing materializes (the CI idiom for "what
     // would this selector run?").

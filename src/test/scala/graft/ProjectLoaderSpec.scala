@@ -1095,6 +1095,26 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(e4.getMessage.contains("unknown model 'ghost'"))
   }
 
+  test("macroDefs expose the project+package namespace for run-operation; a standalone call renders and runs") {
+    import spark.implicits._
+    val dir = synthProject(
+      "packages.yml" -> "packages:\n  - package: dbt-labs/dbt_utils\n    version: 1.3.0\n",
+      "macros/ops.sql" ->
+        ("{% macro audit_count(tbl) %}SELECT '{{ tbl }}' AS relation, " +
+          "count(*) AS n FROM {{ tbl }}{% endmacro %}"),
+      "models/m.sql" -> "SELECT 1 AS a")
+    val p = ProjectLoader.load(spark, dir)
+    // The project macro and the package namespace are both addressable.
+    assert(p.macroDefs.contains("audit_count"))
+    assert(p.macroDefs.contains("dbt_utils.date_spine"))
+    // The run-operation core: expand one standalone call, run the SQL.
+    Seq((1, "x"), (2, "y")).toDF("id", "v").createOrReplaceTempView("audit_src")
+    val rendered = graft.engine.SqlModel.expandMacros(
+      "{{ audit_count('audit_src') }}", p.macroDefs, p.nativeMacroDefs)
+    val row = spark.sql(rendered).as[(String, Long)].head()
+    assert(row === ("audit_src", 2L))
+  }
+
   test("a singular test without a ref, or with a bad severity, fails loudly at load") {
     val e1 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
       "models/m.sql" -> "SELECT 1 AS a",
