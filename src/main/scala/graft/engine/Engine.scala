@@ -77,6 +77,16 @@ final case class IncrementalMicrobatch(
 final case class MergeUpsert(
     uniqueKey: String, partitionCol: String) extends Materialization
 
+/** dbt `incremental_strategy='append'`: every incremental run INSERTS
+  * its output rows — no keys, no overwrite, the event-log strategy.
+  * dbt's own caveat applies verbatim: append is not idempotent (a
+  * replayed run duplicates its rows); `--full-refresh` rebuilds from
+  * scratch. `partitionCol` (from `partition_by`) controls the physical
+  * layout only.
+  */
+final case class IncrementalAppend(
+    partitionCol: Option[String] = None) extends Materialization
+
 /** `database`/`schema` are dbt's two-level routing (S7,
   * `/root/reference/dbt_project.yml:5-11`): they namespace the physical
   * target of table-like materializations as
@@ -546,6 +556,7 @@ object DagRunner {
       case IncrementalInsertOverwrite(p, _) => s"incremental:insert_overwrite:$p"
       case MergeUpsert(k, p) => s"incremental:merge:$k:$p"
       case IncrementalMicrobatch(evt, p, _, _, _) => s"incremental:microbatch:$evt:$p"
+      case IncrementalAppend(p) => s"incremental:append${p.fold("")(":" + _)}"
     }
     val nodes = topoSort(models).map { m =>
       jstr(m.name) + ":{" +
@@ -881,7 +892,7 @@ object DagRunner {
         s"model ${m.name}: ephemeral models cannot have hooks (dbt restriction)")
     val incMat = m.materialization match {
       case _: IncrementalInsertOverwrite | _: MergeUpsert |
-           _: IncrementalMicrobatch => true
+           _: IncrementalMicrobatch | _: IncrementalAppend => true
       case _ => false
     }
     // dbt --full-refresh analog: the conf forces is_incremental() false
@@ -950,6 +961,15 @@ object DagRunner {
         val path = target
         val rec = reconcileSchema(spark, breakSelfRead(spark, df, path), path, exists, m)
         writeMerge(spark, rec, path, key, partCol)
+        spark.read.schema(rec.schema).parquet(path)
+      case IncrementalAppend(partCol) =>
+        val path = target
+        // breakSelfRead: an is_incremental() body may read {{ this }};
+        // appending to a path the plan also scans needs the same
+        // self-read break the other incremental writers use.
+        val rec = reconcileSchema(spark, breakSelfRead(spark, df, path), path, exists, m)
+        val w0 = rec.write.mode(if (exists) "append" else "overwrite")
+        partCol.fold(w0)(w0.partitionBy(_)).parquet(path)
         spark.read.schema(rec.schema).parquet(path)
     }
     if (m.contract.nonEmpty) enforceContract(m, out)

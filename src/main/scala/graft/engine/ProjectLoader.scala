@@ -452,6 +452,10 @@ object ProjectLoader {
     }
     val strategy = SqlModel.configStr(raw, "incremental_strategy")
       .getOrElse("insert_overwrite")
+    // append is the one strategy with no partition requirement (the
+    // event-log shape); partition_by remains an optional layout hint.
+    if (strategy == "append")
+      return IncrementalAppend(SqlModel.configStr(raw, "partition_by"))
     val partCol = SqlModel.configStr(raw, "partition_by").getOrElse(
       throw new IllegalArgumentException(
         s"model $name: materialized='incremental' requires partition_by"))
@@ -474,14 +478,20 @@ object ProjectLoader {
             .mkString("SELECT ", ", ", "")).head()
         IncrementalInsertOverwrite(partCol,
           exprs.indices.map(i => String.valueOf(row.get(i))))
-      case "merge" =>
+      case "merge" | "delete+insert" =>
+        // On a parquet file warehouse the two strategies share one
+        // mechanism: writeMerge's key-anti-join + insert. `merge`
+        // carries dbt's at-most-one-row-per-key update contract;
+        // `delete+insert` is the same operation without it (all target
+        // rows for a batch key are dropped, every batch row inserts —
+        // which is exactly what the anti-join + unionByName does).
         val key = SqlModel.configStr(raw, "unique_key").getOrElse(
           throw new IllegalArgumentException(
-            s"model $name: incremental_strategy='merge' requires unique_key"))
+            s"model $name: incremental_strategy='$strategy' requires unique_key"))
         MergeUpsert(key, partCol)
       case other => throw new IllegalArgumentException(
         s"model $name: unsupported incremental_strategy '$other' " +
-          "(supported: insert_overwrite, merge)")
+          "(supported: insert_overwrite, merge, delete+insert, append)")
     }
   }
 

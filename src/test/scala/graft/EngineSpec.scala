@@ -154,6 +154,27 @@ class EngineSpec extends SparkSpec {
     assert(DagRunner.cloneModels(spark, Seq(t), prod, dev, overwrite = true) === Seq("t1"))
   }
 
+  test("incremental append: runs accumulate rows; full-refresh rebuilds; partition_by shapes the layout") {
+    val wh = Files.createTempDirectory("graft-app").toString
+    def batch(n: Int): Model = Model("events_log", Nil,
+      (s, _) => {
+        import s.implicits._
+        Seq((n.toLong, s"d$n")).toDF("id", "day")
+      },
+      materialization = IncrementalAppend(Some("day")))
+    assert(DagRunner.run(spark, Seq(batch(1)), x => fail(x), wh)("events_log").count() === 1L)
+    assert(DagRunner.run(spark, Seq(batch(2)), x => fail(x), wh)("events_log").count() === 2L)
+    // append is NOT idempotent — dbt's own documented trade.
+    assert(DagRunner.run(spark, Seq(batch(2)), x => fail(x), wh)("events_log").count() === 3L)
+    // Partitioned layout on disk.
+    val path = DagRunner.targetPath(wh, batch(0))
+    assert(new java.io.File(path).list().exists(_.startsWith("day=")))
+    // full-refresh resets to the single batch.
+    spark.conf.set("spark.graft.fullRefresh", "true")
+    try assert(DagRunner.run(spark, Seq(batch(9)), x => fail(x), wh)("events_log").count() === 1L)
+    finally spark.conf.unset("spark.graft.fullRefresh")
+  }
+
   test("model versions: unpinned refs resolve to the latest version; pinned refs hold") {
     val wh = Files.createTempDirectory("graft-ver").toString
     def v(name: String, n: Int): Model =

@@ -1115,6 +1115,29 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(row === ("audit_src", 2L))
   }
 
+  test("incremental strategies append and delete+insert parse from config headers") {
+    import graft.engine.{IncrementalAppend, MergeUpsert}
+    val p = ProjectLoader.load(spark, synthProject(
+      "models/ev_append.sql" ->
+        ("{{ config(materialized='incremental', incremental_strategy='append', " +
+          "partition_by='day') }} SELECT 1 AS id, 'a' AS day"),
+      "models/ev_append_flat.sql" ->
+        ("{{ config(materialized='incremental', incremental_strategy='append') }} " +
+          "SELECT 1 AS id"),
+      "models/ev_di.sql" ->
+        ("{{ config(materialized='incremental', incremental_strategy='delete+insert', " +
+          "unique_key='id', partition_by='day') }} SELECT 1 AS id, 'a' AS day")))
+    assert(p.model("ev_append").materialization === IncrementalAppend(Some("day")))
+    assert(p.model("ev_append_flat").materialization === IncrementalAppend(None))
+    assert(p.model("ev_di").materialization === MergeUpsert("id", "day"))
+    // delete+insert without unique_key is loud.
+    val e = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
+      "models/bad.sql" ->
+        ("{{ config(materialized='incremental', incremental_strategy='delete+insert', " +
+          "partition_by='day') }} SELECT 1 AS id, 'a' AS day"))))
+    assert(e.getMessage.contains("requires unique_key"))
+  }
+
   test("a singular test without a ref, or with a bad severity, fails loudly at load") {
     val e1 = intercept[IllegalArgumentException](ProjectLoader.load(spark, synthProject(
       "models/m.sql" -> "SELECT 1 AS a",
