@@ -154,8 +154,15 @@ object ProjectLoader {
     /** Write the persist_docs sidecars for every configured table-family
       * model under `warehouse`; returns the paths written. Call after a
       * successful build (dbt persists docs as part of `dbt run`).
+      * `builtNames` limits the write to models the run actually
+      * materialized: under `--select`, writing a sidecar for a
+      * never-built model would CREATE its target directory
+      * (fs.create(path, overwrite) makes parent dirs), so a later
+      * incremental run of that model sees exists=true and tries to read
+      * a parquet relation containing only the sidecar.
       */
-    def persistDocsSidecars(spark: SparkSession, warehouse: String): Seq[String] = {
+    def persistDocsSidecars(spark: SparkSession, warehouse: String,
+                            builtNames: Set[String]): Seq[String] = {
       def js(s: String): String = "\"" + s.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
@@ -164,7 +171,8 @@ object ProjectLoader {
         case c => c.toString
       } + "\""
       models.flatMap { m =>
-        persistDocs.get(m.name).flatMap { case (rel, cols) =>
+        persistDocs.get(m.name).filter(_ => builtNames.contains(m.name))
+          .flatMap { case (rel, cols) =>
           m.materialization match {
             case View | Ephemeral => None
             case _ =>
@@ -339,6 +347,14 @@ object ProjectLoader {
                                      nodeName: String, targetName: String,
                                      targetSchema: String): String = {
     import java.util.regex.{Matcher, Pattern}
+    // The parameter binds by textual substitution and the custom value is
+    // injected as a bare quoted literal — an embedded quote (or any
+    // non-identifier junk) would render garbage that can slip past the
+    // leftover-{{ check and route the model to a wrong path. Schema and
+    // alias names are identifiers; demand that shape loudly.
+    custom.foreach(c => require(c.matches("[A-Za-z0-9_.\\-]+"),
+      s"${d.name}: custom value '$c' is not a safe identifier " +
+        "([A-Za-z0-9_.-]+) — refusing to substitute it into the macro body"))
     val customLit = custom.map(c => s"'$c'").getOrElse("none")
     val param = d.params.headOption.map(_._1).getOrElse("custom_schema_name")
     val bound = d.body
@@ -706,7 +722,8 @@ object ProjectLoader {
              * precedence.
              */
            profile: Option[TargetOutput] = None): DbtProject =
-    loadImpl(spark, dir, vars, target, profile, Set.empty)
+    loadImpl(spark, dir, vars, target, profile, Set.empty,
+      scala.collection.mutable.Map.empty)
 
   private def loadImpl(spark: SparkSession, dir: Path,
                        vars: Map[String, String],
@@ -715,7 +732,15 @@ object ProjectLoader {
                        /** Absolute project dirs already on the load
                          * path — guards dependencies.yml cycles.
                          */
-                       visited: Set[Path]): DbtProject = {
+                       visited: Set[Path],
+                       /** Projects already loaded ANYWHERE in this load
+                         * (dir → result): a diamond mesh (consumer → A,
+                         * consumer → B → A) resolves the shared upstream
+                         * to ONE project instance instead of loading it
+                         * twice and tripping the duplicate-basename
+                         * check. dbt supports diamond dependencies.
+                         */
+                       memo: scala.collection.mutable.Map[Path, DbtProject]): DbtProject = {
     // Package macros may render to the engine's native functions
     // (safe_cast); register them in this session before any model SQL
     // parses. Idempotent (createOrReplaceTempFunction).
@@ -754,8 +779,9 @@ object ProjectLoader {
               s"$depsFile: project '$depName' has no path and $dir has no parent")))
         require(Files.isDirectory(depDir),
           s"$depsFile: upstream project '$depName' not found at $depDir")
-        val up = loadImpl(spark, depDir, vars, target,
-          profile = None, visited = visited + dirKey)
+        val depKey = depDir.toAbsolutePath.normalize
+        val up = memo.getOrElseUpdate(depKey, loadImpl(spark, depDir, vars, target,
+          profile = None, visited = visited + dirKey, memo = memo))
         require(up.name == depName,
           s"$depsFile: entry '$depName' points at $depDir, which declares " +
             s"project '${up.name}'")
@@ -1218,24 +1244,39 @@ object ProjectLoader {
       out.result()
     }
 
-    val allNodes = models ++ seedModels ++ upstreamProjects.flatMap(_.models)
+    // A diamond mesh surfaces the shared upstream's models through more
+    // than one upstreamProjects entry — the memo guarantees those are
+    // the SAME Model instances, so identity-dedup keeps one copy; a
+    // name collision between DISTINCT models is still the loud error.
+    val rawNodes = models ++ seedModels ++ upstreamProjects.flatMap(_.models)
+    val allNodes = {
+      val seen = new java.util.IdentityHashMap[Model, Unit]()
+      rawNodes.filter(m => if (seen.containsKey(m)) false else { seen.put(m, ()); true })
+    }
     val names = allNodes.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate model basenames across $modelsDir and its mesh upstreams: " +
         names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
     // Upstream source declarations merge so the combined DAG resolves;
     // on a key collision the consumer's declaration wins (it is the
-    // project being invoked).
+    // project being invoked). Docs metadata and persist_docs configs
+    // merge the same way, so upstream models keep their documentation
+    // when built from the consumer.
     val mergedSources = sources ++ upstreamProjects.flatMap(_.sources)
       .filterNot(s => sources.exists(_.key == s.key))
+    val upDescs = upstreamProjects.flatMap(_.descriptions).toMap
+    val upColDescs = upstreamProjects.flatMap(_.columnDescriptions).toMap
+    val upPersist = upstreamProjects.flatMap(_.persistDocs).toMap
+    val upMacros = upstreamProjects.flatMap(_.macroDefs).toMap
     DbtProject(projectName, allNodes, mergedSources,
       checks ++ errSingulars.map(_._1), warnChecks ++ warnSingulars.map(_._1),
       onRunStart = runHooks("on-run-start"), onRunEnd = runHooks("on-run-end"),
       analyses = analyses, exposures = exposures, freshness = freshSpecs,
       unitTests = unitTests, snapshots = snapshotNodes,
-      descriptions = modelDescs, columnDescriptions = columnDescs,
-      persistDocs = persistDocsCfg.toMap,
-      macroDefs = pkgMacros ++ SqlModel.extractMacros(macrosText)._1,
+      descriptions = upDescs ++ modelDescs,
+      columnDescriptions = upColDescs ++ columnDescs,
+      persistDocs = upPersist ++ persistDocsCfg.toMap,
+      macroDefs = upMacros ++ pkgMacros ++ SqlModel.extractMacros(macrosText)._1,
       nativeMacroDefs = pkgNatives)
   }
 }

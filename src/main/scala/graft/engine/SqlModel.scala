@@ -685,28 +685,61 @@ object SqlModel {
   // {% for v in list %} body {% endfor %} — the pivot-column generator
   // idiom (dbt models stamp out per-category CASE aggregates this way).
   // The loop variable substitutes via {{ v }}; the separator idiom
-  // `{{ ',' if not loop.last }}` and `{{ loop.index }}` (1-based) are
-  // supported; loops iterate over {% set %} lists.
+  // `{{ ',' if not loop.last }}` and `{{ loop.index }}`/`{{ loop.index0 }}`
+  // are supported; loops iterate over {% set %} lists or over a list-
+  // valued var() (the dbt-tutorial `{% for m in var('methods') %}`).
   private val forPat = Pattern.compile(
-    """\{%-?\s*for\s+(\w+)\s+in\s+(\w+)\s*-?%\}(.*?)\{%-?\s*endfor\s*-?%\}""",
+    """\{%-?\s*for\s+(\w+)\s+in\s+(\w+|var\(\s*'[^']+'\s*\))\s*-?%\}(.*?)\{%-?\s*endfor\s*-?%\}""",
     Pattern.DOTALL)
   private val loopLastCondPat = Pattern.compile(
     """\{\{\s*'([^']*)'\s*if\s+not\s+loop\.last\s*\}\}|\{\{\s*"([^"]*)"\s*if\s+not\s+loop\.last\s*\}\}""")
-  private val loopIndexPat = Pattern.compile("""\{\{\s*loop\.index\s*\}\}""")
+  private val loopIndexPat = Pattern.compile("""\{\{\s*loop\.index(0?)\s*\}\}""")
+  private val forVarPat = Pattern.compile("""var\(\s*'([^']+)'\s*\)""")
 
-  private def expandForLoops(text: String, setLists: Map[String, Seq[String]]): String = {
+  /** A var value as a list. Items parse either from their Jinja-quoted
+    * form (`['a', 'b']` — a --vars CLI string) or, when no quoted item
+    * is present, from the bare `[a, b]` shape that
+    * `String.valueOf(java.util.List)` gives a YAML list var from
+    * dbt_project.yml.
+    */
+  private def varAsList(name: String, raw: String): Seq[String] = {
+    val quoted = {
+      val im = setItemPat.matcher(raw)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (im.find()) out += im.group(1)
+      out.toSeq
+    }
+    if (quoted.nonEmpty) quoted
+    else {
+      val t = raw.trim
+      require(t.startsWith("[") && t.endsWith("]"),
+        s"var '$name' = '$raw' is not a list — a for loop needs a " +
+          "['a', 'b'] literal or a YAML list var")
+      t.substring(1, t.length - 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  private def expandForLoops(text: String, setLists: Map[String, Seq[String]],
+                             vars: Map[String, String]): String = {
     val m = forPat.matcher(text)
     val sb = new java.lang.StringBuilder
     while (m.find()) {
-      val (v, listName, body) = (m.group(1), m.group(2), m.group(3))
-      val items = setLists.getOrElse(listName, throw new IllegalArgumentException(
-        s"unknown list '$listName' in for loop (defined: ${setLists.keys.toSeq.sorted.mkString(", ")})"))
+      val (v, iterable, body) = (m.group(1), m.group(2), m.group(3))
+      val vm = forVarPat.matcher(iterable)
+      val items =
+        if (vm.matches()) {
+          val name = vm.group(1)
+          varAsList(name, vars.getOrElse(name, throw new IllegalArgumentException(
+            s"unbound var '$name' in for loop (bound: ${vars.keys.toSeq.sorted.mkString(", ")})")))
+        } else setLists.getOrElse(iterable, throw new IllegalArgumentException(
+          s"unknown list '$iterable' in for loop (defined: ${setLists.keys.toSeq.sorted.mkString(", ")})"))
       val rendered = items.zipWithIndex.map { case (item, i) =>
         val last = i == items.size - 1
         val withVar = Pattern.compile("""\{\{\s*""" + Pattern.quote(v) + """\s*\}\}""")
           .matcher(body).replaceAll(Matcher.quoteReplacement(item))
         val withIdx = loopIndexPat.matcher(withVar)
-          .replaceAll(Matcher.quoteReplacement((i + 1).toString))
+          .replaceAll(mm => Matcher.quoteReplacement(
+            (if (mm.group(1).isEmpty) i + 1 else i).toString))
         loopLastCondPat.matcher(withIdx).replaceAll { mm =>
           val lit = Option(mm.group(1)).getOrElse(mm.group(2))
           Matcher.quoteReplacement(if (last) "" else lit)
@@ -715,7 +748,16 @@ object SqlModel {
       m.appendReplacement(sb, Matcher.quoteReplacement(rendered))
     }
     m.appendTail(sb)
-    sb.toString
+    val out = sb.toString
+    // An unmatched tag (a `{% for %}` missing its endfor, a stray
+    // endfor, or a NESTED loop — the non-greedy matcher pairs the outer
+    // for with the inner endfor, leaving tags behind) must fail here,
+    // not as an opaque SQL parse error downstream.
+    val leftover = Pattern.compile("""\{%-?\s*(for\b|endfor)""").matcher(out)
+    require(!leftover.find(),
+      "unbalanced {% for %}/{% endfor %} after loop expansion — check for " +
+        "an unterminated loop or nested for loops (not supported)")
+    out
   }
 
   /** Substitute `{{ env_var('NAME'[, 'default']) }}` call sites from the
@@ -760,7 +802,7 @@ object SqlModel {
     // a {% set %} or ref() inside a dropped branch never binds.
     val withIfs = expandIfBlocks(sqlText, vars, target)
     val (setLists, noSets0) = extractSetLists(withIfs)
-    val noSets = expandForLoops(noSets0, setLists)
+    val noSets = expandForLoops(noSets0, setLists, vars)
     val noConfig = configPat.matcher(noSets).replaceAll("")
     val jm = joinPat.matcher(noConfig)
     val jb = new java.lang.StringBuilder
@@ -900,17 +942,24 @@ object SqlModel {
         // DagRunner.resolveVersionRefs may have rewritten an unpinned
         // ref('family') edge to the latest `family.vN` node, in which
         // case the rendered SQL still reads the UNPINNED view name —
-        // answer it with the version-resolved frame too. (A ref the
-        // model pinned itself is in `refs`, so no alias is added.)
-        val verKey = """^(.*)\.v\d+$""".r
-        resolved.foreach { case (r, df) =>
-          df.createOrReplaceTempView(viewName(r))
-          r match {
-            case verKey(base) if !refs.contains(r) =>
-              df.createOrReplaceTempView(viewName(base))
-            case _ => ()
+        // answer it with the version-resolved frame too. The alias keys
+        // on the CAPTURED (pre-rewrite) refs containing the bare family
+        // name — the model's own text had an unpinned ref — not on
+        // whether the vN key is absent from refs: a model with BOTH
+        // ref('family') and ref('family', v=latest) collapses to one
+        // resolved key that IS in refs, yet still needs the alias. When
+        // several versions of a family resolve (pinned v1 + unpinned →
+        // v2), the alias takes the HIGHEST version present — the
+        // unpinned edge's target (project-wide latest) is always the
+        // max among this model's resolved family nodes.
+        val verKey = """^(.*)\.v(\d+)$""".r
+        resolved.foreach { case (r, df) => df.createOrReplaceTempView(viewName(r)) }
+        resolved.keys.toSeq.collect { case r @ verKey(base, v) => (base, v.toInt, r) }
+          .groupBy(_._1)
+          .foreach { case (base, vs) =>
+            if (refs.contains(base) && !resolved.contains(base))
+              resolved(vs.maxBy(_._2)._3).createOrReplaceTempView(viewName(base))
           }
-        }
         val ctx = DagRunner.currentBuildTarget
         val finalSql = renderConditionals(rendered,
           incremental = ctx.exists(c => c.incremental && c.exists),

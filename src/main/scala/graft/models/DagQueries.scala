@@ -1032,6 +1032,21 @@ object DagQueries {
            |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "n_P"
            |FROM orders GROUP BY o_orderpriority ORDER BY ALL NULLS FIRST""".stripMargin))
 
+  /** `{% for %}` over a list-valued var() end-to-end (the dbt-tutorial
+    * payment-methods pivot): the loop stamps one conditional aggregate
+    * per item of dbt_project.yml's `vars: pivot_statuses`; the oracle
+    * re-derives the unrolled SQL, so the loop expansion must be
+    * semantically invisible.
+    */
+  private val pkgForPivot = QueryDef(
+    "dag_pkg_for_pivot",
+    (s, dir) => pkgModel(s, dir, "orders_method_pivot"),
+    Some("""SELECT o_orderpriority,
+           |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS amt_F,
+           |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS amt_O,
+           |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS amt_P
+           |FROM orders GROUP BY o_orderpriority ORDER BY ALL NULLS FIRST""".stripMargin))
+
   /** dbt_utils.generate_surrogate_key end-to-end (null-sentinel md5). */
   private val pkgSurrogateKey = QueryDef(
     "dag_pkg_surrogate_key",
@@ -1237,7 +1252,7 @@ object DagQueries {
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
     sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing,
     sqlIfPricing, projectDashboard, microbatchDaily,
-    pkgDateSpine, pkgPivot, pkgSurrogateKey, pkgUnionRelations, pkgEnvVar,
+    pkgDateSpine, pkgPivot, pkgForPivot, pkgSurrogateKey, pkgUnionRelations, pkgEnvVar,
     pkgDateMath, pkgStar, pkgPivotDynamic, pkgSingularTests, pkgFreshness,
     meshDashboard, verLatest, verPinned)
 }

@@ -256,6 +256,24 @@ object RunDag {
           case None => spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
         }
       else resolve(n)
+    // Shared by --run-operation and --snapshot: resolve a ref()/source()
+    // name to a DataFrame AGAINST STATE (these commands never build the
+    // project). Table-family models read their warehouse relation from a
+    // previous run; VIEW and EPHEMERAL models have no on-disk form — dbt
+    // resolves such a ref to the database view object — so the engine
+    // builds the model's lazy ancestor closure in-process instead of
+    // failing on a parquet path that never exists.
+    lazy val stateResolve: String => DataFrame = n =>
+      if (byName.contains(n)) {
+        val m = byName(n)
+        m.materialization match {
+          case graft.engine.View | graft.engine.Ephemeral =>
+            DagRunner.run(spark,
+              DagRunner.withLazyUpstreams(allModels, Seq(m)),
+              stateResolve, warehouse)(n)
+          case _ => spark.read.parquet(DagRunner.targetPath(warehouse, m))
+        }
+      } else resolve(n)
     // --run-operation = `dbt run-operation`: render ONE macro call and
     // execute it, nothing else. Unknown macros fail listing the known
     // namespace; vars/env resolve exactly as they would inside a model.
@@ -287,8 +305,7 @@ object RunDag {
         val n = m.group(1)
         require(byName.contains(n), s"run-operation $opName: unknown ref('$n')")
         val vn = "graft_op_" + n.replaceAll("[^A-Za-z0-9_]", "_")
-        spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
-          .createOrReplaceTempView(vn)
+        stateResolve(n).createOrReplaceTempView(vn)
         sql = sql.replace(m.matched, vn)
       }
       println(s"[rundag] run-operation $opName:\n$sql")
@@ -326,12 +343,9 @@ object RunDag {
     if (snapshotMode) {
       // A snapshot that ref()s a MODEL reads the model's built relation
       // from the warehouse (dbt resolves ref() to the target table), not
-      // a source file that happens to share the model's basename.
-      val snapshotResolve: String => DataFrame = n =>
-        if (byName.contains(n))
-          spark.read.parquet(DagRunner.targetPath(warehouse, byName(n)))
-        else resolve(n)
-      val snapped = project.get.runSnapshots(spark, snapshotResolve, warehouse, asOfFlag)
+      // a source file that happens to share the model's basename;
+      // view/ephemeral refs build in-process via stateResolve.
+      val snapped = project.get.runSnapshots(spark, stateResolve, warehouse, asOfFlag)
       snapped.toSeq.sortBy(_._1).foreach { case (n, df) =>
         println(s"[rundag] snapshot $n: ${df.count()} rows") }
       spark.stop()
@@ -378,8 +392,11 @@ object RunDag {
     project.foreach(_.onRunEnd.foreach(spark.sql(_)))
     // persist_docs: after a successful run, write the doc sidecars into
     // the configured models' target directories (dbt persists relation/
-    // column comments as part of `dbt run`).
-    project.foreach(_.persistDocsSidecars(spark, warehouse)
+    // column comments as part of `dbt run`). Scoped to the models this
+    // run actually built — under --select, a sidecar for an unbuilt
+    // model would create an empty target directory that a later
+    // incremental run mistakes for existing state.
+    project.foreach(_.persistDocsSidecars(spark, warehouse, built.keySet.toSet)
       .foreach(p => println(s"[rundag] persisted docs: $p")))
     built.toSeq.sortBy(_._1).foreach { case (name, df) =>
       println(f"[rundag] $name%-45s ${df.count()}%8d rows")

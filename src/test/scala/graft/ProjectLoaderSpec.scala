@@ -888,8 +888,9 @@ class ProjectLoaderSpec extends SparkSpec {
     val p = ProjectLoader.load(spark, dir)
     assert(p.persistDocs("t") === ((true, true)))
     val wh = tmpWh()
-    graft.engine.DagRunner.run(spark, p.models, n => sys.error(s"no source $n"), wh)
-    val written = p.persistDocsSidecars(spark, wh)
+    val builtDocs =
+      graft.engine.DagRunner.run(spark, p.models, n => sys.error(s"no source $n"), wh)
+    val written = p.persistDocsSidecars(spark, wh, builtDocs.keySet.toSet)
     assert(written.size === 1, s"only the table model persists docs, got $written")
     val body = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(written.head.stripPrefix("file:"))), "UTF-8")
@@ -1038,6 +1039,104 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(built("rev_pinned_v1").select("o_orderdate", "rev")
       .as[(String, Double)].collect().toSet ===
       Set(("1995-01-01", 150.0), ("1995-01-02", 10.0)))
+  }
+
+  test("diamond mesh: a shared transitive upstream loads once and the combined DAG builds") {
+    import spark.implicits._
+    // core <- mid, core <- consumer, mid <- consumer: the classic diamond.
+    val root = java.nio.file.Files.createTempDirectory("graft_diamond")
+    def proj(name: String, files: (String, String)*): java.nio.file.Path = {
+      val d = root.resolve(name)
+      (files :+ ("dbt_project.yml" -> s"name: $name\n")).foreach { case (rel, body) =>
+        val p = d.resolve(rel)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, body)
+      }
+      d
+    }
+    proj("dia_core",
+      "models/core_m.sql" ->
+        ("{{ config(materialized='view', access='public') }} " +
+          "SELECT o_orderkey, o_totalprice FROM {{ source('tpch', 'orders') }}"),
+      "models/sources.yml" ->
+        "version: 2\nsources:\n  - name: tpch\n    tables:\n      - name: orders\n")
+    proj("dia_mid",
+      "dependencies.yml" -> "projects:\n  - name: dia_core\n",
+      "models/mid_m.sql" ->
+        ("{{ config(materialized='view', access='public') }} " +
+          "SELECT o_orderkey, o_totalprice * 2 AS dbl FROM {{ ref('dia_core', 'core_m') }}"))
+    val consumer = proj("dia_consumer",
+      "dependencies.yml" ->
+        "projects:\n  - name: dia_core\n  - name: dia_mid\n",
+      "models/top.sql" ->
+        ("SELECT a.o_orderkey, b.dbl FROM {{ ref('dia_core', 'core_m') }} a " +
+          "JOIN {{ ref('dia_mid', 'mid_m') }} b USING (o_orderkey)"))
+    val p = ProjectLoader.load(spark, consumer)
+    // The shared upstream's model appears exactly once in the merged DAG.
+    assert(p.models.map(_.name).sorted === Seq("core_m", "mid_m", "top"))
+    val orders = Seq((1L, 10.0), (2L, 20.0)).toDF("o_orderkey", "o_totalprice")
+    val built = DagRunner.run(spark, p.models,
+      { case "tpch.orders" => orders; case n => sys.error(s"no source $n") })
+    assert(built("top").as[(Long, Double)].collect().toSet ===
+      Set((1L, 20.0), (2L, 40.0)))
+  }
+
+  test("a model with BOTH an unpinned and a pinned-to-latest ref to the same family builds") {
+    import spark.implicits._
+    val dir = synthProject(
+      "models/fam.v1.sql" ->
+        "SELECT o_orderkey, o_totalprice AS rev FROM {{ source('tpch', 'orders') }}",
+      "models/fam.v2.sql" ->
+        "SELECT o_orderkey, o_totalprice AS rev FROM {{ source('tpch', 'orders') }} WHERE o_totalprice > 15",
+      // The unpinned ref and the pinned-to-latest ref collapse to the
+      // SAME resolved node after resolveVersionRefs; the rendered SQL
+      // still reads the unpinned view name, which must stay registered.
+      "models/both.sql" ->
+        ("SELECT a.o_orderkey, a.rev, b.rev AS rev2 FROM {{ ref('fam') }} a " +
+          "JOIN {{ ref('fam', v=2) }} b USING (o_orderkey)"),
+      "models/sources.yml" ->
+        "version: 2\nsources:\n  - name: tpch\n    tables:\n      - name: orders\n")
+    val p = ProjectLoader.load(spark, dir)
+    val resolved = DagRunner.resolveVersionRefs(p.models)
+    val orders = Seq((1L, 10.0), (2L, 20.0)).toDF("o_orderkey", "o_totalprice")
+    val built = DagRunner.run(spark, resolved,
+      { case "tpch.orders" => orders; case n => sys.error(s"no source $n") })
+    assert(built("both").select("o_orderkey", "rev", "rev2")
+      .as[(Long, Double, Double)].collect().toSet === Set((2L, 20.0, 20.0)))
+  }
+
+  test("persist_docs sidecars are scoped to built models: a selected run never creates an unbuilt model's target dir") {
+    val dir = synthProject(
+      "models/a.sql" -> "{{ config(materialized='table') }} SELECT 1 AS x",
+      "models/b.sql" -> "{{ config(materialized='table') }} SELECT 2 AS y",
+      "models/schema.yml" ->
+        "version: 2\nmodels:\n  - name: a\n    description: doc a\n  - name: b\n    description: doc b\n")
+    java.nio.file.Files.writeString(dir.resolve("dbt_project.yml"),
+      "name: synth\nmodels:\n  +persist_docs:\n    relation: true\n")
+    val p = ProjectLoader.load(spark, dir)
+    val wh = tmpWh()
+    // Simulate `--select a`: only a builds; the sidecar pass must not
+    // touch b's target path (fs.create would CREATE the directory, and a
+    // later incremental run of b would mistake it for existing state).
+    val sel = DagRunner.select(p.models, "a")
+    val built = DagRunner.run(spark, sel, n => sys.error(s"no source $n"), wh)
+    val written = p.persistDocsSidecars(spark, wh, built.keySet.toSet)
+    assert(written.size === 1 && written.head.contains("/a/"))
+    val bPath = new org.apache.hadoop.fs.Path(DagRunner.targetPath(wh, p.model("b")))
+    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(bPath), s"unbuilt model's target dir was created: $bPath")
+  }
+
+  test("naming macros refuse a custom value that is not a safe identifier") {
+    val files = Seq(
+      "macros/naming.sql" ->
+        """{% macro generate_schema_name(custom_schema_name, node) -%}
+          |  {%- if custom_schema_name is none -%}{{ target.schema }}{%- else -%}{{ custom_schema_name | trim }}{%- endif -%}
+          |{%- endmacro %}""".stripMargin,
+      "models/m.sql" -> "{{ config(schema='mart; drop') }} SELECT 1 AS a")
+    val e = intercept[IllegalArgumentException](
+      ProjectLoader.load(spark, synthProject(files: _*)))
+    assert(e.getMessage.contains("not a safe identifier"))
   }
 
   test("schema.yml contracts: enforced column set/types/not-null through the file frontend") {

@@ -186,6 +186,60 @@ class SqlModelSpec extends SparkSpec {
     assert(e.getMessage.contains("nolist"))
   }
 
+  test("{% for %} iterates a list-valued var(), in both quoted and bare-YAML shapes") {
+    import spark.implicits._
+    def pivot(varValue: String): Seq[String] = {
+      val m = SqlModel.fromSqlText("vloop",
+        """SELECT
+          |{% for f in var('flags') %}  sum(CASE WHEN flag = '{{ f }}' THEN qty ELSE 0 END) AS q_{{ f }}{{ "," if not loop.last }}
+          |{% endfor %}
+          |FROM {{ ref('li') }}""".stripMargin,
+        vars = Map("flags" -> varValue))
+      val li = Seq(("A", 1L), ("R", 10L)).toDF("flag", "qty")
+      m.build(spark, Map("li" -> li)).columns.toSeq
+    }
+    // --vars CLI shape (quoted Jinja list) and dbt_project.yml YAML list
+    // shape (String.valueOf of a java List: bare, unquoted items).
+    assert(pivot("['A', 'R']") === Seq("q_A", "q_R"))
+    assert(pivot("[A, R]") === Seq("q_A", "q_R"))
+    val e1 = intercept[IllegalArgumentException](pivot("not_a_list"))
+    assert(e1.getMessage.contains("is not a list"))
+    val e2 = intercept[IllegalArgumentException](SqlModel.fromSqlText("vloop2",
+      "{% for f in var('nope') %}{{ f }}{% endfor %} SELECT 1"))
+    assert(e2.getMessage.contains("unbound var 'nope'"))
+  }
+
+  test("{% for %} nests inside {% if %} branches; unterminated and nested loops fail loudly") {
+    import spark.implicits._
+    // Control flow expands top-down: a loop inside a dropped branch
+    // never renders (and its list need not even exist); inside a kept
+    // branch it stamps out per-item columns.
+    val text =
+      """{% set flags = [ 'A', 'R' ] %}
+        |SELECT
+        |{% if var('wide') == 'yes' %}
+        |{% for f in flags %}  sum(CASE WHEN flag = '{{ f }}' THEN qty ELSE 0 END) AS q_{{ f }}{{ ',' if not loop.last }}
+        |{% endfor %}
+        |{% else %}
+        |  count(*) AS n
+        |{% endif %}
+        |FROM {{ ref('li') }}""".stripMargin
+    val li = Seq(("A", 1L), ("R", 10L)).toDF("flag", "qty")
+    val wide = SqlModel.fromSqlText("forif", text, vars = Map("wide" -> "yes"))
+      .build(spark, Map("li" -> li))
+    assert(wide.columns.toSeq === Seq("q_A", "q_R"))
+    val narrow = SqlModel.fromSqlText("forif2", text, vars = Map("wide" -> "no"))
+      .build(spark, Map("li" -> li))
+    assert(narrow.columns.toSeq === Seq("n"))
+    val e1 = intercept[IllegalArgumentException](SqlModel.fromSqlText("unterm",
+      "{% set xs = ['a'] %} {% for x in xs %}{{ x }} SELECT 1"))
+    assert(e1.getMessage.contains("unbalanced"))
+    val e2 = intercept[IllegalArgumentException](SqlModel.fromSqlText("nested",
+      """{% set xs = ['a'] %}{% set ys = ['b'] %}
+        |{% for x in xs %}{% for y in ys %}{{ x }}{{ y }}{% endfor %}{% endfor %} SELECT 1""".stripMargin))
+    assert(e2.getMessage.contains("unbalanced"))
+  }
+
   test("run-operation invokes a macro standalone with keyword args (dbt run-operation)") {
     val macros =
       """{% macro snapshot_count(rel, tag='op') %}
