@@ -316,6 +316,53 @@ object DagRunner {
   def targetPath(warehouse: String, m: Model): String =
     s"$warehouse/${m.database.getOrElse("main")}/${m.schema.getOrElse("main")}/${m.alias.getOrElse(m.name)}"
 
+  /** `dbt clone`: materialize the selected models in `devWarehouse` by
+    * COPYING their relations from another environment's warehouse
+    * (`--state` — typically CI/prod) instead of rebuilding. On a
+    * parquet warehouse the faithful analog of the adapters' zero-copy
+    * `CREATE TABLE ... CLONE` is a filesystem copy of the relation
+    * directory. View/ephemeral models have no on-disk relation and are
+    * skipped (dbt recreates those as views pointing at state; this
+    * engine's views are build-time plans, so a later run rebuilds them
+    * for free). A selected table model missing from the state warehouse
+    * is dbt's own clone error. Returns the cloned model names.
+    */
+  def cloneRelations(spark: SparkSession, models: Seq[Model],
+                     stateWarehouse: String, devWarehouse: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    models.flatMap { m =>
+      m.materialization match {
+        case View | Ephemeral => None
+        case _ =>
+          val src = new org.apache.hadoop.fs.Path(targetPath(stateWarehouse, m))
+          val dst = new org.apache.hadoop.fs.Path(targetPath(devWarehouse, m))
+          val sFs = src.getFileSystem(conf)
+          val dFs = dst.getFileSystem(conf)
+          require(sFs.exists(src),
+            s"clone: model '${m.name}' has no relation in the state warehouse at $src")
+          if (dFs.exists(dst)) dFs.delete(dst, true)
+          dFs.mkdirs(dst.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(sFs, src, dFs, dst,
+            false /* deleteSource */, true /* overwrite */, conf)
+          Some(m.name)
+      }
+    }
+  }
+
+  /** `dbt run --empty`: the schema-only dry run — every model builds
+    * with `LIMIT 0` applied to ALL of its inputs (refs and sources
+    * alike), so the full DAG's SQL executes and materializes relations
+    * with the real schemas but no data — the CI smoke for broken SQL,
+    * missing columns, and contract drift, at zero scan cost. Note
+    * global aggregates still emit their one empty-input row (dbt limits
+    * the INPUTS, not the outputs — same behavior on every adapter).
+    */
+  def withEmptyInputs(models: Seq[Model]): Seq[Model] =
+    models.map { m =>
+      val inner = m.build
+      m.copy(build = (s, refs) => inner(s, refs.map { case (k, v) => k -> v.limit(0) }))
+    }
+
   /** dbt `--defer [--favor-state]`: a ref resolver for a selected
     * subgraph run in a DEV environment that falls back to ANOTHER
     * environment's warehouse (the CI/prod state) for upstreams dev has

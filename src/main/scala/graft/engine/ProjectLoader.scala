@@ -1054,6 +1054,7 @@ object ProjectLoader {
     // dbt's resolution order.
     val localBasenames: Set[String] =
       filesUnder(modelsDir, Seq(".sql")).map(_.getFileName.toString.stripSuffix(".sql")).toSet ++
+        filesUnder(modelsDir, Seq(".py")).map(_.getFileName.toString.stripSuffix(".py")) ++
         filesUnder(dir.resolve("seeds"), Seq(".csv")).map(_.getFileName.toString.stripSuffix(".csv"))
     val upstreamHome: Map[String, String] = upstreamProjects
       .flatMap(up => up.models.map(m => m.name -> up.name)).toMap
@@ -1071,7 +1072,7 @@ object ProjectLoader {
       }
     }
 
-    val models = filesUnder(modelsDir, Seq(".sql")).map { p =>
+    val sqlModels = filesUnder(modelsDir, Seq(".sql")).map { p =>
       val name = p.getFileName.toString.stripSuffix(".sql")
       val raw = Files.readString(p)
       checkBareRefs(raw, modelsDir.relativize(p).toString)
@@ -1115,6 +1116,48 @@ object ProjectLoader {
         .copy(access = accessCfg.getOrElse("protected"), group = groupCfg,
           contract = contractCols.getOrElse(name, Nil))
     }
+    // dbt PYTHON models (models/*.py): the [[PyModel]] structural
+    // frontend parses the documented `def model(dbt, session)` shape;
+    // on this engine `session` is natively the SparkSession, so the
+    // model executes in-process. Config precedence mirrors SQL models:
+    // dbt.config() (the header analog) wins over the folder/project
+    // models block; naming macros and profile fallbacks apply the same.
+    val pyModels = filesUnder(modelsDir, Seq(".py")).map { p =>
+      val name = p.getFileName.toString.stripSuffix(".py")
+      val raw = Files.readString(p)
+      val whereP = modelsDir.relativize(p).toString
+      val parsed = PyModel.parse(name, raw, whereP, Some(declaredSources))
+      val relSegs = Option(modelsDir.relativize(p).getParent)
+        .map(par => (0 until par.getNameCount).map(par.getName(_).toString))
+        .getOrElse(Nil)
+      val cfg = modelConfig(modelsBlock, relSegs, name, projectName)
+      val matStr = parsed.config.get("materialized")
+        .orElse(cfg.get("materialized")).getOrElse("table")
+      require(matStr == "table",
+        s"$whereP: python models materialize as 'table' (dbt supports " +
+          s"table/incremental for python; '$matStr' is not supported here)")
+      val customSchema = parsed.config.get("schema").orElse(cfg.get("schema"))
+      val customAlias = parsed.config.get("alias").orElse(cfg.get("alias"))
+      val fp = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Model(name, parsed.refs, PyModel.buildFn(parsed, whereP),
+        materialization = Table,
+        schema = schemaNamer
+          .map(d => evalNamingMacro(d, customSchema, name, effTarget, fallbackSchema))
+          .orElse(customSchema)
+          .orElse(profile.flatMap(_.schema)),
+        alias = aliasNamer
+          .map(d => evalNamingMacro(d, customAlias, name, effTarget, fallbackSchema))
+          .orElse(customAlias),
+        database = parsed.config.get("database").orElse(cfg.get("database"))
+          .orElse(profile.flatMap(_.database)),
+        fingerprint = Some(fp),
+        tags = parsed.config.get("tags").map(t => Set(t)).getOrElse(Set.empty),
+        access = parsed.config.get("access").orElse(cfg.get("access")).getOrElse("protected"),
+        group = parsed.config.get("group").orElse(cfg.get("group")),
+        contract = contractCols.getOrElse(name, Nil))
+    }
+    val models = sqlModels ++ pyModels
     contractCols.keys.foreach(n => require(models.exists(_.name == n),
       s"schema.yml declares a contract for unknown model '$n'"))
     // seeds/ CSVs (dbt seed nodes): one Table model per file, routed by

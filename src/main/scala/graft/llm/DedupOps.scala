@@ -1250,7 +1250,13 @@ object DedupOps {
     * write+read of the rank table.
     */
   private[graft] def pagerankConvergedStats(docs: DataFrame, pairs: DataFrame,
-      eps: Long, maxRounds: Int = 200, nOverride: Option[Long] = None): (DataFrame, Int, Long) = {
+      eps: Long, maxRounds: Int = 200, nOverride: Option[Long] = None,
+      /** Skip the driver-tier crossover: the conv row's sampled
+        * cross-check exists to exercise the DISTRIBUTED block loop, so
+        * it must not silently route its (deliberately budget-sized)
+        * component to the local solver.
+        */
+      forceDistributed: Boolean = false): (DataFrame, Int, Long) = {
     val s = docs.sparkSession
     // Two-tier, same discipline as connected components: the rank table
     // is docs-sized and the edge list candidate-graph-sized — both far
@@ -1280,7 +1286,7 @@ object DedupOps {
     val cleanPairs = pairs.select("doc_a", "doc_b")
       .join(docIdsAll.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi")
       .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
-    if (2L * cleanPairs.count() <= localMax)
+    if (!forceDistributed && 2L * cleanPairs.count() <= localMax)
       return pagerankConvergedLocal(docs, cleanPairs, eps, maxRounds, nOverride)
     val edges = cleanPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(cleanPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -1338,9 +1344,13 @@ object DedupOps {
           val cur2 = step(prev)
             .join(prev.select(col("doc_id"), col("pr").as("pr_prev")), Seq("doc_id"))
             .select(col("doc_id"), col("n_docs"), col("pr_prev"), col("pr"))
+          val blockT0 = System.nanoTime()
           val (cp, dirs) = reliableCheckpoint(cur2)
           rounds += k
           delta = cp.agg(sum(abs(col("pr") - col("pr_prev")))).head().getLong(0)
+          if (s.conf.get("spark.graft.pagerankConvDebug", "false").toBoolean)
+            println(f"[pagerank_loop] block k=$k rounds=$rounds delta=$delta " +
+              f"${(System.nanoTime() - blockT0) / 1e9}%.1f s")
           prev.unpersist(blocking = false)
           deleteCkptDirs(s, prDirs)
           pr = cp.drop("pr_prev")
@@ -1529,10 +1539,22 @@ object DedupOps {
     */
   private[graft] def pagerankComponents(docs: DataFrame, pairs: DataFrame,
       eps: Long, maxRounds: Int = 200,
-      connectivity: Option[DataFrame] = None): DataFrame = {
+      connectivity: Option[DataFrame] = None,
+      /** Embeds this solve in a larger corpus (the conv row's sampled
+        * cross-check solves the non-sampled remainder here): base/init
+        * shares use the WHOLE corpus count, and the returned `n_docs`
+        * column carries it.
+        */
+      nOverride: Option[Long] = None,
+      /** A (doc_id, canonical_id) component assignment the caller
+        * already computed over (a superset of) `pairs` — skips the CC
+        * pass. Ownership transfers: this frame is persisted/unpersisted
+        * inside.
+        */
+      precomputedAssign: Option[DataFrame] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val nTotal = docs.agg(count(lit(1))).head().getLong(0)
+    val nTotal = nOverride.getOrElse(docs.agg(count(lit(1))).head().getLong(0))
     require(nTotal > 0, "pagerank over an empty docs frame")
     val docIdsAll = docs.select(col("doc_id"))
     val cleanPairs = pairs.select("doc_a", "doc_b")
@@ -1549,7 +1571,8 @@ object DedupOps {
       // is for graphs whose edge list does NOT fit anywhere whole.
       val localMax = s.conf.get("spark.graft.pagerankLocalMaxEdges", "2000000").toLong
       if (2L * cleanPairs.count() <= localMax) {
-        val (ranks, _, _) = pagerankConvergedStats(docs, cleanPairs, eps, maxRounds)
+        val (ranks, _, _) =
+          pagerankConvergedStats(docs, cleanPairs, eps, maxRounds, nOverride)
         return ranks.select("doc_id", "pr", "degree", "n_docs")
       }
       val base = 150000000000L / nTotal
@@ -1562,9 +1585,9 @@ object DedupOps {
       // the full `pairs`. Contract: the connectivity frame's closure
       // restricted to `docs` must equal `pairs`' closure — callers with
       // a docs subset that drops pair endpoints must not pass one.
-      val assign = connectedComponents(
+      val assign = precomputedAssign.getOrElse(connectedComponents(
           connectivity.getOrElse(cleanPairs)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )).persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val comped = cleanPairs.join(
           assign.select(col("doc_id").as("doc_a"), col("canonical_id").as("comp")), "doc_a")
@@ -1661,13 +1684,174 @@ object DedupOps {
     } finally cleanPairs.unpersist(blocking = false)
   }
 
+  /** The conv row's solve: the global block loop on the whole graph, or
+    * — above the driver tier under `pagerankConvSampleComponents=auto`
+    * (or an explicit K) — on its K heaviest components only, with the
+    * remainder solved through [[pagerankComponents]] at the
+    * corpus-global base share. Returns (ranks with doc_id/n_docs/pr/
+    * degree, the SAMPLED loop's final L1 delta). See the conv QueryDef
+    * scaladoc and SCALE.md for the cross-check contract.
+    */
+  private[graft] def pagerankConvSampled(docs: DataFrame, pairs: DataFrame,
+      eps: Long,
+      /** Star-contracted connectivity for the CC pass (same closure as
+        * `pairs`, linear in bucket occupancy — the comp row's rule); CC
+        * over the clique pairs otherwise.
+        */
+      connectivity: Option[DataFrame] = None): (DataFrame, Long) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val localMax = s.conf.get("spark.graft.pagerankLocalMaxEdges", "2000000").toLong
+    val docIdsAll = docs.select(col("doc_id"))
+    val cleanPairs = pairs.select("doc_a", "doc_b")
+      .join(docIdsAll.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi")
+      .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = s.conf.get("spark.graft.pagerankConvSampleComponents", "auto") match {
+        case "auto" => if (2L * cleanPairs.count() <= localMax) 0 else 1
+        case "full" | "0" => 0
+        case other => other.toInt
+      }
+      if (k == 0) {
+        val (r, _, d) = pagerankConvergedStats(docs, cleanPairs, eps)
+        (r.select("doc_id", "n_docs", "pr", "degree"), d)
+      } else {
+        val dbg = s.conf.get("spark.graft.pagerankConvDebug", "false").toBoolean
+        var t0 = System.nanoTime()
+        def lap(phase: String): Unit = if (dbg) {
+          println(f"[pagerank_conv] $phase: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          t0 = System.nanoTime()
+        }
+        val nTotal = docs.agg(count(lit(1))).head().getLong(0)
+        val assign = connectedComponents(connectivity.getOrElse(cleanPairs))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        assign.count()
+        lap("cc")
+        try {
+          // Component choice: the cross-check samples the LARGEST
+          // component whose directed edges fit
+          // `pagerankConvSampleMaxEdges` (default 65536) and runs it
+          // through the block loop with `forceDistributed` — the whole
+          // point is exercising the DISTRIBUTED path; letting the
+          // size-based router send the sample to the local solver would
+          // certify nothing. The certified property — block loop ≡
+          // integer recurrence at corpus-global teleport — does not
+          // depend on WHICH component carries it or on its volume, and
+          // volume is actively hostile here: post-star-cap hot classes
+          // are hub-STARS, so the loop's per-round groupBy(dst) funnels
+          // a big component into one reducer (measured 237 s on a 637k-
+          // pair star, ~100 s on the 4M-pair heaviest — vs ~85 rounds of
+          // small-shuffle fixed cost on a budget-sized one). Fallback
+          // when every component exceeds the budget: the smallest one.
+          val sampleMax =
+            s.conf.get("spark.graft.pagerankConvSampleMaxEdges", "65536").toLong
+          val counts = cleanPairs
+            .join(assign.select(col("doc_id").as("doc_a"),
+              col("canonical_id").as("comp")), "doc_a")
+            .groupBy("comp").agg(count(lit(1)).as("ne"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val topK = try {
+            val underBudget = counts.filter(col("ne") * 2 <= sampleMax)
+              .orderBy(col("ne").desc, col("comp")).limit(k)
+              .select("comp").as[Long].collect()
+            val picked =
+              if (underBudget.nonEmpty) underBudget
+              else counts.orderBy(col("ne").asc, col("comp")).limit(k)
+                .select("comp").as[Long].collect()
+            if (s.conf.get("spark.graft.pagerankConvDebug", "false").toBoolean) {
+              val pickedNe = counts.filter(col("comp").isin(picked.toSeq: _*))
+                .agg(sum("ne")).head().getLong(0)
+              // Diagnostic only (gated): the sampled subgraph's size is
+              // the loop's per-round cost driver.
+              println(s"[pagerank_conv] sampled comps=${picked.mkString(",")} pairs=$pickedNe")
+            }
+            picked.toSet
+          } finally counts.unpersist(blocking = false)
+          lap("selection")
+          // bigDocs is CHECKPOINTED, not just cached: the block loop's
+          // plans embed the docs subtree ~5× per round and Catalyst
+          // re-ANALYZES the growing chain at every step() — with the CC
+          // output's deep logical plan as the leaf that analysis alone
+          // measured ~100 s for an 11-round block; a file-scan leaf
+          // makes it trivial (persist() does not help — the LOGICAL
+          // plan keeps the full subtree, only execution hits the cache).
+          val bigDocs = checkpointSlot("pagerank_conv_bigdocs",
+            assign.filter(col("canonical_id").isin(topK.toSeq: _*))
+              .select("doc_id"))
+          locally {
+            // The sampled edge list MUST be file-backed before the loop:
+            // a lazy semi-join over the corpus-wide pair cache re-executes
+            // under every block plan (~85 rounds never finished at sf3d);
+            // checkpointed, the loop's edgesDeg sits on a small file scan
+            // and the per-round exchange reuse works as designed.
+            val bigPairs = checkpointSlot("pagerank_conv_big",
+              cleanPairs.join(
+                bigDocs.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi"))
+            lap("big_pairs_ckpt")
+            val (rBig, _, d) =
+              pagerankConvergedStats(bigDocs, bigPairs, eps, nOverride = Some(nTotal),
+                forceDistributed = true)
+            lap("sampled_loop")
+            val restDocs = docs.join(bigDocs, Seq("doc_id"), "left_anti")
+            val restPairs = cleanPairs.join(
+              bigDocs.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+            val restAssign = assign.filter(!col("canonical_id").isin(topK.toSeq: _*))
+            // Checkpoint the rest-path ranks WHILE the caches are warm:
+            // the returned frame's lineage otherwise re-runs the CC pass
+            // and the per-component solves at every downstream action
+            // (the caches drop in the finally blocks) — measured as most
+            // of the row's cost once the sampled loop was bounded.
+            val rRest = checkpointSlot("pagerank_conv_rest",
+              pagerankComponents(restDocs, restPairs, eps,
+                nOverride = Some(nTotal), precomputedAssign = Some(restAssign)))
+            lap("rest_checkpoint")
+            (rBig.select("doc_id", "n_docs", "pr", "degree")
+              .unionAll(rRest.select("doc_id", "n_docs", "pr", "degree")), d)
+          }
+        } finally assign.unpersist(blocking = false)
+      }
+    } finally cleanPairs.unpersist(blocking = false)
+  }
+
   private val dupPagerankConv = QueryDef(
     "llm_dup_pagerank_conv",
     (s, dir) => {
+      import s.implicits._
       val docs = Tables.load(s, dir, "documents").select("doc_id")
       val eps = s.conf.get("spark.graft.pagerankEpsilon", "1000000").toLong
-      val pairs = checkpointSlot("llm_dup_pagerank_conv", rankPairs(s, dir))
-      val (ranks, _, delta) = pagerankConvergedStats(docs, pairs, eps)
+      // The checkpointed band table feeds both the capped clique pairs
+      // (degree/solve semantics) and the star-contracted CC connectivity
+      // — the comp row's rule. The PAIR SET is checkpointed too: the
+      // block loop's per-round exchange reuse needs a file-backed scan
+      // under edgesDeg (a cached lazy self-join re-shuffles per round —
+      // measured 467 s vs 96 s at sf3d).
+      val bands = checkpointSlot("llm_dup_pagerank_conv_bands", bandHashes(s, dir))
+      val pairs = checkpointSlot("llm_dup_pagerank_conv",
+        bandSelfPairsCapped(bands, rankEdgeCap(s, docs.count())))
+      // This row is the global-convergence CROSS-CHECK of the
+      // component-partitioned deployment path (`llm_dup_pagerank_comp`):
+      // it runs the round-synchronized block loop and emits its actual
+      // measured delta. Paying ~85 distributed rounds over the WHOLE
+      // graph for a verification row is waste once the graph is large —
+      // with uniform teleport the recurrence is block-diagonal over
+      // components, so the loop's convergence behavior is fully
+      // exercised by its K HEAVIEST components (the only ones whose
+      // edge volume distinguishes the distributed loop from the local
+      // recurrence). `spark.graft.pagerankConvSampleComponents`:
+      // `auto` (default) = full global loop while the edge list fits
+      // the driver tier (small/test scales keep the exact historical
+      // behavior), sample the heaviest component above it; an
+      // integer = sample that many; `full`/`0` = the whole-graph loop
+      // as an explicit escape hatch. Non-sampled components solve
+      // through [[pagerankComponents]] with the corpus-global
+      // `nOverride` — ranks agree within eps (the comp row's
+      // spec-pinned bound), degrees are exact everywhere, and the
+      // `converged` flag certifies the SAMPLED loop's measured delta.
+      // Contract details: SCALE.md §pagerank.
+      val (ranks, delta) =
+        pagerankConvSampled(docs, pairs, eps,
+          connectivity = Some(bandStarEdges(bands)))
       ranks.select(col("doc_id"), col("degree"),
           (col("pr") >= expr("150000000000L div n_docs") &&
             col("pr") <= lit(1000000000000L)).as("rank_ok"),

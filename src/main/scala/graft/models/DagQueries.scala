@@ -997,8 +997,14 @@ object DagQueries {
     // itself is 0.03 s warm).
     val sel = graft.engine.DagRunner.withLazyUpstreams(proj.models,
       graft.engine.DagRunner.select(proj.models, s"+$name"))
+    // The pkg fixture is view-family except the python model (dbt python
+    // models are table-only); a table in the selection needs a warehouse
+    // to land in — a per-call temp dir keeps the row self-contained.
+    val wh =
+      if (sel.forall(_.materialization == graft.engine.View)) ""
+      else java.nio.file.Files.createTempDirectory("graft_pkgwh").toString
     val built = graft.engine.DagRunner.run(s, sel,
-      n => graft.sources.Tables.load(s, dir, n.stripPrefix("tpch.")))
+      n => graft.sources.Tables.load(s, dir, n.stripPrefix("tpch.")), wh)
     ordered(built(name))
   }
 
@@ -1046,6 +1052,22 @@ object DagQueries {
            |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS amt_O,
            |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS amt_P
            |FROM orders GROUP BY o_orderpriority ORDER BY ALL NULLS FIRST""".stripMargin))
+
+  /** A dbt PYTHON model end-to-end ([[graft.engine.PyModel]]): the
+    * fixture's `orders_py_summary.py` reads source('tpch','orders')
+    * through `dbt.source`, registers a temp view, aggregates via
+    * `session.sql`, and chains whitelisted DataFrame methods — the
+    * oracle re-derives the same aggregate in plain SQL.
+    */
+  private val pkgPySummary = QueryDef(
+    "dag_py_summary",
+    (s, dir) => pkgModel(s, dir, "orders_py_summary"),
+    Some("""SELECT o_orderstatus,
+           |  CAST(count(*) AS BIGINT) AS n_orders,
+           |  round(sum(o_totalprice), 2) AS total_price
+           |FROM orders GROUP BY o_orderstatus
+           |HAVING count(*) > 0
+           |ORDER BY ALL NULLS FIRST""".stripMargin))
 
   /** dbt_utils.generate_surrogate_key end-to-end (null-sentinel md5). */
   private val pkgSurrogateKey = QueryDef(

@@ -62,6 +62,14 @@ import graft.models.testkit.NpoFixtures
   *     blocks into their SCD2 targets and stop (dbt `snapshot`); the
   *     check strategy stamps --as-of 'YYYY-MM-DD HH:MM:SS' as
   *     dbt_valid_from (injectable, never wall-clock).
+  *   Add --clone --state <warehouse> to COPY the selected table-family
+  *     relations from another environment's warehouse into this one and
+  *     stop (dbt `clone`): CI gets prod's relations without rebuilding;
+  *     view/ephemeral models are skipped (no on-disk relation).
+  *   Add --empty to run the DAG schema-only (dbt `run --empty`): every
+  *     model's inputs — refs AND sources — build with LIMIT 0, so the
+  *     full SQL executes and relations materialize with real schemas
+  *     and no data (the CI dry run for broken SQL and contract drift).
   *
   *   With --project, `unit_tests:` declared in the project YAML run
   *     BEFORE anything materializes and abort the run on failure
@@ -122,6 +130,14 @@ object RunDag {
     // preview instead of a full run.
     val showModel = flagValue("--show")
     val showLimit = flagValue("--limit").map(_.toInt).getOrElse(5)
+    // dbt clone: copy the selected table-family relations from another
+    // environment's warehouse (--state) into this one, no rebuild.
+    val cloneMode = args0.contains("--clone")
+    val stateWarehouse = flagValue("--state")
+    require(!cloneMode || stateWarehouse.isDefined,
+      "--clone requires --state <warehouse> (the environment to clone from)")
+    // dbt run --empty: schema-only dry run (LIMIT 0 on every input).
+    val emptyMode = args0.contains("--empty")
     val favorState = args0.contains("--favor-state")
     // dbt errors on --favor-state without --defer; silently defaulting
     // to dev-first resolution would ship the opposite of what the user
@@ -137,10 +153,12 @@ object RunDag {
       while (a.contains("--snapshot")) a = a.patch(a.indexOf("--snapshot"), Nil, 1)
       while (a.contains("--warn-error")) a = a.patch(a.indexOf("--warn-error"), Nil, 1)
       while (a.contains("--list")) a = a.patch(a.indexOf("--list"), Nil, 1)
+      while (a.contains("--clone")) a = a.patch(a.indexOf("--clone"), Nil, 1)
+      while (a.contains("--empty")) a = a.patch(a.indexOf("--empty"), Nil, 1)
       for (f <- Seq("--threads", "--select", "--selector", "--exclude", "--defer",
                     "--project", "--vars", "--docs", "--profiles", "--profile",
                     "--target", "--as-of", "--run-operation", "--args",
-                    "--show", "--limit")) {
+                    "--show", "--limit", "--state")) {
         var i = a.indexOf(f)
         while (i >= 0) {
           require(i < a.length - 1, s"$f requires a value")
@@ -325,6 +343,18 @@ object RunDag {
       spark.stop()
       return
     }
+    // --clone = `dbt clone`: copy the selected table-family relations
+    // from the --state warehouse into this one and stop — no SQL runs.
+    if (cloneMode) {
+      val cloned = DagRunner.cloneRelations(spark, models,
+        stateWarehouse.get, warehouse)
+      cloned.foreach(n => println(s"[rundag] cloned $n"))
+      models.filterNot(m => cloned.contains(m.name)).foreach(m =>
+        println(s"[rundag] clone skip ${m.name} (view/ephemeral — rebuilt, not cloned)"))
+      println(s"[rundag] cloned ${cloned.size} relations from ${stateWarehouse.get} to $warehouse")
+      spark.stop()
+      return
+    }
     // --list = `dbt ls`: print the selected node names in dependency
     // order and stop — nothing materializes (the CI idiom for "what
     // would this selector run?").
@@ -366,6 +396,9 @@ object RunDag {
     // start before the first model; end only after a SUCCESSFUL run —
     // DagRunner.run's own hook contract.
     project.foreach(_.onRunStart.foreach(spark.sql(_)))
+    // dbt run --empty: every model's inputs (refs AND sources) build
+    // with LIMIT 0 — the full DAG executes schema-only.
+    val runModels = if (emptyMode) DagRunner.withEmptyInputs(models) else models
     val built: Map[String, DataFrame] =
       if (doBuild) {
         // dbt --warn-error: warn-severity tests fail the build instead
@@ -375,7 +408,7 @@ object RunDag {
           val w = project.map(_.warnChecks).getOrElse(Nil)
           if (warnError) (e ++ w, Nil) else (e, w)
         }
-        val report = DagRunner.build(spark, models, resolveWithWarehouse, warehouse,
+        val report = DagRunner.build(spark, runModels, resolveWithWarehouse, warehouse,
           errChecks, warnOnly)
         report.failures.foreach { case (m, checks) =>
           checks.foreach { case (c, n) => println(s"[rundag] FAIL $m $c: $n violations") }
@@ -387,8 +420,8 @@ object RunDag {
         if (!report.ok) { spark.stop(); sys.exit(1) }
         report.built
       } else if (threads > 1)
-        DagRunner.runParallel(spark, models, resolveWithWarehouse, warehouse, threads)
-      else DagRunner.run(spark, models, resolveWithWarehouse, warehouse)
+        DagRunner.runParallel(spark, runModels, resolveWithWarehouse, warehouse, threads)
+      else DagRunner.run(spark, runModels, resolveWithWarehouse, warehouse)
     project.foreach(_.onRunEnd.foreach(spark.sql(_)))
     // persist_docs: after a successful run, write the doc sidecars into
     // the configured models' target directories (dbt persists relation/

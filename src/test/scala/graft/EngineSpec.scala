@@ -978,4 +978,49 @@ class EngineSpec extends SparkSpec {
     DagRunner.writeIncremental(spark, df, dir, "evt_date", Seq("2024-02-01", "2024-02-02"))
     assert(spark.read.parquet(dir).count() === 2L)
   }
+
+  test("dbt clone: table relations copy from the state warehouse; views skip; missing is loud") {
+    import spark.implicits._
+    val stateWh = Files.createTempDirectory("graft_clone_state").toString
+    val devWh = Files.createTempDirectory("graft_clone_dev").toString
+    val t = Model("t", Nil,
+      (s, _) => { import s.implicits._; Seq((1L, "a"), (2L, "b")).toDF("k", "v") },
+      materialization = Table, schema = Some("mart"))
+    val v = Model("v", Seq("t"), (_, refs) => refs("t"), materialization = View)
+    // A prod/CI run populates the state warehouse.
+    DagRunner.run(spark, Seq(t, v), n => sys.error(s"no source $n"), stateWh)
+    // Clone into dev: the table copies byte-for-byte, the view skips.
+    val cloned = DagRunner.cloneRelations(spark, Seq(t, v), stateWh, devWh)
+    assert(cloned === Seq("t"))
+    val got = spark.read.parquet(DagRunner.targetPath(devWh, t))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "b")))
+    // Re-clone overwrites cleanly (idempotent).
+    assert(DagRunner.cloneRelations(spark, Seq(t, v), stateWh, devWh) === Seq("t"))
+    // A selected model with no state relation is dbt's clone error.
+    val ghost = Model("ghost", Nil, (s, _) => s.range(1).toDF, materialization = Table)
+    val e = intercept[IllegalArgumentException](
+      DagRunner.cloneRelations(spark, Seq(ghost), stateWh, devWh))
+    assert(e.getMessage.contains("no relation in the state warehouse"))
+  }
+
+  test("dbt run --empty: the DAG executes schema-only — real schemas, LIMIT 0 inputs") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_empty_wh").toString
+    val stg = Model("stg", Seq("src_events"),
+      (_, refs) => refs("src_events").select(col("k"), upper(col("v")).as("vu")),
+      materialization = Table)
+    val agg = Model("agg", Seq("stg"),
+      (_, refs) => refs("stg").groupBy("vu").count(),
+      materialization = Table)
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val built = DagRunner.run(spark, DagRunner.withEmptyInputs(Seq(stg, agg)),
+      { case "src_events" => src; case n => sys.error(s"no source $n") }, wh)
+    // Schemas are the real ones; the data never flowed.
+    assert(built("stg").columns.toSeq === Seq("k", "vu"))
+    assert(built("stg").count() === 0L)
+    assert(built("agg").columns.toSeq === Seq("vu", "count"))
+    assert(built("agg").count() === 0L)
+    assert(spark.read.parquet(DagRunner.targetPath(wh, stg)).count() === 0L)
+  }
 }

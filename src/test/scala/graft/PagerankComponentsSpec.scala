@@ -89,4 +89,42 @@ class PagerankComponentsSpec extends SparkSpec {
     assert(forced(5L) === ((base, 0L)))
     assert(dflt(5L) === ((base, 0L)))
   }
+
+  test("conv sampling: K-heaviest cross-check agrees with the full loop; full is the escape hatch") {
+    // The llm_dup_pagerank_conv row's bounded form: the global block
+    // loop runs on the K heaviest components only, the rest solves
+    // through pagerankComponents at the corpus-global share. Ranks must
+    // agree within eps with the whole-graph loop, degrees exactly, and
+    // the sampled loop's delta must still certify convergence.
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (0L, 2L), (2L, 9L), (9L, 10L), // 5-node comp (heaviest)
+      (3L, 4L),                                          // pair
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L))            // 4-cycle
+    val n = 13L
+    val docs = (0L until n).toDF("doc_id")
+    val pdf = pairs.toDF("doc_a", "doc_b")
+    val want = ranks(DedupOps.pagerankConvergedStats(docs, pdf, eps)._1)
+    spark.conf.set("spark.graft.pagerankConvSampleComponents", "1")
+    val (got, delta) =
+      try {
+        val (r, d) = DedupOps.pagerankConvSampled(docs, pdf, eps)
+        (ranks(r), d)
+      } finally spark.conf.unset("spark.graft.pagerankConvSampleComponents")
+    assert(delta <= eps, "the sampled loop must still converge")
+    assert(got.keySet === want.keySet, "every doc must be ranked")
+    got.foreach { case (d, (pr, deg)) =>
+      assert(deg === want(d)._2, s"degree mismatch for doc $d")
+      assert(math.abs(pr - want(d)._1) <= eps, s"rank drift beyond eps for doc $d")
+    }
+    val base = 150000000000L / n
+    (11L until 13L).foreach(d => assert(got(d) === ((base, 0L))))
+    // full / auto-at-small-scale: identical to the plain global loop.
+    spark.conf.set("spark.graft.pagerankConvSampleComponents", "full")
+    val fullGot =
+      try ranks(DedupOps.pagerankConvSampled(docs, pdf, eps)._1)
+      finally spark.conf.unset("spark.graft.pagerankConvSampleComponents")
+    assert(fullGot === want)
+    assert(ranks(DedupOps.pagerankConvSampled(docs, pdf, eps)._1) === want,
+      "auto below the driver tier keeps the exact historical behavior")
+  }
 }

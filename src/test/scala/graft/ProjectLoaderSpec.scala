@@ -334,7 +334,7 @@ class ProjectLoaderSpec extends SparkSpec {
       .find(java.nio.file.Files.isDirectory(_)).get
     val p = ProjectLoader.load(spark, dir)
     assert(p.name === "pkg_demo")
-    assert(p.models.size === 10)
+    assert(p.models.size === 12)
     assert(ProjectLoader.profileNameOf(dir) === Some("pkg_demo"))
     // union_relations' refs contribute DAG edges.
     assert(p.model("all_orders_rollup").refs.toSet ===
