@@ -388,6 +388,32 @@ object SimilarityOps {
         buildInto(s, Tables.load(s, dir, "embeddings"), root)
       }
 
+    /** The index with GEOMETRIC cells: k-means cluster ids replace the
+      * data's `label` column as the partition key. A label column that
+      * does not correlate with embedding geometry makes label-cell IVF
+      * structurally blind — measured on the synthetic sf10p corpus,
+      * recall@10 = nprobe/#cells exactly (0.10 at nprobe=1), i.e. the
+      * centroids carried zero routing information. K-means cells are
+      * the textbook coarse quantizer (Jégou et al. 2011): same layout,
+      * same search path, same dynamic-partition pruning — only the
+      * cell assignment changes. Cell count via
+      * `spark.graft.ivfKmeansCells` (default 8, the oracle-replayable
+      * kmeans shape); the root embeds it so different cell counts never
+      * serve each other's layouts.
+      */
+    def ensureKmeans(s: SparkSession, dir: String): (String, String) = {
+      val cells = s.conf.get("spark.graft.ivfKmeansCells", "8").toInt
+      ensureRoot(s, dir, "spark.graft.ivfKmRoot",
+        s"/root/repo/fixtures/ivfkm/k$cells") { root =>
+        val asg = kmeansAssignK(quantEmb(s, dir), cells, rounds = 3)
+        val emb = Tables.load(s, dir, "embeddings")
+          .drop("label")
+          .join(asg.select(col("vec_id"),
+            concat(lit("c"), col("cluster")).as("label")), "vec_id")
+        buildInto(s, emb, root)
+      }
+    }
+
     /** The same index built INCREMENTALLY: the oldest 90% of vec_ids as
       * the base build, the newest 10% applied as a delta batch — the
       * daily-lake-growth shape. `llm_ann_ivf_inc` shares `llm_ann_ivf`'s
@@ -417,6 +443,11 @@ object SimilarityOps {
   def ivfSearch(s: SparkSession, dir: String, queries: DataFrame,
                 k: Int, nprobe: Int): DataFrame =
     ivfSearchAt(s, IvfIndex.ensure(s, dir), queries, k, nprobe)
+
+  /** [[ivfSearch]] over the k-means-cell index ([[IvfIndex.ensureKmeans]]). */
+  def ivfSearchKmeans(s: SparkSession, dir: String, queries: DataFrame,
+                      k: Int, nprobe: Int): DataFrame =
+    ivfSearchAt(s, IvfIndex.ensureKmeans(s, dir), queries, k, nprobe)
 
   private[graft] def ivfSearchAt(s: SparkSession, paths: (String, String), queries: DataFrame,
                                  k: Int, nprobe: Int): DataFrame = {
@@ -514,6 +545,70 @@ object SimilarityOps {
       ivfSearchAt(s, IvfIndex.ensureIncremental(s, dir), q, k = 5, nprobe = 1)
     },
     ivf.oracle)
+
+  /** IVF with GEOMETRIC (k-means) cells instead of the data's `label`
+    * column ([[IvfIndex.ensureKmeans]]): the oracle replays the exact
+    * quantized Lloyd trajectory (the `llm_kmeans_embed` CTEs), rebuilds
+    * the cell → centroid table from those assignments, and re-derives
+    * routing + search — so DuckDB certifies the whole geometric-cell
+    * index end-to-end. Quality evidence vs label cells is measured by
+    * `graft.tools.AnnRecall` (BASELINE.md round 14): on the synthetic
+    * corpus label cells give recall = nprobe/#cells (routing carries
+    * zero information), k-means cells are the fix.
+    */
+  private val ivfKmeans = QueryDef(
+    "llm_ann_ivf_kmeans",
+    (s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ivfSearchAt(s, IvfIndex.ensureKmeans(s, dir), q, k = 5, nprobe = 1)
+    },
+    Some(s"""WITH $kmeansOracleCtes,
+           |ke AS (
+           |  SELECT e.vec_id, e.embedding, 'c' || a3.cluster AS label
+           |  FROM embeddings e JOIN a3 ON a3.vec_id = e.vec_id),
+           |cterms AS (
+           |  SELECT label,
+           |    CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS pos,
+           |    CAST(unnest(embedding) AS DOUBLE) AS x
+           |  FROM ke),
+           |cent AS (
+           |  SELECT label AS c_label, pos, avg(x) AS c FROM cterms GROUP BY 1, 2),
+           |q AS (
+           |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |qterms AS (
+           |  SELECT qid,
+           |    CAST(unnest(generate_series(1, len(qv))) AS INTEGER) AS pos,
+           |    CAST(unnest(qv) AS DOUBLE) AS qx
+           |  FROM q),
+           |qcent AS (
+           |  SELECT qid, c_label,
+           |    floor(sum(qx * c) / (sqrt(sum(qx * qx)) * sqrt(sum(c * c)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS c_sim
+           |  FROM qterms JOIN cent USING (pos) GROUP BY qid, c_label),
+           |routed AS (
+           |  SELECT qid, c_label AS cell FROM (
+           |    SELECT qid, c_label,
+           |      row_number() OVER (PARTITION BY qid ORDER BY c_sim DESC, c_label) AS rn
+           |    FROM qcent) WHERE rn = 1),
+           |pairs AS (
+           |  SELECT r.qid, r.cell, e.vec_id, q.qv, e.embedding AS v
+           |  FROM routed r JOIN q ON q.qid = r.qid
+           |  JOIN ke e ON e.label = r.cell AND e.vec_id <> r.qid),
+           |terms AS (
+           |  SELECT qid, cell, vec_id,
+           |    CAST(unnest(qv) AS DOUBLE) AS qx, CAST(unnest(v) AS DOUBLE) AS vx
+           |  FROM pairs),
+           |scored AS (
+           |  SELECT qid, cell, vec_id,
+           |    floor(sum(qx * vx) / (sqrt(sum(qx * qx)) * sqrt(sum(vx * vx)))
+           |          * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+           |  FROM terms GROUP BY 1, 2, 3)
+           |SELECT qid, cell, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim FROM (
+           |  SELECT qid, cell, vec_id, cos_sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
 
   /** Embedding-cosine near-duplicate pairs via hyperplane LSH
     * (sign-random-projection banding, Charikar STOC 2002): `planes`
@@ -1181,11 +1276,41 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** [[kmeansRounds]] generalized to ANY cluster count: the same
+    * BIGINT-quantized Lloyd iterations and deterministic tiebreak
+    * (min squared distance, then lowest cluster id), but the argmin is
+    * a struct-min instead of the `dist*100+cluster` arithmetic encoding
+    * (which caps at 100 clusters). At k=8 the assignment is pinned
+    * equal to [[kmeansRounds]] (`AnnQualitySpec`), so the oracle-
+    * replayed trajectory covers this form too. `emb` = (vec_id, qx).
+    */
+  private[graft] def kmeansAssignK(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val init = emb.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int").as("cluster"), col("qx").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          expr("aggregate(zip_with(qx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
+        .groupBy("vec_id").agg(min(struct(col("dist"), col("cluster"))).as("kc"))
+        .select(col("vec_id"), col("kc.cluster").as("cluster"), col("kc.dist").as("dist"))
+    def recompute(asg: DataFrame): DataFrame =
+      asg.join(emb, "vec_id")
+        .select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
+    (2 to rounds).foldLeft(assign(init))((a, _) => assign(recompute(a)))
+  }
+
   /** DuckDB replay of [[kmeansRounds]] (3 rounds) ending in CTE `a3`
     * = (vec_id, cluster, dist) — shared by the kmeans oracle row and
     * the SemDeDup row, which consumes the identical assignment.
     */
-  private[graft] val kmeansOracleCtes: String = {
+  // lazy: referenced by QueryDefs declared ABOVE this point (ivfKmeans)
+  // — a plain val would interpolate null into their oracle SQL.
+  private[graft] lazy val kmeansOracleCtes: String = {
       def assign(prev: String): String =
         s"""SELECT vec_id, CAST(k % 100 AS INTEGER) AS cluster, k // 100 AS dist
            |  FROM (SELECT e.vec_id,
@@ -2102,7 +2227,7 @@ object SimilarityOps {
            |           + 1.0/log2(5.0) + 1.0/log2(6.0)) * 10000.0 + 0.5) / 10000.0 AS ndcg5
            |FROM m GROUP BY qid ORDER BY qid""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, ivfInc, nearDup, semanticDedup,
+  val all: Seq[QueryDef] = Seq(topk, topkAgg, ivf, ivfInc, ivfKmeans, nearDup, semanticDedup,
     semanticDedupInc,
     topkQ8, hybridRrf, kmeans, semdedup, pq, ivfPq, ivfPq3, pqIncremental,
     randomProjection, rpRerank, retrievalMetrics)

@@ -67,7 +67,18 @@ object AnnRecall {
       SimilarityOps.ivfSearch(spark, sfDir, queries.limit(1), k, np).count()
       val (got, sec) = timed(topkPairs(SimilarityOps.ivfSearch(spark, sfDir, queries, k, np)))
       val recall = got.intersect(exact).size.toDouble / exact.size
-      println(f"""{"tool":"ann_recall","nprobe":$np,"recall_at_$k":$recall%.4f,"probe_sec":$sec%.2f}""")
+      println(f"""{"tool":"ann_recall","cells":"label","nprobe":$np,"recall_at_$k":$recall%.4f,"probe_sec":$sec%.2f}""")
+    }
+    // Geometric (k-means) cells — the fix when the data's label column
+    // does not correlate with embedding geometry (set cell count via
+    // spark.graft.ivfKmeansCells before running).
+    nprobes.foreach { np =>
+      SimilarityOps.ivfSearchKmeans(spark, sfDir, queries.limit(1), k, np).count()
+      val (got, sec) = timed(topkPairs(
+        SimilarityOps.ivfSearchKmeans(spark, sfDir, queries, k, np)))
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      val cells = spark.conf.get("spark.graft.ivfKmeansCells", "8")
+      println(f"""{"tool":"ann_recall","cells":"kmeans$cells","nprobe":$np,"recall_at_$k":$recall%.4f,"probe_sec":$sec%.2f}""")
     }
     spark.stop()
   }

@@ -44,6 +44,33 @@ class AnnQualitySpec extends SparkSpec {
     got.intersect(exact).size.toDouble / exact.size
   }
 
+  test("kmeansAssignK at k=8 replays kmeansRounds exactly (the oracle-pinned trajectory)") {
+    // The generalized struct-min argmin must agree with the arithmetic
+    // dist*100+cluster encoding wherever the latter is defined — the
+    // DuckDB-replayed trajectory then covers the general form too.
+    val emb = SimilarityOps.quantEmb(spark, dir)
+    val got = SimilarityOps.kmeansAssignK(emb, 8, 3)
+      .select("vec_id", "cluster", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = SimilarityOps.kmeansRounds(spark, dir, 3)
+      .select("vec_id", "cluster", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("k-means cells route better than geometry-blind label cells at nprobe=1") {
+    // On the synthetic corpus the label column is uncorrelated with the
+    // embedding geometry, so label-cell recall ~ nprobe/#cells; k-means
+    // cells are the structural fix (llm_ann_ivf_kmeans).
+    val labelGot = pairs(SimilarityOps.ivfSearch(spark, dir, queries, k, 1))
+    val kmGot = pairs(SimilarityOps.ivfSearchKmeans(spark, dir, queries, k, 1))
+    val labelR = labelGot.intersect(exact).size.toDouble / exact.size
+    val kmR = kmGot.intersect(exact).size.toDouble / exact.size
+    info(f"recall@5 nprobe=1: label cells $labelR%.3f, kmeans cells $kmR%.3f")
+    assert(kmR >= labelR,
+      "geometric cells must not route worse than geometry-blind label cells")
+  }
+
   test("IVF recall@5 improves monotonically with nprobe and reaches 1.0 at full probe") {
     val r1 = recall(1)
     val r2 = recall(2)

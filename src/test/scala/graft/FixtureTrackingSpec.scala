@@ -22,7 +22,7 @@ class FixtureTrackingSpec extends AnyFunSuite {
     * checked in. Keep in sync with the `ensure*` sites in src/main.
     */
   private val generatedRoots = Set(
-    "partdocs", "evodocs", "ivf", "ivfinc", "vecdedupstate", "pqinc",
+    "partdocs", "evodocs", "ivf", "ivfinc", "ivfkm", "vecdedupstate", "pqinc",
     "dedupstate", "bm25", "bm25inc", "media", "npo")
 
   private def repoRoot: java.nio.file.Path = {
