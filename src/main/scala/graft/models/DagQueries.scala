@@ -1274,7 +1274,7 @@ object DagQueries {
     streamsDaily, vodStreaming, dashboard, sqlYoutube, sqlVodStreaming,
     sqlPomsFlattened, sqlStreamsDaily, seedRollup, sqlMacroPricing,
     sqlIfPricing, projectDashboard, microbatchDaily,
-    pkgDateSpine, pkgPivot, pkgForPivot, pkgSurrogateKey, pkgUnionRelations, pkgEnvVar,
+    pkgDateSpine, pkgPivot, pkgForPivot, pkgPySummary, pkgSurrogateKey, pkgUnionRelations, pkgEnvVar,
     pkgDateMath, pkgStar, pkgPivotDynamic, pkgSingularTests, pkgFreshness,
     meshDashboard, verLatest, verPinned)
 }
