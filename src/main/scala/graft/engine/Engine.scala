@@ -338,6 +338,11 @@ object DagRunner {
           val dst = new org.apache.hadoop.fs.Path(targetPath(devWarehouse, m))
           val sFs = src.getFileSystem(conf)
           val dFs = dst.getFileSystem(conf)
+          // The delete-before-copy below would destroy the ONLY copy if
+          // state and target resolve to the same relation path.
+          require(sFs.makeQualified(src) != dFs.makeQualified(dst),
+            s"clone: state and target warehouses resolve model '${m.name}' " +
+              s"to the same path ($src) — refusing to clone a relation onto itself")
           require(sFs.exists(src),
             s"clone: model '${m.name}' has no relation in the state warehouse at $src")
           if (dFs.exists(dst)) dFs.delete(dst, true)

@@ -1126,11 +1126,48 @@ object ProjectLoader {
       val name = p.getFileName.toString.stripSuffix(".py")
       val raw = Files.readString(p)
       val whereP = modelsDir.relativize(p).toString
-      val parsed = PyModel.parse(name, raw, whereP, Some(declaredSources))
+      val parsed0 = PyModel.parse(name, raw, whereP, Some(declaredSources))
+      // Mesh governance, mirroring the SQL models' checkBareRefs +
+      // rewriteProjectRefs: a two-arg dbt.ref('proj', 'model')
+      // (parsed as 'proj::model') must name a declared upstream's
+      // PUBLIC model and rewrites to the bare upstream key; a BARE
+      // dbt.ref('m') naming an upstream model is a load-time error
+      // carrying the two-arg spelling. Source keys ('src.tbl') pass
+      // through.
+      val parsed = PyModel.rewriteRefs(parsed0, {
+        case k if k.contains("::") =>
+          val Array(pj, mod) = k.split("::", 2)
+          val fam = upAll.getOrElse(pj, throw new IllegalArgumentException(
+            s"$whereP: dbt.ref('$pj', '$mod') — project '$pj' is not declared " +
+              s"in dependencies.yml (declared: ${
+                if (upAll.isEmpty) "none" else upAll.keys.toSeq.sorted.mkString(", ")})"))
+          val refd = fam.getOrElse(mod, throw new IllegalArgumentException(
+            s"$whereP: dbt.ref('$pj', '$mod') — project '$pj' has no model '$mod'"))
+          require(refd.access == "public",
+            s"$whereP: dbt.ref('$pj', '$mod') — model '$mod' has access: " +
+              s"${refd.access}; only access: public models may be " +
+              "referenced across projects")
+          mod
+        case k =>
+          if (!k.contains(".") && !localBasenames.contains(k))
+            upstreamHome.get(k).foreach(home => throw new IllegalArgumentException(
+              s"$whereP: bare dbt.ref('$k') names a model in upstream project " +
+                s"'$home' — cross-project models must be referenced as " +
+                s"dbt.ref('$home', '$k')"))
+          k
+      })
       val relSegs = Option(modelsDir.relativize(p).getParent)
         .map(par => (0 until par.getNameCount).map(par.getName(_).toString))
         .getOrElse(Nil)
       val cfg = modelConfig(modelsBlock, relSegs, name, projectName)
+      // Folder/project-level +persist_docs applies to python models
+      // exactly as to SQL models (dbt persists docs for both).
+      locally {
+        def b(key: String) = cfg.get(key).map(_.trim.equalsIgnoreCase("true"))
+        val rel = b("persist_docs.relation").orElse(b("persist_docs")).getOrElse(false)
+        val cols = b("persist_docs.columns").orElse(b("persist_docs")).getOrElse(false)
+        if (rel || cols) persistDocsCfg(name) = (rel, cols)
+      }
       val matStr = parsed.config.get("materialized")
         .orElse(cfg.get("materialized")).getOrElse("table")
       require(matStr == "table",
@@ -1152,7 +1189,9 @@ object ProjectLoader {
         database = parsed.config.get("database").orElse(cfg.get("database"))
           .orElse(profile.flatMap(_.database)),
         fingerprint = Some(fp),
-        tags = parsed.config.get("tags").map(t => Set(t)).getOrElse(Set.empty),
+        tags = parsed.config.get("tags")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty),
         access = parsed.config.get("access").orElse(cfg.get("access")).getOrElse("protected"),
         group = parsed.config.get("group").orElse(cfg.get("group")),
         contract = contractCols.getOrElse(name, Nil))

@@ -14,8 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * model shape, not a general Python interpreter. The supported
   * statement forms inside `def model` are exactly:
   *
-  *   - `dbt.config(materialized="table", ...)`    (string/bool kwargs)
-  *   - `x = dbt.ref("model")` / `dbt.source("src", "table")`
+  *   - `dbt.config(materialized="table", ...)`    (string/bool/
+  *     list-of-string kwargs)
+  *   - `x = dbt.ref("model")` / `dbt.ref("project", "model")` /
+  *     `dbt.source("src", "table")`
   *   - `x = session.sql("...")` (single- or triple-quoted)
   *   - `x.createOrReplaceTempView("name")`
   *   - `y = <expr>.method(...)...` over the whitelisted string-arg
@@ -148,9 +150,37 @@ object PyModel {
     Parsed(name, stmts.toSeq, config.toMap, refs)
   }
 
+  /** Rewrite every ref key (RefExpr keys and the refs list) through
+    * `f` — the loader uses this to resolve two-arg `project::model`
+    * keys to the bare upstream model name after validating the mesh
+    * rules, mirroring the SQL models' rewriteProjectRefs.
+    */
+  def rewriteRefs(parsed: Parsed, f: String => String): Parsed = {
+    def rewriteExpr(e: Expr): Expr = e match {
+      case RefExpr(k) => RefExpr(f(k))
+      case ChainExpr(b, calls) => ChainExpr(rewriteExpr(b), calls)
+      case other => other
+    }
+    parsed.copy(
+      stmts = parsed.stmts.map {
+        case Assign(t, v) => Assign(t, rewriteExpr(v))
+        case Return(v) => Return(rewriteExpr(v))
+        case tv => tv
+      },
+      refs = parsed.refs.map(f).distinct)
+  }
+
   /** The build closure for a parsed python model: execute the statement
     * list against the resolved upstream frames.
     */
+  /** Serializes py-model builds that touch the SHARED session catalog:
+    * user-chosen temp-view names from two models built concurrently
+    * (DagRunner.runParallel) would otherwise race — model B's
+    * createOrReplaceTempView overwriting model A's view between A's
+    * registration and A's session.sql read.
+    */
+  private val catalogLock = new Object
+
   def buildFn(parsed: Parsed, where: String): (SparkSession, Map[String, DataFrame]) => DataFrame =
     (spark, resolved) => {
       val env = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -161,13 +191,29 @@ object PyModel {
         case VarExpr(v) => env(v)
         case ChainExpr(b, calls) => calls.foldLeft(eval(b))(applyCall(_, _, where))
       }
-      var out: Option[DataFrame] = None
-      parsed.stmts.foreach {
-        case Assign(t, v) => env(t) = eval(v)
-        case TempView(v, n) => env(v).createOrReplaceTempView(n)
-        case Return(v) => out = Some(eval(v))
+      def run(): DataFrame = {
+        val created = scala.collection.mutable.ArrayBuffer.empty[String]
+        try {
+          var out: Option[DataFrame] = None
+          parsed.stmts.foreach {
+            case Assign(t, v) => env(t) = eval(v)
+            case TempView(v, n) => env(v).createOrReplaceTempView(n); created += n
+            case Return(v) => out = Some(eval(v))
+          }
+          out.get
+        } finally {
+          // Dataset analysis is eager (view references are already
+          // inlined into the returned frame's plan), so dropping here
+          // is safe — and keeps user view names from leaking into (or
+          // shadowing) the rest of the session.
+          created.foreach(spark.catalog.dropTempView(_))
+        }
       }
-      out.get
+      val touchesCatalog = parsed.stmts.exists {
+        case TempView(_, _) => true
+        case _ => false
+      }
+      if (touchesCatalog) catalogLock.synchronized(run()) else run()
     }
 
   private def applyCall(df: DataFrame, c: Call, where: String): DataFrame = {
@@ -214,11 +260,23 @@ object PyModel {
   private def parseExpr(s: String, where: String,
                         declared: Option[Set[(String, String)]]): Expr = {
     val refM = Pattern.compile("""^dbt\.ref\(\s*""" + strLit + """\s*\)""").matcher(s)
+    val ref2M = Pattern.compile("""^dbt\.ref\(\s*""" + strLit + """\s*,\s*""" + strLit + """\s*\)""").matcher(s)
     val srcM = Pattern.compile("""^dbt\.source\(\s*""" + strLit + """\s*,\s*""" + strLit + """\s*\)""").matcher(s)
     val sqlM = Pattern.compile("""^session\.sql\(\s*""" + strLit + """\s*\)""").matcher(s)
     val varM = Pattern.compile("""^([A-Za-z_]\w*)""").matcher(s)
     val (base, rest): (Expr, String) =
-      if (refM.find()) (RefExpr(firstGroup(refM, 1)), s.substring(refM.end))
+      // Two-arg form FIRST: `dbt.ref("project", "model")` — dbt's
+      // cross-project reference. Encoded as `project::model`; the
+      // project loader validates the project + public access and
+      // rewrites to the bare upstream model key (mirroring the SQL
+      // models' rewriteProjectRefs). The one-arg pattern would
+      // otherwise match the two-arg call's prefix.
+      if (ref2M.find()) {
+        val proj = firstGroup(ref2M, 1)
+        val mod = (5 to ref2M.groupCount).iterator.map(ref2M.group).find(_ != null).getOrElse("")
+        (RefExpr(s"$proj::$mod"), s.substring(ref2M.end))
+      }
+      else if (refM.find()) (RefExpr(firstGroup(refM, 1)), s.substring(refM.end))
       else if (srcM.find()) {
         val src = firstGroup(srcM, 1)
         val tbl = (5 to srcM.groupCount).iterator.map(srcM.group).find(_ != null).getOrElse("")
@@ -335,10 +393,18 @@ object PyModel {
       val v = m.group(2).trim match {
         case "True" => "true"
         case "False" => "false"
+        case lst if lst.startsWith("[") && lst.endsWith("]") =>
+          // List-of-strings (dbt.config(tags=["a", "b"])) — stored
+          // comma-joined; the loader splits for Model.tags.
+          splitArgs(lst.stripPrefix("[").stripSuffix("]"), where).map { it =>
+            val sm = strPat.matcher(it)
+            if (sm.matches()) firstGroup(sm, 1)
+            else fail(where, s"dbt.config list value for '${m.group(1)}' must contain string literals, got `$it`")
+          }.mkString(",")
         case other =>
           val sm = strPat.matcher(other)
           if (sm.matches()) firstGroup(sm, 1)
-          else fail(where, s"dbt.config value for '${m.group(1)}' must be a string or True/False, got `$other`")
+          else fail(where, s"dbt.config value for '${m.group(1)}' must be a string, True/False, or a list of strings, got `$other`")
       }
       m.group(1) -> v
     }
@@ -376,7 +442,16 @@ object PyModel {
         var i = 0
         var done = false
         while (i < s.length && !done) {
-          skipStringAt(s, i) match {
+          // A triple-quote that OPENS here but does not close on this
+          // line: the rest of the line is string content (a '#' in it
+          // is SQL text, not a comment) — append verbatim and let the
+          // continuation-line path take over. Without this, skipStringAt
+          // mis-lexes the opener as an empty ''/"" literal and the
+          // stripper truncates the line at the in-string '#'.
+          val tripleOpen = Seq("\"\"\"", "'''").find(q =>
+            s.startsWith(q, i) && s.indexOf(q, i + q.length) < 0)
+          if (tripleOpen.isDefined) { sb.append(s.substring(i)); i = s.length }
+          else skipStringAt(s, i) match {
             case Some(j) if j <= s.length => sb.append(s.substring(i, j)); i = j
             case _ =>
               if (s.charAt(i) == '#') done = true
@@ -403,6 +478,11 @@ object PyModel {
 
   /** True when no paren/bracket is open and no string is unterminated. */
   private def balanced(s: String): Boolean = {
+    // An unterminated triple-quoted string means the statement
+    // continues on later lines — decide BEFORE the char loop, whose
+    // single-quote fallback would mis-lex the opener's interior.
+    def odd(q: String) = s.sliding(3).count(_ == q) % 2 == 1
+    if (odd("\"\"\"") || odd("'''")) return false
     var depth = 0
     var i = 0
     while (i < s.length) {

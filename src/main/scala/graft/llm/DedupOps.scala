@@ -1256,7 +1256,12 @@ object DedupOps {
         * it must not silently route its (deliberately budget-sized)
         * component to the local solver.
         */
-      forceDistributed: Boolean = false): (DataFrame, Int, Long) = {
+      forceDistributed: Boolean = false,
+      /** The caller already semi-join-cleaned `pairs` against `docs`
+        * (both endpoints present) — skip the in-function cleaning pass
+        * (two candidate-graph-sized joins Catalyst cannot eliminate).
+        */
+      preCleaned: Boolean = false): (DataFrame, Int, Long) = {
     val s = docs.sparkSession
     // Two-tier, same discipline as connected components: the rank table
     // is docs-sized and the edge list candidate-graph-sized — both far
@@ -1283,9 +1288,11 @@ object DedupOps {
     // of the (candidate-graph-sized, ≪ corpus) pair list per call —
     // noise against the ~60 docs-sized rank-table rounds that follow.
     val docIdsAll = docs.select(col("doc_id"))
-    val cleanPairs = pairs.select("doc_a", "doc_b")
-      .join(docIdsAll.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi")
-      .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
+    val cleanPairs =
+      if (preCleaned) pairs.select("doc_a", "doc_b")
+      else pairs.select("doc_a", "doc_b")
+        .join(docIdsAll.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi")
+        .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
     if (!forceDistributed && 2L * cleanPairs.count() <= localMax)
       return pagerankConvergedLocal(docs, cleanPairs, eps, maxRounds, nOverride)
     val edges = cleanPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -1551,16 +1558,22 @@ object DedupOps {
         * pass. Ownership transfers: this frame is persisted/unpersisted
         * inside.
         */
-      precomputedAssign: Option[DataFrame] = None): DataFrame = {
+      precomputedAssign: Option[DataFrame] = None,
+      /** `pairs` is already endpoint-cleaned against `docs` — skip the
+        * in-function semi-join pass (see pagerankConvergedStats).
+        */
+      preCleaned: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val nTotal = nOverride.getOrElse(docs.agg(count(lit(1))).head().getLong(0))
     require(nTotal > 0, "pagerank over an empty docs frame")
     val docIdsAll = docs.select(col("doc_id"))
-    val cleanPairs = pairs.select("doc_a", "doc_b")
-      .join(docIdsAll.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi")
-      .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cleanPairs = (
+      if (preCleaned) pairs.select("doc_a", "doc_b")
+      else pairs.select("doc_a", "doc_b")
+        .join(docIdsAll.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi")
+        .join(docIdsAll.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "leftsemi")
+      ).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // Same driver-tier crossover as the global loop: a graph whose
       // WHOLE edge list fits the driver bound has nothing to gain from
@@ -1572,7 +1585,8 @@ object DedupOps {
       val localMax = s.conf.get("spark.graft.pagerankLocalMaxEdges", "2000000").toLong
       if (2L * cleanPairs.count() <= localMax) {
         val (ranks, _, _) =
-          pagerankConvergedStats(docs, cleanPairs, eps, maxRounds, nOverride)
+          pagerankConvergedStats(docs, cleanPairs, eps, maxRounds, nOverride,
+            preCleaned = true)
         return ranks.select("doc_id", "pr", "degree", "n_docs")
       }
       val base = 150000000000L / nTotal
@@ -1668,7 +1682,10 @@ object DedupOps {
             val bigDocs = assign
               .filter(col("canonical_id").isin(bigComps.toSeq: _*))
               .select("doc_id")
-            pagerankConvergedStats(bigDocs, bigPairs, eps, maxRounds, Some(nTotal))
+            // Endpoint-complete w.r.t. bigDocs by the CC contract (a
+            // pair's endpoints share a component) — skip the cleaning.
+            pagerankConvergedStats(bigDocs, bigPairs, eps, maxRounds, Some(nTotal),
+              preCleaned = true)
               ._1.select("doc_id", "pr", "degree")
           }
         val iso = docIdsAll
@@ -1714,7 +1731,8 @@ object DedupOps {
         case other => other.toInt
       }
       if (k == 0) {
-        val (r, _, d) = pagerankConvergedStats(docs, cleanPairs, eps)
+        val (r, _, d) = pagerankConvergedStats(docs, cleanPairs, eps,
+          preCleaned = true)
         (r.select("doc_id", "n_docs", "pr", "degree"), d)
       } else {
         val dbg = s.conf.get("spark.graft.pagerankConvDebug", "false").toBoolean
@@ -1759,7 +1777,7 @@ object DedupOps {
               if (underBudget.nonEmpty) underBudget
               else counts.orderBy(col("ne").asc, col("comp")).limit(k)
                 .select("comp").as[Long].collect()
-            if (s.conf.get("spark.graft.pagerankConvDebug", "false").toBoolean) {
+            if (dbg) {
               val pickedNe = counts.filter(col("comp").isin(picked.toSeq: _*))
                 .agg(sum("ne")).head().getLong(0)
               // Diagnostic only (gated): the sampled subgraph's size is
@@ -1789,9 +1807,12 @@ object DedupOps {
               cleanPairs.join(
                 bigDocs.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "leftsemi"))
             lap("big_pairs_ckpt")
+            // bigPairs is endpoint-complete w.r.t. bigDocs by the CC
+            // contract (a pair's endpoints share a component), so the
+            // in-function cleaning pass is redundant.
             val (rBig, _, d) =
               pagerankConvergedStats(bigDocs, bigPairs, eps, nOverride = Some(nTotal),
-                forceDistributed = true)
+                forceDistributed = true, preCleaned = true)
             lap("sampled_loop")
             val restDocs = docs.join(bigDocs, Seq("doc_id"), "left_anti")
             val restPairs = cleanPairs.join(
@@ -1804,7 +1825,8 @@ object DedupOps {
             // of the row's cost once the sampled loop was bounded.
             val rRest = checkpointSlot("pagerank_conv_rest",
               pagerankComponents(restDocs, restPairs, eps,
-                nOverride = Some(nTotal), precomputedAssign = Some(restAssign)))
+                nOverride = Some(nTotal), precomputedAssign = Some(restAssign),
+                preCleaned = true))
             lap("rest_checkpoint")
             (rBig.select("doc_id", "n_docs", "pr", "degree")
               .unionAll(rRest.select("doc_id", "n_docs", "pr", "degree")), d)

@@ -401,10 +401,19 @@ object SimilarityOps {
       * kmeans shape); the root embeds it so different cell counts never
       * serve each other's layouts.
       */
-    def ensureKmeans(s: SparkSession, dir: String): (String, String) = {
-      val cells = s.conf.get("spark.graft.ivfKmeansCells", "8").toInt
-      ensureRoot(s, dir, "spark.graft.ivfKmRoot",
-        s"/root/repo/fixtures/ivfkm/k$cells") { root =>
+    def ensureKmeans(s: SparkSession, dir: String,
+                     cellsOverride: Option[Int] = None): (String, String) = {
+      // The oracle row pins cells via `cellsOverride`: its DuckDB replay
+      // is hard-wired to the k=8 Lloyd trajectory, so the session dial
+      // must never be able to desync the Spark side from it.
+      val cells = cellsOverride.getOrElse(
+        s.conf.get("spark.graft.ivfKmeansCells", "8").toInt)
+      // The k$cells subdir applies UNDER a conf-supplied root too —
+      // otherwise two cell counts would serve each other's layouts
+      // whenever spark.graft.ivfKmRoot is set.
+      val kmBase =
+        s.conf.get("spark.graft.ivfKmRoot", "/root/repo/fixtures/ivfkm") + s"/k$cells"
+      ensureRoot(s, dir, "spark.graft.ivfKmCellRoot__internal", kmBase) { root =>
         val asg = kmeansAssignK(quantEmb(s, dir), cells, rounds = 3)
         val emb = Tables.load(s, dir, "embeddings")
           .drop("label")
@@ -561,7 +570,8 @@ object SimilarityOps {
     (s, dir) => {
       val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      ivfSearchAt(s, IvfIndex.ensureKmeans(s, dir), q, k = 5, nprobe = 1)
+      ivfSearchAt(s, IvfIndex.ensureKmeans(s, dir, cellsOverride = Some(8)),
+        q, k = 5, nprobe = 1)
     },
     Some(s"""WITH $kmeansOracleCtes,
            |ke AS (

@@ -986,6 +986,8 @@ object DagQueries {
       .getOrElse(throw new IllegalStateException(
         "fixtures/pkg_project not found (run from the repo root)"))
 
+  private val pkgWhCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def pkgModel(s: SparkSession, dir: String, name: String): DataFrame = {
     val proj = graft.engine.ProjectLoader.load(s, pkgProjectDir)
     // Build only the requested model's ancestor closure (dbt run
@@ -999,10 +1001,23 @@ object DagQueries {
       graft.engine.DagRunner.select(proj.models, s"+$name"))
     // The pkg fixture is view-family except the python model (dbt python
     // models are table-only); a table in the selection needs a warehouse
-    // to land in — a per-call temp dir keeps the row self-contained.
+    // to land in. ONE temp dir per (sf dir, model) per JVM, reused on
+    // re-invocation (table writes are overwrite) and removed at JVM
+    // exit — a per-call dir would accumulate parquet for every bench
+    // iteration on a long-lived host.
     val wh =
       if (sel.forall(_.materialization == graft.engine.View)) ""
-      else java.nio.file.Files.createTempDirectory("graft_pkgwh").toString
+      else pkgWhCache.computeIfAbsent(s"$dir::$name", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_pkgwh")
+        sys.addShutdownHook {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm))
+            p.delete(): Unit
+          }
+          rm(d.toFile)
+        }
+        d.toString
+      })
     val built = graft.engine.DagRunner.run(s, sel,
       n => graft.sources.Tables.load(s, dir, n.stripPrefix("tpch.")), wh)
     ordered(built(name))

@@ -44,6 +44,28 @@ class AnnQualitySpec extends SparkSpec {
     got.intersect(exact).size.toDouble / exact.size
   }
 
+  test("the oracle row's cellsOverride pins k=8 regardless of the ivfKmeansCells dial") {
+    // The DuckDB replay is hard-wired to the k=8 Lloyd trajectory; the
+    // session dial must not be able to desync the Spark side from it.
+    spark.conf.set("spark.graft.ivfKmeansCells", "64")
+    try {
+      val (corpus, cents) =
+        SimilarityOps.IvfIndex.ensureKmeans(spark, dir, cellsOverride = Some(8))
+      assert(corpus.contains("/k8/"), corpus)
+      assert(cents.contains("/k8/"), cents)
+      // Without the override the dial applies (and gets its own root —
+      // two cell counts never serve each other's layouts even under a
+      // conf-supplied ivfKmRoot).
+      val kmTmp = java.nio.file.Files.createTempDirectory("graft_kmroot").toString
+      spark.conf.set("spark.graft.ivfKmRoot", kmTmp)
+      try {
+        spark.conf.set("spark.graft.ivfKmeansCells", "4")
+        val (c4, _) = SimilarityOps.IvfIndex.ensureKmeans(spark, dir)
+        assert(c4.startsWith(s"$kmTmp/k4/"), c4)
+      } finally spark.conf.unset("spark.graft.ivfKmRoot")
+    } finally spark.conf.unset("spark.graft.ivfKmeansCells")
+  }
+
   test("kmeansAssignK at k=8 replays kmeansRounds exactly (the oracle-pinned trajectory)") {
     // The generalized struct-min argmin must agree with the arithmetic
     // dist*100+cluster encoding wherever the latter is defined — the

@@ -1002,6 +1002,12 @@ class EngineSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DagRunner.cloneRelations(spark, Seq(ghost), stateWh, devWh))
     assert(e.getMessage.contains("no relation in the state warehouse"))
+    // state == target would delete-the-only-copy before the copy:
+    // refused up front, and the relation survives untouched.
+    val e2 = intercept[IllegalArgumentException](
+      DagRunner.cloneRelations(spark, Seq(t), stateWh, stateWh))
+    assert(e2.getMessage.contains("same path"))
+    assert(spark.read.parquet(DagRunner.targetPath(stateWh, t)).count() === 2L)
   }
 
   test("dbt run --empty: the DAG executes schema-only — real schemas, LIMIT 0 inputs") {

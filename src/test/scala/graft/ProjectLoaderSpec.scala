@@ -1012,6 +1012,48 @@ class ProjectLoaderSpec extends SparkSpec {
     assert(e6.getMessage.contains("cycle"))
   }
 
+  test("mesh governance applies to PYTHON models: bare refs error, two-arg refs enforce access and build") {
+    import spark.implicits._
+    def consumerPy(pyBody: String): java.nio.file.Path = {
+      val core = meshConsumerDir.getParent.resolve("mesh_core")
+        .toAbsolutePath.normalize
+      synthProject(
+        "dependencies.yml" -> s"projects:\n  - name: mesh_core\n    path: $core\n",
+        "models/consumer_py.py" -> pyBody)
+    }
+    // A bare dbt.ref naming an upstream model demands the two-arg form
+    // (the SQL models' checkBareRefs rule).
+    val e1 = intercept[IllegalArgumentException](ProjectLoader.load(spark,
+      consumerPy("def model(dbt, session):\n    df = dbt.ref(\"core_orders_enriched\")\n    return df\n")))
+    assert(e1.getMessage.contains("dbt.ref('mesh_core', 'core_orders_enriched')"))
+    // Two-arg ref to a protected model: dbt's access error.
+    val e2 = intercept[IllegalArgumentException](ProjectLoader.load(spark,
+      consumerPy("def model(dbt, session):\n    df = dbt.ref(\"mesh_core\", \"core_internal_margins\")\n    return df\n")))
+    assert(e2.getMessage.contains("access: protected"))
+    // Undeclared project.
+    val e3 = intercept[IllegalArgumentException](ProjectLoader.load(spark,
+      consumerPy("def model(dbt, session):\n    df = dbt.ref(\"other_proj\", \"m\")\n    return df\n")))
+    assert(e3.getMessage.contains("not declared in"))
+    // A legal two-arg ref rewrites to the bare upstream key and builds.
+    val p = ProjectLoader.load(spark,
+      consumerPy("def model(dbt, session):\n    dbt.config(materialized=\"table\")\n" +
+        "    df = dbt.ref(\"mesh_core\", \"core_orders_enriched\")\n" +
+        "    return df.selectExpr(\"count(*) AS n\")\n"))
+    assert(p.model("consumer_py").refs === Seq("core_orders_enriched"))
+    val orders = Seq((1L, 10L, "1995-01-01", 250000.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq((10L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+    val wh = java.nio.file.Files.createTempDirectory("graft_meshpy").toString
+    val built = DagRunner.run(spark,
+      DagRunner.withLazyUpstreams(p.models,
+        DagRunner.select(p.models, "+consumer_py")), {
+        case "tpch.orders" => orders
+        case "tpch.customer" => customer
+        case n => sys.error(s"no source $n")
+      }, wh)
+    assert(built("consumer_py").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("model versions through the file frontend: unpinned refs resolve latest, pinned refs hold") {
     import spark.implicits._
     val dir = Seq(java.nio.file.Paths.get("fixtures/ver_project"),

@@ -71,8 +71,64 @@ class PyModelSpec extends SparkSpec {
       .contains("before assignment"))
     assert(err("def model(dbt, session):\n    df = dbt.ref('x')\n")
       .contains("return"))
-    assert(err("def model(dbt, session):\n    df = dbt.ref('a', 'b')\n    return df\n")
-      .contains("unsupported expression"))
+  }
+
+  test("two-arg dbt.ref parses as a project::model key and rewriteRefs resolves it") {
+    val text =
+      """def model(dbt, session):
+        |    up = dbt.ref("core", "core_orders")
+        |    return up.filter("a > 0")
+        |""".stripMargin
+    val p = PyModel.parse("m", text, "m.py")
+    assert(p.refs === Seq("core::core_orders"))
+    val rw = PyModel.rewriteRefs(p, k => if (k == "core::core_orders") "core_orders" else k)
+    assert(rw.refs === Seq("core_orders"))
+    // The rewritten key is what buildFn resolves against.
+    import spark.implicits._
+    val out = PyModel.buildFn(rw, "m.py")(spark,
+      Map("core_orders" -> Seq(1, -1, 2).toDF("a")))
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+  }
+
+  test("a '#' after an unterminated triple-quote opener is SQL text, not a comment") {
+    val text =
+      "def model(dbt, session):\n" +
+        "    agg = session.sql(\"\"\"SELECT 1 AS n  -- marker # not-a-comment\n" +
+        "        FROM range(1)\"\"\")\n" +
+        "    return agg\n"
+    val p = PyModel.parse("m", text, "m.py")
+    val sql = p.stmts.collectFirst {
+      case PyModel.Assign(_, PyModel.SqlExpr(t)) => t
+    }.get
+    assert(sql.contains("# not-a-comment"), sql)
+    assert(sql.contains("FROM range(1)"), sql)
+  }
+
+  test("dbt.config accepts a list of strings (tags) — stored comma-joined") {
+    val text =
+      """def model(dbt, session):
+        |    dbt.config(materialized="table", tags=["nightly", "pii"])
+        |    df = dbt.ref("t")
+        |    return df
+        |""".stripMargin
+    val p = PyModel.parse("m", text, "m.py")
+    assert(p.config("tags") === "nightly,pii")
+  }
+
+  test("temp views registered by a py model are dropped after the build") {
+    import spark.implicits._
+    val text =
+      """def model(dbt, session):
+        |    df = dbt.ref("t")
+        |    df.createOrReplaceTempView("pym_scratch_view")
+        |    out = session.sql("SELECT a + 1 AS b FROM pym_scratch_view")
+        |    return out
+        |""".stripMargin
+    val p = PyModel.parse("m", text, "m.py")
+    val out = PyModel.buildFn(p, "m.py")(spark, Map("t" -> Seq(1, 2).toDF("a")))
+    assert(!spark.catalog.tableExists("pym_scratch_view"))
+    // Analysis was eager, so the returned frame still evaluates.
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3))
   }
 
   test("ProjectLoader ingests .py models: DAG edges, source validation, config precedence, collisions") {
