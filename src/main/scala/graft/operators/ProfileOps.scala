@@ -35,16 +35,65 @@ object ProfileOps {
     case _                      => c.cast("string")
   }
 
-  /** One-pass profile of every column of `df`:
+  /** Profile of every column of `df`:
     * (col_name, n_nulls, n_distinct, min_v, max_v), ordered by name.
+    *
+    * approx = true (the 100 TB shape) stays ONE aggregation pass: HLL
+    * sketches are mergeable partials, so N approx distincts + min/max/
+    * nulls ride a single Expand-free global agg.
+    *
+    * approx = false: N exact countDistinct in one agg is Catalyst's
+    * Expand rewrite — rows × N duplicated, then a full-width SORT
+    * (min/max over strings forces SortAggregate) before the shuffle.
+    * Measured at sf0.1 that sort of the 8×-expanded table dominated the
+    * row (4.6 s). Restructured (optimization round 14, guide §2.3/§2.4
+    * — shuffle fewer bytes, remove the sort): nulls/min/max ride one
+    * global agg (single group — no sort, no Expand), and each column's
+    * exact distinct is its OWN single-distinct aggregate over a
+    * column-pruned scan (a one-distinct Aggregate never rewrites
+    * through Expand; partial dedup happens map-side so only distinct
+    * values shuffle). Parquet is columnar, so the N per-column scans
+    * read the same total bytes as the one wide scan. The N+1 subtrees
+    * are independent and their stages overlap inside the one job. Same
+    * rows, same oracle — s22c's exact side proved this shape ~4× faster.
     */
   def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    if (approx) {
+      val aggs = fields.flatMap { f =>
+        val c = col(f.name)
+        Seq(
+          coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
+          approx_count_distinct(c).as(s"${f.name}__distinct"),
+          render(min(c), f.dataType).as(s"${f.name}__min"),
+          render(max(c), f.dataType).as(s"${f.name}__max"))
+      }
+      val one = df.agg(aggs.head, aggs.drop(1): _*)
+      val rows = fields.map { f =>
+        struct(
+          lit(f.name).as("col_name"),
+          col(s"${f.name}__nulls").as("n_nulls"),
+          col(s"${f.name}__distinct").as("n_distinct"),
+          col(s"${f.name}__min").as("min_v"),
+          col(s"${f.name}__max").as("max_v"))
+      }
+      one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_name")
+    } else {
+      base(df).join(broadcast(exactDistincts(df)), "col_name")
+        .select("col_name", "n_nulls", "n_distinct", "min_v", "max_v")
+        .orderBy("col_name")
+    }
+  }
+
+  /** Long-form (col_name, n_nulls, min_v, max_v) from ONE global agg —
+    * a single group, so no sort and no Expand regardless of types.
+    */
+  private def base(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
-        (if (approx) approx_count_distinct(c) else countDistinct(c)).as(s"${f.name}__distinct"),
         render(min(c), f.dataType).as(s"${f.name}__min"),
         render(max(c), f.dataType).as(s"${f.name}__max"))
     }
@@ -53,12 +102,21 @@ object ProfileOps {
       struct(
         lit(f.name).as("col_name"),
         col(s"${f.name}__nulls").as("n_nulls"),
-        col(s"${f.name}__distinct").as("n_distinct"),
         col(s"${f.name}__min").as("min_v"),
         col(s"${f.name}__max").as("max_v"))
     }
-    one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_name")
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** (col_name, n_distinct) — one single-distinct aggregate per column
+    * (Expand-free: map-side dedup, only distinct values shuffle), the 7
+    * one-row results unioned. The s22c exact-side shape, shared.
+    */
+  private def exactDistincts(df: DataFrame): DataFrame =
+    df.schema.fields.toSeq.map { f =>
+      df.agg(countDistinct(col(f.name)).as("n_distinct"))
+        .select(lit(f.name).as("col_name"), col("n_distinct"))
+    }.reduce(_.unionAll(_))
 
   /** Profile of `orders` plus one derived nullable column (the fixture
     * tables carry no NULLs, so `nullif` manufactures some — the null
@@ -115,36 +173,32 @@ object ProfileOps {
     */
   private def profileTolerance(df: DataFrame, rsd: Double): DataFrame = {
     val fields = df.schema.fields.toSeq
-    // TWO separate one-row aggregations, not one: a single agg mixing
-    // N exact countDistinct with N HLL imperative aggs makes every HLL
-    // evaluate over the (rows × N+1) Expand — measured 12 s vs ~1 s
-    // split at sf0.01. Exact pass (Expand, harness-only) and approx
-    // pass (sketches, the production shape) each keep their own
-    // efficient plan; the cross join glues two 1-row frames.
-    val exactAggs = fields.flatMap { f =>
-      val c = col(f.name)
-      Seq(
-        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
-        countDistinct(c).as(s"${f.name}__exact"),
-        render(min(c), f.dataType).as(s"${f.name}__min"),
-        render(max(c), f.dataType).as(s"${f.name}__max"))
-    }
+    // Three independent Expand-free passes (optimization round 14,
+    // guide §2.3/§2.4 — the previous shape's exact pass was the
+    // Expand + full-width-sort multi-distinct, measured 3.5 s at
+    // sf0.1): nulls/min/max ride one global agg, each exact distinct
+    // is its own single-distinct column-pruned aggregate, and the HLL
+    // pass keeps its one-agg sketch shape (the production plan). The
+    // per-column 1-row frames broadcast-join on col_name.
     val approxAggs = fields.map { f =>
       approx_count_distinct(col(f.name), rsd).as(s"${f.name}__approx")
     }
-    val one = df.agg(exactAggs.head, exactAggs.drop(1): _*)
-      .crossJoin(broadcast(df.agg(approxAggs.head, approxAggs.drop(1): _*)))
-    val rows = fields.map { f =>
-      struct(
-        lit(f.name).as("col_name"),
-        col(s"${f.name}__nulls").as("n_nulls"),
-        col(s"${f.name}__exact").as("n_distinct"),
-        (abs(col(s"${f.name}__approx") - col(s"${f.name}__exact")) <=
-          col(s"${f.name}__exact") * lit(3 * rsd)).as("distinct_ok"),
-        col(s"${f.name}__min").as("min_v"),
-        col(s"${f.name}__max").as("max_v"))
+    val one = df.agg(approxAggs.head, approxAggs.drop(1): _*)
+    val approxRows = fields.map { f =>
+      struct(lit(f.name).as("col_name"), col(s"${f.name}__approx").as("n_approx"))
     }
-    one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_name")
+    val approxLong = one.select(explode(array(approxRows: _*)).as("p")).select("p.*")
+    base(df).join(broadcast(exactDistincts(df)), "col_name")
+      .join(broadcast(approxLong), "col_name")
+      .select(
+        col("col_name"),
+        col("n_nulls"),
+        col("n_distinct"),
+        (abs(col("n_approx") - col("n_distinct")) <=
+          col("n_distinct") * lit(3 * rsd)).as("distinct_ok"),
+        col("min_v"),
+        col("max_v"))
+      .orderBy("col_name")
   }
 
   private val profileApprox = QueryDef(
@@ -196,10 +250,7 @@ object ProfileOps {
     */
   private def profileValidated(df: DataFrame, rsd: Double = 0.05): DataFrame = {
     val prod = profile(df, approx = true)
-    val exact = df.schema.fields.toSeq.map { f =>
-      df.agg(countDistinct(col(f.name)).as("n_exact"))
-        .select(lit(f.name).as("col_name"), col("n_exact"))
-    }.reduce(_.unionAll(_))
+    val exact = exactDistincts(df).withColumnRenamed("n_distinct", "n_exact")
     prod.join(broadcast(exact), "col_name")
       .select(
         col("col_name"),
