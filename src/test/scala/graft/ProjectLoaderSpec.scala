@@ -103,6 +103,22 @@ class ProjectLoaderSpec extends SparkSpec {
       "atinternet_smarttag_streams_daily/atinternet_smarttag_streams_daily_v4").isDirectory)
   }
 
+  test("runParallel materializes the file-loaded project identically to run()") {
+    // dag_project_dashboard runs THIS DAG through the threaded runner
+    // (optimization round 14); pin output equality on the file frontend
+    // specifically — its builds register shared-catalog temp views for
+    // every ref, so this covers the concurrent-registration path too.
+    val par = DagRunner.runParallel(spark, proj.models,
+      NpoFixtures.resolveProject(fixtures), tmpWh(), threads = 4)
+    val seq = DagRunner.run(spark, proj.models,
+      NpoFixtures.resolveProject(fixtures), tmpWh())
+    assert(par.keySet === seq.keySet)
+    val name = "integral_reporting_dashboard_channel_weekly"
+    assert(par(name).columns.toSeq === seq(name).columns.toSeq)
+    assert(par(name).exceptAll(seq(name)).count() === 0L)
+    assert(seq(name).exceptAll(par(name)).count() === 0L)
+  }
+
   // ---- unit: config resolution and schema.yml parsing --------------------
 
   private def yamlMap(s: String): Map[String, Any] = {
