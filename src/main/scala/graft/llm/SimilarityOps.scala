@@ -1267,23 +1267,34 @@ object SimilarityOps {
     val init = emb.orderBy("vec_id").limit(8)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int").as("cluster"), col("qx").as("c"))
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
+    // Non-final assigns CARRY the quantized vector through the argmin by
+    // grouping on (vec_id, qx) — qx is functionally dependent on vec_id
+    // (one embeddings row per id), so the groups, the min, and the
+    // trajectory are bit-identical — and recompute() then needs no
+    // join-back to emb (optimization round 14, guide §2.4: the join-back
+    // was 2 exchanges + 2 sorts per Lloyd round shuffling the full
+    // vector payload a second time; the carried key ships it once, in
+    // the argmin exchange the round already pays).
+    def assign(cents: DataFrame, carry: Boolean): DataFrame = {
+      val scored = emb.crossJoin(broadcast(cents))
         .withColumn("dist",
           expr("aggregate(zip_with(qx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
         .withColumn("k", col("dist") * 100 + col("cluster").cast("long"))
-        .groupBy("vec_id").agg(min("k").as("k"))
-        .select(col("vec_id"), expr("CAST(k % 100 AS INT)").as("cluster"),
-          expr("k div 100").as("dist"))
+      val grouped =
+        if (carry) scored.groupBy("vec_id", "qx").agg(min("k").as("k"))
+        else scored.groupBy("vec_id").agg(min("k").as("k"))
+      grouped.select(col("vec_id") +: expr("CAST(k % 100 AS INT)").as("cluster") +:
+        expr("k div 100").as("dist") +: (if (carry) Seq(col("qx")) else Nil): _*)
+    }
     def recompute(asg: DataFrame): DataFrame =
-      asg.join(emb, "vec_id")
-        .select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
+      asg.select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(expr("sum(v) div count(1)").as("cv"))
         .groupBy("cluster")
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
-    (2 to rounds).foldLeft(assign(init))((a, _) => assign(recompute(a)))
-      .orderBy("vec_id")
+    var a = assign(init, carry = rounds > 1)
+    for (r <- 2 to rounds) a = assign(recompute(a), carry = r < rounds)
+    a.orderBy("vec_id")
   }
 
   /** [[kmeansRounds]] generalized to ANY cluster count: the same
@@ -1298,20 +1309,31 @@ object SimilarityOps {
     val init = emb.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int").as("cluster"), col("qx").as("c"))
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
+    // Same carried-vector argmin as [[kmeansRounds]]: non-final assigns
+    // group on (vec_id, qx) so recompute() needs no join-back to emb —
+    // at the IVF build's 100× scale that join-back re-shuffled the full
+    // 600k-vector payload every round.
+    def assign(cents: DataFrame, carry: Boolean): DataFrame = {
+      val scored = emb.crossJoin(broadcast(cents))
         .withColumn("dist",
           expr("aggregate(zip_with(qx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
-        .groupBy("vec_id").agg(min(struct(col("dist"), col("cluster"))).as("kc"))
-        .select(col("vec_id"), col("kc.cluster").as("cluster"), col("kc.dist").as("dist"))
+      val grouped =
+        if (carry) scored.groupBy("vec_id", "qx")
+          .agg(min(struct(col("dist"), col("cluster"))).as("kc"))
+        else scored.groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cluster"))).as("kc"))
+      grouped.select(col("vec_id") +: col("kc.cluster").as("cluster") +:
+        col("kc.dist").as("dist") +: (if (carry) Seq(col("qx")) else Nil): _*)
+    }
     def recompute(asg: DataFrame): DataFrame =
-      asg.join(emb, "vec_id")
-        .select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
+      asg.select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(expr("sum(v) div count(1)").as("cv"))
         .groupBy("cluster")
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
-    (2 to rounds).foldLeft(assign(init))((a, _) => assign(recompute(a)))
+    var a = assign(init, carry = rounds > 1)
+    for (r <- 2 to rounds) a = assign(recompute(a), carry = r < rounds)
+    a
   }
 
   /** DuckDB replay of [[kmeansRounds]] (3 rounds) ending in CTE `a3`
@@ -1575,16 +1597,27 @@ object SimilarityOps {
   private val pqSqDist =
     expr("aggregate(zip_with(sx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)")
 
-  private def pqAssign(wm: DataFrame, cents: DataFrame): DataFrame =
-    wm.join(broadcast(cents), "m")
+  /** `carry = true` groups the argmin on (vec_id, m, sx) — sx is
+    * functionally dependent on (vec_id, m), so groups, min, and
+    * trajectory are bit-identical — and the recompute step then needs
+    * no join-back to wm (optimization round 14, guide §2.4: that
+    * join-back was 2 exchanges + 2 sorts per Lloyd round re-shuffling
+    * the subvector payload the argmin exchange already carries).
+    */
+  private def pqAssign(wm: DataFrame, cents: DataFrame,
+                       carry: Boolean = false): DataFrame = {
+    val scored = wm.join(broadcast(cents), "m")
       .withColumn("k", pqSqDist * 100 + col("cluster").cast("long"))
-      .groupBy("vec_id", "m").agg(min("k").as("k"))
-      .select(col("vec_id"), col("m"), expr("CAST(k % 100 AS INT)").as("cluster"),
-        expr("k div 100").as("dist"))
+    val grouped =
+      if (carry) scored.groupBy("vec_id", "m", "sx").agg(min("k").as("k"))
+      else scored.groupBy("vec_id", "m").agg(min("k").as("k"))
+    grouped.select(col("vec_id") +: col("m") +:
+      expr("CAST(k % 100 AS INT)").as("cluster") +:
+      expr("k div 100").as("dist") +: (if (carry) Seq(col("sx")) else Nil): _*)
+  }
 
-  private def pqRecompute(wm: DataFrame, asg: DataFrame): DataFrame =
-    asg.join(wm, Seq("vec_id", "m"))
-      .select(col("m"), col("cluster"), posexplode(col("sx")).as(Seq("pos", "v")))
+  private def pqRecompute(asg: DataFrame): DataFrame =
+    asg.select(col("m"), col("cluster"), posexplode(col("sx")).as(Seq("pos", "v")))
       .groupBy("m", "cluster", "pos")
       .agg(expr("sum(v) div count(1)").as("cv"))
       .groupBy("m", "cluster")
@@ -1598,7 +1631,7 @@ object SimilarityOps {
       .select(col("vec_id"),
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cluster"))
     val init = wm.join(seeds, "vec_id").select(col("m"), col("cluster"), col("sx").as("c"))
-    pqRecompute(wm, pqAssign(wm, pqRecompute(wm, pqAssign(wm, init))))
+    pqRecompute(pqAssign(wm, pqRecompute(pqAssign(wm, init, carry = true)), carry = true))
   }
 
   /** ADC ranking of the queries' subvectors against a codes table. */
