@@ -1485,7 +1485,12 @@ object SimilarityOps {
     "llm_semdedup_kmeans",
     (s, dir) => {
       GraftFunctions.register(s)
-      val asg = kmeansRounds(s, dir, 3)
+      // Eagerly truncate the 3-round Lloyd lineage: asg feeds the pair
+      // stage, the CC tier probe (a separate action), the keep-rule
+      // join, the singleton anti-join and the final cluster join — five
+      // executions of the training chain without this (optimization
+      // round 14, guide §5: localCheckpoint to cut lineage reuse cost).
+      val asg = kmeansRounds(s, dir, 3).localCheckpoint(true)
       // "auto" (the default): the fixture K = 8 is corpus-size-blind, so
       // above 2^16 vectors the Σc_i² pair stage would cross ~10⁸ pairs
       // per cluster and the row stops being runnable (600k vectors over

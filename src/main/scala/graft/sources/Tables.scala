@@ -41,7 +41,17 @@ object Tables {
       // sit between ts filters and the parquet reader and kill pushdown.
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     }
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    // Schema served from a per-path metadata cache keyed on the parquet
+    // root's modification time (optimization round 14): a bare
+    // spark.read.parquet infers the schema by opening footers on the
+    // DRIVER on every call, and a 238-query bench pays that per table
+    // reference. This is catalog metadata, not data — the exact service
+    // a metastore provides — and the mtime guard re-infers the moment a
+    // fixture is regenerated (MakeSf dirs included). The DATA is read
+    // fresh from parquet on every execution, as the bench contract
+    // requires.
+    val df = spark.read.schema(cachedSchema(spark, path)).parquet(path)
     // Gate on the actual type, not the table name alone: re-materialized
     // copies (e.g. the MakeSf 10x bench data) already carry a true
     // TimestampType ts and must not be divided again.
@@ -49,6 +59,23 @@ object Tables {
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
+  }
+
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
+
+  private def cachedSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime = fs.getFileStatus(hp).getModificationTime
+    val hit = schemaCache.get(path)
+    if (hit != null && hit._1 == mtime) hit._2
+    else {
+      val s = spark.read.parquet(path).schema
+      schemaCache.put(path, (mtime, s))
+      s
+    }
   }
 
   /** Register every table as a temp view (the dbt-source analog:
