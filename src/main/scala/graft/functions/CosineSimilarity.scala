@@ -155,6 +155,11 @@ object GraftFunctions {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "safe_cast", exprs => mkSafeCast(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => {
+        require(exprs.length == 1, "minhash_sigs takes exactly 1 argument")
+        MinhashSigs(exprs.head)
+      }, "scala_udf")
   }
 
   private[functions] def mkSafeCast(exprs: Seq[Expression]): SafeCast = {
@@ -251,5 +256,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SafeCast].getCanonicalName, "safe_cast"),
       (exprs: Seq[Expression]) => GraftFunctions.mkSafeCast(exprs)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinhashSigs].getCanonicalName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "minhash_sigs takes exactly 1 argument")
+        MinhashSigs(exprs.head)
+      }))
   }
 }

@@ -57,9 +57,6 @@ object DedupOps {
     Grams.ngrams(Tables.load(s, dir, "documents"), splitLit(col("text"), " "), 3)
       .select(col("doc_id"), col("gram").as("shingle"))
 
-  private def mh(seed: Int): Column =
-    min(md5(concat(lit(s"$seed:"), col("shingle")))).as(s"mh$seed")
-
   /** Shared oracle CTE prefix — shingle → minhash signatures → band
     * hashes → candidate pairs — interpolated into the minhash,
     * dedup-groups, and curation oracles so one definition can never
@@ -498,10 +495,17 @@ object DedupOps {
       // |A∩B| over distinct hashes equals |A∩B| over distinct shingles
       // up to an xxhash64 collision inside one pair's union (~200
       // elements → P ≈ 2^-51 per pair) — the same order of design
-      // bound the md5-based signatures already accept.
-      val perDoc = shingles(s, dir).groupBy("doc_id")
-        .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7),
-          collect_set(xxhash64(col("shingle"))).as("shset"))
+      // bound the md5-based signatures already accept. Signatures AND
+      // set come from the map-side [[sigsOfDocs]] (round 14): the old
+      // groupBy(min(md5), collect_set) sorted the whole shingle
+      // relation (string-min has no hash-agg buffer).
+      // One explicit doc_id exchange shared by the three consumers
+      // (bands fold, pair side A, pair side B): the map-side signature
+      // projection has no exchange of its own, so without this each
+      // consumer would re-sign the corpus (ReusedExchange pinned in
+      // PlanAuditSpec).
+      val perDoc = sigsOfDocs(Tables.load(s, dir, "documents"), withShset = true)
+        .repartition(col("doc_id"))
       val sa = perDoc.select(col("doc_id").as("pa") +:
         col("shset").as("shset_a") +: sigCols.map(c => col(c).as(s"${c}_a")): _*)
       val sb = perDoc.select(col("doc_id").as("pb") +:
@@ -607,17 +611,47 @@ object DedupOps {
   private def bandHashes(s: SparkSession, dir: String): DataFrame =
     bandsOfDocs(Tables.load(s, dir, "documents"))
 
+  /** MAP-SIDE per-document MinHash signatures (doc_id, mh0..mh7 and,
+    * when `withShset`, the distinct xxhash64 shingle set): the same
+    * values as the historical explode → groupBy(min(md5)) formulation —
+    * each signature is a min over the doc's OWN shingles — but computed
+    * with array higher-order functions inside one narrow projection.
+    * Optimization round 14, the LSH-kernel fix: `min` over an md5-hex
+    * STRING has no mutable hash-agg buffer, so the aggregate form fell
+    * back to SortAggregate — a full sort of the corpus-wide exploded
+    * shingle relation (rows × ~|words|) in EVERY LSH-family row
+    * (plan-audited: 4 SortAggregates + an exchange per signature
+    * derivation). The map-side form has ZERO shuffle and no explode;
+    * the only remaining exchange in the candidate pipeline is the band
+    * self-join, which at 100 TB means the corpus is never shuffled or
+    * sorted to get signed. The streaming path
+    * ([[graft.streaming.StreamingOps.bandHashes]]) has used exactly
+    * this shape since round 7 and its value agreement with the batch
+    * pipeline is spec-pinned; docs with < 3 words produce no shingles
+    * and are filtered, matching the old groupBy's absent rows.
+    */
+  private[graft] def sigsOfDocs(docs: DataFrame, withShset: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // The shingle-count filter runs on the CHEAP split, below the
+    // signature projection (pushed to the scan); the expression itself
+    // is never-null, so no IsNotNull(minhash_sigs(...)) exists for the
+    // optimizer to push below the projection and double-evaluate.
+    val base = docs
+      .select(col("doc_id"), splitLit(col("text"), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("doc_id"), call_function("minhash_sigs", col("__ws")).as("__sig"))
+    val mhs = (0 to 7).map(i => col("__sig.mh")(i).as(s"mh$i"))
+    val extra = if (withShset) Seq(col("__sig.shset").as("shset")) else Nil
+    base.select(col("doc_id") +: mhs ++: extra: _*)
+  }
+
   /** Frame-based band derivation — the same shingle → minhash → band
     * pipeline over an arbitrary (doc_id, text) frame, so a streaming
     * micro-batch can index itself identically to the batch path
     * ([[graft.streaming.StreamingOps.dedupIngestSink]]).
     */
-  private[graft] def bandsOfDocs(docs: DataFrame): DataFrame = {
-    val sh = Grams.ngrams(docs, splitLit(col("text"), " "), 3)
-      .select(col("doc_id"), col("gram").as("shingle"))
-    bandsOfSigs(sh.groupBy("doc_id")
-      .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7)))
-  }
+  private[graft] def bandsOfDocs(docs: DataFrame): DataFrame =
+    bandsOfSigs(sigsOfDocs(docs))
 
   /** Band fold over an existing signature frame (doc_id, mh0..mh7) —
     * lets a row that already aggregated signatures (e.g. one that also
@@ -2005,11 +2039,25 @@ object DedupOps {
     "llm_incremental_dedup",
     (s, dir) => {
       val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+      // The lake-index probe as ONE pass over the tagged band table
+      // (optimization round 14): the previous shape derived a lake
+      // distinct and a batch side from the same frame and semi-joined
+      // them — two band-key exchanges over two copies of the signature
+      // pipeline once the map-side signatures lost their own
+      // aggregation exchange (join reordering splits every
+      // shared-exchange arrangement). A bucket-keyed window computes
+      // the same membership — a batch doc hits iff ANY of its band
+      // buckets contains a lake doc — with the corpus signed ONCE and
+      // exactly one band-key exchange + within-partition sort (the
+      // semi-join paid two exchanges and the same bucket-skew
+      // exposure). Plan-locked in PlanAuditSpec: one minhash_sigs
+      // projection, no row multiplication.
       val tagged = bandHashes(s, dir).join(src, "doc_id")
-      val lakeIndex = tagged.filter(col("source") =!= "src7")
-        .select("band_idx", "band_hash").distinct()
-      val hits = tagged.filter(col("source") === "src7")
-        .join(lakeIndex, Seq("band_idx", "band_hash"), "left_semi")
+      val w = Window.partitionBy("band_idx", "band_hash")
+      val hits = tagged
+        .withColumn("has_lake",
+          max(when(col("source") =!= "src7", lit(1)).otherwise(lit(0))).over(w))
+        .filter(col("source") === "src7" && col("has_lake") === 1)
         .select("doc_id").distinct()
       src.filter(col("source") === "src7").select("doc_id")
         .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
@@ -2473,13 +2521,19 @@ object DedupOps {
   private val containment = QueryDef(
     "llm_containment",
     (s, dir) => {
-      // Signatures and shingle sets from ONE aggregate; the candidate
-      // pairs fold bands off the same frame (no second shingle pass).
-      // Sets carry 64-bit hashes, not strings — see the jaccard row's
-      // note on the shuffle-volume/collision-bound trade.
-      val perDoc = shingles(s, dir).groupBy("doc_id")
-        .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7),
-          collect_set(xxhash64(col("shingle"))).as("shset"))
+      // Signatures and shingle sets from ONE map-side projection
+      // ([[sigsOfDocs]], round 14 — the aggregate form sorted the
+      // shingle relation); the candidate pairs fold bands off the same
+      // frame (no second shingle pass). Sets carry 64-bit hashes, not
+      // strings — see the jaccard row's note on the
+      // shuffle-volume/collision-bound trade.
+      // One explicit doc_id exchange shared by the three consumers
+      // (bands fold, pair side A, pair side B): the map-side signature
+      // projection has no exchange of its own, so without this each
+      // consumer would re-sign the corpus (ReusedExchange pinned in
+      // PlanAuditSpec).
+      val perDoc = sigsOfDocs(Tables.load(s, dir, "documents"), withShset = true)
+        .repartition(col("doc_id"))
       val sa = perDoc.select(col("doc_id").as("pa"), col("shset").as("shset_a"))
       val sb = perDoc.select(col("doc_id").as("pb"), col("shset").as("shset_b"))
       bandSelfPairs(bandsOfSigs(perDoc))

@@ -230,18 +230,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("llm_incremental_dedup probes the lake index once (shared signature subtree, semi-join)") {
-    // The batch-vs-lake probe must (a) be a LEFT SEMI join on the band
-    // key — it can never row-multiply the batch — and (b) compute the
-    // minhash-signature aggregate ONCE, with the second branch reusing
-    // the first's exchange: at 100 TB the signature pipeline over the
-    // lake is the dominant cost and must not run twice.
+  test("llm_incremental_dedup probes the lake index once (one signature pass, no row multiplication)") {
+    // The batch-vs-lake probe must compute the minhash signature
+    // pipeline ONCE — at 100 TB it is the dominant cost and must not
+    // run twice — and must never row-multiply the batch. Round 14
+    // replaced the semi-join-with-ReusedExchange shape (which join
+    // reordering kept splitting into two signature subtrees once the
+    // signatures went map-side) with a bucket-keyed window over the one
+    // tagged band table: same membership, one band-key exchange, and
+    // the single-pass property holds by CONSTRUCTION — exactly one
+    // minhash_sigs projection in the final plan.
     val df = SparkEntry.queries("llm_incremental_dedup")(spark, dir)
-    df.collect() // AQE resolves reuse at runtime; inspect the final plan
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi"), "lake-index probe must be a semi-join")
-    assert(p.contains("ReusedExchange"),
-      "both sides must share one minhash-signature aggregate")
+    df.collect() // AQE finalizes the plan; inspect the executed tree
+    // AdaptiveSparkPlan.toString appends an "== Initial Plan ==" section
+    // after the final plan — count only the final section.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val sigs = "minhash_sigs".r.findAllIn(p).size
+    assert(sigs === 1,
+      s"the corpus must be signed exactly once; found $sigs minhash_sigs projections")
+    assert(p.contains("Window"), "the lake probe must be the bucket-keyed window")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the probe")
   }
 
   test("llm_bm25_topk tokenizes the corpus once (windowed df/length, no idf join)") {
