@@ -160,6 +160,11 @@ object GraftFunctions {
         require(exprs.length == 1, "minhash_sigs takes exactly 1 argument")
         MinhashSigs(exprs.head)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lloyd_argmin", exprs => {
+        require(exprs.length == 2, "lloyd_argmin takes exactly 2 arguments")
+        LloydArgmin(exprs.head, exprs(1))
+      }, "scala_udf")
   }
 
   private[functions] def mkSafeCast(exprs: Seq[Expression]): SafeCast = {
@@ -263,6 +268,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "minhash_sigs takes exactly 1 argument")
         MinhashSigs(exprs.head)
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("lloyd_argmin"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LloydArgmin].getCanonicalName, "lloyd_argmin"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "lloyd_argmin takes exactly 2 arguments")
+        LloydArgmin(exprs.head, exprs(1))
       }))
   }
 }

@@ -1262,39 +1262,63 @@ object SimilarityOps {
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("qx"))
 
+  /** Driver-resident centroid table: (cluster, quantized centroid).
+    * k·dim BIGINTs — 8×64 in the oracle shape — the same per-iteration
+    * driver state Spark MLlib's own KMeans keeps, and far below every
+    * other adjudicated driver collect in this codebase.
+    */
+  private type KCents = Seq[(Int, Seq[Long])]
+
+  /** Assignment as a NARROW projection: `lloyd_argmin(qx, <literal
+    * centroids>)` (optimization round 14, guide §1.2 step 1 + §2.4).
+    * The relational form — crossJoin(broadcast(cents)) then
+    * groupBy(vec_id).agg(min(dist*100+cluster)) — paid a broadcast
+    * exchange plus an aggregation exchange per Lloyd round and scored
+    * through interpreted zip_with lambdas; at sf0.1 the 3-round
+    * trainers were job-count-bound on exactly those exchanges. With
+    * the centroids collected between rounds (see [[KCents]]) the
+    * assignment needs NO exchange at all and the argmin runs as one
+    * fused codegen loop. Values are bit-identical: same BIGINT squared
+    * distances, and min(dist*100+cluster) ≡ (min dist, min cluster)
+    * tiebreak for cluster < 100 — [[graft.functions.LloydArgmin]]
+    * implements precisely that struct ordering (pinned against the
+    * historical aggregate in `AnnQualitySpec`).
+    */
+  private def kmAssignLit(emb: DataFrame, cents: KCents): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"),
+      call_function("lloyd_argmin", col("qx"),
+        typedLit(cents.sortBy(_._1))).as("a"), col("qx"))
+  }
+
+  /** One centroid recompute: mean (truncating BIGINT div, as always) of
+    * the member vectors per cluster/dimension, collected to the driver
+    * (≤ k rows). The aggregate is the identical expression the
+    * relational rounds used; only WHERE the ≤k-row result lives
+    * changed.
+    */
+  private def kmRecomputeLit(asg: DataFrame): KCents =
+    asg.select(col("a.cluster").as("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(expr("sum(v) div count(1)").as("cv"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+
+  /** Seed centroids: the k lowest vec_ids' quantized vectors, cluster
+    * id = rank (the historical row_number()-1 over the same order).
+    */
+  private def kmSeeds(emb: DataFrame, k: Int): KCents =
+    emb.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Long](1)).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+
   private[graft] def kmeansRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     val emb = quantEmb(s, dir)
-    val init = emb.orderBy("vec_id").limit(8)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1)
-        .cast("int").as("cluster"), col("qx").as("c"))
-    // Non-final assigns CARRY the quantized vector through the argmin by
-    // grouping on (vec_id, qx) — qx is functionally dependent on vec_id
-    // (one embeddings row per id), so the groups, the min, and the
-    // trajectory are bit-identical — and recompute() then needs no
-    // join-back to emb (optimization round 14, guide §2.4: the join-back
-    // was 2 exchanges + 2 sorts per Lloyd round shuffling the full
-    // vector payload a second time; the carried key ships it once, in
-    // the argmin exchange the round already pays).
-    def assign(cents: DataFrame, carry: Boolean): DataFrame = {
-      val scored = emb.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          expr("aggregate(zip_with(qx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
-        .withColumn("k", col("dist") * 100 + col("cluster").cast("long"))
-      val grouped =
-        if (carry) scored.groupBy("vec_id", "qx").agg(min("k").as("k"))
-        else scored.groupBy("vec_id").agg(min("k").as("k"))
-      grouped.select(col("vec_id") +: expr("CAST(k % 100 AS INT)").as("cluster") +:
-        expr("k div 100").as("dist") +: (if (carry) Seq(col("qx")) else Nil): _*)
-    }
-    def recompute(asg: DataFrame): DataFrame =
-      asg.select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(expr("sum(v) div count(1)").as("cv"))
-        .groupBy("cluster")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
-    var a = assign(init, carry = rounds > 1)
-    for (r <- 2 to rounds) a = assign(recompute(a), carry = r < rounds)
-    a.orderBy("vec_id")
+    var cents = kmSeeds(emb, 8)
+    for (_ <- 2 to rounds) cents = kmRecomputeLit(kmAssignLit(emb, cents))
+    kmAssignLit(emb, cents)
+      .select(col("vec_id"), col("a.cluster").as("cluster"), col("a.dist").as("dist"))
+      .orderBy("vec_id")
   }
 
   /** [[kmeansRounds]] generalized to ANY cluster count: the same
@@ -1306,34 +1330,14 @@ object SimilarityOps {
     * replayed trajectory covers this form too. `emb` = (vec_id, qx).
     */
   private[graft] def kmeansAssignK(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val init = emb.orderBy("vec_id").limit(k)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1)
-        .cast("int").as("cluster"), col("qx").as("c"))
-    // Same carried-vector argmin as [[kmeansRounds]]: non-final assigns
-    // group on (vec_id, qx) so recompute() needs no join-back to emb —
-    // at the IVF build's 100× scale that join-back re-shuffled the full
-    // 600k-vector payload every round.
-    def assign(cents: DataFrame, carry: Boolean): DataFrame = {
-      val scored = emb.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          expr("aggregate(zip_with(qx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"))
-      val grouped =
-        if (carry) scored.groupBy("vec_id", "qx")
-          .agg(min(struct(col("dist"), col("cluster"))).as("kc"))
-        else scored.groupBy("vec_id")
-          .agg(min(struct(col("dist"), col("cluster"))).as("kc"))
-      grouped.select(col("vec_id") +: col("kc.cluster").as("cluster") +:
-        col("kc.dist").as("dist") +: (if (carry) Seq(col("qx")) else Nil): _*)
-    }
-    def recompute(asg: DataFrame): DataFrame =
-      asg.select(col("cluster"), posexplode(col("qx")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(expr("sum(v) div count(1)").as("cv"))
-        .groupBy("cluster")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
-    var a = assign(init, carry = rounds > 1)
-    for (r <- 2 to rounds) a = assign(recompute(a), carry = r < rounds)
-    a
+    // Same literal-centroid rounds as [[kmeansRounds]] — the struct-min
+    // tiebreak (min dist, then lowest cluster) IS lloyd_argmin's
+    // contract at any k, so this form never had the <100-cluster
+    // arithmetic-encoding cap to begin with.
+    var cents = kmSeeds(emb, k)
+    for (_ <- 2 to rounds) cents = kmRecomputeLit(kmAssignLit(emb, cents))
+    kmAssignLit(emb, cents)
+      .select(col("vec_id"), col("a.cluster").as("cluster"), col("a.dist").as("dist"))
   }
 
   /** DuckDB replay of [[kmeansRounds]] (3 rounds) ending in CTE `a3`
@@ -1602,42 +1606,67 @@ object SimilarityOps {
   private val pqSqDist =
     expr("aggregate(zip_with(sx, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)")
 
-  /** `carry = true` groups the argmin on (vec_id, m, sx) — sx is
-    * functionally dependent on (vec_id, m), so groups, min, and
-    * trajectory are bit-identical — and the recompute step then needs
-    * no join-back to wm (optimization round 14, guide §2.4: that
-    * join-back was 2 exchanges + 2 sorts per Lloyd round re-shuffling
-    * the subvector payload the argmin exchange already carries).
+  /** Driver-resident PQ codebook: (m, cluster, centroid) — M·K·(dim/M)
+    * BIGINTs (8×16×8 here), the PQ twin of [[KCents]]. */
+  private type PqCodebook = Seq[(Int, Int, Seq[Long])]
+
+  /** PQ code assignment as a NARROW projection (optimization round 14,
+    * the same literal-centroid Lloyd as [[kmAssignLit]]): per
+    * (vec_id, m) row, `lloyd_argmin(sx, codebook[m])` with the codebook
+    * inlined as a literal array indexed by subspace — the relational
+    * broadcast-join + groupBy argmin paid two exchanges per training
+    * round and per encode pass. Output (vec_id, m, cluster, dist, sx);
+    * trajectory bit-identical (same BIGINT arithmetic, and
+    * min(k*100+cluster) ≡ the struct tiebreak for cluster < 100).
     */
-  private def pqAssign(wm: DataFrame, cents: DataFrame,
-                       carry: Boolean = false): DataFrame = {
-    val scored = wm.join(broadcast(cents), "m")
-      .withColumn("k", pqSqDist * 100 + col("cluster").cast("long"))
-    val grouped =
-      if (carry) scored.groupBy("vec_id", "m", "sx").agg(min("k").as("k"))
-      else scored.groupBy("vec_id", "m").agg(min("k").as("k"))
-    grouped.select(col("vec_id") +: col("m") +:
-      expr("CAST(k % 100 AS INT)").as("cluster") +:
-      expr("k div 100").as("dist") +: (if (carry) Seq(col("sx")) else Nil): _*)
+  private def pqAssignLit(wm: DataFrame, cb: PqCodebook): DataFrame = {
+    GraftFunctions.register(wm.sparkSession)
+    val maxM = cb.map(_._1).max
+    val byM: Seq[Seq[(Int, Seq[Long])]] =
+      (0 to maxM).map(m => cb.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
+    wm.select(col("vec_id"), col("m"),
+        call_function("lloyd_argmin", col("sx"),
+          element_at(typedLit(byM), col("m") + 1)).as("a"), col("sx"))
+      .select(col("vec_id"), col("m"), col("a.cluster").as("cluster"),
+        col("a.dist").as("dist"), col("sx"))
   }
 
-  private def pqRecompute(asg: DataFrame): DataFrame =
+  /** One codebook recompute, collected to the driver (≤ M·K rows) —
+    * the identical truncating-BIGINT-mean aggregate the relational
+    * rounds used. */
+  private def pqRecomputeLit(asg: DataFrame): PqCodebook =
     asg.select(col("m"), col("cluster"), posexplode(col("sx")).as(Seq("pos", "v")))
       .groupBy("m", "cluster", "pos")
       .agg(expr("sum(v) div count(1)").as("cv"))
       .groupBy("m", "cluster")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> p.cv)").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
 
   /** 2 Lloyd rounds over the training subvectors; seeds = 16 lowest
-    * vec_ids of the training set. Returns the (m, cluster, c) codebook.
+    * vec_ids of the training set. Returns the (m, cluster, c) codebook
+    * as a driver value; [[codebookDf]] lifts it back to a frame for
+    * the persisted-index write and the broadcast ADC table.
     */
-  private def pqTrain(wm: DataFrame): DataFrame = {
-    val seeds = wm.select("vec_id").distinct().orderBy("vec_id").limit(16)
-      .select(col("vec_id"),
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cluster"))
-    val init = wm.join(seeds, "vec_id").select(col("m"), col("cluster"), col("sx").as("c"))
-    pqRecompute(pqAssign(wm, pqRecompute(pqAssign(wm, init, carry = true)), carry = true))
+  private def pqTrain(wm: DataFrame): PqCodebook = {
+    val seedIds = wm.select("vec_id").distinct().orderBy("vec_id").limit(16)
+      .collect().map(_.getLong(0)).zipWithIndex.toMap
+    val init: PqCodebook = wm.filter(col("vec_id").isin(seedIds.keys.toSeq: _*))
+      .collect().map(r => (r.getInt(1), seedIds(r.getLong(0)), r.getSeq[Long](2))).toSeq
+    var cb = init
+    for (_ <- 1 to 2) cb = pqRecomputeLit(pqAssignLit(wm, cb))
+    cb
   }
+
+  private def codebookDf(s: SparkSession, cb: PqCodebook): DataFrame = {
+    import s.implicits._
+    cb.toDF("m", "cluster", "c")
+  }
+
+  /** Collect a persisted codebook parquet back to the driver value the
+    * literal encode path consumes (≤ M·K rows — an index artifact). */
+  private def collectCodebook(df: DataFrame): PqCodebook =
+    df.select("m", "cluster", "c")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
 
   /** ADC ranking of the queries' subvectors against a codes table. */
   private def pqAdcRank(codes: DataFrame, codebook: DataFrame,
@@ -1660,8 +1689,8 @@ object SimilarityOps {
   private[graft] def pqAdc(s: SparkSession, dir: String): DataFrame = {
     val wm = pqSubvectors(Tables.load(s, dir, "embeddings"))
     val codebook = pqTrain(wm)
-    val codes = pqAssign(wm, codebook).select("vec_id", "m", "cluster")
-    pqAdcRank(codes, codebook, wm.filter(col("vec_id") < 8))
+    val codes = pqAssignLit(wm, codebook).select("vec_id", "m", "cluster")
+    pqAdcRank(codes, codebookDf(s, codebook), wm.filter(col("vec_id") < 8))
   }
 
   /** Shared DuckDB replay of the PQ training pipeline (bit-exact: 1e6
@@ -1748,7 +1777,7 @@ object SimilarityOps {
       val emb = Tables.load(s, dir, "embeddings")
       val wm = pqSubvectors(emb)
       val codebook = pqTrain(wm)
-      val codes = pqAssign(wm, codebook).select("vec_id", "m", "cluster")
+      val codes = pqAssignLit(wm, codebook).select("vec_id", "m", "cluster")
         .join(emb.select(col("vec_id"), col("label")), "vec_id")
       val cent = emb
         .select(col("label"),
@@ -1767,7 +1796,7 @@ object SimilarityOps {
         .select(col("qid").as("query_id"), col("label").as("cell"))
       val table = wm.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("m").as("tm"), col("sx"))
-        .join(broadcast(codebook.withColumnRenamed("m", "tm")), "tm")
+        .join(broadcast(codebookDf(s, codebook).withColumnRenamed("m", "tm")), "tm")
         .select(col("query_id"), col("tm"), col("cluster").as("tcluster"), pqSqDist.as("d"))
         .join(broadcast(routed), "query_id")
       val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("item_id"))
@@ -1863,10 +1892,14 @@ object SimilarityOps {
       */
     def buildInto(s: SparkSession, train: DataFrame, root: String): Unit = {
       val wm = pqSubvectors(train)
+      val cb = pqTrain(wm)
       graft.sources.Artifacts.publishGeneration(s, root, "codebook") { dir =>
-        pqTrain(wm).coalesce(1).write.mode("overwrite").parquet(dir)
+        codebookDf(s, cb).coalesce(1).write.mode("overwrite").parquet(dir)
       }
-      val asg = pqAssign(wm, s.read.parquet(codebookPath(s, root))).persist()
+      // Encode against the PUBLISHED generation (read back, ≤ M·K rows),
+      // not the in-memory trainer output — the artifact stays the source
+      // of truth exactly as before.
+      val asg = pqAssignLit(wm, collectCodebook(s.read.parquet(codebookPath(s, root)))).persist()
       try {
         asg.select(col("vec_id"), col("m"), col("cluster"))
           .withColumn("vb", vbOf)
@@ -1892,7 +1925,8 @@ object SimilarityOps {
       val fresh = newEmb.join(known, Seq("vec_id"), "left_anti").persist()
       try {
         if (fresh.isEmpty) return
-        val asg = pqAssign(pqSubvectors(fresh), s.read.parquet(codebookPath(s, root)))
+        val asg = pqAssignLit(pqSubvectors(fresh),
+            collectCodebook(s.read.parquet(codebookPath(s, root))))
           .persist()
         try {
           // Drift probe, COLLECTED BEFORE the merge: asg's lineage reads
